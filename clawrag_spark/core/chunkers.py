@@ -1,0 +1,256 @@
+"""Deterministic chunkers, bug-for-bug with the reference where noted.
+
+Every chunker maps ``text -> list[Chunk]`` where ``Chunk = (text,
+char_start, char_end)``; spans index into the *extracted* text.  The same
+functions run inside the Spark pandas UDF (then ``posexplode``) and in
+the single-process oracle.
+
+Reference implementations:
+- C1 fixed-window:      backend/src/services/ingest_v2/pipeline.py:141-154
+- C2 separator-cascade: backend/src/core/indexing_service.py:576-612
+- C3 sentence splitter: LlamaIndex SentenceSplitter behavior, re-specified
+                        deterministically (see ``sentence_chunks``)
+- C5 code splitter:     backend/src/services/code_loader.py:192-289
+- C6 parent-child:      backend/src/core/indexing_service.py:373-506
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+
+class Chunk(NamedTuple):
+    text: str
+    char_start: int
+    char_end: int
+
+
+# Separator cascade order — indexing_service.py:43.
+DEFAULT_SEPARATORS = ("\n\n", "\n", ". ", " ", "")
+
+
+def fixed_window_chunks(text: str, chunk_size: int = 512, overlap: int = 128) -> list[Chunk]:
+    """C1: ``text[start:start+size]`` windows, ``start += size - overlap``.
+
+    Bug-for-bug with ingest_v2/pipeline.py:141-154 including its end
+    guard (``start >= len-overlap and end >= len`` breaks the loop), which
+    can emit a final short chunk overlapping the previous one.
+    """
+    if not text:
+        return []
+    chunks: list[Chunk] = []
+    start = 0
+    n = len(text)
+    while start < n:
+        end = start + chunk_size
+        chunks.append(Chunk(text[start:end], start, min(end, n)))
+        start = end - overlap
+        if start >= n - overlap and end >= n:
+            break
+    return chunks
+
+
+def separator_cascade_chunks(
+    text: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    separators: tuple[str, ...] = DEFAULT_SEPARATORS,
+) -> list[Chunk]:
+    """C2: greedy fill on the *first* matching separator.
+
+    Bug-for-bug with indexing_service.py:576-612:
+
+    - only the first separator present in the text is used (the reference
+      ``break``s after one cascade level — not a true recursive splitter),
+    - the size check ignores the separator's own length,
+    - every split gets the separator re-appended (including the last),
+    - each emitted chunk is ``strip()``-ed,
+    - overlap is the last ``chunk_overlap`` chars of the previously
+      *emitted (stripped)* chunk.
+
+    Divergence (documented): the reference's separator list ends with
+    ``""`` and ``"" in text`` is always true, so a text containing none
+    of the other separators reaches ``text.split("")`` which *raises
+    ValueError* in CPython.  We instead treat ``""`` as a split into
+    single characters, which is the only sensible total extension.
+
+    Spans: ``char_start``/``char_end`` cover the chunk's source segments
+    in the input text; the overlap prefix borrowed from the previous
+    chunk extends ``char_start`` left by the borrowed length.
+    """
+    if not text:
+        return []
+
+    sep = None
+    for candidate in separators:
+        if candidate and candidate in text:
+            sep = candidate
+            break
+        if candidate == "":
+            sep = ""
+            break
+    if sep is None:
+        return [Chunk(text.strip(), 0, len(text))]
+
+    if sep == "":
+        splits = list(text)
+        positions = list(range(len(text)))
+        sep_len = 0
+    else:
+        splits = text.split(sep)
+        sep_len = len(sep)
+        positions = []
+        pos = 0
+        for s in splits:
+            positions.append(pos)
+            pos += len(s) + sep_len
+
+    out: list[Chunk] = []
+    cur = ""
+    cur_start = 0          # span start of current chunk in source text
+    cur_end = 0            # span end (exclusive)
+    cur_has_content = False
+
+    def emit() -> None:
+        nonlocal cur
+        stripped = cur.strip()
+        out.append(Chunk(stripped, cur_start, min(cur_end, len(text))))
+
+    for i, split in enumerate(splits):
+        seg_start = positions[i]
+        seg_end = min(seg_start + len(split) + sep_len, len(text))
+        if len(cur) + len(split) <= chunk_size:
+            if not cur_has_content:
+                cur_start = seg_start
+                cur_has_content = True
+            cur += split + sep
+            cur_end = seg_end
+        else:
+            if cur:
+                emit()
+            if out and chunk_overlap > 0:
+                overlap_text = out[-1].text[-chunk_overlap:]
+                cur = overlap_text + split + sep
+                cur_start = max(0, seg_start - len(overlap_text))
+            else:
+                cur = split + sep
+                cur_start = seg_start
+            cur_end = seg_end
+            cur_has_content = True
+
+    if cur:
+        emit()
+    if not out:
+        return [Chunk(text, 0, len(text))]
+    return out
+
+
+_SENT_RE = re.compile(r"[^.!?\n]*[.!?]+(?:[\"')\]]+)?\s*|[^.!?\n]+\n*|\n+")
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def sentence_chunks(text: str, chunk_size: int = 512, overlap: int = 50) -> list[Chunk]:
+    """C3: deterministic sentence splitter (LlamaIndex-equivalent shape).
+
+    ``chunk_size``/``overlap`` are in whitespace tokens (the reference
+    counts model tokens; we pin whitespace tokens as the documented,
+    reproducible rule — SURVEY.md §7.0).  Sentences are merged greedily
+    up to the token budget; overlap carries whole trailing sentences of
+    the previous chunk whose combined token count is ≤ ``overlap``.
+    """
+    if not text:
+        return []
+
+    sentences: list[tuple[str, int, int]] = []  # (sentence, start, end)
+    for m in _SENT_RE.finditer(text):
+        s = m.group(0)
+        if s.strip():
+            sentences.append((s, m.start(), m.end()))
+    if not sentences:
+        return [Chunk(text.strip(), 0, len(text))]
+
+    def ntok(s: str) -> int:
+        return len(_TOKEN_RE.findall(s))
+
+    out: list[Chunk] = []
+    cur: list[tuple[str, int, int]] = []
+    cur_tokens = 0
+
+    def emit() -> None:
+        start = cur[0][1]
+        end = cur[-1][2]
+        out.append(Chunk(text[start:end].strip(), start, end))
+
+    i = 0
+    while i < len(sentences):
+        sent, s_start, s_end = sentences[i]
+        t = ntok(sent)
+        if cur and cur_tokens + t > chunk_size:
+            emit()
+            # carry trailing sentences within the overlap token budget
+            carried: list[tuple[str, int, int]] = []
+            carried_tokens = 0
+            for prev in reversed(cur):
+                pt = ntok(prev[0])
+                if carried_tokens + pt > overlap:
+                    break
+                carried.insert(0, prev)
+                carried_tokens += pt
+            cur = carried
+            cur_tokens = carried_tokens
+        cur.append(sentences[i])
+        cur_tokens += t
+        i += 1
+    if cur:
+        emit()
+    return out
+
+
+_CODE_DECL_RES = {
+    "python": re.compile(r"^(?:async\s+)?(?:def|class)\s+\w+", re.MULTILINE),
+    "javascript": re.compile(
+        r"^(?:export\s+)?(?:async\s+)?(?:function|class)\s+\w+|^const\s+\w+\s*=\s*(?:async\s*)?\(",
+        re.MULTILINE,
+    ),
+    "generic": re.compile(
+        r"^\s*(?:(?:pub\s+)?(?:fn|struct|impl|trait|mod)|func|class|def|interface|type)\s+\w+",
+        re.MULTILINE,
+    ),
+}
+
+
+def code_chunks(text: str, language: str = "generic") -> list[Chunk]:
+    """C5: split code at top-level declaration boundaries.
+
+    Mirrors code_loader.py:192-289's line-regex structure detection:
+    each chunk spans from one declaration to the next; a preamble before
+    the first declaration is its own chunk.
+    """
+    if not text:
+        return []
+    pattern = _CODE_DECL_RES.get(language, _CODE_DECL_RES["generic"])
+    starts = [m.start() for m in pattern.finditer(text)]
+    if not starts:
+        return [Chunk(text, 0, len(text))]
+    bounds = ([0] if starts[0] > 0 else []) + starts + [len(text)]
+    out = []
+    for a, b in zip(bounds, bounds[1:]):
+        seg = text[a:b]
+        if seg.strip():
+            out.append(Chunk(seg, a, b))
+    return out
+
+
+def parent_child_chunks(
+    text: str,
+    child_size: int = 200,
+    child_overlap: int = 20,
+) -> tuple[str, list[Chunk]]:
+    """C6: parent = whole doc, children = sentence chunks of it.
+
+    Mirrors indexing_service.py:373-506 (parent id ``parent_<sha16>`` is
+    stamped by the caller; children use size 200 / overlap 20 —
+    indexing_service.py:409-416).
+    """
+    return text, sentence_chunks(text, child_size, child_overlap)

@@ -1,0 +1,145 @@
+"""Deterministic Docling-style PDF layout parser.
+
+Re-expresses the *behavior* of the reference's PDF pipeline
+(backend/src/services/docling_service.py:264-444 routing,
+backend/src/services/pdf_analyzer.py:12-85 ``has_text`` analysis,
+backend/src/services/pdf_repair_service.py:12-46 repair-passthrough) as a
+from-scratch parser over uncompressed PDF text content streams:
+
+- each ``stream … endstream`` block is a page (pages in document order),
+- text ops ``BT [/Fn SIZE Tf] X Y Td (TEXT) Tj ET`` are decoded into
+  positioned text spans,
+- spans are sorted into reading order (top-to-bottom by ``y`` descending
+  — PDF y grows upward — then left-to-right by ``x``),
+- consecutive lines are merged into blocks; a vertical gap larger than
+  ``_PARA_GAP`` starts a new paragraph (block detection),
+- large font sizes become markdown headings (Docling-style structure).
+
+Real-world PDFs with compressed streams/OCR would be handled by a
+swappable engine behind the same function signature; this container has
+no PDF/OCR libraries, so the parser targets uncompressed text streams
+(which the synthetic corpus and the byte-identity oracle share).
+"""
+
+from __future__ import annotations
+
+import re
+
+_PARA_GAP = 20.0  # y-units; a larger gap starts a new paragraph
+_H1_SIZE = 18.0
+_H2_SIZE = 14.0
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_TEXT_OP_RE = re.compile(
+    rb"BT\s+(?:/F\d+\s+([\d.]+)\s+Tf\s+)?"
+    rb"([\-\d.]+)\s+([\-\d.]+)\s+Td\s+"
+    rb"\(((?:\\.|[^\\()])*)\)\s*Tj\s+ET",
+    re.DOTALL,
+)
+_ENCRYPT_RE = re.compile(rb"/Encrypt\b")
+_UNESCAPE_RE = re.compile(rb"\\([\\()nrt])")
+_UNESCAPE_MAP = {
+    b"\\": b"\\", b"(": b"(", b")": b")",
+    b"n": b"\n", b"r": b"\r", b"t": b"\t",
+}
+
+
+def _unescape(raw: bytes) -> str:
+    out = _UNESCAPE_RE.sub(lambda m: _UNESCAPE_MAP[m.group(1)], raw)
+    return out.decode("utf-8", errors="replace")
+
+
+def analyze_pdf(payload: bytes) -> dict:
+    """PDF analysis mirroring pdf_analyzer.py:12-85.
+
+    Returns ``is_encrypted``, ``page_count`` and ``has_text`` (more than
+    50 stripped chars over the first 3 pages — pdf_analyzer.py:59-76).
+    """
+    streams = _STREAM_RE.findall(payload)
+    chars = 0
+    for stream in streams[:3]:
+        for m in _TEXT_OP_RE.finditer(stream):
+            chars += len(_unescape(m.group(4)).strip())
+    return {
+        "is_encrypted": bool(_ENCRYPT_RE.search(payload)),
+        "page_count": len(streams),
+        "has_text": chars > 50,
+    }
+
+
+def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
+    """Extract markdown text from a PDF payload in reading order.
+
+    Returns ``(markdown_text, artifact_counts)`` like
+    ``html_extract.extract_html``.  Raises ``ValueError`` for encrypted
+    documents (the reference gates them out: docling_service.py:304-309).
+    """
+    if _ENCRYPT_RE.search(payload):
+        raise ValueError("encrypted_pdf")
+
+    blocks: list[str] = []
+    headings = 0
+    paragraphs = 0
+
+    for stream in _STREAM_RE.findall(payload):
+        spans = []
+        for m in _TEXT_OP_RE.finditer(stream):
+            size = float(m.group(1)) if m.group(1) else 12.0
+            x = float(m.group(2))
+            y = float(m.group(3))
+            text = _unescape(m.group(4)).strip()
+            if text:
+                spans.append((y, x, size, text))
+        # reading order: top-to-bottom (y desc), then left-to-right (x asc)
+        spans.sort(key=lambda s: (-s[0], s[1]))
+
+        # group spans on (nearly) the same baseline into lines
+        lines: list[tuple[float, float, str]] = []  # (y, size, text)
+        for y, x, size, text in spans:
+            if lines and abs(lines[-1][0] - y) < 2.0:
+                prev_y, prev_size, prev_text = lines[-1]
+                lines[-1] = (prev_y, max(prev_size, size), prev_text + " " + text)
+            else:
+                lines.append((y, size, text))
+
+        # block detection: vertical gap > _PARA_GAP starts a new paragraph
+        cur: list[str] = []
+        cur_size = 0.0
+        prev_y: float | None = None
+
+        def flush() -> None:
+            nonlocal cur, cur_size, headings, paragraphs
+            if not cur:
+                return
+            text = " ".join(cur)
+            if cur_size >= _H1_SIZE:
+                blocks.append("# " + text)
+                headings += 1
+            elif cur_size >= _H2_SIZE:
+                blocks.append("## " + text)
+                headings += 1
+            else:
+                blocks.append(text)
+                paragraphs += 1
+            cur = []
+            cur_size = 0.0
+
+        for y, size, text in lines:
+            if prev_y is not None and (prev_y - y) > _PARA_GAP:
+                flush()
+            # a font-size change also separates blocks (heading boundary)
+            if cur and size != cur_size:
+                flush()
+            cur.append(text)
+            cur_size = max(cur_size, size)
+            prev_y = y
+        flush()
+
+    counts = {
+        "headings_count": headings,
+        "lists_count": 0,
+        "tables_count": 0,
+        "paragraphs_count": paragraphs,
+        "images_count": 0,
+    }
+    return "\n\n".join(blocks), counts

@@ -1,0 +1,345 @@
+"""The batch extraction pipeline (the north-rule job).
+
+``pages (url, warc_ts, html, text, lang)``
+  → validate (size cap / empty gates — P1..P3)
+  → resume anti-join against committed doc_hashes (S18 checkpoint/resume)
+  → distribute on bucket(N, xxhash64(url)) with a salt column for skewed
+    hosts (explicit skew handling — SURVEY.md §4.1)
+  → extract via a vectorized Arrow stage (mapInPandas) that also stamps
+    per-partition wall time → per-partition metrics are REAL timings
+  → dedup/versioning windows (J1/W4/W5) + audit rows (J5 shape)
+  → chunk + embed in one pandas-UDF pass → posexplode (C2/E1/W6)
+  → parquet sinks laid out by url-hash bucket (stand-in for Iceberg
+    ``bucket(N, url_hash)`` partitioning; swap the writer for
+    ``writeTo(...).append()`` on a real catalog)
+  → per-partition metrics table + run-level lineage manifest.
+
+Scale notes (100 TB / 1000 executors):
+- the resume anti-join ships only the (small) distinct-hash side through
+  a shuffle; at production scale the committed-hash side is a bucketed
+  Iceberg table so the join co-locates without a shuffle,
+- doc_hash is computed with the built-in ``sha2`` (JVM, whole-stage
+  codegen) *before* the Python stage, so resume skips never pay the
+  Arrow round trip,
+- the extract stage reads only (url, warc_ts, html, lang) — the `text`
+  hint column is pruned at the parquet scan,
+- chunking reads the extracted parquet back with only the columns it
+  needs (columnar projection) instead of caching 100 TB of text,
+- AQE handles residual skew; the salt column spreads any single hot
+  host across ``n_salts`` tasks for host-keyed aggregations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .core import oracle
+from .udfs import make_chunk_embed_udf
+
+MAX_PAYLOAD_BYTES = oracle.MAX_PAYLOAD_BYTES
+DEFAULT_BUCKETS = 16
+DEFAULT_SALTS = 8
+
+_EXTRACT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("url_bucket", T.IntegerType()),
+        T.StructField("doc_hash", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("engine", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("text_length", T.IntegerType()),
+        T.StructField("quality_score", T.DoubleType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("n_headings", T.IntegerType()),
+        T.StructField("n_lists", T.IntegerType()),
+        T.StructField("n_tables", T.IntegerType()),
+        T.StructField("n_paragraphs", T.IntegerType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("part_elapsed", T.DoubleType()),
+    ]
+)
+
+
+def _extract_partitions(iterator):
+    """mapInPandas stage: per-Arrow-batch extraction with partition timing.
+
+    Stamps every row with the task's partition id and the cumulative
+    in-Python wall time, so per-partition docs/sec in the metrics table
+    is a measured value, not an estimate.
+    """
+    from pyspark import TaskContext
+
+    part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+    elapsed = 0.0
+    for batch in iterator:
+        t0 = time.monotonic()
+        rows = {name: [] for name in (
+            "doc_hash", "doc_id", "mime", "engine", "text", "text_length",
+            "quality_score", "language", "error",
+            "n_headings", "n_lists", "n_tables", "n_paragraphs",
+        )}
+        for payload, hint in zip(batch["html"], batch["lang"]):
+            r = oracle.process_document(payload, hint)
+            rows["doc_hash"].append(r.doc_hash)
+            rows["doc_id"].append(r.doc_id)
+            rows["mime"].append(r.mime)
+            rows["engine"].append(r.engine)
+            rows["text"].append(r.text)
+            rows["text_length"].append(r.text_length)
+            rows["quality_score"].append(r.quality_score)
+            rows["language"].append(r.language)
+            rows["error"].append(r.error)
+            rows["n_headings"].append(r.artifacts.get("headings_count", 0))
+            rows["n_lists"].append(r.artifacts.get("lists_count", 0))
+            rows["n_tables"].append(r.artifacts.get("tables_count", 0))
+            rows["n_paragraphs"].append(r.artifacts.get("paragraphs_count", 0))
+        elapsed += time.monotonic() - t0
+        out = pd.DataFrame(rows)
+        out.insert(0, "url", batch["url"].values)
+        out.insert(1, "warc_ts", batch["warc_ts"].values)
+        out.insert(2, "host", batch["host"].values)
+        out.insert(3, "url_bucket", batch["url_bucket"].values)
+        out["part_id"] = part_id
+        out["part_elapsed"] = elapsed
+        yield out
+
+
+def prepare_pages(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
+                  n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """Validation gates + distribution columns (all JVM-side).
+
+    - 100 MB size cap (docling_service.py:38) — P1,
+    - ``url_bucket = pmod(xxhash64(url), n_buckets)`` — the Iceberg
+      ``bucket(N, url_hash)`` layout,
+    - ``salt = pmod(xxhash64(url, warc_ts), n_salts)`` — spreads a hot
+      host across tasks for host-keyed work (north rule),
+    - ``doc_hash = sha2(html, 256)`` computed JVM-side for the resume
+      anti-join (identical to hashlib.sha256 hex in the Python stage).
+    """
+    return (
+        pages
+        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("url_bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+        .withColumn("salt",
+                    F.pmod(F.xxhash64("url", "warc_ts"), F.lit(n_salts)).cast("int"))
+        .withColumn("payload_bytes", F.octet_length("html"))
+        .withColumn(
+            "size_gate_error",
+            F.when(F.col("payload_bytes") > F.lit(MAX_PAYLOAD_BYTES),
+                   F.lit("file_too_large")),
+        )
+        .withColumn("doc_hash_pre", F.lower(F.sha2(F.col("html"), 256)))
+    )
+
+
+def dedup_version(extracted: DataFrame, policy: str = "VERSION") -> DataFrame:
+    """Versioning + active flag over doc_hash (W4/W5, models.py:365-372).
+
+    - ``version``: row_number over (doc_hash, order by warc_ts, url),
+    - ``is_active``: latest version only,
+    - ``policy='SKIP'``: keep only version 1 (first seen), matching the
+      dedup SKIPPED action (deduplication_service.py:267-276).
+    """
+    w_ver = Window.partitionBy("doc_hash").orderBy("warc_ts", "url")
+    w_act = Window.partitionBy("doc_hash").orderBy(F.desc("warc_ts"), F.desc("url"))
+    out = (
+        extracted
+        .withColumn("version", F.row_number().over(w_ver))
+        .withColumn("is_active", F.row_number().over(w_act) == F.lit(1))
+    )
+    if policy == "SKIP":
+        out = out.filter(F.col("version") == 1)
+    return out
+
+
+def audit_log(extracted: DataFrame) -> DataFrame:
+    """Dedup audit rows: one per non-first version (J5 shape,
+    models.py:389-408): duplicate url + hash + the original url."""
+    w_ver = Window.partitionBy("doc_hash").orderBy("warc_ts", "url")
+    ranked = extracted.withColumn("version", F.row_number().over(w_ver))
+    originals = (
+        ranked.filter(F.col("version") == 1)
+        .select(F.col("doc_hash"), F.col("url").alias("original_url"))
+    )
+    return (
+        ranked.filter(F.col("version") > 1)
+        .select("doc_hash", F.col("url").alias("duplicate_url"),
+                F.col("warc_ts").alias("detection_ts"),
+                F.lit("VERSIONED").alias("action"))
+        .join(F.broadcast(originals), "doc_hash", "left")
+    )
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """Read a parquet dir, or None if it doesn't exist / has no files
+    (a zero-row partitionBy write creates nothing readable)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    chunk_size: int = oracle.DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = oracle.DEFAULT_CHUNK_OVERLAP,
+    embed_dim: int = 64,
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_salts: int = DEFAULT_SALTS,
+    policy: str = "VERSION",
+    resume: bool = True,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Run the end-to-end extraction job; returns the lineage manifest."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t_start = time.monotonic()
+    extracted_path = os.path.join(out_dir, "extracted")
+    chunks_path = os.path.join(out_dir, "chunks")
+    embeddings_path = os.path.join(out_dir, "embeddings")
+    audit_path = os.path.join(out_dir, "dedup_audit")
+    metrics_path = os.path.join(out_dir, "metrics")
+    manifest_path = os.path.join(out_dir, "manifest")
+
+    prepared = prepare_pages(pages, n_buckets, n_salts)
+    n_input = prepared.count()
+
+    # ---- checkpoint/resume: anti-join committed doc_hashes (S18) ----
+    n_skipped = 0
+    n_todo = n_input
+    if resume and os.path.exists(extracted_path):
+        committed = _read_parquet_or_none(spark, extracted_path)
+        if committed is not None:
+            seen = committed.select(F.col("doc_hash").alias("doc_hash_pre")).distinct()
+            prepared = prepared.join(seen, "doc_hash_pre", "left_anti")
+            n_todo = prepared.count()
+            n_skipped = n_input - n_todo
+
+    # distribute by (bucket, salt): even spread incl. hot hosts
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    distributed = prepared.repartition(num_partitions, "url_bucket", "salt")
+
+    # ---- extract (vectorized Arrow stage w/ real per-partition timing) ----
+    extract_in = distributed.select("url", "warc_ts", "host", "url_bucket",
+                                    "html", "lang")
+    extracted = extract_in.mapInPandas(_extract_partitions, _EXTRACT_OUT_SCHEMA)
+    extracted = dedup_version(extracted, policy).withColumn("run_id", F.lit(run_id))
+    (extracted
+     .write.mode("append")
+     .partitionBy("url_bucket")
+     .parquet(extracted_path))
+
+    # ---- dedup audit (reads back only the tiny columns it needs) ----
+    ext = _read_parquet_or_none(spark, extracted_path)
+    if ext is None:
+        # zero-row run (e.g. empty input or everything resumed-over)
+        manifest = {
+            "run_id": run_id, "n_input": n_input, "n_skipped_resume": n_skipped,
+            "n_processed": 0, "n_chunks_total": 0,
+            "wall_sec": round(time.monotonic() - t_start, 3), "docs_per_sec": None,
+            "chunk_size": chunk_size, "chunk_overlap": chunk_overlap,
+            "embed_dim": embed_dim, "n_buckets": n_buckets, "n_salts": n_salts,
+            "policy": policy,
+        }
+        os.makedirs(manifest_path, exist_ok=True)
+        with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        return manifest
+    audit_log(ext.select("url", "warc_ts", "doc_hash")).write.mode("overwrite").parquet(audit_path)
+
+    # ---- chunk + embed in one pandas-UDF pass over the good rows ----
+    chunk_embed = make_chunk_embed_udf(chunk_size, chunk_overlap, embed_dim)
+    # chunk only THIS run's rows — prior runs' chunks are already committed
+    # (exactly-once on resume); doc_hashes never span runs thanks to the
+    # resume anti-join, so is_active is stable across runs.
+    good = (
+        ext.filter(F.col("run_id") == F.lit(run_id))
+        .filter(F.col("error").isNull() & (F.col("text_length") > 0))
+        .filter(F.col("is_active"))
+        .select("url", "url_bucket", "doc_id", "text")
+    )
+    chunks = (
+        good
+        .select(
+            "url", "url_bucket", "doc_id",
+            F.posexplode(chunk_embed(F.col("text"))).alias("chunk_index", "c"),
+        )
+        .withColumn("chunk_id",
+                    F.concat_ws("_", F.col("doc_id"), F.lit("chunk"),
+                                F.col("chunk_index")))
+        .withColumn("total_chunks",
+                    F.count("*").over(Window.partitionBy("doc_id", "url")))
+        .select(
+            "chunk_id", "doc_id", "url", "url_bucket", "chunk_index",
+            "total_chunks",
+            F.col("c.text").alias("text"),
+            F.col("c.char_start").alias("char_start"),
+            F.col("c.char_end").alias("char_end"),
+            F.col("c.embedding").alias("embedding"),
+        )
+    )
+    chunks.write.mode("append").partitionBy("url_bucket").parquet(chunks_path)
+
+    # embeddings view table: columnar projection of the chunks parquet —
+    # reads only 2 columns, no recompute (FIXTURES.md §2)
+    chunks_committed = _read_parquet_or_none(spark, chunks_path)
+    if chunks_committed is not None:
+        (chunks_committed
+         .select("chunk_id", "embedding")
+         .write.mode("overwrite").parquet(embeddings_path))
+
+    # ---- per-partition metrics (REAL timings from the extract stage) ----
+    metrics = (
+        ext.filter(F.col("run_id") == F.lit(run_id))
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_parse_failures"),
+            F.sum("text_length").alias("n_text_chars"),
+            F.max("part_elapsed").alias("elapsed_sec"),
+        )
+        .withColumn("docs_per_sec",
+                    F.when(F.col("elapsed_sec") > 0,
+                           F.col("n_docs") / F.col("elapsed_sec")))
+        .withColumn("run_id", F.lit(run_id))
+    )
+    metrics.write.mode("append").parquet(metrics_path)
+
+    n_chunks = chunks_committed.count() if chunks_committed is not None else 0
+    wall = time.monotonic() - t_start
+    manifest = {
+        "run_id": run_id,
+        "n_input": n_input,
+        "n_skipped_resume": n_skipped,
+        "n_processed": n_todo,
+        "n_chunks_total": n_chunks,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_todo / wall, 2) if wall > 0 else None,
+        "chunk_size": chunk_size,
+        "chunk_overlap": chunk_overlap,
+        "embed_dim": embed_dim,
+        "n_buckets": n_buckets,
+        "n_salts": n_salts,
+        "policy": policy,
+    }
+    os.makedirs(manifest_path, exist_ok=True)
+    with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest

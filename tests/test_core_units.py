@@ -1,0 +1,245 @@
+"""Unit tests for the pure-Python core (oracle side, no Spark)."""
+
+from clawrag_spark.core.bm25_tokenize import tokenize
+from clawrag_spark.core.chunkers import (
+    fixed_window_chunks,
+    sentence_chunks,
+    separator_cascade_chunks,
+)
+from clawrag_spark.core.html_extract import extract_html
+from clawrag_spark.core.langid import detect_language
+from clawrag_spark.core.mime import detect_mime
+from clawrag_spark.core.oracle import process_document
+from clawrag_spark.core.pdf_extract import analyze_pdf, extract_pdf
+from clawrag_spark.core.quality import score_extraction, structure_score
+
+
+class TestMime:
+    def test_pdf(self):
+        assert detect_mime(b"%PDF-1.4\n...") == "application/pdf"
+
+    def test_zip(self):
+        assert detect_mime(b"PK\x03\x04rest") == "application/zip"
+
+    def test_html_doctype_ws_bom(self):
+        assert detect_mime(b"\xef\xbb\xbf  <!DOCTYPE html><html>") == "text/html"
+        assert detect_mime(b"<HTML><body>x</body>") == "text/html"
+
+    def test_plain_and_binary(self):
+        assert detect_mime("plain text café".encode()) == "text/plain"
+        assert detect_mime(bytes(range(256)) * 4) == "application/octet-stream"
+        assert detect_mime(b"") == "application/octet-stream"
+
+
+class TestHtmlExtract:
+    def test_boilerplate_stripped(self):
+        html = (
+            "<html><head><title>T</title><script>junk()</script></head><body>"
+            "<nav><a href='/a'>a</a> <a href='/b'>b</a></nav>"
+            "<div class='ad-banner'>BUY <a href='x'>click</a></div>"
+            "<main><h1>Heading</h1><p>A real paragraph with enough words to keep.</p>"
+            "<ul><li>item one</li><li>item two</li></ul>"
+            "<table><tr><td>a</td><td>b</td></tr></table></main>"
+            "<footer><a href='/i'>imprint</a></footer></body></html>"
+        )
+        text, counts = extract_html(html)
+        assert text.startswith("# Heading")
+        assert "A real paragraph" in text
+        assert "- item one" in text
+        assert "| a | b |" in text
+        assert "junk" not in text and "BUY" not in text
+        assert "imprint" not in text and "click" not in text
+        assert counts["headings_count"] == 1
+        assert counts["lists_count"] == 2
+        assert counts["tables_count"] == 1
+
+    def test_link_density(self):
+        # a short link-heavy paragraph is boilerplate; a long one is content
+        linky = "<p>" + " ".join(f"<a href='/{i}'>link{i}</a>" for i in range(8)) + "</p>"
+        text, _ = extract_html(f"<html><body>{linky}</body></html>")
+        assert text == ""
+        long_text = "word " * 60
+        keep = f"<p>{long_text}<a href='/x'>see more</a></p>"
+        text2, _ = extract_html(f"<html><body>{keep}</body></html>")
+        assert "word" in text2
+
+    def test_malformed_is_lenient(self):
+        text, _ = extract_html("<html><body><p>unclosed paragraph")
+        assert "unclosed paragraph" in text
+
+    def test_entities_unescaped(self):
+        text, _ = extract_html("<p>fish &amp; chips &lt;3 for only &euro;5 today okay</p>")
+        assert "fish & chips <3" in text and "€5" in text
+
+
+class TestPdfExtract:
+    PDF = (
+        b"%PDF-1.4\n"
+        b"stream\n"
+        b"BT /F1 12 Tf 72 660 Td (second line) Tj ET\n"
+        b"BT /F1 20 Tf 72 720 Td (Title Here) Tj ET\n"
+        b"BT /F1 12 Tf 72 674 Td (first line) Tj ET\n"
+        b"BT /F1 12 Tf 72 600 Td (new paragraph) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+
+    def test_reading_order_and_blocks(self):
+        text, counts = extract_pdf(self.PDF)
+        assert text == "# Title Here\n\nfirst line second line\n\nnew paragraph"
+        assert counts["headings_count"] == 1
+
+    def test_analyze(self):
+        info = analyze_pdf(self.PDF)
+        assert info["page_count"] == 1
+        assert info["has_text"] is False  # only 44 stripped chars (>50 needed)
+        assert info["is_encrypted"] is False
+
+    def test_encrypted_gate(self):
+        enc = b"%PDF-1.4\n/Encrypt 1 0 R\nstream\nBT 0 0 Td (x) Tj ET\nendstream"
+        assert analyze_pdf(enc)["is_encrypted"] is True
+        try:
+            extract_pdf(enc)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    def test_escapes(self):
+        pdf = b"%PDF-1.4\nstream\nBT /F1 12 Tf 72 720 Td (a \\(b\\) c\\\\d) Tj ET\nendstream"
+        text, _ = extract_pdf(pdf)
+        assert text == "a (b) c\\d"
+
+
+class TestChunkers:
+    def test_fixed_window_reference_semantics(self):
+        # pipeline.py:141-154: start += size - overlap; end-guard break
+        text = "abcdefghij" * 10  # 100 chars
+        chunks = fixed_window_chunks(text, 40, 10)
+        assert [c.char_start for c in chunks] == [0, 30, 60]
+        assert chunks[0].text == text[0:40]
+        assert chunks[-1].char_end == 100
+        # reassembly: each next chunk starts `overlap` before previous end
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.char_start == a.char_end - 10
+
+    def test_fixed_window_short(self):
+        assert fixed_window_chunks("abc", 10, 2) == [("abc", 0, 3)]
+        assert fixed_window_chunks("", 10, 2) == []
+
+    def test_separator_cascade_first_separator_only(self):
+        # text has both \n\n and ". " — only \n\n is used (reference bug)
+        text = "aaa. bbb\n\nccc. ddd\n\neee"
+        chunks = separator_cascade_chunks(text, chunk_size=10, chunk_overlap=0)
+        assert [c.text for c in chunks] == ["aaa. bbb", "ccc. ddd", "eee"]
+
+    def test_separator_cascade_overlap(self):
+        text = "one two three\n\nfour five six\n\nseven eight nine"
+        chunks = separator_cascade_chunks(text, chunk_size=16, chunk_overlap=4)
+        # overlap = last 4 chars of previous *stripped* chunk
+        assert chunks[1].text.startswith(chunks[0].text[-4:])
+
+    def test_separator_cascade_spans_cover_text(self):
+        text = ("word " * 50).strip()
+        chunks = separator_cascade_chunks(text, 40, 10)
+        assert chunks[0].char_start == 0
+        assert chunks[-1].char_end == len(text)
+        for c in chunks:
+            assert 0 <= c.char_start <= c.char_end <= len(text)
+
+    def test_separator_cascade_no_separator(self):
+        # single unbroken token: the reference would crash on "".split("");
+        # we split into chars (documented divergence)
+        chunks = separator_cascade_chunks("x" * 25, chunk_size=10, chunk_overlap=0)
+        assert "".join(c.text for c in chunks) == "x" * 25
+
+    def test_sentence_chunks_token_budget(self):
+        text = ("This is a sentence with seven words here. " * 20).strip()
+        chunks = sentence_chunks(text, chunk_size=20, overlap=8)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert len(c.text.split()) <= 20 + 8
+
+    def test_deterministic(self):
+        text = "Alpha beta. Gamma delta.\n\nEpsilon zeta eta theta."
+        for fn in (
+            lambda: fixed_window_chunks(text, 16, 4),
+            lambda: separator_cascade_chunks(text, 16, 4),
+            lambda: sentence_chunks(text, 6, 2),
+        ):
+            assert fn() == fn()
+
+
+class TestQuality:
+    def test_min_length_zero(self):
+        assert score_extraction("too short", "en") == 0.0
+
+    def test_weighted_sum(self):
+        text = "x" * 5000
+        # length 1.0*0.1 + lang 1.0*0.2 + ocr 0.5*0.3 + struct 0.2*0.4 = 0.53
+        assert abs(score_extraction(text, "en") - 0.53) < 1e-9
+
+    def test_no_lang(self):
+        text = "y" * 2500
+        # 0.5*0.1 + 0 + 0.15 + 0.08 = 0.28
+        assert abs(score_extraction(text, None) - 0.28) < 1e-9
+
+    def test_structure_score(self):
+        assert structure_score(None) == 0.1
+        assert abs(structure_score({"tables_count": 1, "headings_count": 2,
+                                    "lists_count": 3, "images_count": 0}) - 0.9) < 1e-9
+        s = structure_score({"tables_count": 5, "headings_count": 5,
+                             "lists_count": 5, "images_count": 1})
+        assert s == 1.0  # 1.0 * 1.2 capped
+
+    def test_ocr_penalty_spaced_words(self):
+        bad = "l i k e t h i s " * 30 + "z" * 100
+        good = "a normal sentence " * 20
+        assert score_extraction(bad, "en") < score_extraction(good, "en")
+
+
+class TestLangId:
+    def test_basic(self):
+        en = "the quick fox and the lazy dog are in the yard with all of them"
+        de = "der schnelle fuchs und der faule hund sind mit einer katze im garten"
+        fr = "le renard rapide et le chien paresseux sont dans le jardin avec des chats"
+        assert detect_language(en) == "en"
+        assert detect_language(de) == "de"
+        assert detect_language(fr) == "fr"
+
+    def test_min_chars(self):
+        assert detect_language("short") == "unknown"
+        assert detect_language(None) == "unknown"
+
+
+class TestBm25Tokenize:
+    def test_section_numbers(self):
+        # "§ 230" → §230 + bare number (bm25_index.py:33,43-46)
+        assert tokenize("See § 230 now") == ["see", "§230", "230", "now"]
+
+    def test_digit_expansion(self):
+        # multi-digit numbers add each nonzero digit (bm25_index.py:48-52)
+        assert tokenize("room 205") == ["room", "205", "2", "5"]
+
+    def test_lowercase_words(self):
+        assert tokenize("Hello World") == ["hello", "world"]
+        assert tokenize("") == []
+
+
+class TestOracleRouting:
+    def test_routes(self):
+        html = b"<html><body><p>hello world paragraph with some text</p></body></html>"
+        r = process_document(html)
+        assert r.mime == "text/html" and r.engine == "docling"
+        r2 = process_document(b"plain text here")
+        assert r2.engine == "text_reader" and r2.text == "plain text here"
+        r3 = process_document(b"")
+        assert r3.error == "empty_input"
+        r4 = process_document(bytes(range(256)))
+        assert r4.error == "unsupported_type"
+
+    def test_doc_hash_is_sha256_of_payload(self):
+        import hashlib
+
+        payload = b"<html><body><p>abc def ghi</p></body></html>"
+        r = process_document(payload)
+        assert r.doc_hash == hashlib.sha256(payload).hexdigest()
+        assert r.doc_id == hashlib.sha256(r.text.encode()).hexdigest()[:16]
