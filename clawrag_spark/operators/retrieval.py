@@ -1,0 +1,272 @@
+"""Retrieval operators: BM25, cosine top-k, hybrid fusion, RRF, parents.
+
+All pure DataFrame/Catalyst implementations — no UDFs in the scoring
+path.  Each operator mirrors a reference computation (file:line cited)
+and has an equivalent ANSI-SQL oracle in ``__spark_entry__.py``.
+
+Scale notes: BM25 stats are two hash aggregations with map-side partial
+combine; the per-term document-frequency table is tiny (vocabulary-
+sized) and is broadcast into the scoring join; top-k uses
+``orderBy().limit()`` which Catalyst plans as TakeOrderedAndProject (no
+global sort).  Cosine scoring is a single narrow projection over the
+embeddings table — no shuffle at all until the final top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# rank_bm25 BM25Okapi defaults (the reference's backend — SURVEY.md §7.4)
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_EPSILON = 0.25
+
+
+def sql_tokens(col):
+    """SQL-expressible tokenizer: lowercase alnum runs (non-empty).
+
+    This is the oracle-checkable tokenizer; the reference's §-aware
+    tokenizer (bm25_index.py:21-54) is in ``udfs.bm25_tokens`` and used
+    where byte-parity with the reference matters rather than SQL parity.
+    """
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    epsilon: float = BM25_EPSILON,
+) -> DataFrame:
+    """Okapi BM25 scores for ``query_terms`` over a document table.
+
+    Reimplements rank_bm25.BM25Okapi semantics (the engine behind
+    bm25_index.py:113-116 / query.py:215) as three aggregations + one
+    broadcast join:
+
+    - ``idf(t) = ln(N - df + 0.5) - ln(df + 0.5)``,
+    - negative idfs are floored to ``epsilon * avg_idf`` where
+      ``avg_idf`` is the corpus mean of the *uncorrected* idf,
+    - ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``.
+
+    Returns ``(id_col, bm25_score)`` for docs with score > 0 (P5 gate,
+    query.py:225).
+    """
+    tokens = docs.select(
+        F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
+    )
+    doclen = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+    postings = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_tbl = postings.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    idf_raw = df_tbl.crossJoin(F.broadcast(corpus)).withColumn(
+        "idf_raw",
+        F.log(F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        - F.log(F.col("doc_freq") + F.lit(0.5)),
+    )
+    avg_idf = idf_raw.agg(F.avg("idf_raw").alias("avg_idf"))
+    idf = (
+        idf_raw.crossJoin(F.broadcast(avg_idf))
+        .withColumn(
+            "idf",
+            F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf"))
+            .otherwise(F.col("idf_raw")),
+        )
+        .select("term", "idf", "avgdl")
+    )
+    q = [t.lower() for t in query_terms]
+    scored = (
+        postings.filter(F.col("term").isin(q))
+        .join(F.broadcast(idf), "term")
+        .join(doclen, id_col)
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("bm25_score"))
+        .filter(F.col("bm25_score") > 0)
+    )
+    return scored
+
+
+def cosine(vec_a, vec_b):
+    """Cosine similarity between two array<float> columns — built-in
+    higher-order functions only (zip_with + aggregate), JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(vec_a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(vec_b, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    exclude_id=None,
+) -> DataFrame:
+    """Brute-force cosine top-k (T2 baseline; over-fetch is the caller's
+    choice, the reference uses ``n_results = k*2`` — query.py:200-204).
+
+    The query vector is a literal array (broadcast-free: constant-folded
+    into the projection).  ``orderBy().limit(k)`` → TakeOrderedAndProject.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    out = embeddings.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def hybrid_minmax(
+    vec_hits: DataFrame,
+    bm25_hits: DataFrame,
+    id_col: str,
+    k: int,
+    w_vec: float = 0.5,
+    w_bm25: float = 0.5,
+) -> DataFrame:
+    """Hybrid candidate merge + min-max fused ranking (J2 + A3 + F7).
+
+    Mirrors query.py:239-311: full outer join on id, missing side → 0.0,
+    per-result-set min-max normalization with the reference's degenerate
+    branch (``max == min`` → 1.0 if score > 0 else 0.0), then the
+    weighted sum (0.5/0.5 — query.py:307-308).
+
+    ``vec_hits``: (id, vec_score); ``bm25_hits``: (id, bm25_score).
+    """
+    merged = (
+        vec_hits.join(bm25_hits, id_col, "full_outer")
+        .withColumn("vec_score", F.coalesce(F.col("vec_score"), F.lit(0.0)))
+        .withColumn("bm25_score", F.coalesce(F.col("bm25_score"), F.lit(0.0)))
+    )
+    bounds = merged.agg(
+        F.min("vec_score").alias("min_v"),
+        F.max("vec_score").alias("max_v"),
+        F.min("bm25_score").alias("min_b"),
+        F.max("bm25_score").alias("max_b"),
+    )
+
+    def norm(score, lo, hi):
+        return F.when(hi > lo, (score - lo) / (hi - lo)).otherwise(
+            F.when(score > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+
+    fused = (
+        merged.crossJoin(F.broadcast(bounds))
+        .withColumn("norm_vec", norm(F.col("vec_score"), F.col("min_v"), F.col("max_v")))
+        .withColumn("norm_bm25", norm(F.col("bm25_score"), F.col("min_b"), F.col("max_b")))
+        .withColumn(
+            "relevance_score",
+            F.lit(w_vec) * F.col("norm_vec") + F.lit(w_bm25) * F.col("norm_bm25"),
+        )
+        .select(id_col, "vec_score", "bm25_score", "relevance_score")
+    )
+    return fused.orderBy(F.desc("relevance_score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    retriever_results: list[tuple[DataFrame, float]],
+    id_col: str,
+    score_col: str,
+    k: int,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Weighted Reciprocal Rank Fusion (J3).
+
+    Mirrors enhanced_hybrid_retriever.py:100-154: rank is the 0-based
+    position within each retriever's result list (``enumerate`` —
+    :109-126), contribution is ``weight / (rank + rrf_k)`` with
+    ``rrf_k = 60`` (:125), summed per id.  Weights 0.7/0.3 come from
+    retriever_factory.py:74.
+    """
+    parts = []
+    for idx, (results, weight) in enumerate(retriever_results):
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            results.select(
+                F.col(id_col),
+                (F.lit(weight) / (F.row_number().over(w) - 1 + F.lit(rrf_k))).alias(
+                    "contrib"
+                ),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.sum("contrib").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def parent_resolution(
+    child_hits: DataFrame,
+    parents: DataFrame,
+    parent_id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """J4: best child score per parent + broadcast equi-join to parents
+    (parent_retriever.py:49-139 — dedupe :77-87, best-score :113-125,
+    join :128-134)."""
+    best = child_hits.groupBy(parent_id_col).agg(
+        F.max(score_col).alias("best_score")
+    )
+    return best.join(F.broadcast(parents), parent_id_col)
+
+
+def interleave_collections(
+    results: DataFrame, collection_col: str, score_col: str, k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """T6 'interleave' merge: round-robin across collections by
+    per-collection rank (query_engine.py:166-198).  ``id_col`` breaks
+    score ties deterministically."""
+    order = [F.desc(score_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(collection_col).orderBy(*order)
+    return (
+        results.withColumn("rn", F.row_number().over(w))
+        .orderBy("rn", collection_col)
+        .limit(k)
+    )
+
+
+def paginate(
+    df: DataFrame, order_col: str, limit: int, offset: int
+) -> DataFrame:
+    """T5 pagination: row_number window + between filter
+    (collection_manager.py:320-365)."""
+    w = Window.orderBy(order_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(offset + 1, offset + limit))
+        .drop("rn")
+    )

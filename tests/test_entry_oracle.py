@@ -1,0 +1,87 @@
+"""Mimics the driver's correctness gate: every ``queries()`` entry vs its
+``oracle_sql()`` DuckDB twin — row count, column names, and
+order-insensitive value comparison (rows sorted, columns sorted by name).
+
+Runs at sf0.001 for speed; the driver runs the same contract at sf0.01.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _canon(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 6)
+    if isinstance(value, bool):
+        return bool(value)
+    if hasattr(value, "isoformat"):
+        return value.isoformat()[:26]
+    return value
+
+
+def _rows_to_canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple(_canon(row[i]) for i in order) for row in rows
+    )
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if sql is None:
+        assert len(spark_rows) >= 0  # rows-only check for non-SQL ops
+        return
+
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _rows_to_canon(spark_rows, spark_cols)
+    b = _rows_to_canon(duck_rows, duck_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
