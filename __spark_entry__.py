@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clawrag_spark.operators import dataset as DS
 from clawrag_spark.operators import retrieval as R
 from clawrag_spark.operators import stats as S
 from clawrag_spark.operators import textops as X
@@ -366,6 +367,57 @@ def q_embedding_sign_buckets(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: probe only the best coarse cell (label = cell),
+    exact cosine within it — the 10^12-scale partition-pruning path."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = DS.ann_ivf_topk(emb, "vec_id", "embedding", "label", qv, 5, n_probe=1)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline for the
+    LSH-bucketed scale path)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return DS.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def q_text_quality(spark, sf_dir):
+    """Training-data quality signals: token stats, stopword/punct/upper
+    ratios — pure column expressions."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return DS.text_quality_signals(docs, "doc_id", "text")
+
+
+def q_peer_counts(spark, sf_dir):
+    """A8 chunk-count window shape: count(*) over (partition by key)."""
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_user_events"),
+    )
+
+
+def q_clause_amount_counts(spark, sf_dir):
+    """P10/P11 clause + currency-amount extraction (as match counts)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.size(X.extract_clauses(F.col("text"))).cast("long").alias("n_clauses"),
+        F.size(X.extract_amounts(F.col("text"))).cast("long").alias("n_amounts"),
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit fingerprint, banded hamming join).
+    Not SQL-expressible (bit-level pandas UDF) → rows-only driver check;
+    pytest covers determinism and planted duplicates."""
+    docs = _load(spark, sf_dir, "documents")
+    return DS.simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid BM25+cosine min-max-fused retrieval at sf0.001."""
     return q_hybrid_minmax(spark, "/root/testdata/sf0.001")
@@ -395,6 +447,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_sign_buckets": q_embedding_sign_buckets,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "peer_counts": q_peer_counts,
+        "clause_amount_counts": q_clause_amount_counts,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -683,6 +741,71 @@ def oracle_sql() -> dict[str, str]:
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(list_concat(a.grams, b.grams))) > 0.1
+        """,
+        "ann_ivf": """
+            WITH qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cents AS (
+                SELECT label, g.i, avg(embedding[g.i]) AS m
+                FROM embeddings, LATERAL UNNEST(generate_series(1, 64)) AS g(i)
+                GROUP BY label, g.i
+            ),
+            centroids AS (
+                SELECT label, list(m ORDER BY i) AS centroid FROM cents GROUP BY label
+            ),
+            best AS (
+                SELECT c.label
+                FROM centroids c CROSS JOIN qvec q
+                ORDER BY list_cosine_similarity(c.centroid, q.qv::DOUBLE[]) DESC, c.label
+                LIMIT 1
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings e JOIN best b ON e.label = b.label CROSS JOIN qvec q
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.45
+        """,
+        "text_quality": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 150
+            )
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS mean_token_len,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN
+                              ('the','and','of','to','in','is','that','it','for','on',
+                               'with','as','was','at','by','this','have','from','or','be',
+                               'are','not','but','had','his','which','they','you','were',
+                               'her','she','all')))::DOUBLE / len(toks)
+                         ELSE 0.0 END, 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS upper_ratio
+            FROM toks
+        """,
+        "peer_counts": """
+            SELECT event_id, user_id,
+                   count(*) OVER (PARTITION BY user_id) AS n_user_events
+            FROM events WHERE user_id < 10
+        """,
+        "clause_amount_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '(?i)((?:Abschnitt|Section|Klausel|Clause)\\s+\\d+)', 1))::BIGINT AS n_clauses,
+                   len(regexp_extract_all(text,
+                       '(\\d{1,3}(?:[,.]\\d{3})*(?:\\.\\d{2})?)\\s*(?:€|\\$|USD|EUR|GBP)', 1))::BIGINT AS n_amounts
+            FROM documents WHERE doc_id < 200
         """,
         "embedding_sign_buckets": """
             SELECT concat(

@@ -67,7 +67,7 @@ def _paragraph(rng: random.Random, lang: str) -> str:
     return " ".join(_sentence(rng, lang, rng.randint(6, 16)) for _ in range(rng.randint(2, 5)))
 
 
-def _html_page(rng: random.Random, lang: str, title: str) -> str:
+def _html_page(rng: random.Random, lang: str, title: str, content_scale: int = 1) -> str:
     nav_links = "".join(
         f'<a href="/{rng.randint(1, 99)}">{rng.choice(_VOCAB[lang])}</a> '
         for _ in range(rng.randint(4, 9))
@@ -84,7 +84,7 @@ def _html_page(rng: random.Random, lang: str, title: str) -> str:
         "<main>",
         f"<h1>{title}</h1>",
     ]
-    for si in range(rng.randint(1, 3)):
+    for si in range(rng.randint(1, 3) * content_scale):
         parts.append(f"<h2>{_sentence(rng, lang, rng.randint(3, 6))[:-1]}</h2>")
         for _ in range(rng.randint(1, 4)):
             parts.append(f"<p>{_paragraph(rng, lang)}</p>")
@@ -139,15 +139,22 @@ def _pdf_page_stream(rng: random.Random, lang: str, title: str | None) -> bytes:
     return b"stream\n" + body.encode("utf-8") + b"\nendstream\n"
 
 
-def _pdf_doc(rng: random.Random, lang: str, title: str) -> bytes:
+def _pdf_doc(rng: random.Random, lang: str, title: str, content_scale: int = 1) -> bytes:
     pages = [_pdf_page_stream(rng, lang, title)]
-    for _ in range(rng.randint(0, 2)):
+    for _ in range(rng.randint(0, 2) * content_scale):
         pages.append(_pdf_page_stream(rng, lang, None))
     return b"%PDF-1.4\n" + b"".join(pages) + b"%%EOF\n"
 
 
-def generate_pages(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Generate the pages table as a pyarrow Table (deterministic)."""
+def generate_pages(n_rows: int, seed: int = SEED, content_scale: int = 1) -> pa.Table:
+    """Generate the pages table as a pyarrow Table (deterministic).
+
+    ``content_scale`` multiplies the amount of main content per page
+    (sections/paragraphs) — scale 1 gives ~2-3 KB toy pages for fast
+    unit tests; scale 8-16 approximates realistic Common-Crawl page
+    sizes for benchmarking, where per-document extraction compute must
+    dominate fixed job overheads.
+    """
     rng = random.Random(seed)
     zipf_rng = np.random.default_rng(seed)
     # Zipf-skewed host choice: host000 dominates
@@ -174,7 +181,7 @@ def generate_pages(n_rows: int, seed: int = SEED) -> pa.Table:
             # exact duplicate body under a different url
             payload, lang = dup_pool[rng.randrange(len(dup_pool))]
         elif roll < 0.05:
-            payload = _pdf_doc(rng, lang, title)
+            payload = _pdf_doc(rng, lang, title, content_scale)
         elif roll < 0.055:
             # truncated / malformed html
             full = _html_page(rng, lang, title)
@@ -189,7 +196,7 @@ def generate_pages(n_rows: int, seed: int = SEED) -> pa.Table:
         elif roll < 0.09:
             payload = _paragraph(rng, lang).encode("utf-8")  # plain text page
         else:
-            payload = _html_page(rng, lang, title).encode("utf-8")
+            payload = _html_page(rng, lang, title, content_scale).encode("utf-8")
             if rng.random() < 0.1 and len(dup_pool) < 64:
                 dup_pool.append((payload, lang))
 
@@ -210,8 +217,34 @@ def generate_pages(n_rows: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def write_pages_parquet(path: str, n_rows: int, seed: int = SEED) -> str:
-    """Write the corpus to parquet (row-group sized for parallel scans)."""
-    table = generate_pages(n_rows, seed)
-    pq.write_table(table, path, row_group_size=max(256, n_rows // 64))
+def write_pages_parquet(
+    path: str,
+    n_rows: int,
+    seed: int = SEED,
+    n_files: int = 1,
+    content_scale: int = 1,
+) -> str:
+    """Write the corpus to parquet.
+
+    ``n_files > 1`` writes a directory of part files so Spark's scan
+    parallelizes from the first stage — a single big file serializes
+    the read + first repartition through one task (real crawl inputs
+    are always many files).
+    """
+    table = generate_pages(n_rows, seed, content_scale)
+    if n_files <= 1:
+        pq.write_table(table, path, row_group_size=max(256, n_rows // 64))
+        return path
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    per = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * per, per)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(path, f"part-{i:04d}.parquet"),
+                row_group_size=max(256, per),
+            )
     return path

@@ -231,10 +231,14 @@ def run_pipeline(
             n_todo = prepared.count()
             n_skipped = n_input - n_todo
 
-    # distribute by (bucket, salt): even spread incl. hot hosts
+    # distribute by url hash: uniform task sizes regardless of host skew
+    # (hash-partitioning on the low-cardinality (bucket, salt) pair would
+    # leave only n_buckets*n_salts distinct keys → uneven partitions and
+    # straggler tasks; url has full cardinality).  The bucket column still
+    # drives the sink layout; salt remains for host-keyed aggregations.
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    distributed = prepared.repartition(num_partitions, "url_bucket", "salt")
+    distributed = prepared.repartition(num_partitions, "url")
 
     # ---- extract (vectorized Arrow stage w/ real per-partition timing) ----
     extract_in = distributed.select("url", "warc_ts", "host", "url_bucket",
