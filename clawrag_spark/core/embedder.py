@@ -24,8 +24,8 @@ DEFAULT_DIM = 64
 _TOKEN_RE = re.compile(r"\w+")
 
 
-def embed_text(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
-    """Embed one string (oracle path)."""
+def embed_text_np(text: str | None, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Embed one string → float32 numpy vector (UDF hot path)."""
     vec = np.zeros(dim, dtype=np.float64)
     if text:
         for tok in _TOKEN_RE.findall(text.lower()):
@@ -36,7 +36,12 @@ def embed_text(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
     norm = float(np.sqrt((vec * vec).sum()))
     if norm > 0:
         vec /= norm
-    return [float(x) for x in vec.astype(np.float32)]
+    return vec.astype(np.float32)
+
+
+def embed_text(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
+    """Embed one string (oracle path; same math as ``embed_text_np``)."""
+    return [float(x) for x in embed_text_np(text, dim)]
 
 
 def embed_batch(texts, dim: int = DEFAULT_DIM) -> list[list[float]]:

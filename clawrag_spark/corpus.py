@@ -171,7 +171,7 @@ def generate_pages(n_rows: int, seed: int = SEED, content_scale: int = 1) -> pa.
 
     for i in range(n_rows):
         host = _HOSTS[int(host_idx[i])]
-        url = f"https://{host}/page/{i:07d}"
+        url = f"https://{host}/s{seed}/page/{i:07d}"
         ts = _T0 + step * i
         lang = rng.choice(_LANGS)
         title = _sentence(rng, lang, rng.randint(2, 5))[:-1]

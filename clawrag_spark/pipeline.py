@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .core import oracle
-from .udfs import make_chunk_embed_udf
+from .udfs import CHUNK_FLAT_SCHEMA, make_chunk_embed_arrow
 
 MAX_PAYLOAD_BYTES = oracle.MAX_PAYLOAD_BYTES
 DEFAULT_BUCKETS = 16
@@ -54,6 +54,8 @@ _EXTRACT_OUT_SCHEMA = T.StructType(
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("host", T.StringType()),
         T.StructField("url_bucket", T.IntegerType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("is_active", T.BooleanType()),
         T.StructField("doc_hash", T.StringType()),
         T.StructField("doc_id", T.StringType()),
         T.StructField("mime", T.StringType()),
@@ -112,6 +114,8 @@ def _extract_partitions(iterator):
         out.insert(1, "warc_ts", batch["warc_ts"].values)
         out.insert(2, "host", batch["host"].values)
         out.insert(3, "url_bucket", batch["url_bucket"].values)
+        out.insert(4, "version", batch["version"].values)
+        out.insert(5, "is_active", batch["is_active"].values)
         out["part_id"] = part_id
         out["part_elapsed"] = elapsed
         yield out
@@ -155,11 +159,37 @@ def dedup_version(extracted: DataFrame, policy: str = "VERSION") -> DataFrame:
       dedup SKIPPED action (deduplication_service.py:267-276).
     """
     w_ver = Window.partitionBy("doc_hash").orderBy("warc_ts", "url")
-    w_act = Window.partitionBy("doc_hash").orderBy(F.desc("warc_ts"), F.desc("url"))
+    w_all = Window.partitionBy("doc_hash")
+    # is_active = (version == max version): reuses w_ver's exchange+sort
+    # instead of a second descending sort of the full text rows
     out = (
         extracted
         .withColumn("version", F.row_number().over(w_ver))
-        .withColumn("is_active", F.row_number().over(w_act) == F.lit(1))
+        .withColumn("is_active", F.col("version") == F.max("version").over(w_all))
+    )
+    if policy == "SKIP":
+        out = out.filter(F.col("version") == 1)
+    return out
+
+
+def narrow_versioning(prepared: DataFrame, policy: str = "VERSION") -> DataFrame:
+    """W4/W5 computed on a NARROW pre-extraction projection.
+
+    ``doc_hash_pre = sha2(html)`` exists before the Python stage, so the
+    versioning window runs over just (url, warc_ts, doc_hash_pre) — a
+    few MB per million rows — instead of shuffling extracted text.  The
+    result joins back to the wide rows by url.  At warehouse scale this
+    is the metadata-only-window pattern: the window job scans 3 pruned
+    columns; the join co-locates for free when both sides are bucketed
+    by url (Iceberg layout), and is a broadcast at test scale.
+    """
+    w_ver = Window.partitionBy("doc_hash_pre").orderBy("warc_ts", "url")
+    w_all = Window.partitionBy("doc_hash_pre")
+    out = (
+        prepared.select("url", "warc_ts", "doc_hash_pre")
+        .withColumn("version", F.row_number().over(w_ver))
+        .withColumn("is_active", F.col("version") == F.max("version").over(w_all))
+        .select("url", "version", "is_active")
     )
     if policy == "SKIP":
         out = out.filter(F.col("version") == 1)
@@ -240,11 +270,18 @@ def run_pipeline(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     distributed = prepared.repartition(num_partitions, "url")
 
+    # ---- versioning BEFORE extraction on narrow metadata columns ----
+    # (W4/W5 need only sha2(html), already computed JVM-side; shuffling
+    # the window over extracted text would move ~the whole corpus)
+    versions = narrow_versioning(prepared, policy)
+    join_kind = "inner" if policy == "SKIP" else "left"
+    distributed = distributed.join(F.broadcast(versions), "url", join_kind)
+
     # ---- extract (vectorized Arrow stage w/ real per-partition timing) ----
     extract_in = distributed.select("url", "warc_ts", "host", "url_bucket",
-                                    "html", "lang")
+                                    "version", "is_active", "html", "lang")
     extracted = extract_in.mapInPandas(_extract_partitions, _EXTRACT_OUT_SCHEMA)
-    extracted = dedup_version(extracted, policy).withColumn("run_id", F.lit(run_id))
+    extracted = extracted.withColumn("run_id", F.lit(run_id))
     (extracted
      .write.mode("append")
      .partitionBy("url_bucket")
@@ -268,11 +305,11 @@ def run_pipeline(
         return manifest
     audit_log(ext.select("url", "warc_ts", "doc_hash")).write.mode("overwrite").parquet(audit_path)
 
-    # ---- chunk + embed in one pandas-UDF pass over the good rows ----
-    chunk_embed = make_chunk_embed_udf(chunk_size, chunk_overlap, embed_dim)
+    # ---- chunk + embed in one Arrow-native pass over the good rows ----
     # chunk only THIS run's rows — prior runs' chunks are already committed
     # (exactly-once on resume); doc_hashes never span runs thanks to the
     # resume anti-join, so is_active is stable across runs.
+    chunk_embed = make_chunk_embed_arrow(chunk_size, chunk_overlap, embed_dim)
     good = (
         ext.filter(F.col("run_id") == F.lit(run_id))
         .filter(F.col("error").isNull() & (F.col("text_length") > 0))
@@ -280,23 +317,13 @@ def run_pipeline(
         .select("url", "url_bucket", "doc_id", "text")
     )
     chunks = (
-        good
-        .select(
-            "url", "url_bucket", "doc_id",
-            F.posexplode(chunk_embed(F.col("text"))).alias("chunk_index", "c"),
-        )
+        good.mapInArrow(chunk_embed, CHUNK_FLAT_SCHEMA)
         .withColumn("chunk_id",
                     F.concat_ws("_", F.col("doc_id"), F.lit("chunk"),
                                 F.col("chunk_index")))
-        .withColumn("total_chunks",
-                    F.count("*").over(Window.partitionBy("doc_id", "url")))
         .select(
             "chunk_id", "doc_id", "url", "url_bucket", "chunk_index",
-            "total_chunks",
-            F.col("c.text").alias("text"),
-            F.col("c.char_start").alias("char_start"),
-            F.col("c.char_end").alias("char_end"),
-            F.col("c.embedding").alias("embedding"),
+            "total_chunks", "text", "char_start", "char_end", "embedding",
         )
     )
     chunks.write.mode("append").partitionBy("url_bucket").parquet(chunks_path)

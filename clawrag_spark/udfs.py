@@ -71,6 +71,7 @@ CHUNK_ELEM = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("char_start", T.LongType()),
         T.StructField("char_end", T.LongType()),
+        T.StructField("total_chunks", T.IntegerType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ]
 )
@@ -81,8 +82,13 @@ def make_chunk_embed_udf(chunk_size: int, overlap: int, embed_dim: int):
     """Chunker + embedder in ONE vectorized pass (north star: "chunk
     embeddings computed in the same vectorized UDF pass").
 
-    Returns array<struct<text,char_start,char_end,embedding>> which the
-    caller ``posexplode``s — the chunk index comes free (SURVEY.md W6).
+    Returns array<struct<text,char_start,char_end,total_chunks,
+    embedding>> which the caller ``posexplode``s — the chunk index comes
+    free (SURVEY.md W6), and ``total_chunks`` (A8) is stamped here
+    because the UDF already knows the per-doc chunk count: computing it
+    downstream would cost a full shuffle of the chunk rows (measured
+    ~2.5x the chunking stage itself) for a number the producer had for
+    free.
     """
 
     @F.pandas_udf(CHUNK_SCHEMA)
@@ -90,12 +96,14 @@ def make_chunk_embed_udf(chunk_size: int, overlap: int, embed_dim: int):
         out = []
         for t in text:
             chunks = oracle.chunk_document(t or "", chunk_size, overlap)
+            n = len(chunks)
             out.append(
                 [
                     {
                         "text": c.text,
                         "char_start": c.char_start,
                         "char_end": c.char_end,
+                        "total_chunks": n,
                         "embedding": embed_text(c.text, embed_dim),
                     }
                     for c in chunks
@@ -104,6 +112,100 @@ def make_chunk_embed_udf(chunk_size: int, overlap: int, embed_dim: int):
         return pd.Series(out)
 
     return chunk_embed
+
+
+CHUNK_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_bucket", T.IntegerType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("total_chunks", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("char_start", T.LongType()),
+        T.StructField("char_end", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def make_chunk_embed_arrow(chunk_size: int, overlap: int, embed_dim: int):
+    """Arrow-native chunk+embed stage for ``mapInArrow``.
+
+    Emits FLAT chunk rows (no array<struct> + posexplode): building the
+    nested pandas objects and converting them to Arrow costs more than
+    the chunking itself at 10^5+ chunks/batch.  Here the embedding
+    column is assembled zero-copy from one flat float32 numpy buffer via
+    ``pa.ListArray.from_arrays`` — the Python-side cost is exactly the
+    chunker + embedder math, nothing else.
+
+    Input batches need columns: url, url_bucket, doc_id, text.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .core.embedder import embed_text_np
+
+    out_type = pa.schema(
+        [
+            ("url", pa.string()),
+            ("url_bucket", pa.int32()),
+            ("doc_id", pa.string()),
+            ("chunk_index", pa.int32()),
+            ("total_chunks", pa.int32()),
+            ("text", pa.string()),
+            ("char_start", pa.int64()),
+            ("char_end", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def run(iterator):
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            buckets = batch.column("url_bucket").to_pylist()
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+
+            o_url, o_bucket, o_doc = [], [], []
+            o_idx, o_total, o_text = [], [], []
+            o_start, o_end = [], []
+            vecs = []
+            for url, bucket, doc_id, text in zip(urls, buckets, doc_ids, texts):
+                chunks = oracle.chunk_document(text or "", chunk_size, overlap)
+                n = len(chunks)
+                for i, c in enumerate(chunks):
+                    o_url.append(url)
+                    o_bucket.append(bucket)
+                    o_doc.append(doc_id)
+                    o_idx.append(i)
+                    o_total.append(n)
+                    o_text.append(c.text)
+                    o_start.append(c.char_start)
+                    o_end.append(c.char_end)
+                    vecs.append(embed_text_np(c.text, embed_dim))
+            n_chunks = len(o_url)
+            flat = np.concatenate(vecs) if n_chunks else np.empty(0, dtype=np.float32)
+            offsets = pa.array(
+                np.arange(0, (n_chunks + 1) * embed_dim, embed_dim, dtype=np.int32)
+            )
+            emb_arr = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_url, pa.string()),
+                    pa.array(o_bucket, pa.int32()),
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_idx, pa.int32()),
+                    pa.array(o_total, pa.int32()),
+                    pa.array(o_text, pa.string()),
+                    pa.array(o_start, pa.int64()),
+                    pa.array(o_end, pa.int64()),
+                    emb_arr,
+                ],
+                schema=out_type,
+            )
+
+    return run
 
 
 def make_embed_udf(embed_dim: int):

@@ -1,0 +1,84 @@
+"""Tests: incremental streaming ingestion + multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestIncrementalStreaming:
+    def test_available_now_exactly_once(self, spark, out_dir, tmp_path):
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.streaming import incremental_extract
+
+        pages_dir = str(tmp_path / "pages_stream")
+        os.makedirs(pages_dir)
+        write_pages_parquet(os.path.join(pages_dir, "batch1.parquet"), 120, seed=7)
+
+        incremental_extract(spark, pages_dir, out_dir)
+        ext_path = os.path.join(out_dir, "extracted_stream")
+        n1 = spark.read.parquet(ext_path).count()
+        assert n1 == 120
+
+        # re-run with no new files: nothing reprocessed
+        incremental_extract(spark, pages_dir, out_dir)
+        assert spark.read.parquet(ext_path).count() == 120
+
+        # drop a second file: only the delta is processed
+        write_pages_parquet(os.path.join(pages_dir, "batch2.parquet"), 80, seed=8)
+        incremental_extract(spark, pages_dir, out_dir)
+        df = spark.read.parquet(ext_path)
+        assert df.count() == 200
+        assert df.select("url").distinct().count() == 200
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def media_df(self, spark):
+        rows = [
+            (1, b"\xff\xd8\xff\xe0" + b"j" * 500),          # jpeg
+            (2, b"\x89PNG\r\n\x1a\n" + b"p" * 300),         # png
+            (3, b"RIFF" + b"\x00" * 4 + b"WAVE" + b"w" * 200),  # wav
+            (4, b"\x00\x00\x00\x18ftypisom" + b"v" * 2048),  # mp4
+            (5, b"garbage-bytes"),
+        ]
+        return spark.createDataFrame(rows, "media_id int, media binary")
+
+    def test_media_metadata(self, spark, media_df):
+        from clawrag_spark.multimodal import media_metadata
+
+        out = {
+            r["media_id"]: r
+            for r in media_df.select(
+                "media_id", media_metadata(F.col("media")).alias("m")
+            ).select("media_id", "m.*").collect()
+        }
+        assert out[1]["media_type"] == "image" and out[1]["format"] == "jpeg"
+        assert out[2]["format"] == "png"
+        assert out[3]["media_type"] == "audio" and out[3]["format"] == "wav"
+        assert out[4]["media_type"] == "video"
+        assert out[5]["media_type"] == "unknown"
+        assert out[1]["n_bytes"] == 504
+        assert len(out[1]["content_hash"]) == 64
+
+    def test_image_features_deterministic_shape(self, spark, media_df):
+        from clawrag_spark.multimodal import FEATURE_DIM, extract_image_features
+
+        feats = extract_image_features(media_df.filter("media_id <= 2")).collect()
+        assert len(feats) == 2
+        for row in feats:
+            assert len(row["feature"]) == FEATURE_DIM
+            assert abs(sum(row["feature"]) - 1.0) < 1e-6
+        # deterministic: same payload → same feature
+        again = extract_image_features(media_df.filter("media_id <= 2")).collect()
+        assert sorted(map(tuple, (r["feature"] for r in feats))) == sorted(
+            map(tuple, (r["feature"] for r in again))
+        )
+
+    def test_frame_sample_plan(self, spark, media_df):
+        from clawrag_spark.multimodal import frame_sample_plan
+
+        plan = frame_sample_plan(media_df.filter("media_id = 4"), "media", every_n=1)
+        rows = plan.collect()
+        assert len(rows) == 3  # 2048 bytes → 3 fake frames at stride 1
+        assert [r["frame_index"] for r in sorted(rows, key=lambda r: r["frame_index"])] == [0, 1, 2]
