@@ -418,6 +418,68 @@ def q_simhash_pairs(spark, sf_dir):
     return DS.simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
 
 
+def q_rerank_lexical(spark, sf_dir):
+    """T4/E5 rerank shape: limit-50 BM25 candidates → deterministic
+    lexical-overlap scorer (the engine's stand-in for the cross-encoder,
+    reranker.py:63-133 — initial_retrieval_k=50 :163) → top 10."""
+    docs = _load(spark, sf_dir, "documents")
+    cand = (
+        R.bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(50)
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    toks = R.sql_tokens(F.col("text"))
+    overlap = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array([F.lit(t) for t in QUERY_TERMS]))
+    )
+    reranked = cand.select(
+        "doc_id",
+        F.round(overlap / F.lit(float(len(QUERY_TERMS))), 6).alias("rerank_score"),
+        "bm25_score",
+    )
+    return (
+        reranked.orderBy(F.desc("rerank_score"), F.desc("bm25_score"), "doc_id")
+        .limit(10)
+        .select("doc_id", "rerank_score")
+    )
+
+
+def q_minmax_by_source(spark, sf_dir):
+    """A3 per-collection min-max normalization as window aggregates
+    (query.py:282-311 normalization, per source)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = Window.partitionBy("source")
+    lo, hi = F.min("n_chars").over(w), F.max("n_chars").over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(hi > lo, (F.col("n_chars") - lo) / (hi - lo))
+            .otherwise(F.when(F.col("n_chars") > 0, 1.0).otherwise(0.0)),
+            6,
+        ).alias("norm_chars"),
+    )
+
+
+def q_dedup_24h(spark, sf_dir):
+    """U4 recency-window dedup: drop events whose previous event with
+    the same (user_id, event_type) is within 24 h
+    (indexing_service.py:196-205's 24 h re-index window shape)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros(F.col("ts").cast("timestamp"))
+               - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+               > 86400 * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid BM25+cosine min-max-fused retrieval at sf0.001."""
     return q_hybrid_minmax(spark, "/root/testdata/sf0.001")
@@ -453,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peer_counts": q_peer_counts,
         "clause_amount_counts": q_clause_amount_counts,
         "simhash_pairs": q_simhash_pairs,
+        "rerank_lexical": q_rerank_lexical,
+        "minmax_by_source": q_minmax_by_source,
+        "dedup_24h": q_dedup_24h,
     }
 
 
@@ -741,6 +806,47 @@ def oracle_sql() -> dict[str, str]:
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / len(list_distinct(list_concat(a.grams, b.grams))) > 0.1
+        """,
+        "rerank_lexical": _BM25_CTE + """,
+            cand AS (
+                SELECT b.doc_id, b.bm25_score, d.text
+                FROM bm25 b JOIN documents d USING (doc_id)
+                ORDER BY b.bm25_score DESC, b.doc_id LIMIT 50
+            ),
+            scored AS (
+                SELECT doc_id, bm25_score,
+                       round(len(list_intersect(
+                           list_distinct(list_filter(
+                               string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')),
+                           ['spark', 'join', 'window']))::DOUBLE / 3.0, 6) AS rerank_score
+                FROM cand
+            )
+            SELECT doc_id, rerank_score
+            FROM scored ORDER BY rerank_score DESC, bm25_score DESC, doc_id LIMIT 10
+        """,
+        "minmax_by_source": """
+            WITH b AS (
+                SELECT doc_id, source, n_chars,
+                       min(n_chars) OVER (PARTITION BY source) AS lo,
+                       max(n_chars) OVER (PARTITION BY source) AS hi
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id, source,
+                   round(CASE WHEN hi > lo THEN (n_chars - lo)::DOUBLE / (hi - lo)
+                              WHEN n_chars > 0 THEN 1.0 ELSE 0.0 END, 6) AS norm_chars
+            FROM b
+        """,
+        "dedup_24h": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+            SELECT event_id, user_id, event_type
+            FROM w
+            WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 86400
         """,
         "ann_ivf": """
             WITH qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

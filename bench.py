@@ -62,6 +62,29 @@ spark.stop()
 """
 
 
+def hardware_ceiling(lo_cores: int, hi_cores: int) -> float:
+    """Pure-Python multiprocessing control: the best scaling this host
+    can give ANY perfectly parallel Python workload between the two core
+    counts (shared hosts throttle per-core throughput as occupancy
+    rises).  The pipeline's efficiency should be read against this
+    ceiling; on a real multi-executor cluster the ceiling is ~1.0."""
+    import multiprocessing as mp
+    import time as _t
+
+    def burn(_):
+        t0 = _t.time()
+        x = 0
+        while _t.time() - t0 < 1.5:
+            x += 1
+        return x
+
+    rates = {}
+    for n in (lo_cores, hi_cores):
+        with mp.Pool(n) as pool:
+            rates[n] = sum(pool.map(burn, range(n)))
+    return round((rates[hi_cores] / rates[lo_cores]) / (hi_cores / lo_cores), 3)
+
+
 def run_extraction_at(cores: int, pages_path: str) -> dict:
     """Run the pipeline in a fresh JVM at the given core count."""
     code = _WORKER.format(repo=REPO, cores=cores, pages_path=pages_path)
@@ -132,6 +155,7 @@ def main() -> None:
             hi_runs.append(run_extraction_at(hi_cores, pages_path))
         lo = min(lo_runs, key=lambda r: r["wall_sec"])
         hi = min(hi_runs, key=lambda r: r["wall_sec"])
+        ceiling = hardware_ceiling(lo_cores, hi_cores)
         efficiency = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cores / lo_cores)
         extraction = {
             "n_pages": N_PAGES,
@@ -143,6 +167,8 @@ def main() -> None:
             f"wall_sec_local{lo_cores}": round(lo["wall_sec"], 3),
             f"wall_sec_local{hi_cores}": round(hi["wall_sec"], 3),
             "scaling_efficiency": round(efficiency, 3),
+            "hardware_ceiling": ceiling,
+            "efficiency_vs_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
             "n_chunks": hi["n_chunks"],
         }
         _write_bench_md(extraction, queries, total)
@@ -182,13 +208,17 @@ executors on a real cluster:
 **Scaling efficiency = (docs/sec@{hi_c} / docs/sec@{lo_c}) / ({hi_c}/{lo_c}) = {eff}**
 (target ≥ 0.8 per BASELINE.json).
 
-N={lo_c}, 4N={hi_c} cores on a shared 32-vCPU host: raw multiprocessing
-on this box scales only 3.5x from 4 to 16 procs (per-core throughput
-drops under occupancy), so the single-machine hardware ceiling for
-perfectly parallel work is ~0.88 at this pair; on a real multi-executor
-cluster each executor keeps its own clock/memory bandwidth, and what the
-efficiency number evidences is the pipeline's shuffle structure
-(url-hash uniform repartition, broadcast joins, no driver-side loops).
+**Hardware-ceiling control (measured in the same bench run):** a pure
+multiprocessing CPU burn — no Spark — scales at only
+**{extraction['hardware_ceiling']}** efficiency between {lo_c} and
+{hi_c} procs on this shared host (per-core throughput drops as
+occupancy rises).  The pipeline achieves
+**{extraction['efficiency_vs_ceiling']} of the host's attainable
+ceiling**; on a real multi-executor cluster each executor keeps its own
+clock and memory bandwidth (ceiling ≈ 1.0), and what the number
+evidences is the pipeline's shuffle structure: url-hash uniform
+repartition, metadata-only versioning windows, broadcast joins, no
+driver-side loops.
 
 Chunks produced: {extraction['n_chunks']}.
 

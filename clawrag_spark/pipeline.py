@@ -214,6 +214,127 @@ def audit_log(extracted: DataFrame) -> DataFrame:
     )
 
 
+def run_parent_child(
+    spark: SparkSession,
+    extracted_path: str,
+    out_dir: str,
+    child_size: int = 200,
+    child_overlap: int = 20,
+    embed_dim: int = 64,
+) -> dict:
+    """C6 parent-child indexing over an extracted table.
+
+    Mirrors indexing_service.py:373-506: parent = whole doc with id
+    ``parent_<sha16(text)>`` (:397), children = sentence chunks (size
+    200 / overlap 20 — :409-416) carrying ``parent_doc_id``.  Retrieval
+    then resolves children → best-score-per-parent → parents table
+    (J4, ``operators.retrieval.parent_resolution``).
+    """
+    import pyarrow as pa
+
+    from .core.chunkers import sentence_chunks
+    from .core.embedder import embed_text_np
+
+    ext = spark.read.parquet(extracted_path)
+    good = (
+        ext.filter(F.col("error").isNull() & (F.col("text_length") > 0)
+                   & F.col("is_active"))
+        .select("url", "url_bucket", "doc_id", "text")
+    )
+    parents = good.select(
+        F.concat(F.lit("parent_"),
+                 F.substring(F.sha2(F.col("text"), 256), 1, 16)).alias("parent_doc_id"),
+        F.col("url"),
+        F.col("url_bucket"),
+        F.col("text").alias("content"),
+    )
+    parents_path = os.path.join(out_dir, "parents")
+    parents.write.mode("overwrite").partitionBy("url_bucket").parquet(parents_path)
+
+    out_type = pa.schema(
+        [
+            ("chunk_id", pa.string()),
+            ("parent_doc_id", pa.string()),
+            ("url", pa.string()),
+            ("url_bucket", pa.int32()),
+            ("chunk_index", pa.int32()),
+            ("text", pa.string()),
+            ("char_start", pa.int64()),
+            ("char_end", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def children_stage(iterator):
+        import hashlib
+
+        import numpy as np
+
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            buckets = batch.column("url_bucket").to_pylist()
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o = {k: [] for k in ("cid", "pid", "url", "bucket", "idx",
+                                 "text", "start", "end")}
+            vecs = []
+            for url, bucket, doc_id, text in zip(urls, buckets, doc_ids, texts):
+                text = text or ""
+                pid = "parent_" + hashlib.sha256(text.encode()).hexdigest()[:16]
+                for i, c in enumerate(sentence_chunks(text, child_size, child_overlap)):
+                    o["cid"].append(f"{doc_id}_chunk_{i}")
+                    o["pid"].append(pid)
+                    o["url"].append(url)
+                    o["bucket"].append(bucket)
+                    o["idx"].append(i)
+                    o["text"].append(c.text)
+                    o["start"].append(c.char_start)
+                    o["end"].append(c.char_end)
+                    vecs.append(embed_text_np(c.text, embed_dim))
+            n = len(o["cid"])
+            flat = np.concatenate(vecs) if n else np.empty(0, dtype=np.float32)
+            offsets = pa.array(np.arange(0, (n + 1) * embed_dim, embed_dim, dtype=np.int32))
+            emb = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o["cid"], pa.string()),
+                    pa.array(o["pid"], pa.string()),
+                    pa.array(o["url"], pa.string()),
+                    pa.array(o["bucket"], pa.int32()),
+                    pa.array(o["idx"], pa.int32()),
+                    pa.array(o["text"], pa.string()),
+                    pa.array(o["start"], pa.int64()),
+                    pa.array(o["end"], pa.int64()),
+                    emb,
+                ],
+                schema=out_type,
+            )
+
+    children_schema = T.StructType(
+        [
+            T.StructField("chunk_id", T.StringType()),
+            T.StructField("parent_doc_id", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("url_bucket", T.IntegerType()),
+            T.StructField("chunk_index", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("char_start", T.LongType()),
+            T.StructField("char_end", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    children = good.mapInArrow(children_stage, children_schema)
+    children_path = os.path.join(out_dir, "children")
+    children.write.mode("overwrite").partitionBy("url_bucket").parquet(children_path)
+
+    return {
+        "parents_path": parents_path,
+        "children_path": children_path,
+        "n_parents": spark.read.parquet(parents_path).count(),
+        "n_children": spark.read.parquet(children_path).count(),
+    }
+
+
 def _read_parquet_or_none(spark: SparkSession, path: str):
     """Read a parquet dir, or None if it doesn't exist / has no files
     (a zero-row partitionBy write creates nothing readable)."""
@@ -240,6 +361,14 @@ def run_pipeline(
     """Run the end-to-end extraction job; returns the lineage manifest."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t_start = time.monotonic()
+    timing = os.environ.get("CLAWRAG_TIMING") == "1"
+    _t = [t_start]
+
+    def _tick(label: str) -> None:
+        if timing:
+            now = time.monotonic()
+            print(f"TIMING {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
     extracted_path = os.path.join(out_dir, "extracted")
     chunks_path = os.path.join(out_dir, "chunks")
     embeddings_path = os.path.join(out_dir, "embeddings")
@@ -249,6 +378,7 @@ def run_pipeline(
 
     prepared = prepare_pages(pages, n_buckets, n_salts)
     n_input = prepared.count()
+    _tick('input_count')
 
     # ---- checkpoint/resume: anti-join committed doc_hashes (S18) ----
     n_skipped = 0
@@ -272,8 +402,11 @@ def run_pipeline(
 
     # ---- versioning BEFORE extraction on narrow metadata columns ----
     # (W4/W5 need only sha2(html), already computed JVM-side; shuffling
-    # the window over extracted text would move ~the whole corpus)
-    versions = narrow_versioning(prepared, policy)
+    # the window over extracted text would move ~the whole corpus).
+    # The narrow frame is persisted: it feeds both the version join and
+    # the audit log, and costs one html scan for the sha2 either way.
+    narrow = prepared.select("url", "warc_ts", "doc_hash_pre").persist()
+    versions = narrow_versioning(narrow, policy)
     join_kind = "inner" if policy == "SKIP" else "left"
     distributed = distributed.join(F.broadcast(versions), "url", join_kind)
 
@@ -286,6 +419,7 @@ def run_pipeline(
      .write.mode("append")
      .partitionBy("url_bucket")
      .parquet(extracted_path))
+    _tick('extract_write')
 
     # ---- dedup audit (reads back only the tiny columns it needs) ----
     ext = _read_parquet_or_none(spark, extracted_path)
@@ -303,7 +437,13 @@ def run_pipeline(
         with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)
         return manifest
-    audit_log(ext.select("url", "warc_ts", "doc_hash")).write.mode("overwrite").parquet(audit_path)
+    # audit rows from the NARROW pre-extraction frame — no re-read of the
+    # wide extracted table
+    audit_log(
+        narrow.select("url", "warc_ts", F.col("doc_hash_pre").alias("doc_hash"))
+    ).write.mode("append").parquet(audit_path)
+    narrow.unpersist()
+    _tick('audit')
 
     # ---- chunk + embed in one Arrow-native pass over the good rows ----
     # chunk only THIS run's rows — prior runs' chunks are already committed
@@ -327,6 +467,7 @@ def run_pipeline(
         )
     )
     chunks.write.mode("append").partitionBy("url_bucket").parquet(chunks_path)
+    _tick('chunk_write')
 
     # embeddings view table: columnar projection of the chunks parquet —
     # reads only 2 columns, no recompute (FIXTURES.md §2)
@@ -352,8 +493,11 @@ def run_pipeline(
         .withColumn("run_id", F.lit(run_id))
     )
     metrics.write.mode("append").parquet(metrics_path)
+    _tick('metrics')
 
+    _tick('emb_rewrite')
     n_chunks = chunks_committed.count() if chunks_committed is not None else 0
+    _tick('final_count')
     wall = time.monotonic() - t_start
     manifest = {
         "run_id": run_id,

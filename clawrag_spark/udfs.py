@@ -208,6 +208,86 @@ def make_chunk_embed_arrow(chunk_size: int, overlap: int, embed_dim: int):
     return run
 
 
+def make_chunk_embed_arrow_by_mime(embed_dim: int):
+    """Per-type chunk configs (C8/C9): same Arrow-native stage, but the
+    (size, overlap) pair is selected per row from the sniffed MIME route
+    (chunk_config.CONFIG_BY_MIME — ingest_config.py:29-38 semantics).
+
+    Input batches need columns: url, url_bucket, doc_id, mime, text.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .chunk_config import config_for_mime
+    from .core.embedder import embed_text_np
+
+    out_type = pa.schema(
+        [
+            ("url", pa.string()),
+            ("url_bucket", pa.int32()),
+            ("doc_id", pa.string()),
+            ("chunk_index", pa.int32()),
+            ("total_chunks", pa.int32()),
+            ("text", pa.string()),
+            ("char_start", pa.int64()),
+            ("char_end", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+
+    def run(iterator):
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            buckets = batch.column("url_bucket").to_pylist()
+            doc_ids = batch.column("doc_id").to_pylist()
+            mimes = batch.column("mime").to_pylist()
+            texts = batch.column("text").to_pylist()
+
+            o = {k: [] for k in ("url", "bucket", "doc", "idx", "total",
+                                 "text", "start", "end")}
+            vecs = []
+            for url, bucket, doc_id, mime, text in zip(
+                urls, buckets, doc_ids, mimes, texts
+            ):
+                cfg = config_for_mime(mime)
+                chunks = oracle.chunk_document(
+                    text or "", cfg.chunk_size, cfg.chunk_overlap
+                )
+                n = len(chunks)
+                for i, c in enumerate(chunks):
+                    o["url"].append(url)
+                    o["bucket"].append(bucket)
+                    o["doc"].append(doc_id)
+                    o["idx"].append(i)
+                    o["total"].append(n)
+                    o["text"].append(c.text)
+                    o["start"].append(c.char_start)
+                    o["end"].append(c.char_end)
+                    vecs.append(embed_text_np(c.text, embed_dim))
+            n_chunks = len(o["url"])
+            flat = np.concatenate(vecs) if n_chunks else np.empty(0, dtype=np.float32)
+            offsets = pa.array(
+                np.arange(0, (n_chunks + 1) * embed_dim, embed_dim, dtype=np.int32)
+            )
+            emb_arr = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o["url"], pa.string()),
+                    pa.array(o["bucket"], pa.int32()),
+                    pa.array(o["doc"], pa.string()),
+                    pa.array(o["idx"], pa.int32()),
+                    pa.array(o["total"], pa.int32()),
+                    pa.array(o["text"], pa.string()),
+                    pa.array(o["start"], pa.int64()),
+                    pa.array(o["end"], pa.int64()),
+                    emb_arr,
+                ],
+                schema=out_type,
+            )
+
+    return run
+
+
 def make_embed_udf(embed_dim: int):
     """Standalone hashing-trick embedding UDF (E1)."""
 

@@ -1,0 +1,98 @@
+"""Retrieval operators against planted fixtures with known answers
+(FIXTURES.md §5): an exact-phrase hit for BM25, a paraphrase-ish
+vector hit for cosine, fused rankings, and the reference's §-aware
+tokenizer parity between UDF and oracle paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clawrag_spark.core.bm25_tokenize import tokenize as oracle_tokenize
+from clawrag_spark.operators.retrieval import (
+    bm25_scores,
+    cosine_topk,
+    hybrid_minmax,
+    rrf_fuse,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, "the solar panel subsidy act § 230 defines rebate tiers for households"),
+        (1, "cats and dogs and other household pets need regular veterinary care"),
+        (2, "solar energy adoption grows while panel prices keep falling yearly"),
+        (3, "the weather yesterday was rainy with a chance of thunderstorms"),
+        (4, "subsidy programs for solar panel installations expanded in § 230 rules"),
+        (5, "completely unrelated text about cooking pasta with tomato sauce"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBm25Planted:
+    def test_exact_phrase_wins(self, spark, planted):
+        scored = bm25_scores(planted, "doc_id", "text", ["solar", "panel", "subsidy"])
+        top = scored.orderBy(F.desc("bm25_score"), "doc_id").first()
+        assert top["doc_id"] in (0, 4)  # both contain all three terms
+        ids = {r["doc_id"] for r in scored.collect()}
+        assert 3 not in ids and 5 not in ids  # no term overlap → no score
+
+    def test_scores_positive_only(self, spark, planted):
+        scored = bm25_scores(planted, "doc_id", "text", ["solar"])
+        for r in scored.collect():
+            assert r["bm25_score"] > 0
+
+
+class TestCosinePlanted:
+    def test_identical_vector_is_top(self, spark):
+        from clawrag_spark.core.embedder import embed_text
+
+        texts = {
+            10: "solar panel subsidy",
+            11: "solar panel subsidy",   # exact duplicate embedding
+            12: "pasta tomato sauce recipe",
+        }
+        rows = [(k, embed_text(v, 64)) for k, v in texts.items()]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qv = embed_text("solar panel subsidy", 64)
+        top = cosine_topk(emb, "vec_id", "embedding", qv, 2).collect()
+        assert [r["vec_id"] for r in top] == [10, 11]
+        assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+
+
+class TestFusionPlanted:
+    def test_hybrid_minmax_degenerate_branch(self, spark):
+        # single-row result sets exercise the max==min → (score>0 → 1.0)
+        # branch (query.py:294-305)
+        vec = spark.createDataFrame([(1, 0.8)], "doc_id long, vec_score double")
+        bm = spark.createDataFrame([(2, 3.0)], "doc_id long, bm25_score double")
+        fused = {r["doc_id"]: r["relevance_score"] for r in
+                 hybrid_minmax(vec, bm, "doc_id", 10).collect()}
+        # doc 1: vec present (max==min, >0 → 1.0), bm25 0 (max 3>min 0 → 0)
+        assert abs(fused[1] - 0.5) < 1e-9
+        assert abs(fused[2] - 0.5) < 1e-9
+
+    def test_rrf_weights_and_rank_base(self, spark):
+        r1 = spark.createDataFrame([(1, 9.0), (2, 8.0)], "doc_id long, score double")
+        r2 = spark.createDataFrame([(2, 5.0), (3, 4.0)], "doc_id long, score double")
+        fused = {r["doc_id"]: r["rrf_score"] for r in
+                 rrf_fuse([(r1, 0.7), (r2, 0.3)], "doc_id", "score", 10).collect()}
+        # 0-based ranks, k=60 (enhanced_hybrid_retriever.py:125)
+        assert abs(fused[1] - 0.7 / 60) < 1e-12
+        assert abs(fused[2] - (0.7 / 61 + 0.3 / 60)) < 1e-12
+        assert abs(fused[3] - 0.3 / 61) < 1e-12
+
+
+class TestTokenizerParity:
+    def test_udf_matches_oracle(self, spark):
+        from clawrag_spark.udfs import bm25_tokens
+
+        texts = [
+            "See § 230 and §42 now",
+            "Room 205 on floor 3",
+            "Hello World!",
+            "",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [r["toks"] for r in
+               df.select(bm25_tokens(F.col("text")).alias("toks")).collect()]
+        assert got == [oracle_tokenize(t) for t in texts]
