@@ -480,6 +480,105 @@ def q_dedup_24h(spark, sf_dir):
     )
 
 
+def q_metadata_diff(spark, sf_dir):
+    """J6 metadata diff: field-wise old-vs-new comparison over the union
+    of keys (deduplication_service.py:278-317).  Fixture: consecutive
+    doc_ids act as old/new versions; emit fields whose values differ."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    kv = docs.select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                F.lit("lang"), F.col("lang"),
+                F.lit("source"), F.col("source"),
+                F.lit("n_chars"), F.col("n_chars").cast("string"),
+            )
+        ).alias("field", "val"),
+    )
+    old = kv.alias("o")
+    new = kv.alias("n")
+    return (
+        old.join(
+            new,
+            (F.col("o.doc_id") + 1 == F.col("n.doc_id"))
+            & (F.col("o.field") == F.col("n.field")),
+        )
+        .filter(~F.col("o.val").eqNullSafe(F.col("n.val")))
+        .select(
+            F.col("o.doc_id").alias("old_id"),
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.field").alias("field"),
+            F.col("o.val").alias("old_val"),
+            F.col("n.val").alias("new_val"),
+        )
+    )
+
+
+def q_flatten_metadata(spark, sf_dir):
+    """P8 metadata flattening: nested struct → JSON string
+    (upload.py:119-138 / indexing_service.py:247-257 semantics)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("lang"), F.col("source"), F.col("n_chars"))).alias(
+            "meta_json"
+        ),
+    )
+
+
+def q_chunk_stats(spark, sf_dir):
+    """A9 corpus text stats: count + avg length per language."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_model_name_normalize(spark, sf_dir):
+    """F15 model-name normalization: append ':latest' when untagged
+    (upload.py:240-247)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    name = F.concat(F.lit("model-"), F.col("source"))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.contains(name, F.lit(":")), name
+        ).otherwise(F.concat(name, F.lit(":latest"))).alias("model_name"),
+    )
+
+
+def q_route_counts(spark, sf_dir):
+    """S3/S13 routing column: when/otherwise dispatch label + counts
+    (docling_loader.py:135-186 / data_type_detector.py:68-124 shape)."""
+    docs = _load(spark, sf_dir, "documents")
+    route = (
+        F.when(F.col("n_chars") >= 400, "docling")
+        .when(F.col("lang") == "en", "text_reader")
+        .otherwise("unsupported")
+    )
+    return docs.select(route.alias("route")).groupBy("route").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_union_collections(spark, sf_dir):
+    """U1 result union across collections (query_engine.py:155-162):
+    per-collection top slices unioned with a tag."""
+    docs = _load(spark, sf_dir, "documents")
+    a = (
+        docs.filter(F.col("source") == "src0")
+        .orderBy(F.desc("n_chars"), "doc_id").limit(5)
+        .select("doc_id", F.lit("src0").alias("collection"))
+    )
+    b = (
+        docs.filter(F.col("source") == "src1")
+        .orderBy(F.desc("n_chars"), "doc_id").limit(5)
+        .select("doc_id", F.lit("src1").alias("collection"))
+    )
+    return a.unionByName(b)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid BM25+cosine min-max-fused retrieval at sf0.001."""
     return q_hybrid_minmax(spark, "/root/testdata/sf0.001")
@@ -518,6 +617,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_lexical": q_rerank_lexical,
         "minmax_by_source": q_minmax_by_source,
         "dedup_24h": q_dedup_24h,
+        "metadata_diff": q_metadata_diff,
+        "flatten_metadata": q_flatten_metadata,
+        "chunk_stats": q_chunk_stats,
+        "model_name_normalize": q_model_name_normalize,
+        "route_counts": q_route_counts,
+        "union_collections": q_union_collections,
     }
 
 
@@ -847,6 +952,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type
             FROM w
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 86400
+        """,
+        "metadata_diff": """
+            WITH kv AS (
+                SELECT doc_id, field, val FROM (
+                    SELECT doc_id, 'lang' AS field, lang AS val
+                    FROM documents WHERE doc_id < 60
+                    UNION ALL
+                    SELECT doc_id, 'source', source FROM documents WHERE doc_id < 60
+                    UNION ALL
+                    SELECT doc_id, 'n_chars', n_chars::VARCHAR FROM documents WHERE doc_id < 60
+                )
+            )
+            SELECT o.doc_id AS old_id, n.doc_id AS new_id, o.field,
+                   o.val AS old_val, n.val AS new_val
+            FROM kv o JOIN kv n
+              ON o.doc_id + 1 = n.doc_id AND o.field = n.field
+            WHERE o.val IS DISTINCT FROM n.val
+        """,
+        "flatten_metadata": """
+            SELECT doc_id,
+                   '{"lang":"' || lang || '","source":"' || source ||
+                   '","n_chars":' || n_chars || '}' AS meta_json
+            FROM documents WHERE doc_id < 50
+        """,
+        "chunk_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "model_name_normalize": """
+            SELECT doc_id,
+                   CASE WHEN contains('model-' || source, ':')
+                        THEN 'model-' || source
+                        ELSE 'model-' || source || ':latest' END AS model_name
+            FROM documents WHERE doc_id < 30
+        """,
+        "route_counts": """
+            SELECT CASE WHEN n_chars >= 400 THEN 'docling'
+                        WHEN lang = 'en' THEN 'text_reader'
+                        ELSE 'unsupported' END AS route,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "union_collections": """
+            (SELECT doc_id, 'src0' AS collection FROM documents WHERE source = 'src0'
+             ORDER BY n_chars DESC, doc_id LIMIT 5)
+            UNION ALL
+            (SELECT doc_id, 'src1' AS collection FROM documents WHERE source = 'src1'
+             ORDER BY n_chars DESC, doc_id LIMIT 5)
         """,
         "ann_ivf": """
             WITH qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -62,6 +62,16 @@ spark.stop()
 """
 
 
+def _burn(_):
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < 1.5:
+        x += 1
+    return x
+
+
 def hardware_ceiling(lo_cores: int, hi_cores: int) -> float:
     """Pure-Python multiprocessing control: the best scaling this host
     can give ANY perfectly parallel Python workload between the two core
@@ -69,19 +79,11 @@ def hardware_ceiling(lo_cores: int, hi_cores: int) -> float:
     rises).  The pipeline's efficiency should be read against this
     ceiling; on a real multi-executor cluster the ceiling is ~1.0."""
     import multiprocessing as mp
-    import time as _t
-
-    def burn(_):
-        t0 = _t.time()
-        x = 0
-        while _t.time() - t0 < 1.5:
-            x += 1
-        return x
 
     rates = {}
     for n in (lo_cores, hi_cores):
         with mp.Pool(n) as pool:
-            rates[n] = sum(pool.map(burn, range(n)))
+            rates[n] = sum(pool.map(_burn, range(n)))
     return round((rates[hi_cores] / rates[lo_cores]) / (hi_cores / lo_cores), 3)
 
 

@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # local-mode split sizing: the default 128 MB bin-packs a small
+        # corpus into fewer scan tasks than cores, serializing the first
+        # stage (read + sha2 + shuffle write).  16 MB keeps scans at
+        # full width here; on a 1000-executor cluster the default is fine
+        # because inputs are thousands of files.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

@@ -22,7 +22,12 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import _EXTRACT_OUT_SCHEMA, _extract_partitions, dedup_version, prepare_pages
+from .pipeline import (
+    _EXTRACT_OUT_SCHEMA,
+    _extract_partitions,
+    narrow_versioning,
+    prepare_pages,
+)
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -61,16 +66,20 @@ def incremental_extract(
     def process_batch(batch_df, batch_id: int) -> None:
         prepared = prepare_pages(batch_df)
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        distributed = prepared.repartition(n_parts, "url")
+        versions = narrow_versioning(prepared)
+        distributed = (
+            prepared.repartition(n_parts, "url")
+            .join(F.broadcast(versions), "url", "left")
+        )
         extract_in = distributed.select(
-            "url", "warc_ts", "host", "url_bucket", "html", "lang"
+            "url", "warc_ts", "host", "url_bucket", "version", "is_active",
+            "html", "lang"
         )
         extracted = extract_in.mapInPandas(_extract_partitions, _EXTRACT_OUT_SCHEMA)
-        extracted = dedup_version(extracted).withColumn(
+        extracted = extracted.withColumn(
             "run_id", F.lit(f"stream_batch_{batch_id}")
         )
         (extracted.write.mode("append")
-         .partitionBy("url_bucket")
          .parquet(extracted_path))
 
     query = (

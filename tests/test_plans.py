@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the plans we want, not just plans that pass.
+
+Checks Catalyst picked the intended strategies: predicate pushdown into
+the parquet scan, column pruning, broadcast joins for small sides,
+TakeOrderedAndProject for top-k (no global sort), and whole-stage
+codegen for expression-only operators.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestPushdownPruning:
+    def test_filter_pushed_to_scan(self, spark):
+        df = entry_mod.q_token_counts(spark, SF_DIR)  # doc_id < 100
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+
+    def test_column_pruning(self, spark):
+        # pagination projects (doc_id, text): scan must not read lang/source
+        df = entry_mod.q_doc_pagination(spark, SF_DIR)
+        plan = plan_of(df)
+        scan = plan[plan.index("Scan parquet"):]
+        read_schema = scan[: scan.index("\n", scan.index("ReadSchema"))]
+        assert "lang" not in read_schema and "source" not in read_schema
+
+    def test_extract_stage_prunes_text_hint(self, spark, pages_path):
+        from clawrag_spark.pipeline import prepare_pages
+
+        pages = spark.read.parquet(pages_path)
+        narrow = prepare_pages(pages).select("url", "warc_ts", "doc_hash_pre")
+        plan = plan_of(narrow)
+        scan = plan[plan.index("Scan parquet"):]
+        read_schema = scan[: scan.index("\n", scan.index("ReadSchema"))]
+        # the pre-extracted `text` hint column must never be read
+        assert "text" not in read_schema
+        assert "lang" not in read_schema
+
+
+class TestJoinStrategies:
+    def test_parent_join_is_broadcast(self, spark):
+        df = entry_mod.q_best_order_per_customer(spark, SF_DIR)
+        assert "BroadcastHashJoin" in plan_of(df)
+
+    def test_bm25_idf_join_is_broadcast(self, spark):
+        df = entry_mod.q_bm25_scores(spark, SF_DIR)
+        assert "BroadcastHashJoin" in plan_of(df)
+
+    def test_resume_antijoin_shape(self, spark, pages_path):
+        from clawrag_spark.pipeline import prepare_pages
+
+        pages = prepare_pages(spark.read.parquet(pages_path))
+        seen = pages.select(F.col("doc_hash_pre")).distinct().limit(10)
+        anti = pages.join(seen, "doc_hash_pre", "left_anti")
+        plan = plan_of(anti)
+        assert "LeftAnti" in plan
+
+
+class TestTopK:
+    def test_top_orders_uses_take_ordered(self, spark):
+        df = entry_mod.q_top_orders(spark, SF_DIR)
+        assert "TakeOrderedAndProject" in plan_of(df)
+
+    def test_cosine_topk_uses_take_ordered(self, spark):
+        df = entry_mod.q_cosine_topk(spark, SF_DIR)
+        assert "TakeOrderedAndProject" in plan_of(df)
+
+
+class TestCodegen:
+    def test_quality_score_is_jvm_only(self, spark):
+        # A10 as pure column expressions: no BatchEvalPython /
+        # ArrowEvalPython in the plan.  (The short-line-ratio
+        # higher-order function keeps the Project out of whole-stage
+        # codegen, but it is still JVM expression evaluation.)
+        df = entry_mod.q_quality_scores(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "EvalPython" not in plan
+        assert "codegen" in plan  # scan/ColumnarToRow stage is codegen'd
+
+    def test_fusion_has_no_python(self, spark):
+        plan = plan_of(entry_mod.q_hybrid_minmax(spark, SF_DIR))
+        assert "EvalPython" not in plan
+
+    def test_rrf_has_no_python(self, spark):
+        plan = plan_of(entry_mod.q_rrf_fusion(spark, SF_DIR))
+        assert "EvalPython" not in plan
