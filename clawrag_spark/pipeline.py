@@ -3,15 +3,17 @@
 ``pages (url, warc_ts, html, text, lang)``
   → validate (size cap / empty gates — P1..P3)
   → resume anti-join against committed doc_hashes (S18 checkpoint/resume)
-  → distribute on bucket(N, xxhash64(url)) with a salt column for skewed
-    hosts (explicit skew handling — SURVEY.md §4.1)
+  → versioning (W4/W5) + audit rows (J5) on a NARROW pre-extraction
+    projection (url, warc_ts, sha2(html)) — extracted text never shuffles
+  → uniform repartition on xxhash64(url) (skew-free under Zipf hosts)
   → extract via a vectorized Arrow stage (mapInPandas) that also stamps
     per-partition wall time → per-partition metrics are REAL timings
-  → dedup/versioning windows (J1/W4/W5) + audit rows (J5 shape)
-  → chunk + embed in one pandas-UDF pass → posexplode (C2/E1/W6)
-  → parquet sinks laid out by url-hash bucket (stand-in for Iceberg
-    ``bucket(N, url_hash)`` partitioning; swap the writer for
-    ``writeTo(...).append()`` on a real catalog)
+  → chunk + embed in one Arrow-native pass (mapInArrow, zero-copy
+    embedding buffers; C2/E1/W6, total_chunks stamped in-stage)
+  → parquet sinks carrying ``url_bucket = pmod(xxhash64(url), N)`` as a
+    column (the Iceberg ``bucket(N, url_hash)`` key; the catalog's
+    partition transform owns physical layout in production — local
+    dynamic-partition writes measured 2x the python stage for nothing)
   → per-partition metrics table + run-level lineage manifest.
 
 Scale notes (100 TB / 1000 executors):
@@ -20,13 +22,16 @@ Scale notes (100 TB / 1000 executors):
   Iceberg table so the join co-locates without a shuffle,
 - doc_hash is computed with the built-in ``sha2`` (JVM, whole-stage
   codegen) *before* the Python stage, so resume skips never pay the
-  Arrow round trip,
+  Arrow round trip and versioning windows touch only metadata columns,
 - the extract stage reads only (url, warc_ts, html, lang) — the `text`
   hint column is pruned at the parquet scan,
 - chunking reads the extracted parquet back with only the columns it
   needs (columnar projection) instead of caching 100 TB of text,
 - AQE handles residual skew; the salt column spreads any single hot
-  host across ``n_salts`` tasks for host-keyed aggregations.
+  host across ``n_salts`` tasks for host-keyed aggregations,
+- shuffle/spill dirs must sit on fast local disks (spark.local.dir):
+  measured here, a slow shared /tmp silently capped high-parallelism
+  stages while hiding behind long tasks at low parallelism.
 """
 
 from __future__ import annotations
@@ -152,6 +157,10 @@ def prepare_pages(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
 
 def dedup_version(extracted: DataFrame, policy: str = "VERSION") -> DataFrame:
     """Versioning + active flag over doc_hash (W4/W5, models.py:365-372).
+
+    Post-extraction variant, kept for tables that arrive without the
+    pre-computed version columns (the pipeline itself uses
+    ``narrow_versioning`` before extraction so text never shuffles).
 
     - ``version``: row_number over (doc_hash, order by warc_ts, url),
     - ``is_active``: latest version only,
@@ -377,19 +386,23 @@ def run_pipeline(
     manifest_path = os.path.join(out_dir, "manifest")
 
     prepared = prepare_pages(pages, n_buckets, n_salts)
-    n_input = prepared.count()
-    _tick('input_count')
 
     # ---- checkpoint/resume: anti-join committed doc_hashes (S18) ----
+    # counts are only materialized when resume accounting needs them;
+    # otherwise n_input/n_todo come from the metrics aggregation that
+    # runs anyway (one fewer pass over the input)
     n_skipped = 0
-    n_todo = n_input
+    n_input = None
+    n_todo = None
     if resume and os.path.exists(extracted_path):
         committed = _read_parquet_or_none(spark, extracted_path)
         if committed is not None:
+            n_input = prepared.count()
             seen = committed.select(F.col("doc_hash").alias("doc_hash_pre")).distinct()
             prepared = prepared.join(seen, "doc_hash_pre", "left_anti")
             n_todo = prepared.count()
             n_skipped = n_input - n_todo
+    _tick('input_count')
 
     # distribute by url hash: uniform task sizes regardless of host skew
     # (hash-partitioning on the low-cardinality (bucket, salt) pair would
@@ -429,6 +442,8 @@ def run_pipeline(
     ext = _read_parquet_or_none(spark, extracted_path)
     if ext is None:
         # zero-row run (e.g. empty input or everything resumed-over)
+        if n_input is None:
+            n_input = prepared.count()
         manifest = {
             "run_id": run_id, "n_input": n_input, "n_skipped_resume": n_skipped,
             "n_processed": 0, "n_chunks_total": 0,
@@ -442,11 +457,19 @@ def run_pipeline(
             json.dump(manifest, fh, indent=2)
         return manifest
     # audit rows from the NARROW pre-extraction frame — no re-read of the
-    # wide extracted table
-    audit_log(
-        narrow.select("url", "warc_ts", F.col("doc_hash_pre").alias("doc_hash"))
-    ).write.mode("append").parquet(audit_path)
-    narrow.unpersist()
+    # wide extracted table.  Runs on a background thread: Spark schedules
+    # concurrent jobs from one session, so this small job overlaps the
+    # chunk stage instead of serializing ahead of it.
+    import threading
+
+    def _audit_job() -> None:
+        audit_log(
+            narrow.select("url", "warc_ts", F.col("doc_hash_pre").alias("doc_hash"))
+        ).write.mode("append").parquet(audit_path)
+        narrow.unpersist()
+
+    audit_thread = threading.Thread(target=_audit_job)
+    audit_thread.start()
     _tick('audit')
 
     # ---- chunk + embed in one Arrow-native pass over the good rows ----
@@ -474,12 +497,18 @@ def run_pipeline(
     _tick('chunk_write')
 
     # embeddings view table: columnar projection of the chunks parquet —
-    # reads only 2 columns, no recompute (FIXTURES.md §2)
+    # reads only 2 columns, no recompute (FIXTURES.md §2).  Concurrent
+    # with the metrics job below (independent inputs).
     chunks_committed = _read_parquet_or_none(spark, chunks_path)
+    emb_thread = None
     if chunks_committed is not None:
-        (chunks_committed
-         .select("chunk_id", "embedding")
-         .write.mode("overwrite").parquet(embeddings_path))
+        def _emb_job() -> None:
+            (chunks_committed
+             .select("chunk_id", "embedding")
+             .write.mode("overwrite").parquet(embeddings_path))
+
+        emb_thread = threading.Thread(target=_emb_job)
+        emb_thread.start()
 
     # ---- per-partition metrics (REAL timings from the extract stage) ----
     metrics = (
@@ -497,8 +526,21 @@ def run_pipeline(
         .withColumn("run_id", F.lit(run_id))
     )
     metrics.write.mode("append").parquet(metrics_path)
+    if n_todo is None:
+        # derive counts from the metrics aggregation instead of a
+        # dedicated pass over the input
+        row = (
+            spark.read.parquet(metrics_path)
+            .filter(F.col("run_id") == F.lit(run_id))
+            .agg(F.sum("n_docs")).collect()[0]
+        )
+        n_todo = int(row[0] or 0)
+        n_input = n_todo + n_skipped
     _tick('metrics')
 
+    audit_thread.join()
+    if emb_thread is not None:
+        emb_thread.join()
     _tick('emb_rewrite')
     n_chunks = chunks_committed.count() if chunks_committed is not None else 0
     _tick('final_count')

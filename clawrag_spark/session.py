@@ -44,6 +44,14 @@ def get_spark(
         # because inputs are thousands of files.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # shuffle/spill dir: this sandbox's /tmp sits on a slow shared
+        # disk that caps high-parallelism stages (shuffle IO hides behind
+        # long tasks at low core counts and becomes the bottleneck at
+        # high ones); real clusters put this on local NVMe per executor
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

@@ -302,3 +302,26 @@ def make_embed_udf(embed_dim: int):
 def bm25_tokens(text: pd.Series) -> pd.Series:
     """Index-side BM25 tokenizer (bm25_index.py:21-54 semantics)."""
     return pd.Series([_bm25_tokenize(t) for t in text])
+
+
+EMAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("body", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(EMAIL_SCHEMA)
+def parse_email_udf(payload: pd.Series) -> pd.DataFrame:
+    """S11: RFC-822 parse over binary payloads (email_loader.py:48-108)."""
+    from .core.email_parse import parse_email
+
+    out = {"body": [], "headers": [], "error": []}
+    for p in payload:
+        r = parse_email(p)
+        out["body"].append(r.body)
+        out["headers"].append(r.headers)
+        out["error"].append(r.error)
+    return pd.DataFrame(out)
