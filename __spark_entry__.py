@@ -28,7 +28,13 @@ _TABLES = (
     "documents embeddings".split()
 )
 
-QUERY_TERMS = ["spark", "join", "window"]
+# Query terms picked so BM25 has discriminative signal on the driver's
+# synthetic corpus: 'dup' is the one rare term (df ≈ 5% → idf ≈ +2.9);
+# 'spark'/'join' are common (negative raw idf → floored to ε·avg_idf,
+# which is negative here) so they exercise the rank_bm25 epsilon branch
+# while 'dup' keeps total scores positive — the P5 score>0 gate passes
+# ~5% of docs instead of 0 (round-1 verdict: checks were vacuous).
+QUERY_TERMS = ["dup", "spark", "join"]
 EVENT_SPINE = ("2024-01-01", "2024-02-04")
 
 
@@ -314,8 +320,18 @@ def q_minhash_bands(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup scores over a bounded pair sample."""
-    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    """n-gram Jaccard near-dup detection at scale: MinHash-band candidate
+    generation (never all-pairs) → exact Jaccard verify on candidates only.
+
+    Round-1 fix: the old version was an all-pairs theta join bounded to 40
+    docs and returned 0 rows (vacuous).  Candidate generation is the same
+    deterministic md5 min-hash as ``q_minhash_bands`` so the DuckDB oracle
+    replicates it exactly; the verify step computes exact 3-gram Jaccard
+    and keeps near-dups (> 0.8) — the synthetic corpus plants ~3% of docs
+    as near-copies, so this is non-vacuous at every sf.
+    """
+    docs = _load(spark, sf_dir, "documents")
+    cand = DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
     grams = docs.select(
         "doc_id",
         F.array_distinct(
@@ -332,21 +348,22 @@ def q_ngram_jaccard(spark, sf_dir):
             )
         ).alias("grams"),
     )
-    pairs = (
-        grams.alias("a")
-        .join(grams.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(
-                F.size(F.array_intersect("a.grams", "b.grams"))
-                / F.size(F.array_union("a.grams", "b.grams")),
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b")),
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") > 0.1)
+        .filter(F.col("jaccard") > 0.8)
     )
-    return pairs
 
 
 def q_embedding_sign_buckets(spark, sf_dir):
@@ -658,7 +675,7 @@ bm25 AS (
     FROM postings p
     JOIN idf i USING (term)
     JOIN doclen d USING (doc_id)
-    WHERE p.term IN ('spark', 'join', 'window')
+    WHERE p.term IN ('dup', 'spark', 'join')
     GROUP BY p.doc_id
     HAVING bm25_score > 0
 )
@@ -895,7 +912,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                    x -> x <> '') AS toks
-                FROM documents WHERE doc_id < 40
+                FROM documents
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band, min(md5(band::VARCHAR || '|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             ),
             grams AS (
                 SELECT doc_id,
@@ -905,12 +938,14 @@ def oracle_sql() -> dict[str, str]:
                        )) AS grams
                 FROM toks
             )
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            SELECT c.doc_a, c.doc_b,
                    round(len(list_intersect(a.grams, b.grams))::DOUBLE
                          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            FROM cand c
+            JOIN grams a ON a.doc_id = c.doc_a
+            JOIN grams b ON b.doc_id = c.doc_b
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-                  / len(list_distinct(list_concat(a.grams, b.grams))) > 0.1
+                  / len(list_distinct(list_concat(a.grams, b.grams))) > 0.8
         """,
         "rerank_lexical": _BM25_CTE + """,
             cand AS (
@@ -924,7 +959,7 @@ def oracle_sql() -> dict[str, str]:
                            list_distinct(list_filter(
                                string_split_regex(lower(text), '[^a-z0-9]+'),
                                x -> x <> '')),
-                           ['spark', 'join', 'window']))::DOUBLE / 3.0, 6) AS rerank_score
+                           ['dup', 'spark', 'join']))::DOUBLE / 3.0, 6) AS rerank_score
                 FROM cand
             )
             SELECT doc_id, rerank_score
