@@ -59,7 +59,7 @@ m = run_pipeline(spark, pages, out, resume=False, num_partitions={cores})
 wall = time.monotonic() - t0
 print('BENCH_RESULT ' + json.dumps({{'cores': {cores}, 'wall_sec': wall,
       'docs_per_sec': m['n_processed'] / wall, 'n_docs': m['n_processed'],
-      'n_chunks': m['n_chunks_total']}}))
+      'n_chunks': m['n_chunks']}}))
 shutil.rmtree(out, ignore_errors=True)
 spark.stop()
 """

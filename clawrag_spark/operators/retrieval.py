@@ -33,28 +33,27 @@ def sql_tokens(col):
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
 
 
-def bm25_scores(
+def bm25_build_index(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    query_terms: list[str],
-    k1: float = BM25_K1,
-    b: float = BM25_B,
     epsilon: float = BM25_EPSILON,
-) -> DataFrame:
-    """Okapi BM25 scores for ``query_terms`` over a document table.
+) -> dict[str, DataFrame]:
+    """Build the BM25 index tables once (S15/A7): the postings, doclen
+    and idf DataFrames that every query then probes.
 
-    Reimplements rank_bm25.BM25Okapi semantics (the engine behind
-    bm25_index.py:113-116 / query.py:215) as three aggregations + one
-    broadcast join:
+    Reimplements rank_bm25.BM25Okapi statistics (the engine behind
+    bm25_index.py:94-176):
 
-    - ``idf(t) = ln(N - df + 0.5) - ln(df + 0.5)``,
-    - negative idfs are floored to ``epsilon * avg_idf`` where
-      ``avg_idf`` is the corpus mean of the *uncorrected* idf,
-    - ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``.
+    - ``postings(id, term, tf)`` and ``doclen(id, dl)`` — two hash
+      aggregations with map-side partial combine over one tokenize pass,
+    - ``idf(term, idf, avgdl)`` with ``idf(t) = ln(N - df + 0.5) -
+      ln(df + 0.5)`` and negative idfs floored to ``epsilon · avg_idf``
+      (corpus mean of the *uncorrected* idf).
 
-    Returns ``(id_col, bm25_score)`` for docs with score > 0 (P5 gate,
-    query.py:225).
+    At 100 TB these are the tables the pipeline persists
+    (``pipeline.build_bm25_index``) so queries never re-scan the corpus;
+    here they are returned lazily so callers can cache or write them.
     """
     tokens = docs.select(
         F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
@@ -80,13 +79,30 @@ def bm25_scores(
             F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf"))
             .otherwise(F.col("idf_raw")),
         )
-        .select("term", "idf", "avgdl")
+        .select("term", "doc_freq", "idf", "avgdl")
     )
+    return {"postings": postings, "doclen": doclen, "idf": idf}
+
+
+def bm25_score_index(
+    index: dict[str, DataFrame],
+    id_col: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Probe a BM25 index for ``query_terms`` (J8 scoring join):
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``,
+    keeping docs with score > 0 (P5 gate, query.py:225).  The postings
+    filter on the (few) query terms prunes first; the idf side is
+    vocabulary-sized and broadcast.
+    """
     q = [t.lower() for t in query_terms]
-    scored = (
-        postings.filter(F.col("term").isin(q))
-        .join(F.broadcast(idf), "term")
-        .join(doclen, id_col)
+    return (
+        index["postings"].filter(F.col("term").isin(q))
+        .join(F.broadcast(index["idf"].select("term", "idf", "avgdl")), "term")
+        .join(index["doclen"], id_col)
         .withColumn(
             "contrib",
             F.col("idf")
@@ -100,7 +116,23 @@ def bm25_scores(
         .agg(F.sum("contrib").alias("bm25_score"))
         .filter(F.col("bm25_score") > 0)
     )
-    return scored
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    epsilon: float = BM25_EPSILON,
+) -> DataFrame:
+    """Okapi BM25 scores for ``query_terms`` over a document table:
+    one-shot compose of ``bm25_build_index`` + ``bm25_score_index``
+    (identical math; callers that issue several queries should build or
+    cache the index once instead)."""
+    index = bm25_build_index(docs, id_col, text_col, epsilon)
+    return bm25_score_index(index, id_col, query_terms, k1, b)
 
 
 def cosine(vec_a, vec_b):
