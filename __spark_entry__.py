@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -445,6 +446,43 @@ def q_simhash_pairs(spark, sf_dir):
     return DS.simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
 
 
+def q_semantic_chunks(spark, sf_dir):
+    """C4 semantic splitter over documents (embedding-distance
+    breakpoints, 95th percentile — resource_manager.py:43-110).  Not
+    SQL-expressible (hash embeddings + numpy percentile) → rows-only
+    driver check; tests/test_semantic_chunker.py pins the semantics
+    against an independent recomputation."""
+    from pyspark.sql import types as T
+
+    from clawrag_spark.core.chunkers import semantic_chunks
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("char_start", T.LongType()),
+        T.StructField("char_end", T.LongType()),
+    ])))
+    def split(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            [
+                (i, c.text, c.char_start, c.char_end)
+                for i, c in enumerate(semantic_chunks(t or ""))
+            ]
+            for t in texts
+        ])
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return (
+        docs.select("doc_id", F.explode(split(F.col("text"))).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.char_start").alias("char_start"),
+            F.col("c.char_end").alias("char_end"),
+        )
+    )
+
+
 def q_rerank_lexical(spark, sf_dir):
     """T4/E5 rerank shape: limit-50 BM25 candidates → deterministic
     lexical-overlap scorer (the engine's stand-in for the cross-encoder,
@@ -642,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peer_counts": q_peer_counts,
         "clause_amount_counts": q_clause_amount_counts,
         "simhash_pairs": q_simhash_pairs,
+        "semantic_chunks": q_semantic_chunks,
         "rerank_lexical": q_rerank_lexical,
         "minmax_by_source": q_minmax_by_source,
         "dedup_24h": q_dedup_24h,

@@ -37,6 +37,11 @@ def fixed_window_chunks(text: str, chunk_size: int = 512, overlap: int = 128) ->
     guard (``start >= len-overlap and end >= len`` breaks the loop), which
     can emit a final short chunk overlapping the previous one.
     """
+    if overlap >= chunk_size:
+        # start = end - overlap would never advance → unbounded loop
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_size ({chunk_size})"
+        )
     if not text:
         return []
     chunks: list[Chunk] = []
@@ -77,7 +82,16 @@ def separator_cascade_chunks(
 
     Spans: ``char_start``/``char_end`` cover the chunk's source segments
     in the input text; the overlap prefix borrowed from the previous
-    chunk extends ``char_start`` left by the borrowed length.
+    chunk extends ``char_start`` left by the borrowed length.  For
+    borrowed-overlap chunks the spans are therefore APPROXIMATE (the
+    borrowed prefix is taken from the previous chunk's *stripped* text,
+    whose characters need not sit at exactly ``char_start..``): they
+    bound the source region but ``text[char_start:char_end]`` is not
+    guaranteed to equal ``chunk.text``.  Chunks that borrowed nothing
+    satisfy ``text[char_start:char_end].strip() == chunk.text``
+    (pinned by test_core_units).  Downstream consumers that need exact
+    source slices should use the non-overlap chunkers or the sentence
+    splitter, whose spans are exact.
     """
     if not text:
         return []
@@ -240,6 +254,83 @@ def code_chunks(text: str, language: str = "generic") -> list[Chunk]:
         if seg.strip():
             out.append(Chunk(seg, a, b))
     return out
+
+
+def semantic_chunks(
+    text: str,
+    buffer_size: int = 1,
+    breakpoint_percentile: float = 95.0,
+    embed_dim: int = 64,
+    fallback_size: int = 512,
+    fallback_overlap: int = 50,
+) -> list[Chunk]:
+    """C4: semantic splitter — embedding-distance breakpoints.
+
+    Mirrors the reference's ``BatchSemanticSplitter``
+    (resource_manager.py:43-110), which delegates to LlamaIndex's
+    ``SemanticSplitterNodeParser`` with
+    ``breakpoint_percentile_threshold=95`` (:62) and falls back to the
+    sentence splitter on failure (:108-110, indexing_service.py:300-313).
+    The splitter semantics (public LlamaIndex algorithm):
+
+    1. segment into sentences,
+    2. each sentence's *combined window* = itself ± ``buffer_size``
+       neighbour sentences, embedded (here: the deterministic
+       hashing-trick embedder instead of a network model),
+    3. distance[i] = 1 − cosine(window_i, window_{i+1}),
+    4. threshold = ``numpy.percentile(distances, 95)`` (linear
+       interpolation, as LlamaIndex uses),
+    5. split AFTER every sentence whose distance exceeds the threshold;
+       chunks are the sentence groups between splits.
+
+    Spans are exact: chunk = ``text[start:end].strip()`` over the
+    group's sentence extent (same convention as ``sentence_chunks``).
+    Any internal failure falls back to C3 (reference behavior).
+    """
+    if not text:
+        return []
+    try:
+        import numpy as np
+
+        from .embedder import embed_many_np
+
+        sentences: list[tuple[str, int, int]] = []
+        for m in _SENT_RE.finditer(text):
+            if m.group(0).strip():
+                sentences.append((m.group(0), m.start(), m.end()))
+        if not sentences:
+            return [Chunk(text.strip(), 0, len(text))]
+        if len(sentences) == 1:
+            s, a, b = sentences[0]
+            return [Chunk(text[a:b].strip(), a, b)]
+
+        n = len(sentences)
+        windows = [
+            "".join(
+                s[0]
+                for s in sentences[max(0, i - buffer_size): i + 1 + buffer_size]
+            )
+            for i in range(n)
+        ]
+        emb = embed_many_np(windows, embed_dim).astype(np.float64)
+        # rows are L2-normalized by the embedder; zero rows stay zero
+        sims = (emb[:-1] * emb[1:]).sum(axis=1)
+        distances = 1.0 - sims
+        threshold = float(np.percentile(distances, breakpoint_percentile))
+        out: list[Chunk] = []
+        group_start = 0
+        for i in range(n - 1):
+            if distances[i] > threshold:
+                a = sentences[group_start][1]
+                b = sentences[i][2]
+                out.append(Chunk(text[a:b].strip(), a, b))
+                group_start = i + 1
+        a = sentences[group_start][1]
+        b = sentences[-1][2]
+        out.append(Chunk(text[a:b].strip(), a, b))
+        return out
+    except Exception:
+        return sentence_chunks(text, fallback_size, fallback_overlap)
 
 
 def parent_child_chunks(
