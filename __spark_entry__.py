@@ -627,6 +627,115 @@ def q_route_counts(spark, sf_dir):
     )
 
 
+def q_data_type_route(spark, sf_dir):
+    """S13 data-type detection end-to-end: deterministic (filename,
+    content) fixtures built from document fields, routed through the
+    real detector (data_type_detector.py:68-124 mapping + CSV table
+    validation), counted per route."""
+    from pyspark.sql import types as T
+
+    from clawrag_spark.core.data_type import detect_data_type
+
+    docs = _load(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 5
+    fname = (
+        F.when(mod == 0, "f.py")
+        .when(mod == 1, "f.eml")
+        .when(mod == 2, "f.csv")
+        .when(mod == 3, "f.html")
+        .otherwise("f")
+    )
+    content = (
+        F.when(mod == 2, F.lit("a,b\n1,2\n3,4"))
+        .when(mod == 3, F.concat(F.lit("<html><body><p>"), F.col("text"),
+                                 F.lit("</p></body></html>")))
+        .otherwise(F.concat(F.lit("plain: "), F.col("text")))
+    )
+
+    @F.pandas_udf(T.StringType())
+    def detect(urls: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            detect_data_type(u, (t or "").encode("utf-8"))
+            for u, t in zip(urls, texts)
+        ])
+
+    return (
+        docs.select(detect(fname, content).alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_row_chunks(spark, sf_dir):
+    """C7 row-based chunking as pure Catalyst expressions: header kept
+    per chunk, 3 data rows per chunk, over deterministic CSV fixtures."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    rows = F.transform(
+        F.sequence(F.lit(1), (F.col("doc_id") % 7) + 2),
+        lambda i: F.concat_ws(",", F.concat(F.lit("r"), i), (F.col("doc_id") * i)),
+    )
+    n_chunks = F.ceil(F.size(rows) / 3).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        rows.alias("rows"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index", "_i"),
+    )
+    chunk_text = F.concat_ws(
+        "\n", F.lit("name,value"),
+        F.concat_ws("\n", F.slice(F.col("rows"), F.col("chunk_index") * 3 + 1, 3)),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+def q_email_parse(spark, sf_dir):
+    """S11 RFC-822 parsing: deterministic messages built from document
+    fields, parsed by the real email UDF (email_loader.py:48-108);
+    oracle reconstructs the expected headers/body directly."""
+    from clawrag_spark.udfs import parse_email_udf
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    payload = F.encode(
+        F.concat(
+            F.lit("From: user"), F.col("doc_id"), F.lit("@example.com\r\n"),
+            F.lit("Subject: doc "), F.col("doc_id"), F.lit(" ("), F.col("lang"),
+            F.lit(")\r\n\r\n"), F.col("text"),
+        ),
+        "utf-8",
+    )
+    parsed = docs.select("doc_id", parse_email_udf(payload).alias("p"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.headers")["from"].alias("from_addr"),
+        F.col("p.headers")["subject"].alias("subject"),
+        F.col("p.body").alias("body"),
+    )
+
+
+def q_relevance_filtered(spark, sf_dir):
+    """P4 relevance-threshold gate on the fused hybrid ranking
+    (query.py:318-333 semantics: drop results under the threshold)."""
+    fused = q_hybrid_minmax(spark, sf_dir)
+    return fused.filter(F.col("relevance_score") >= 0.25)
+
+
+def q_metadata_filter(spark, sf_dir):
+    """P6 metadata where-filter: equality + range predicates pushed to
+    the parquet scan (collection_manager.py where-clause shape)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("lang") == "en")
+            & F.col("source").isin("src0", "src2")
+            & (F.col("n_chars") >= 200)
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 def q_union_collections(spark, sf_dir):
     """U1 result union across collections (query_engine.py:155-162):
     per-collection top slices unioned with a tag."""
@@ -690,6 +799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_name_normalize": q_model_name_normalize,
         "route_counts": q_route_counts,
         "union_collections": q_union_collections,
+        "data_type_route": q_data_type_route,
+        "row_chunks": q_row_chunks,
+        "email_parse": q_email_parse,
+        "relevance_filtered": q_relevance_filtered,
+        "metadata_filter": q_metadata_filter,
     }
 
 
@@ -1092,6 +1206,80 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             (SELECT doc_id, 'src1' AS collection FROM documents WHERE source = 'src1'
              ORDER BY n_chars DESC, doc_id LIMIT 5)
+        """,
+        "data_type_route": """
+            SELECT CASE doc_id % 5
+                       WHEN 0 THEN 'code'
+                       WHEN 1 THEN 'email'
+                       WHEN 2 THEN 'structured_table'
+                       ELSE 'unstructured_text' END AS route,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "row_chunks": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, (doc_id % 7) + 2),
+                                      i -> 'r' || i || ',' || (doc_id * i)) AS rows
+                FROM documents WHERE doc_id < 60
+            ),
+            chunked AS (
+                SELECT doc_id, rows, unnest(generate_series(0,
+                           cast(ceil(len(rows) / 3.0) AS INT) - 1)) AS chunk_index
+                FROM base
+            )
+            SELECT doc_id, chunk_index::BIGINT AS chunk_index,
+                   'name,value' || chr(10) ||
+                   array_to_string(rows[chunk_index * 3 + 1 : chunk_index * 3 + 3], chr(10))
+                       AS chunk_text
+            FROM chunked
+        """,
+        "email_parse": """
+            SELECT doc_id,
+                   'user' || doc_id || '@example.com' AS from_addr,
+                   'doc ' || doc_id || ' (' || lang || ')' AS subject,
+                   text AS body
+            FROM documents WHERE doc_id < 80
+        """,
+        "relevance_filtered": _BM25_CTE + "," + _VEC_CTE + """,
+            vec_hits AS (
+                SELECT vec_id AS doc_id, cos_sim AS vec_score
+                FROM cos ORDER BY cos_sim DESC, vec_id LIMIT 20
+            ),
+            bm25_hits AS (
+                SELECT doc_id, bm25_score
+                FROM bm25 ORDER BY bm25_score DESC, doc_id LIMIT 20
+            ),
+            merged AS (
+                SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
+                       coalesce(v.vec_score, 0.0) AS vec_score,
+                       coalesce(b.bm25_score, 0.0) AS bm25_score
+                FROM vec_hits v FULL OUTER JOIN bm25_hits b ON v.doc_id = b.doc_id
+            ),
+            bounds AS (
+                SELECT min(vec_score) AS min_v, max(vec_score) AS max_v,
+                       min(bm25_score) AS min_b, max(bm25_score) AS max_b
+                FROM merged
+            ),
+            fused AS (
+                SELECT m.doc_id,
+                       0.5 * (CASE WHEN max_v > min_v THEN (vec_score - min_v) / (max_v - min_v)
+                                   WHEN vec_score > 0 THEN 1.0 ELSE 0.0 END)
+                       + 0.5 * (CASE WHEN max_b > min_b THEN (bm25_score - min_b) / (max_b - min_b)
+                                     WHEN bm25_score > 0 THEN 1.0 ELSE 0.0 END) AS relevance_score
+                FROM merged m CROSS JOIN bounds
+            ),
+            topk AS (
+                SELECT doc_id, round(relevance_score, 4) AS relevance_score
+                FROM fused ORDER BY relevance_score DESC, doc_id LIMIT 10
+            )
+            SELECT doc_id, relevance_score FROM topk
+            WHERE relevance_score >= 0.25
+        """,
+        "metadata_filter": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE lang = 'en' AND source IN ('src0', 'src2') AND n_chars >= 200
         """,
         "ann_ivf": """
             WITH qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -256,6 +256,45 @@ def code_chunks(text: str, language: str = "generic") -> list[Chunk]:
     return out
 
 
+def row_chunks(
+    text: str, rows_per_chunk: int = 50, include_header: bool = True
+) -> list[Chunk]:
+    """C7: row-based chunking for delimited/tabular text.
+
+    The reference routes STRUCTURED_TABLE files to a pandas agent and
+    has no row chunker (documented gap — SURVEY §2.9); this closes it
+    with the obvious semantics: groups of ``rows_per_chunk`` data rows,
+    each chunk prefixed with the header row so every chunk is a valid
+    standalone table slice.  Spans cover the data-row region in the
+    source (the repeated header is a prefix, not a source slice).
+    """
+    if not text:
+        return []
+    lines = text.splitlines()
+    if not lines:
+        return []
+    # source offsets per line
+    offsets = []
+    pos = 0
+    for ln in lines:
+        offsets.append(pos)
+        pos += len(ln) + 1  # splitlines drops the \n
+    header = lines[0] if include_header else None
+    data_start = 1 if include_header else 0
+    data = lines[data_start:]
+    if not data:
+        return [Chunk(text.strip(), 0, len(text))]
+    out: list[Chunk] = []
+    for i in range(0, len(data), rows_per_chunk):
+        rows = data[i: i + rows_per_chunk]
+        body = "\n".join(rows)
+        chunk_text = f"{header}\n{body}" if header is not None else body
+        a = offsets[data_start + i]
+        b = min(a + len(body), len(text))
+        out.append(Chunk(chunk_text, a, b))
+    return out
+
+
 def semantic_chunks(
     text: str,
     buffer_size: int = 1,

@@ -575,12 +575,18 @@ def run_pipeline(
     run_id: str | None = None,
     num_partitions: int | None = None,
     bm25_index: bool = False,
+    routed_chunking: bool = False,
 ) -> dict:
     """Run the end-to-end extraction job; returns the lineage manifest.
 
     ``bm25_index=True`` additionally maintains the persisted BM25
     postings/df tables incrementally (S15/A7; opt-in so the north-rule
     extraction throughput benchmark measures the extraction job alone).
+    ``routed_chunking=True`` dispatches each doc through the data-type
+    router (S13 → C5/C7/S11 chunkers + C9 profiles) instead of the
+    uniform separator cascade; the chunks table then carries
+    route/profile columns (use one mode per out_dir — the schemas
+    differ).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     t_start = time.monotonic()
@@ -700,25 +706,49 @@ def run_pipeline(
     # chunk only THIS run's rows — prior runs' chunks are already committed
     # (exactly-once on resume); doc_hashes never span runs thanks to the
     # resume anti-join, so is_active is stable across runs.
-    chunk_embed = make_chunk_embed_arrow(chunk_size, chunk_overlap, embed_dim)
-    good = (
-        ext.filter(F.col("run_id") == F.lit(run_id))
-        .filter(F.col("error").isNull() & (F.col("text_length") > 0))
-        .filter(F.col("is_active"))
-        .select("url", "url_bucket", "doc_id", "text")
-    )
-    chunks = (
-        good.mapInArrow(chunk_embed, CHUNK_FLAT_SCHEMA)
-        .withColumn("chunk_id",
-                    F.concat_ws("_", F.col("doc_id"), F.lit("chunk"),
-                                F.col("chunk_index")))
-        .withColumn("run_id", F.lit(run_id))
-        .select(
-            "chunk_id", "doc_id", "url", "url_bucket", "chunk_index",
-            "total_chunks", "text", "char_start", "char_end", "embedding",
-            "run_id",
+    if routed_chunking:
+        from .udfs import ROUTED_CHUNK_SCHEMA, make_chunk_embed_arrow_routed
+
+        good = (
+            ext.filter(F.col("run_id") == F.lit(run_id))
+            .filter(F.col("error").isNull() & (F.col("text_length") > 0))
+            .filter(F.col("is_active"))
+            .select("url", "url_bucket", "doc_id", "mime", "text")
         )
-    )
+        chunks = (
+            good.mapInArrow(
+                make_chunk_embed_arrow_routed(embed_dim), ROUTED_CHUNK_SCHEMA
+            )
+            .withColumn("chunk_id",
+                        F.concat_ws("_", F.col("doc_id"), F.lit("chunk"),
+                                    F.col("chunk_index")))
+            .withColumn("run_id", F.lit(run_id))
+            .select(
+                "chunk_id", "doc_id", "url", "url_bucket", "route", "profile",
+                "chunk_index", "total_chunks", "text", "char_start",
+                "char_end", "embedding", "run_id",
+            )
+        )
+    else:
+        chunk_embed = make_chunk_embed_arrow(chunk_size, chunk_overlap, embed_dim)
+        good = (
+            ext.filter(F.col("run_id") == F.lit(run_id))
+            .filter(F.col("error").isNull() & (F.col("text_length") > 0))
+            .filter(F.col("is_active"))
+            .select("url", "url_bucket", "doc_id", "text")
+        )
+        chunks = (
+            good.mapInArrow(chunk_embed, CHUNK_FLAT_SCHEMA)
+            .withColumn("chunk_id",
+                        F.concat_ws("_", F.col("doc_id"), F.lit("chunk"),
+                                    F.col("chunk_index")))
+            .withColumn("run_id", F.lit(run_id))
+            .select(
+                "chunk_id", "doc_id", "url", "url_bucket", "chunk_index",
+                "total_chunks", "text", "char_start", "char_end", "embedding",
+                "run_id",
+            )
+        )
     chunks.write.mode("append").parquet(chunks_path)
     _tick('chunk_write')
 
