@@ -439,9 +439,11 @@ def q_clause_amount_counts(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit fingerprint, banded hamming join).
-    Not SQL-expressible (bit-level pandas UDF) → rows-only driver check;
-    pytest covers determinism and planted duplicates."""
+    """SimHash near-dup pairs (64-bit fingerprint, banded hamming join,
+    8 bands for radius 6).  Round-2 upgrade: the md5 bit math turned out
+    to be SQL-expressible, so this now has a full DuckDB oracle instead
+    of the round-1 rows-only check; pytest additionally pins banded
+    completeness vs brute force through the hamming-4..6 window."""
     docs = _load(spark, sf_dir, "documents")
     return DS.simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
 
@@ -1345,6 +1347,50 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '(\\d{1,3}(?:[,.]\\d{3})*(?:\\.\\d{2})?)\\s*(?:€|\\$|USD|EUR|GBP)', 1))::BIGINT AS n_amounts
             FROM documents WHERE doc_id < 200
+        """,
+        "simhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     LATERAL UNNEST(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS t(term)
+            ),
+            tok_h AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM tok_h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0 THEN
+                             CASE WHEN bit = 63 THEN -9223372036854775808
+                                  ELSE (1::BIGINT << bit) END
+                           ELSE 0 END)::BIGINT AS simhash
+                FROM bits GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, simhash, g.band,
+                       sum(CASE WHEN bit >= g.band*8 AND bit < (g.band+1)*8 AND acc > 0
+                                THEN (1::BIGINT << (bit - g.band*8)) ELSE 0 END) AS bk
+                FROM bits JOIN fp USING (doc_id)
+                     CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) g
+                GROUP BY doc_id, simhash, g.band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
         """,
         "embedding_sign_buckets": """
             SELECT concat(

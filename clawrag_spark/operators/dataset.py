@@ -396,6 +396,98 @@ def embedding_near_dups_blocked(
     )
 
 
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    bits_per_band: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-projection LSH near-dup join — the sub-quadratic path for
+    HIGH similarity thresholds (true near-duplicates).
+
+    Random-hyperplane LSH: ``n_bands × bits_per_band`` seeded Gaussian
+    projections; band key = packed sign bits; candidates = pairs sharing
+    ≥1 band key (equi-join, never all-pairs); exact cosine verify on
+    candidates only.  Collision probability per band is
+    ``(1 − θ/π)^bits``, so recall ≈ 1−(1−p)^bands — at cos ≥ 0.9
+    (θ ≈ 26°) the defaults give ≥ 0.999 recall; at cos ≈ 0.45 recall
+    collapses, which is why the *exact* ``embedding_near_dups_blocked``
+    is the right tool for low thresholds (see round-1 verdict).
+
+    Scale: shuffle is O(N · n_bands) small keys; per-bucket joins are
+    pruned by the 2^bits keyspace.  Deterministic (seeded projections).
+    """
+    import numpy as np
+
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, n_bands * bits_per_band))
+    spark = emb.sparkSession
+    thr = float(threshold)
+    nb, bpb = n_bands, bits_per_band
+
+    def band_keys(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        V = _np.stack(pdf["vec"].to_numpy()).astype(_np.float64)
+        bits = (V @ H) >= 0
+        keys = _np.packbits(
+            bits.reshape(len(V), nb, bpb), axis=2, bitorder="big"
+        )
+        # collapse possibly-multibyte band keys into one int per band
+        keys = keys.reshape(len(V), nb, -1)
+        kint = _np.zeros((len(V), nb), dtype=_np.int64)
+        for byte in range(keys.shape[2]):
+            kint = (kint << 8) | keys[:, :, byte]
+        out = pd.DataFrame({"vid": pdf["vid"].to_numpy()})
+        for b in range(nb):
+            out[f"band_{b}"] = kint[:, b]
+        return out
+
+    tagged = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    schema = "vid long, " + ", ".join(f"band_{b} long" for b in range(nb))
+    keyed = tagged.withColumn("g", F.pmod(F.col("vid"), F.lit(64))).groupBy(
+        "g"
+    ).applyInPandas(
+        lambda pdf: band_keys(pdf), schema
+    )
+    cand = None
+    for b in range(nb):
+        a = keyed.select(F.col("vid").alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        c = keyed.select(F.col("vid").alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        pairs = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = emb.select(
+        F.col(id_col).cast("long").alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    vb = emb.select(
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    from .retrieval import cosine
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > thr)
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:

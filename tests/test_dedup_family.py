@@ -112,6 +112,29 @@ def test_blocked_embedding_near_dup_matches_brute_force(spark, sf_dir):
         assert v == pytest.approx(brute[k], abs=1e-6)
 
 
+def test_lsh_embedding_near_dup_matches_brute_force_on_planted(spark):
+    """High-threshold sign-projection LSH must find every planted
+    near-dup pair (cos ≥ 0.9) that brute force finds."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((100, 64))
+    planted = base[:12] + 0.12 * rng.standard_normal((12, 64))  # cos ~0.97
+    vecs = np.vstack([base, planted]).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in DS.embedding_near_dups(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DS.embedding_near_dups_lsh(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    assert len(brute) >= 12, "fixture failed to plant near-dup pairs"
+    assert lsh == brute
+
+
 def test_minhash_planted_pair_recall(spark):
     rng = random.Random(3)
     base = " ".join(rng.choice(_WORDS) for _ in range(60))
