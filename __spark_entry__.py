@@ -738,6 +738,30 @@ def q_metadata_filter(spark, sf_dir):
     )
 
 
+def q_profile_scan(spark, sf_dir):
+    """S2 profile-based scan filter: deterministic url fixtures built
+    from document fields, filtered by the real profile-extension +
+    ignore-dir Catalyst predicate (ingest_folder.py:252-280)."""
+    from clawrag_spark.pipeline import scan_profile_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 6
+    url = F.concat(
+        F.lit("https://h.ex/"),
+        F.when(mod == 0, F.lit("src/app.py"))
+        .when(mod == 1, F.lit("docs/a.pdf"))
+        .when(mod == 2, F.lit("notes/readme.md"))
+        .when(mod == 3, F.lit("node_modules/pkg/index.js"))  # ignored dir
+        .when(mod == 4, F.lit("img/logo.png"))               # ext not allowed
+        .otherwise(F.lit("data/report.docx")),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    kept = scan_profile_filter(pages, profile="default")
+    return kept.groupBy(
+        F.element_at(F.split(F.col("url"), "/"), -1).alias("fname")
+    ).agg(F.count("*").alias("n"))
+
+
 def q_union_collections(spark, sf_dir):
     """U1 result union across collections (query_engine.py:155-162):
     per-collection top slices unioned with a tag."""
@@ -806,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_parse": q_email_parse,
         "relevance_filtered": q_relevance_filtered,
         "metadata_filter": q_metadata_filter,
+        "profile_scan": q_profile_scan,
     }
 
 
@@ -1282,6 +1307,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE lang = 'en' AND source IN ('src0', 'src2') AND n_chars >= 200
+        """,
+        "profile_scan": """
+            SELECT CASE doc_id % 6
+                       WHEN 0 THEN 'app.py'
+                       WHEN 1 THEN 'a.pdf'
+                       WHEN 2 THEN 'readme.md'
+                       ELSE 'report.docx' END AS fname,
+                   count(*) AS n
+            FROM documents
+            WHERE doc_id % 6 IN (0, 1, 2, 5)
+            GROUP BY 1
         """,
         "ann_ivf": """
             WITH qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -125,6 +125,11 @@ def run_extraction_at(cores: int, pages_path: str) -> dict:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    # warm the JVM/codegen/parquet-reader paths so the first timed query
+    # doesn't carry session startup (~5 s of pure warm-up in round 1)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     out = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.monotonic()

@@ -155,6 +155,39 @@ def prepare_pages(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     )
 
 
+# S2: profile → allowed-extension sets (ingest_folder.py:252-262) and the
+# ignore-dir prune list (:270-271), re-expressed as Catalyst filters over
+# the url column — pushdown-friendly, no Python.
+PROFILE_EXTENSIONS: dict[str, list[str]] = {
+    "codebase": [".py", ".js", ".jsx", ".ts", ".tsx", ".md", ".json",
+                 ".yml", ".yaml", ".html", ".css", ".sql"],
+    "documents": [".pdf", ".docx", ".txt", ".md"],
+    "default": [".pdf", ".docx", ".txt", ".md", ".py", ".js"],
+}
+_IGNORE_DIR_RE = r"/(\.git|__pycache__|node_modules|venv|\.venv|dist|build)/"
+
+
+def scan_profile_filter(
+    pages: DataFrame,
+    profile: str = "default",
+    allowed_extensions: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """S2 profile-based scan: keep pages whose url has an allowed
+    extension and no ignored directory segment (ingest_folder.py:
+    252-280).  Explicit ``allowed_extensions`` override the profile,
+    exactly like the request parameter in the reference."""
+    exts = [
+        e.lower() for e in (
+            allowed_extensions
+            or PROFILE_EXTENSIONS.get(profile, PROFILE_EXTENSIONS["default"])
+        )
+    ]
+    path = F.split(F.col(url_col), r"[?#]")[0]
+    ext = F.lower(F.regexp_extract(path, r"(\.[A-Za-z0-9]{1,8})$", 1))
+    return pages.filter(ext.isin(exts) & ~path.rlike(_IGNORE_DIR_RE))
+
+
 def dedup_version(extracted: DataFrame, policy: str = "VERSION") -> DataFrame:
     """Versioning + active flag over doc_hash (W4/W5, models.py:365-372).
 

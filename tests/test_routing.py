@@ -107,6 +107,41 @@ class TestDispatch:
         assert route.startswith("rejected:") and chunks == []
 
 
+class TestProfileScan:
+    URLS = [
+        "https://h/src/app.py",
+        "https://h/docs/a.pdf",
+        "https://h/node_modules/x/index.js",   # pruned dir
+        "https://h/.git/config.md",            # pruned dir
+        "https://h/style/site.css",
+        "https://h/img/x.png",
+        "https://h/readme.md?v=2",             # query string stripped
+    ]
+
+    def _kept(self, spark, **kw):
+        from clawrag_spark.pipeline import scan_profile_filter
+
+        df = spark.createDataFrame([(u,) for u in self.URLS], "url string")
+        return {r["url"] for r in scan_profile_filter(df, **kw).collect()}
+
+    def test_default_profile(self, spark):
+        assert self._kept(spark) == {
+            "https://h/src/app.py", "https://h/docs/a.pdf",
+            "https://h/readme.md?v=2",
+        }
+
+    def test_codebase_profile_and_prune(self, spark):
+        kept = self._kept(spark, profile="codebase")
+        assert "https://h/style/site.css" in kept
+        assert "https://h/node_modules/x/index.js" not in kept
+        assert "https://h/.git/config.md" not in kept
+
+    def test_explicit_extensions_override(self, spark):
+        assert self._kept(spark, allowed_extensions=[".PNG"]) == {
+            "https://h/img/x.png"
+        }
+
+
 @pytest.fixture(scope="module")
 def mixed_pages(tmp_path_factory):
     """Synthetic mixed-type corpus: each row exercises one route."""
