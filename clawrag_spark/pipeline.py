@@ -469,6 +469,10 @@ def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
     from .operators.retrieval import sql_tokens
 
     index_dir = os.path.join(out_dir, "bm25_index")
+    current = _bm25_current(index_dir)
+    if current is not None and current.get("run_id") == run_id:
+        # already committed for this run — idempotent re-invocation
+        return {"index_dir": index_dir, "pointer": current}
     chunks = _read_parquet_or_none(spark, os.path.join(out_dir, "chunks"))
     if chunks is None:
         return {"index_dir": index_dir, "n_new_chunks": 0}
@@ -478,18 +482,17 @@ def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
     tokens = delta.select(
         "chunk_id", F.explode(sql_tokens(F.col("text"))).alias("term")
     )
-    postings = (
-        tokens.groupBy("chunk_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("run_id", F.lit(run_id))
+    postings = tokens.groupBy("chunk_id", "term").agg(F.count("*").alias("tf"))
+    doclen = tokens.groupBy("chunk_id").agg(F.count("*").alias("dl"))
+    # per-run partition dirs written with overwrite: a retry after a
+    # crash replaces its own delta instead of appending a duplicate
+    # (run_id comes back as the partition-discovery column on read)
+    postings.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "postings", f"run_id={run_id}")
     )
-    doclen = (
-        tokens.groupBy("chunk_id")
-        .agg(F.count("*").alias("dl"))
-        .withColumn("run_id", F.lit(run_id))
+    doclen.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doclen", f"run_id={run_id}")
     )
-    postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
-    doclen.write.mode("append").parquet(os.path.join(index_dir, "doclen"))
 
     # additive df/stats rollup from the delta just written
     df_delta = (
