@@ -58,8 +58,10 @@ def bm25_build_index(
     tokens = docs.select(
         F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
     )
-    doclen = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
     postings = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # dl = Σ tf — derived from the (small) postings table so the corpus
+    # is tokenized and shuffled exactly once, not once per statistic
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     corpus = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -483,7 +483,7 @@ def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
         "chunk_id", F.explode(sql_tokens(F.col("text"))).alias("term")
     )
     postings = tokens.groupBy("chunk_id", "term").agg(F.count("*").alias("tf"))
-    doclen = tokens.groupBy("chunk_id").agg(F.count("*").alias("dl"))
+    doclen = postings.groupBy("chunk_id").agg(F.sum("tf").alias("dl"))
     # per-run partition dirs written with overwrite: a retry after a
     # crash replaces its own delta instead of appending a duplicate
     # (run_id comes back as the partition-discovery column on read)

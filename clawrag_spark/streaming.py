@@ -89,3 +89,143 @@ def incremental_extract(
         .start()
     )
     query.awaitTermination()
+
+
+def windowed_host_rates(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Watermarked tumbling-window ingestion rates per host (§2.12 /
+    A4-as-a-stream): crawl-time monitoring of docs and bytes per host
+    per window, with late-data handling.
+
+    - ``withWatermark(warc_ts, delay)``: rows later than the watermark
+      are dropped; state for closed windows is evicted (bounded state at
+      10^12-doc scale),
+    - append output mode: a window row is emitted exactly once, when the
+      watermark passes its end — the exactly-once rollup a downstream
+      dashboard table wants,
+    - Trigger.AvailableNow + checkpoint: incremental batch invocations.
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_rates_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+    )
+    rates = (
+        stream.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withWatermark("warc_ts", watermark_delay)
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("n_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host", "n_docs", "n_bytes",
+        )
+    )
+    query = (
+        rates.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "host_rates"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def sessionize_hosts(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    gap_seconds: int = 3600,
+    watermark_delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Custom stateful operator via ``applyInPandasWithState``: per-host
+    crawl *sessions* (bursts of fetches separated by ≥ ``gap_seconds``
+    of silence) — the kind of operator Spark has no built-in for.
+
+    State per host = (session_start, last_ts, n_docs); an event-time
+    timeout fires when the watermark passes ``last_ts + gap``, emitting
+    the completed session exactly once and clearing state.  Watermark
+    bounds state size; sessions for quiet hosts close deterministically
+    from event time, not wall clock.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_sess_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withWatermark("warc_ts", watermark_delay)
+        .select("host", "warc_ts")
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        (host,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "host": [host],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_docs": [n],
+            })
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pdf["warc_ts"])
+        if not ts_us:
+            return
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        closed = []
+        for t in ts_us:
+            if t - last_us > gap_us and n > 0:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame({
+                "host": [host] * len(closed),
+                "session_start": [pd.Timestamp(a, unit="us") for a, _, _ in closed],
+                "session_end": [pd.Timestamp(b, unit="us") for _, b, _ in closed],
+                "n_docs": [c for _, _, c in closed],
+            })
+
+    sessions = stream.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, session_start timestamp, session_end timestamp, "
+            "n_docs long"
+        ),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "host_sessions"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

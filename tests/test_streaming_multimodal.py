@@ -32,6 +32,98 @@ class TestIncrementalStreaming:
         assert df.select("url").distinct().count() == 200
 
 
+def _write_pages(path, rows):
+    """rows = [(url, ts_datetime)] → pages-schema parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "warc_ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+            "html": pa.array([b"<html><body>x</body></html>"] * len(rows), pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }),
+        path,
+    )
+
+
+class TestWatermarkedWindows:
+    def test_append_mode_emits_closed_windows_and_drops_late(
+        self, spark, out_dir, tmp_path
+    ):
+        from datetime import datetime
+
+        from clawrag_spark.streaming import windowed_host_rates
+
+        t = lambda h, m=0: datetime(2025, 6, 1, h, m)
+        pages_dir = str(tmp_path / "pages_win")
+        os.makedirs(pages_dir)
+        _write_pages(os.path.join(pages_dir, "f1.parquet"), [
+            ("https://a.ex/1", t(0, 5)),
+            ("https://a.ex/2", t(0, 20)),
+            ("https://a.ex/3", t(1, 10)),
+            ("https://b.ex/1", t(0, 30)),
+            ("https://c.ex/1", t(10, 0)),   # clock advancer → watermark 09:00
+        ])
+        windowed_host_rates(spark, pages_dir, out_dir,
+                            window_duration="1 hour", watermark_delay="1 hour")
+        got = {
+            (r["host"], r["window_start"].hour): r["n_docs"]
+            for r in spark.read.parquet(os.path.join(out_dir, "host_rates")).collect()
+        }
+        # windows ending before the 09:00 watermark are final and emitted
+        assert got == {("a.ex", 0): 2, ("a.ex", 1): 1, ("b.ex", 0): 1}
+
+        # second batch: clock advances; a LATE row for hour 0 (behind the
+        # checkpointed watermark) must be dropped, not re-open the window
+        _write_pages(os.path.join(pages_dir, "f2.parquet"), [
+            ("https://a.ex/late", t(0, 40)),
+            ("https://c.ex/2", t(20, 0)),
+        ])
+        windowed_host_rates(spark, pages_dir, out_dir,
+                            window_duration="1 hour", watermark_delay="1 hour")
+        rows = spark.read.parquet(os.path.join(out_dir, "host_rates")).collect()
+        got2 = {(r["host"], r["window_start"].hour): r["n_docs"] for r in rows}
+        assert got2[("c.ex", 10)] == 1          # now final
+        assert got2[("a.ex", 0)] == 2           # late row dropped
+        assert len(rows) == len(got2)           # append mode: no dup windows
+
+
+class TestStatefulSessions:
+    def test_event_time_sessionization(self, spark, out_dir, tmp_path):
+        from datetime import datetime
+
+        from clawrag_spark.streaming import sessionize_hosts
+
+        t = lambda h, m=0: datetime(2025, 6, 1, h, m)
+        pages_dir = str(tmp_path / "pages_sess")
+        os.makedirs(pages_dir)
+        _write_pages(os.path.join(pages_dir, "f1.parquet"), [
+            ("https://a.ex/1", t(0, 0)),
+            ("https://a.ex/2", t(0, 10)),
+            ("https://z.ex/1", t(6, 0)),       # watermark driver
+        ])
+        sessionize_hosts(spark, pages_dir, out_dir, gap_seconds=3600,
+                         watermark_delay="1 hour")
+        sess_path = os.path.join(out_dir, "host_sessions")
+
+        # run 2: clock advances → a.ex's idle session times out (event
+        # time), and z.ex's in-batch gap closes its first session inline
+        _write_pages(os.path.join(pages_dir, "f2.parquet"), [
+            ("https://z.ex/2", t(12, 0)),
+        ])
+        sessionize_hosts(spark, pages_dir, out_dir, gap_seconds=3600,
+                         watermark_delay="1 hour")
+        got = {
+            r["host"]: (r["session_start"], r["session_end"], r["n_docs"])
+            for r in spark.read.parquet(sess_path).collect()
+        }
+        assert got["a.ex"] == (t(0, 0), t(0, 10), 2)
+        assert got["z.ex"] == (t(6, 0), t(6, 0), 1)
+
+
 class TestMultimodal:
     @pytest.fixture()
     def media_df(self, spark):
