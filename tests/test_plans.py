@@ -76,6 +76,44 @@ class TestTopK:
         assert "TakeOrderedAndProject" in plan_of(df)
 
 
+class TestNoCartesian:
+    def test_blocked_near_dup_has_no_cartesian(self, spark):
+        # the exact near-dup join must be the block-grid cogrouped plan,
+        # never a cross join of the embeddings table against itself
+        plan = plan_of(entry_mod.q_embedding_near_dup(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+    def test_ngram_jaccard_has_no_cartesian(self, spark):
+        # candidates come from the MinHash band equi-join (round-1 bug:
+        # a doc_id < doc_id theta join planned as cartesian)
+        plan = plan_of(entry_mod.q_ngram_jaccard(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_simhash_band_join_is_equi(self, spark):
+        plan = plan_of(entry_mod.q_simhash_pairs(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+
+
+class TestNewPushdown:
+    def test_metadata_filter_pushed_to_scan(self, spark):
+        plan = plan_of(entry_mod.q_metadata_filter(spark, SF_DIR))
+        assert "PushedFilters" in plan
+        pushed = plan[plan.index("PushedFilters"):]
+        pushed = pushed[: pushed.index("\n")]
+        assert "lang" in pushed and "n_chars" in pushed
+
+    def test_bm25_cached_index_reused(self, spark):
+        # the postings/doclen/idf frames are persisted once per session:
+        # the scoring plan must read from InMemoryTableScan, not re-scan
+        # + re-tokenize the documents parquet
+        entry_mod.q_bm25_scores(spark, SF_DIR).collect()  # warm the cache
+        plan = plan_of(entry_mod.q_bm25_scores(spark, SF_DIR))
+        assert "InMemoryTableScan" in plan
+
+
 class TestCodegen:
     def test_quality_score_is_jvm_only(self, spark):
         # A10 as pure column expressions: no BatchEvalPython /
