@@ -262,6 +262,39 @@ def rrf_fuse(
     )
 
 
+def normalize_model_name(name: str) -> str:
+    """F15: append ':latest' when the model name carries no tag
+    (upload.py:240-247)."""
+    return name if ":" in name else f"{name}:latest"
+
+
+def check_embedding_compat(
+    collection_model: str,
+    collection_dim: int,
+    query_model: str,
+    query_dim: int,
+) -> None:
+    """J7 embedding-compat gate (upload.py:223-259): a query/ingest
+    against a collection must use the same embedding model (tag-
+    normalized) and dimensionality; mismatch is a hard error, not a
+    silent wrong-answer cosine between incompatible spaces."""
+    cm, qm = normalize_model_name(collection_model), normalize_model_name(query_model)
+    if cm != qm:
+        raise ValueError(
+            f"embedding model mismatch: collection uses {cm!r}, got {qm!r}"
+        )
+    if collection_dim != query_dim:
+        raise ValueError(
+            f"embedding dim mismatch: collection has {collection_dim}, got {query_dim}"
+        )
+
+
+def adaptive_collection_k(n_collections: int, total_k: int = 100, floor: int = 10) -> int:
+    """T7: per-collection fetch size when fanning a query across many
+    collections — ``max(floor, total_k // n)`` (documents/query.py:137)."""
+    return max(floor, total_k // max(n_collections, 1))
+
+
 def parent_resolution(
     child_hits: DataFrame,
     parents: DataFrame,

@@ -96,3 +96,23 @@ class TestTokenizerParity:
         got = [r["toks"] for r in
                df.select(bm25_tokens(F.col("text")).alias("toks")).collect()]
         assert got == [oracle_tokenize(t) for t in texts]
+
+
+class TestCompatAndAdaptiveK:
+    def test_embedding_compat_gate(self):
+        from clawrag_spark.operators.retrieval import check_embedding_compat
+
+        # same model modulo :latest tag normalization → ok
+        check_embedding_compat("nomic-embed-text", 768, "nomic-embed-text:latest", 768)
+        with pytest.raises(ValueError, match="model mismatch"):
+            check_embedding_compat("nomic-embed-text:latest", 768, "mxbai:latest", 768)
+        with pytest.raises(ValueError, match="dim mismatch"):
+            check_embedding_compat("m:latest", 768, "m:latest", 64)
+
+    def test_adaptive_collection_k(self):
+        from clawrag_spark.operators.retrieval import adaptive_collection_k
+
+        assert adaptive_collection_k(1) == 100
+        assert adaptive_collection_k(4) == 25
+        assert adaptive_collection_k(50) == 10   # floor
+        assert adaptive_collection_k(0) == 100   # guard
