@@ -629,6 +629,28 @@ def q_route_counts(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (k=8 char-grams, window 4): the classic
+    document-fingerprint index for shared-substring detection at corpus
+    scale; planted near-dup docs share most fingerprints."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return DS.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counting: GPT-style pre-tokenizer classes (letter
+    runs / digit runs / punctuation runs, optionally space-prefixed) —
+    the training-data budget counter, vs the whitespace count in
+    ``token_counts``."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"), 0
+    )
+    return docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_data_type_route(spark, sf_dir):
     """S13 data-type detection end-to-end: deterministic (filename,
     content) fixtures built from document fields, routed through the
@@ -831,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_filtered": q_relevance_filtered,
         "metadata_filter": q_metadata_filter,
         "profile_scan": q_profile_scan,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -1307,6 +1331,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE lang = 'en' AND source IN ('src0', 'src2') AND n_chars >= 200
+        """,
+        "winnow_fingerprints": """
+            WITH clean AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS c
+                FROM documents WHERE doc_id < 40
+            ),
+            hashes AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(0, greatest(length(c) - 8, 0)),
+                           i -> md5(substring(c, i + 1, 8))) AS hs
+                FROM clean WHERE length(c) >= 8
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, greatest(len(hs) - 4, 0)),
+                           j -> list_min(hs[j + 1 : j + 4]))) AS fps
+                FROM hashes
+            )
+            SELECT doc_id, f.fp
+            FROM sel, LATERAL UNNEST(fps) AS f(fp)
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))::BIGINT AS n_bpe_tokens
+            FROM documents WHERE doc_id < 100
         """,
         "profile_scan": """
             SELECT CASE doc_id % 6

@@ -513,6 +513,44 @@ def embedding_near_dups(
     )
 
 
+# ------------------------------------------------------- fingerprinting
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    char k-grams of the normalized text → hash each → take the minimum
+    hash of every w-wide sliding window → distinct selected hashes.
+
+    Guarantees: any shared substring of length ≥ k+w−1 between two docs
+    yields at least one shared fingerprint, while storing only ~2/(w+1)
+    of the k-gram hashes — the plagiarism/near-dup fingerprint index
+    used at corpus scale.  Built-ins only (one projection, no UDF, no
+    shuffle until the caller aggregates); md5 hex is the rolling-hash
+    stand-in (lexicographic min ≡ numeric min on fixed-width hex).
+
+    Returns (id_col, fp) with one row per selected fingerprint.
+    """
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(clean) - k, F.lit(0))),
+        lambda i: F.substr(clean, i + 1, F.lit(k)),
+    )
+    hashes = F.transform(grams, F.md5)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - w, F.lit(0))),
+        lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+    )
+    return (
+        docs.filter(F.length(clean) >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(windows)).alias("fp"))
+    )
+
+
 # ----------------------------------------------------- quality signals
 
 _STOPWORDS = (

@@ -135,6 +135,27 @@ def test_lsh_embedding_near_dup_matches_brute_force_on_planted(spark):
     assert lsh == brute
 
 
+def test_winnowing_guarantee_and_selectivity(spark):
+    """Docs sharing a substring of length ≥ k+w−1 share ≥1 fingerprint;
+    winnowing keeps far fewer hashes than all k-grams."""
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows = [
+        (0, "prefix words here " + shared + " and a suffix"),
+        (1, shared + " entirely different tail content follows now"),
+        (2, "no overlap with anything else in this tiny corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = DS.winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    # selectivity: ~2/(w+1) of k-grams selected, never all of them
+    n_grams_0 = len("".join(c for c in rows[0][1] if c.isalnum())) - 8 + 1
+    assert len(by_doc[0]) < n_grams_0 * 0.75
+
+
 def test_minhash_planted_pair_recall(spark):
     rng = random.Random(3)
     base = " ".join(rng.choice(_WORDS) for _ in range(60))
