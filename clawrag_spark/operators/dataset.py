@@ -535,19 +535,31 @@ def winnow_fingerprints(
 
     Returns (id_col, fp) with one row per selected fingerprint.
     """
-    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(clean) - k, F.lit(0))),
-        lambda i: F.substr(clean, i + 1, F.lit(k)),
+    # each stage materializes into a column before the next lambda uses
+    # it: an expression referenced inside transform() is re-evaluated
+    # PER ELEMENT (no CSE across lambda scopes), which turns the window
+    # pass into O(n²) md5 work if `hs` stays an inline expression
+    cleaned = docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("c"),
+    ).filter(F.length("c") >= k)
+    hashed = cleaned.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.length("c") - k),
+            lambda i: F.md5(F.substr(F.col("c"), i + 1, F.lit(k))),
+        ).alias("hs"),
     )
-    hashes = F.transform(grams, F.md5)
-    windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(hashes) - w, F.lit(0))),
-        lambda j: F.array_min(F.slice(hashes, j + 1, w)),
-    )
-    return (
-        docs.filter(F.length(clean) >= k)
-        .select(F.col(id_col), F.explode(F.array_distinct(windows)).alias("fp"))
+    return hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("hs") - w, F.lit(0))),
+                    lambda j: F.array_min(F.slice(F.col("hs"), j + 1, w)),
+                )
+            )
+        ).alias("fp"),
     )
 
 
