@@ -574,15 +574,19 @@ _STOPWORDS = (
 def text_quality_signals(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality signals for training-data filtering: token
     count, mean token length, stopword ratio, punctuation ratio,
-    uppercase ratio — all built-in expressions."""
-    toks = sql_tokens(F.col(text_col))
-    n_toks = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    uppercase ratio — all built-in expressions.  Tokens are projected
+    into a column first so the regex tokenizer runs once per row, not
+    once per signal that references it."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
-    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
-    return docs.select(
+    base = docs.select(
+        F.col(id_col), text.alias("t"), sql_tokens(F.col(text_col)).alias("toks")
+    )
+    toks, n_toks = F.col("toks"), F.size("toks")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    n_chars = F.length("t")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("t"), r"[.,;:!?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col("t"), r"[A-Z]", ""))
+    return base.select(
         F.col(id_col),
         n_toks.cast("long").alias("n_tokens"),
         F.round(
