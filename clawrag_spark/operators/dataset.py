@@ -223,28 +223,52 @@ def simhash_near_dups(
     The band count is derived from the radius: completeness needs
     ``n_bands > max_hamming`` (pigeonhole), so radius 3 → 4 bands,
     radius 4-7 → 8 bands, radius 8-15 → 16 bands.
+
+    One shuffle: the n_bands band keys are posexploded into a long
+    (id, simhash, band, key) frame and self-equi-joined ONCE on
+    (band, key) — round-2 shape was an n_bands-way union of per-band
+    self-joins, ~n_bands× the necessary exchange volume.
     """
+    if not 0 <= max_hamming < 32:
+        raise ValueError(
+            f"max_hamming must be in [0, 32) (got {max_hamming}): 32 bands "
+            "of a 64-bit fingerprint are 2-bit keys and the pigeonhole "
+            "guarantee needs n_bands > max_hamming with 64 % n_bands == 0"
+        )
     n_bands = next(b for b in (4, 8, 16, 32) if b > max_hamming)
-    hashed = simhash_bands(
-        docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash")),
-        n_bands=n_bands,
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    hashed = docs.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
     )
-    pairs = None
-    for band in range(n_bands):
-        a = hashed.select(
-            F.col(id_col).alias("doc_a"),
-            F.col("simhash").alias("sh_a"),
-            F.col(f"band_{band}").alias("bk"),
-        )
-        b = hashed.select(
-            F.col(id_col).alias("doc_b"),
-            F.col("simhash").alias("sh_b"),
-            F.col(f"band_{band}").alias("bk"),
-        )
-        cand = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b"))
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+    bands = hashed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bk"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bk"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bk"
+    )
     return (
-        pairs.select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        a.join(b, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -252,13 +276,31 @@ def simhash_near_dups(
 
 # ------------------------------------------------------------------ ANN
 
-def ivf_centroids(emb: DataFrame, id_col: str, vec_col: str, cell_col: str) -> DataFrame:
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    train_sample_mod: int | None = None,
+) -> DataFrame:
     """Element-wise mean vector per coarse cell (IVF codebook).
 
     Built-in only: posexplode → groupBy(cell, pos) → avg → re-assemble
     ordered with array_agg over a sorted struct.
+
+    ``train_sample_mod=m`` trains each centroid on the deterministic
+    ~1/m sample ``pmod(xxhash64(id), m) == 0`` — at 10⁹ vectors the
+    full posexplode is an n_vecs×dim row shuffle, and codebooks are
+    conventionally trained on a sample then used to assign everything
+    (the assignment below still scans all rows).  Cells whose sample is
+    empty get no centroid and are never probed; pick m ≪ min cell size.
     """
-    exploded = emb.select(
+    src = emb
+    if train_sample_mod is not None and train_sample_mod > 1:
+        src = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+    exploded = src.select(
         F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
     )
     means = exploded.groupBy(cell_col, "pos").agg(F.avg("val").alias("m"))
@@ -283,12 +325,15 @@ def ann_ivf_topk(
     query_vec: list[float],
     k: int,
     n_probe: int = 1,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF ANN: rank coarse cells by centroid cosine, search only the
     top ``n_probe`` cells.  At warehouse scale the cell is a partition
-    key, so the probe prunes the scan to n_probe partitions."""
+    key, so the probe prunes the scan to n_probe partitions.
+    ``n_probe > 1`` trades scan width for recall; ``train_sample_mod``
+    trains centroids on a deterministic sample (see ivf_centroids)."""
     qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    cents = ivf_centroids(emb, id_col, vec_col, cell_col)
+    cents = ivf_centroids(emb, id_col, vec_col, cell_col, train_sample_mod)
     best_cells = (
         cents.select(
             F.col(cell_col),
@@ -332,16 +377,25 @@ def embedding_near_dups_blocked(
     O(N²) pair stream; per-task work is a dense (N/n_blocks)² kernel in
     numpy instead of interpreted per-pair expressions.  Pick
     n_blocks ≈ √(desired task count); round-1 bench 36.2 s → ~1 s.
+
+    Works for ANY id type: blocks are assigned by ``pmod(xxhash64(id))``
+    (round-2 bug: a ``cast(long)`` block key silently emitted an EMPTY
+    result for string ids — null block ⇒ the grid join matched nothing),
+    and the original id column is carried through unchanged, so the
+    pipeline's string doc/chunk ids are first-class inputs.  The result
+    pair SET is independent of block assignment (every unordered pair
+    lands in exactly one block pair), so the oracle is unaffected.
     """
     spark = emb.sparkSession
+    id_dt = emb.schema[id_col].dataType.simpleString()
     grid = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
         "pa int, pb int",
     )
     tagged = emb.select(
-        F.col(id_col).cast("long").alias("vid"),
+        F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     # Two grid joins unioned with a side marker (a self-cogroup of the
     # same lineage trips Spark's ambiguous-self-join analyzer; a union
@@ -355,11 +409,13 @@ def embedding_near_dups_blocked(
     both = left.unionByName(right)
     thr = float(threshold)
 
+    id_np_dtype = "object" if id_dt == "string" else "int64"
+
     def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64"),
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=id_np_dtype),
+                              "id_b": pd.Series(dtype=id_np_dtype),
                               "cos_sim": pd.Series(dtype="float64")})
         same = int(pdf["pa"].iloc[0]) == int(pdf["pb"].iloc[0])
         a_pdf = pdf[pdf["side"] == 0]
@@ -383,7 +439,7 @@ def embedding_near_dups_blocked(
         # WHERE round(cos, 6) > t — keeps boundary rows consistent
         keep = np.round(cos, 6) > thr
         if same:
-            mask = keep & (ida[:, None] < idb[None, :])
+            mask = keep & (ida[:, None] < idb[None, :]).astype(bool)
         else:
             mask = keep
         ii, jj = np.nonzero(mask)
@@ -392,7 +448,7 @@ def embedding_near_dups_blocked(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ii, jj]})
 
     return both.groupBy("pa", "pb").applyInPandas(
-        score_block_pair, "id_a long, id_b long, cos_sim double"
+        score_block_pair, f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
     )
 
 
@@ -404,6 +460,7 @@ def embedding_near_dups_lsh(
     n_bands: int = 16,
     bits_per_band: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-projection LSH near-dup join — the sub-quadratic path for
     HIGH similarity thresholds (true near-duplicates).
@@ -419,20 +476,47 @@ def embedding_near_dups_lsh(
 
     Scale: shuffle is O(N · n_bands) small keys; per-bucket joins are
     pruned by the 2^bits keyspace.  Deterministic (seeded projections).
+
+    ``dim`` is the embedding width; pass it when known (callers almost
+    always know it) — otherwise ONE driver-side probe job reads a single
+    row to infer it (round-2: an unconditional extra job per call).
+    Any id type works (ids are carried through, grouping key is
+    ``xxhash64``); empty input returns an empty (id_a, id_b, cos_sim)
+    frame instead of crashing.  Candidates come from one posexplode →
+    single self-equi-join on (band, key) — not an n_bands-way union.
+
+    LSH-vs-blocked crossover (measured, sf0.01 embeddings, 500×64-d):
+    at cos≥0.9 LSH generates ~10² candidate pairs vs the blocked plan's
+    ~125k scored cells — LSH wins whenever the threshold is high enough
+    that per-band collision p=(1−θ/π)^bits keeps candidates ≪ N²/2.
+    At cos 0.45 (θ≈63°, p≈0.002) recall collapses and candidates exceed
+    brute force — use ``embedding_near_dups_blocked`` there.
     """
     import numpy as np
 
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"])
+    if dim is None:
+        dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dim_row is None:
+            spark = emb.sparkSession
+            id_dt = emb.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+            )
+        dim = int(dim_row["d"])
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((dim, n_bands * bits_per_band))
-    spark = emb.sparkSession
     thr = float(threshold)
     nb, bpb = n_bands, bits_per_band
+    id_dt = emb.schema[id_col].dataType.simpleString()
 
     def band_keys(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as _np
 
+        if pdf.empty:
+            return pd.DataFrame(
+                {"vid": pd.Series(dtype=pdf["vid"].dtype),
+                 "bands": pd.Series(dtype="object")}
+            )
         V = _np.stack(pdf["vec"].to_numpy()).astype(_np.float64)
         bits = (V @ H) >= 0
         keys = _np.packbits(
@@ -443,36 +527,35 @@ def embedding_near_dups_lsh(
         kint = _np.zeros((len(V), nb), dtype=_np.int64)
         for byte in range(keys.shape[2]):
             kint = (kint << 8) | keys[:, :, byte]
-        out = pd.DataFrame({"vid": pdf["vid"].to_numpy()})
-        for b in range(nb):
-            out[f"band_{b}"] = kint[:, b]
-        return out
+        return pd.DataFrame(
+            {"vid": pdf["vid"].to_numpy(), "bands": list(kint)}
+        )
 
     tagged = emb.select(
-        F.col(id_col).cast("long").alias("vid"),
+        F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    schema = "vid long, " + ", ".join(f"band_{b} long" for b in range(nb))
-    keyed = tagged.withColumn("g", F.pmod(F.col("vid"), F.lit(64))).groupBy(
-        "g"
-    ).applyInPandas(
-        lambda pdf: band_keys(pdf), schema
+    schema = f"vid {id_dt}, bands array<long>"
+    keyed = tagged.withColumn(
+        "g", F.pmod(F.xxhash64(F.col("vid")), F.lit(64))
+    ).groupBy("g").applyInPandas(lambda pdf: band_keys(pdf), schema)
+    exploded = keyed.select(
+        F.col("vid"), F.posexplode("bands").alias("band", "bk")
     )
-    cand = None
-    for b in range(nb):
-        a = keyed.select(F.col("vid").alias("id_a"), F.col(f"band_{b}").alias("bk"))
-        c = keyed.select(F.col("vid").alias("id_b"), F.col(f"band_{b}").alias("bk"))
-        pairs = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    a = exploded.select(F.col("vid").alias("id_a"), "band", "bk")
+    c = exploded.select(F.col("vid").alias("id_b"), "band", "bk")
+    cand = (
+        a.join(c, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = emb.select(
-        F.col(id_col).cast("long").alias("id_a"),
+        F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
     )
     vb = emb.select(
-        F.col(id_col).cast("long").alias("id_b"),
+        F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
     )
     from .retrieval import cosine

@@ -169,3 +169,84 @@ def test_minhash_planted_pair_recall(spark):
         for r in DS.minhash_candidate_pairs(df, "doc_id", "text").collect()
     }
     assert (0, 1) in pairs
+
+
+def test_simhash_max_hamming_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        DS.simhash_near_dups(df, "doc_id", "text", max_hamming=32)
+
+
+def test_blocked_embedding_near_dup_string_ids(spark):
+    """Round-2 bug: cast(long) block keys nulled out string ids and the
+    operator silently returned an empty frame.  xxhash64 block keys must
+    give brute-force-identical pairs for string ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    vecs = np.vstack([base, base[:6] + 0.05 * rng.standard_normal((6, 16))])
+    rows = [
+        (f"doc-{i:04d}", [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    emb = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in DS.embedding_near_dups(emb, "doc_id", "embedding", 0.9).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in DS.embedding_near_dups_blocked(
+            emb, "doc_id", "embedding", threshold=0.9, n_blocks=4
+        ).collect()
+    }
+    assert len(brute) >= 6, "fixture failed to plant near-dup pairs"
+    assert blocked == brute
+
+
+def test_lsh_embedding_near_dup_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = DS.embedding_near_dups_lsh(emb, "vec_id", "embedding", 0.9)
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+    assert out.count() == 0
+
+
+def test_ann_ivf_multiprobe_recall_with_sampled_training(spark, sf_dir):
+    """Multi-probe IVF over sample-trained centroids: recall against the
+    brute-force top-5 is monotone in n_probe, reaches 1.0 when every
+    cell is probed (exhaustive ≡ brute force), and the true nearest
+    neighbour is found already at n_probe=2.  (This fixture's `label`
+    cells are uncorrelated with cosine neighbourhoods — the brute top-10
+    spans 7 of 10 cells — so a fixed recall bound at low n_probe would
+    test the data, not the operator.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.select("embedding").first()
+    qv = [float(x) for x in first["embedding"]]
+    from clawrag_spark.operators.retrieval import cosine
+
+    qlit = F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+    brute = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            cosine(F.col("embedding").cast("array<double>"), qlit).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    n_cells = emb.select("label").distinct().count()
+
+    def probe(n):
+        return [
+            r["vec_id"]
+            for r in DS.ann_ivf_topk(
+                emb, "vec_id", "embedding", "label", qv, 5,
+                n_probe=n, train_sample_mod=4,
+            ).collect()
+        ]
+
+    recalls = {n: len(set(probe(n)) & set(brute)) for n in (1, 2, n_cells)}
+    assert brute[0] in probe(2), "true nearest neighbour missed at n_probe=2"
+    assert recalls[1] <= recalls[2] <= recalls[n_cells]
+    assert recalls[n_cells] == 5, "exhaustive probe must equal brute force"
