@@ -447,7 +447,9 @@ def read_chunks(spark: SparkSession, out_dir: str):
 
 # ------------------------------------------------------ BM25 index sink
 
-def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
+def build_bm25_index(
+    spark: SparkSession, out_dir: str, run_id: str, commit: bool = True
+) -> dict:
     """S15/A7: persist the BM25 index tables, maintained incrementally.
 
     Mirrors bm25_index.py:94-176, which rebuilds postings/df in full on
@@ -458,10 +460,22 @@ def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
       append-only deltas per run (chunk ids never repeat across runs
       thanks to the resume anti-join, so append IS the merge),
     - ``df(term, doc_freq)`` and corpus stats (n_docs, sum_dl): additive
-      rollup — previous snapshot + this run's delta, written as a new
-      snapshot directory and exposed by atomically swapping a pointer
-      file (the plain-parquet stand-in for Iceberg's snapshot commit /
+      rollup — previous snapshot + new deltas, written as a new snapshot
+      directory and exposed by atomically swapping a pointer file (the
+      plain-parquet stand-in for Iceberg's snapshot commit /
       ``MERGE INTO``).  Readers never see a partial snapshot.
+
+    The PIPELINE MANIFEST is the single commit point (round-2 advice):
+    the pointer records the exact ``runs`` it covers, the index only
+    ever ingests runs that are manifested (or the in-flight ``run_id``,
+    whose pointer swap ``run_pipeline`` defers until after its manifest
+    write via ``commit=False`` + ``_bm25_commit_pointer``).  Crash
+    anatomy: (a) die before the manifest → the run is resumed/redone
+    under a new run_id and the orphan delta dirs are never referenced
+    (reads are pointer-gated); (b) die between manifest and pointer
+    swap → the run is manifested-but-unindexed, and the NEXT build call
+    picks it up (todo = manifested ∪ {run_id} − pointer.runs).  Either
+    way postings are counted exactly once.
 
     Cost per run is O(new chunks), never a re-scan of the corpus; the
     tiny df/stats tables are the only rewritten artifacts.
@@ -470,43 +484,48 @@ def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
 
     index_dir = os.path.join(out_dir, "bm25_index")
     current = _bm25_current(index_dir)
-    if current is not None and current.get("run_id") == run_id:
-        # already committed for this run — idempotent re-invocation
-        return {"index_dir": index_dir, "pointer": current}
+    pointer_runs: set[str] = set()
+    if current is not None:
+        pointer_runs = set(current.get("runs") or [current.get("run_id")])
+        pointer_runs.discard(None)
+    todo = sorted((set(completed_run_ids(out_dir)) | {run_id}) - pointer_runs)
+    if not todo:
+        # every eligible run already indexed — idempotent re-invocation
+        return {"index_dir": index_dir, "pointer": current, "n_new_runs": 0}
     chunks = _read_parquet_or_none(spark, os.path.join(out_dir, "chunks"))
     if chunks is None:
-        return {"index_dir": index_dir, "n_new_chunks": 0}
-    delta = chunks.filter(F.col("run_id") == F.lit(run_id)).select(
-        "chunk_id", "text"
-    )
-    tokens = delta.select(
-        "chunk_id", F.explode(sql_tokens(F.col("text"))).alias("term")
-    )
-    postings = tokens.groupBy("chunk_id", "term").agg(F.count("*").alias("tf"))
-    doclen = postings.groupBy("chunk_id").agg(F.sum("tf").alias("dl"))
-    # per-run partition dirs written with overwrite: a retry after a
-    # crash replaces its own delta instead of appending a duplicate
-    # (run_id comes back as the partition-discovery column on read)
-    postings.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "postings", f"run_id={run_id}")
-    )
-    doclen.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "doclen", f"run_id={run_id}")
-    )
+        return {"index_dir": index_dir, "pointer": current, "n_new_runs": 0}
+    for rid in todo:
+        delta = chunks.filter(F.col("run_id") == F.lit(rid)).select(
+            "chunk_id", "text"
+        )
+        tokens = delta.select(
+            "chunk_id", F.explode(sql_tokens(F.col("text"))).alias("term")
+        )
+        postings = tokens.groupBy("chunk_id", "term").agg(F.count("*").alias("tf"))
+        doclen = postings.groupBy("chunk_id").agg(F.sum("tf").alias("dl"))
+        # per-run partition dirs written with overwrite: a retry after a
+        # crash replaces its own delta instead of appending a duplicate
+        # (run_id comes back as the partition-discovery column on read)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "postings", f"run_id={rid}")
+        )
+        doclen.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "doclen", f"run_id={rid}")
+        )
 
-    # additive df/stats rollup from the delta just written
+    # additive df/stats rollup from the deltas just written
     df_delta = (
         spark.read.parquet(os.path.join(index_dir, "postings"))
-        .filter(F.col("run_id") == F.lit(run_id))
+        .filter(F.col("run_id").isin(todo))
         .groupBy("term")
         .agg(F.countDistinct("chunk_id").alias("doc_freq"))
     )
     dl_delta = (
         spark.read.parquet(os.path.join(index_dir, "doclen"))
-        .filter(F.col("run_id") == F.lit(run_id))
+        .filter(F.col("run_id").isin(todo))
         .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     )
-    current = _bm25_current(index_dir)
     if current is not None:
         prev_df = spark.read.parquet(os.path.join(index_dir, current["df"]))
         df_new = (
@@ -528,12 +547,25 @@ def build_bm25_index(spark: SparkSession, out_dir: str, run_id: str) -> dict:
     stats_name = f"stats_{run_id}"
     df_new.write.mode("overwrite").parquet(os.path.join(index_dir, df_name))
     stats_new.write.mode("overwrite").parquet(os.path.join(index_dir, stats_name))
-    pointer = {"df": df_name, "stats": stats_name, "run_id": run_id}
+    pointer = {
+        "df": df_name,
+        "stats": stats_name,
+        "run_id": run_id,
+        "runs": sorted(pointer_runs | set(todo)),
+    }
+    if commit:
+        _bm25_commit_pointer(index_dir, pointer)
+    return {"index_dir": index_dir, "pointer": pointer, "n_new_runs": len(todo)}
+
+
+def _bm25_commit_pointer(index_dir: str, pointer: dict) -> None:
+    """Atomically expose a staged BM25 snapshot.  ``run_pipeline`` calls
+    this AFTER its manifest write so the manifest stays the single
+    commit point (tmp-file + ``os.replace`` ≙ Iceberg pointer swap)."""
     tmp = os.path.join(index_dir, "_current.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(pointer, fh)
-    os.replace(tmp, os.path.join(index_dir, "_current.json"))  # atomic swap
-    return {"index_dir": index_dir, "pointer": pointer}
+    os.replace(tmp, os.path.join(index_dir, "_current.json"))
 
 
 def _bm25_current(index_dir: str) -> dict | None:
@@ -555,11 +587,17 @@ def bm25_query_index(
     """Probe the persisted BM25 index: postings filtered to the query
     terms (parquet predicate pushdown — never a corpus scan), idf from
     the vocabulary-sized df snapshot (broadcast), doclen equi-join.
-    Same math as ``operators.retrieval.bm25_score_index``."""
+    Same math as ``operators.retrieval.bm25_score_index``.
+
+    Postings/doclen reads are gated to the pointer's committed ``runs``
+    (partition pruning on the run_id dir) so orphan deltas from a
+    crashed, never-committed run are never scored, and scores always
+    match the df/stats snapshot they were rolled into."""
     index_dir = os.path.join(out_dir, "bm25_index")
     current = _bm25_current(index_dir)
     if current is None:
         raise FileNotFoundError(f"no committed BM25 snapshot in {index_dir}")
+    committed_runs = current.get("runs")
     df_tbl = spark.read.parquet(os.path.join(index_dir, current["df"]))
     stats = spark.read.parquet(os.path.join(index_dir, current["stats"]))
     idf_raw = df_tbl.crossJoin(F.broadcast(stats)).withColumn(
@@ -582,6 +620,9 @@ def bm25_query_index(
         F.col("term").isin(q)
     )
     doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+    if committed_runs is not None:
+        postings = postings.filter(F.col("run_id").isin(committed_runs))
+        doclen = doclen.filter(F.col("run_id").isin(committed_runs))
     return (
         postings.join(F.broadcast(idf), "term")
         .join(doclen, "chunk_id")
@@ -788,14 +829,25 @@ def run_pipeline(
     chunks.write.mode("append").parquet(chunks_path)
     _tick('chunk_write')
 
+    # stage the index delta + snapshot now, but defer the pointer swap
+    # to after the manifest write: the manifest is the ONE commit point
+    # (a crash in between leaves a manifested-but-unindexed run that the
+    # next build call recovers via its pointer-runs anti-join)
+    bm25_staged = None
     if bm25_index:
-        build_bm25_index(spark, out_dir, run_id)
+        bm25_staged = build_bm25_index(spark, out_dir, run_id, commit=False)
         _tick('bm25_index')
 
     # embeddings view table: columnar projection of the chunks parquet —
     # reads only 2 columns, no recompute (FIXTURES.md §2).  Concurrent
-    # with the metrics job below (independent inputs).
-    chunks_committed = _read_parquet_or_none(spark, chunks_path)
+    # with the metrics job below (independent inputs).  Gated to
+    # committed runs + this run so orphan chunk rows from a crashed
+    # un-manifested run never land in the view (round-2 advice).
+    chunks_committed = None
+    chunks_all = _read_parquet_or_none(spark, chunks_path)
+    if chunks_all is not None:
+        view_runs = completed_run_ids(out_dir) + [run_id]
+        chunks_committed = chunks_all.filter(F.col("run_id").isin(view_runs))
     emb_future = None
     if chunks_committed is not None:
         def _emb_job() -> None:
@@ -864,4 +916,6 @@ def run_pipeline(
     os.makedirs(manifest_path, exist_ok=True)
     with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
+    if bm25_staged is not None and bm25_staged.get("n_new_runs"):
+        _bm25_commit_pointer(bm25_staged["index_dir"], bm25_staged["pointer"])
     return manifest

@@ -61,3 +61,68 @@ def test_probe_plan_has_no_corpus_scan(spark, indexed_out):
     assert "/chunks" not in plan, "probe must not re-scan the corpus"
     # the query-term filter reaches the postings parquet scan
     assert "PushedFilters: [In(term" in plan, plan[:2000]
+
+
+def test_orphan_postings_never_scored(spark, indexed_out, tmp_path):
+    """Crash anatomy (a): a run that appended postings deltas but never
+    reached its manifest/pointer commit must be invisible to the probe —
+    reads are gated to the pointer's committed runs."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    shutil.copytree(indexed_out, out)
+    index_dir = os.path.join(out, "bm25_index")
+    baseline = {
+        r["chunk_id"]: r["bm25_score"]
+        for r in bm25_query_index(spark, out, TERMS).collect()
+    }
+    # plant an orphan delta: duplicate runb's postings under a run id
+    # that is in neither the manifest nor the pointer
+    orphan = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("run_id") == "runb")
+        .drop("run_id")
+    )
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "postings", "run_id=orphan")
+    )
+    got = {
+        r["chunk_id"]: r["bm25_score"]
+        for r in bm25_query_index(spark, out, TERMS).collect()
+    }
+    assert got == baseline, "orphan (uncommitted) postings leaked into scores"
+
+
+def test_manifested_but_unindexed_run_recovered(spark, pages_path, tmp_path):
+    """Crash anatomy (b): a crash between the manifest write and the
+    pointer swap leaves a manifested-but-unindexed run; the next build
+    call must fold it in (todo = manifested − pointer.runs) and scores
+    must equal a full recompute over committed chunks."""
+    from clawrag_spark.pipeline import build_bm25_index
+
+    out = str(tmp_path / "out")
+    pages = spark.read.parquet(pages_path)
+    run_pipeline(spark, pages.limit(200), out, run_id="r1", bm25_index=True)
+    # simulate the crash window for r2: pipeline runs WITHOUT indexing
+    # (chunks written + manifest committed, pointer untouched)
+    run_pipeline(spark, pages.limit(400), out, run_id="r2", bm25_index=False)
+    index_dir = os.path.join(out, "bm25_index")
+    import json as _json
+
+    with open(os.path.join(index_dir, "_current.json")) as fh:
+        assert _json.load(fh)["runs"] == ["r1"]
+    # recovery: any later build (here r3, a no-new-docs run) folds r2 in
+    run_pipeline(spark, pages.limit(400), out, run_id="r3", bm25_index=True)
+    with open(os.path.join(index_dir, "_current.json")) as fh:
+        assert set(_json.load(fh)["runs"]) >= {"r1", "r2"}
+    got = {
+        r["chunk_id"]: r["bm25_score"]
+        for r in bm25_query_index(spark, out, TERMS).collect()
+    }
+    want = {
+        r["chunk_id"]: r["bm25_score"]
+        for r in _scores_full_recompute(spark, out).collect()
+    }
+    assert len(want) > 0 and got.keys() == want.keys()
+    for cid, score in want.items():
+        assert got[cid] == pytest.approx(score, rel=1e-12)
