@@ -270,15 +270,21 @@ def row_chunks(
     """
     if not text:
         return []
-    lines = text.splitlines()
-    if not lines:
+    # keepends=True so source offsets are exact for ANY terminator —
+    # len(line)+1 arithmetic drifts one char per preceding line on CRLF
+    # (the RFC 4180 default) and on \x0b/\x0c/U+2028, all of which
+    # splitlines() treats as line breaks
+    lines_kept = text.splitlines(keepends=True)
+    if not lines_kept:
         return []
-    # source offsets per line
     offsets = []
+    lines = []
     pos = 0
-    for ln in lines:
+    for lk in lines_kept:
         offsets.append(pos)
-        pos += len(ln) + 1  # splitlines drops the \n
+        pos += len(lk)
+        body = lk.splitlines()
+        lines.append(body[0] if body else "")
     header = lines[0] if include_header else None
     data_start = 1 if include_header else 0
     data = lines[data_start:]
@@ -290,7 +296,10 @@ def row_chunks(
         body = "\n".join(rows)
         chunk_text = f"{header}\n{body}" if header is not None else body
         a = offsets[data_start + i]
-        b = min(a + len(body), len(text))
+        # end = last row's true source offset + its body length (a+len(body)
+        # undercounts whenever the source terminator is wider than \n)
+        last = data_start + i + len(rows) - 1
+        b = min(offsets[last] + len(lines[last]), len(text))
         out.append(Chunk(chunk_text, a, b))
     return out
 

@@ -243,3 +243,22 @@ class TestOracleRouting:
         r = process_document(payload)
         assert r.doc_hash == hashlib.sha256(payload).hexdigest()
         assert r.doc_id == hashlib.sha256(r.text.encode()).hexdigest()[:16]
+
+
+def test_row_chunks_crlf_offsets_exact():
+    """CRLF / exotic terminators: spans must index the true source
+    positions (round-2 advice: len+1 arithmetic drifted per line)."""
+    from clawrag_spark.core.chunkers import row_chunks
+
+    for nl in ("\n", "\r\n", "\x0b", " "):
+        text = nl.join(["name,value", "a,1", "b,2", "c,3", "d,4"]) + nl
+        chunks = row_chunks(text, rows_per_chunk=2)
+        assert len(chunks) == 2
+        for ch in chunks:
+            # chunk body (minus the re-prefixed header) must be exactly
+            # the source slice, modulo the terminator flavour
+            body = ch.text.split("\n", 1)[1]
+            src = text[ch.char_start:ch.char_end]
+            assert [l for l in src.splitlines()] == body.split("\n"), (
+                nl.encode(), ch, src
+            )
