@@ -450,16 +450,21 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_semantic_chunks(spark, sf_dir):
     """C4 semantic splitter over documents (embedding-distance
-    breakpoints, 95th percentile — resource_manager.py:43-110).  Not
-    SQL-expressible (hash embeddings + numpy percentile) → rows-only
-    driver check; tests/test_semantic_chunker.py pins the semantics
-    against an independent recomputation."""
+    breakpoints, 95th percentile — resource_manager.py:43-110).  The
+    math (hash embeddings + numpy percentile) is not DIRECTLY
+    SQL-expressible, so the DuckDB oracle reads precomputed expected
+    spans (clawrag_spark/core/expected.py — pyarrow-only, no Spark) —
+    a full rows+schema+hash check since round 3; the independent
+    semantics pin is tests/test_semantic_chunker.py, and
+    tests/test_entry_oracle.py fails if the committed expected parquet
+    drifts from the live chunker."""
     from pyspark.sql import types as T
 
     from clawrag_spark.core.chunkers import semantic_chunks
+    from clawrag_spark.core.expected import SEMANTIC_MAX_DOC_ID
 
     @F.pandas_udf(T.ArrayType(T.StructType([
-        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("chunk_index", T.LongType()),
         T.StructField("text", T.StringType()),
         T.StructField("char_start", T.LongType()),
         T.StructField("char_end", T.LongType()),
@@ -473,7 +478,9 @@ def q_semantic_chunks(spark, sf_dir):
             for t in texts
         ])
 
-    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SEMANTIC_MAX_DOC_ID
+    )
     return (
         docs.select("doc_id", F.explode(split(F.col("text"))).alias("c"))
         .select(
@@ -908,6 +915,17 @@ cos AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # C4: precomputed expected spans (core/expected.py), keyed by
+        # md5(text) so ONE committed parquet serves every sf — the join
+        # against documents resolves doc_ids at whatever scale the
+        # driver runs; pytest guards parity + parquet freshness
+        "semantic_chunks": """
+            SELECT d.doc_id, e.chunk_index, e.char_start, e.char_end
+            FROM documents d
+            JOIN read_parquet('/root/repo/data/expected_semantic.parquet') e
+              ON md5(d.text) = e.text_md5
+            WHERE d.doc_id < 120
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -60,8 +60,14 @@ def test_query_matches_oracle(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # vacuity guard (round-2 verdict #10): a future corpus/term change
+    # must not silently re-green a 0 == 0 comparison — every query has
+    # to do real work at sf0.001 unless documented empty-by-design here
+    EMPTY_BY_DESIGN: set[str] = set()
+    if name not in EMPTY_BY_DESIGN:
+        assert len(spark_rows) > 0, f"{name}: vacuous (0 Spark rows at sf0.001)"
+
     if sql is None:
-        assert len(spark_rows) >= 0  # rows-only check for non-SQL ops
         return
 
     res = duck.execute(sql)
@@ -85,3 +91,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_expected_semantic_parquet_fresh():
+    """The committed content-addressed expected-spans parquet must match
+    a live recomputation by the chunker — catches a chunker change
+    without a regenerated oracle file (and vice versa)."""
+    import pyarrow.parquet as pq
+
+    from clawrag_spark.core.expected import (
+        EXPECTED_SEMANTIC_PATH,
+        expected_semantic_table,
+    )
+
+    committed = pq.read_table(EXPECTED_SEMANTIC_PATH)
+    live = expected_semantic_table()
+    assert committed.equals(live), (
+        "data/expected_semantic.parquet is stale — regenerate with "
+        "`python -m clawrag_spark.core.expected`"
+    )
