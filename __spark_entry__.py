@@ -77,6 +77,91 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+# --------------------------------------------- pipeline demo artifacts
+# The end-to-end engine surface (round-2 verdict #2): a deterministic
+# 200-page corpus run through the REAL batch pipeline (extraction →
+# chunk+embed → persisted incremental BM25 index, run_id='demo'), then
+# queried the way the reference's /search lifecycle does
+# (query.py:200-311 + parent_retriever.py:49-139): persisted-index BM25
+# probe + cosine over persisted chunk embeddings → min-max fusion →
+# parent resolution.  The artifacts are committed (data/pipeline_demo)
+# so the DuckDB oracle can read the same parquet; _ensure_pipeline_demo
+# rebuilds them from scratch if absent, and a pytest pins rebuild ≡
+# committed (corpus generation and the pipeline are fully seeded).
+
+_DEMO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pipeline_demo")
+_DEMO_OUT = os.path.join(_DEMO_DIR, "out")
+_DEMO_N_PAGES = 200
+# 'renard'/'fuchs' are rare (fr/de docs only → positive idf); the en
+# terms are in ~every chunk (negative raw idf → the epsilon branch)
+_DEMO_TERMS = ["renard", "fuchs", "extraction", "boilerplate"]
+_DEMO_QUERY = "renard boilerplate extraction heuristics"
+_DEMO_EMBED_DIM = 64
+
+
+def _ensure_pipeline_demo(spark: SparkSession) -> str:
+    if not os.path.exists(os.path.join(_DEMO_OUT, "manifest", "run_demo.json")):
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.pipeline import run_pipeline
+
+        os.makedirs(_DEMO_DIR, exist_ok=True)
+        pages_path = os.path.join(_DEMO_DIR, "pages.parquet")
+        if not os.path.exists(pages_path):
+            write_pages_parquet(pages_path, _DEMO_N_PAGES)
+        run_pipeline(
+            spark,
+            spark.read.parquet(pages_path),
+            _DEMO_OUT,
+            embed_dim=_DEMO_EMBED_DIM,
+            run_id="demo",
+            bm25_index=True,
+        )
+    return _DEMO_OUT
+
+
+def _demo_query_vec() -> list[float]:
+    from clawrag_spark.core.embedder import embed_many_np
+
+    return [float(x) for x in embed_many_np([_DEMO_QUERY], _DEMO_EMBED_DIM)[0]]
+
+
+def q_hybrid_pipeline_topk(spark, sf_dir):
+    """The full engine lifecycle over PERSISTED pipeline artifacts:
+    bm25_query_index probes the incremental postings/df/stats snapshot
+    (term-pushdown, pointer-gated), cosine runs over the committed
+    chunks' stored embeddings, hybrid_minmax fuses both top-50 lists,
+    and the best chunk score per url resolves parents (J4) — top 10.
+    The DuckDB oracle recomputes every stage from the same parquet."""
+    from clawrag_spark.pipeline import bm25_query_index, read_chunks
+
+    out = _ensure_pipeline_demo(spark)
+    bm25_hits = (
+        bm25_query_index(spark, out, _DEMO_TERMS)
+        .orderBy(F.desc("bm25_score"), "chunk_id")
+        .limit(50)
+    )
+    chunks = read_chunks(spark, out)
+    qv = _demo_query_vec()
+    qlit = F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+    vec_hits = (
+        chunks.select(
+            "chunk_id",
+            R.cosine(F.col("embedding").cast("array<double>"), qlit).alias("vec_score"),
+        )
+        .orderBy(F.desc("vec_score"), "chunk_id")
+        .limit(50)
+    )
+    fused = R.hybrid_minmax(vec_hits, bm25_hits, "chunk_id", 100)
+    parents = fused.join(chunks.select("chunk_id", "url"), "chunk_id")
+    return (
+        parents.groupBy("url")
+        .agg(F.max("relevance_score").alias("best"))
+        .orderBy(F.desc("best"), "url")
+        .limit(10)
+        .select("url", F.round("best", 6).alias("relevance_score"))
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_pricing_summary(spark, sf_dir):
@@ -809,12 +894,17 @@ def q_union_collections(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: hybrid BM25+cosine min-max-fused retrieval at sf0.001."""
-    return q_hybrid_minmax(spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end engine surface — run the batch pipeline
+    (extraction → chunk+embed → persisted BM25 index) over the seeded
+    demo corpus if needed, then hybrid-retrieve over its persisted
+    artifacts with parent resolution (the reference's full /search
+    lifecycle, query.py:200-311)."""
+    return q_hybrid_pipeline_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "hybrid_pipeline_topk": q_hybrid_pipeline_topk,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "best_order_per_customer": q_best_order_per_customer,
@@ -913,8 +1003,99 @@ cos AS (
 """
 
 
+def _hybrid_pipeline_oracle() -> str:
+    """DuckDB twin of q_hybrid_pipeline_topk over the SAME persisted
+    pipeline artifacts: BM25 from the postings/doclen deltas + df/stats
+    snapshot (identical k1/b/epsilon math to bm25_query_index), cosine
+    from the chunks' stored embeddings against the inlined query vector
+    (same hash-trick embedder output), min-max fusion, parent max."""
+    terms = ", ".join(f"'{t}'" for t in _DEMO_TERMS)
+    qvec = "[" + ", ".join(repr(x) for x in _demo_query_vec()) + "]"
+    out = _DEMO_OUT
+    return f"""
+        WITH postings AS (
+            SELECT chunk_id, term, tf
+            FROM read_parquet('{out}/bm25_index/postings/*/*.parquet', hive_partitioning=1)
+            WHERE run_id = 'demo'
+        ),
+        doclen AS (
+            SELECT chunk_id, dl
+            FROM read_parquet('{out}/bm25_index/doclen/*/*.parquet', hive_partitioning=1)
+            WHERE run_id = 'demo'
+        ),
+        dfreq AS (SELECT term, doc_freq FROM read_parquet('{out}/bm25_index/df_demo/*.parquet')),
+        stats AS (SELECT n_docs, sum_dl FROM read_parquet('{out}/bm25_index/stats_demo/*.parquet')),
+        idf_raw AS (
+            SELECT term,
+                   ln(n_docs - doc_freq + 0.5) - ln(doc_freq + 0.5) AS idf_raw,
+                   sum_dl / n_docs AS avgdl
+            FROM dfreq CROSS JOIN stats
+        ),
+        idf AS (
+            SELECT term,
+                   CASE WHEN idf_raw < 0
+                        THEN 0.25 * (SELECT avg(idf_raw) FROM idf_raw)
+                        ELSE idf_raw END AS idf,
+                   avgdl
+            FROM idf_raw
+        ),
+        bm25 AS (
+            SELECT p.chunk_id,
+                   sum(i.idf * (p.tf * 2.5)
+                       / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / i.avgdl))) AS bm25_score
+            FROM postings p
+            JOIN idf i USING (term)
+            JOIN doclen d USING (chunk_id)
+            WHERE p.term IN ({terms})
+            GROUP BY p.chunk_id
+            HAVING bm25_score > 0
+        ),
+        bm25_hits AS (
+            SELECT chunk_id, bm25_score FROM bm25
+            ORDER BY bm25_score DESC, chunk_id LIMIT 50
+        ),
+        chunks AS (
+            SELECT chunk_id, url, embedding
+            FROM read_parquet('{out}/chunks/*.parquet') WHERE run_id = 'demo'
+        ),
+        vec_hits AS (
+            SELECT chunk_id,
+                   list_cosine_similarity(embedding::DOUBLE[], {qvec}::DOUBLE[]) AS vec_score
+            FROM chunks
+            ORDER BY vec_score DESC, chunk_id LIMIT 50
+        ),
+        merged AS (
+            SELECT coalesce(v.chunk_id, b.chunk_id) AS chunk_id,
+                   coalesce(v.vec_score, 0.0) AS vec_score,
+                   coalesce(b.bm25_score, 0.0) AS bm25_score
+            FROM vec_hits v FULL OUTER JOIN bm25_hits b ON v.chunk_id = b.chunk_id
+        ),
+        bounds AS (
+            SELECT min(vec_score) AS min_v, max(vec_score) AS max_v,
+                   min(bm25_score) AS min_b, max(bm25_score) AS max_b
+            FROM merged
+        ),
+        fused AS (
+            SELECT m.chunk_id,
+                   0.5 * (CASE WHEN max_v > min_v THEN (vec_score - min_v) / (max_v - min_v)
+                               WHEN vec_score > 0 THEN 1.0 ELSE 0.0 END)
+                   + 0.5 * (CASE WHEN max_b > min_b THEN (bm25_score - min_b) / (max_b - min_b)
+                                 WHEN bm25_score > 0 THEN 1.0 ELSE 0.0 END) AS relevance_score
+            FROM merged m CROSS JOIN bounds
+        ),
+        parents AS (
+            SELECT c.url, max(f.relevance_score) AS best
+            FROM fused f JOIN chunks c USING (chunk_id)
+            GROUP BY c.url
+            ORDER BY best DESC, url LIMIT 10
+        )
+        SELECT url, round(best, 6) AS relevance_score FROM parents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "hybrid_pipeline_topk": _hybrid_pipeline_oracle(),
         # C4: precomputed expected spans (core/expected.py), keyed by
         # md5(text) so ONE committed parquet serves every sf — the join
         # against documents resolves doc_ids at whatever scale the

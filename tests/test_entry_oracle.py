@@ -110,3 +110,40 @@ def test_expected_semantic_parquet_fresh():
         "data/expected_semantic.parquet is stale — regenerate with "
         "`python -m clawrag_spark.core.expected`"
     )
+
+
+def test_pipeline_demo_rebuild_reproducible(spark, tmp_path):
+    """The committed demo artifacts (data/pipeline_demo) must be exactly
+    reproducible from scratch: same seeded corpus -> same pipeline run ->
+    identical chunks and BM25 postings.  Guards the hybrid_pipeline_topk
+    oracle against drift between the committed parquet and the live
+    pipeline code."""
+    from clawrag_spark.corpus import write_pages_parquet
+    from clawrag_spark.pipeline import run_pipeline
+
+    pages_path = write_pages_parquet(
+        str(tmp_path / "pages.parquet"), entry_mod._DEMO_N_PAGES
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(
+        spark,
+        spark.read.parquet(pages_path),
+        out,
+        embed_dim=entry_mod._DEMO_EMBED_DIM,
+        run_id="demo",
+        bm25_index=True,
+    )
+
+    def rows(base, sub, cols, key):
+        df = spark.read.parquet(os.path.join(base, sub)).select(*cols)
+        return sorted([tuple(r) for r in df.collect()], key=lambda t: t[: len(key)])
+
+    chunk_cols = ["chunk_id", "url", "chunk_index", "text", "char_start",
+                  "char_end", "embedding"]
+    assert rows(out, "chunks", chunk_cols, ["chunk_id"]) == rows(
+        entry_mod._DEMO_OUT, "chunks", chunk_cols, ["chunk_id"]
+    )
+    post_cols = ["chunk_id", "term", "tf"]
+    assert rows(out, "bm25_index/postings", post_cols, ["chunk_id", "term"]) == rows(
+        entry_mod._DEMO_OUT, "bm25_index/postings", post_cols, ["chunk_id", "term"]
+    )
