@@ -55,6 +55,8 @@ _MAGIC = [
     (b"\xff\xd8\xff", "image", "jpeg"),
     (b"\x89PNG\r\n\x1a\n", "image", "png"),
     (b"GIF8", "image", "gif"),
+    (b"BM", "image", "bmp"),
+    (b"P6", "image", "ppm"),
     (b"RIFF", "audio", "wav"),      # RIFF....WAVE checked below
     (b"ID3", "audio", "mp3"),
     (b"\x00\x00\x00\x18ftyp", "video", "mp4"),
@@ -67,14 +69,129 @@ def _sniff(payload: bytes) -> tuple[str, str]:
         if payload.startswith(magic):
             if fmt == "wav" and payload[8:12] != b"WAVE":
                 continue
+            if fmt == "ppm" and (len(payload) < 3 or payload[2:3] not in b" \t\n\r"):
+                continue  # 'P6' must be followed by whitespace
             return mtype, fmt
     return "unknown", "unknown"
+
+
+# ------------------------------------------------ real decoders (no libs)
+# BMP (24/32-bit uncompressed BI_RGB) and binary PPM (P6) are simple
+# enough to decode with the stdlib + numpy — these run REAL pixel
+# decode end-to-end in this container; jpeg/png/gif get real HEADER
+# parsing (dimensions) but pixel decode still needs a codec library.
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP writer (test-fixture twin of
+    ``decode_bmp``; bottom-up rows, BGR, 4-byte row padding)."""
+    import struct
+
+    h, w = img.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        img[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BI_RGB BMP to HxWx3 uint8 RGB."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flip = h > 0          # positive height = bottom-up row order
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    data = np.frombuffer(payload, np.uint8, count=stride * h, offset=pixel_off)
+    rows = data.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤ 255) to HxWx3 uint8 RGB,
+    honouring whitespace/#-comment header grammar."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM not supported (maxval={maxval})")
+    data = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def _header_dims(payload: bytes, fmt: str) -> tuple[int, int] | None:
+    """Real (height, width) from the container header, codec-free."""
+    import struct
+
+    try:
+        if fmt == "bmp":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return abs(h), abs(w)
+        if fmt == "ppm":
+            img_hw = decode_ppm(payload).shape[:2]
+            return img_hw[0], img_hw[1]
+        if fmt == "png":  # IHDR: width/height big-endian at offset 16
+            w, h = struct.unpack_from(">II", payload, 16)
+            return h, w
+        if fmt == "gif":  # logical screen descriptor at offset 6
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return h, w
+        if fmt == "jpeg":  # walk segments to the first SOFn marker
+            pos = 2
+            while pos + 9 < len(payload):
+                if payload[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = payload[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    return h, w
+                seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+                pos += 2 + seg_len
+    except (struct.error, ValueError, IndexError):
+        return None
+    return None
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in dimensions derived from the content hash.
 
-    Replaced by the real header parse when a codec library is present.
+    Used only for formats whose headers we don't parse; replaced by the
+    real header parse for bmp/ppm/png/gif/jpeg above.
     """
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
@@ -88,7 +205,10 @@ def media_metadata(payload: pd.Series) -> pd.DataFrame:
     for p in payload:
         p = p or b""
         mtype, fmt = _sniff(p)
-        w, h = _fake_dims(p) if p else (0, 0)
+        dims = _header_dims(p, fmt) if p else (0, 0)
+        if dims is None:
+            dims = _fake_dims(p)
+        h, w = dims
         out["media_type"].append(mtype)
         out["format"].append(fmt)
         out["width"].append(w)
@@ -101,10 +221,16 @@ def media_metadata(payload: pd.Series) -> pd.DataFrame:
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
-    Real path requires Pillow; the deterministic fake emits a seeded
-    gradient so downstream stages (resize, feature extract) exercise
-    real numpy work on real batch shapes.
+    BMP (24/32-bit BI_RGB) and PPM (P6) decode for REAL, codec-free
+    (decode_bmp/decode_ppm above).  Other formats need Pillow; without
+    it the deterministic fake emits a seeded gradient so downstream
+    stages (resize, feature extract) still exercise real numpy work on
+    real batch shapes.
     """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6" and payload[2:3] in b" \t\n\r":
+        return decode_ppm(payload)
     if HAVE_PIL:  # pragma: no cover
         raise NotImplementedError("wire PIL.Image.open here when codecs exist")
     h, w = _fake_dims(payload)

@@ -695,14 +695,15 @@ def run_pipeline(
         # manifest-gated: only runs whose manifest committed count as
         # done — a crash after the extracted append but before the chunk
         # write leaves those rows orphaned (no manifest), so their docs
-        # are reprocessed here instead of being lost un-chunked forever
+        # are reprocessed here instead of being lost un-chunked forever.
+        # One count only (the pre-anti-join input); n_todo comes free
+        # from the metrics aggregation that runs anyway, and n_skipped
+        # is their difference (round-2: two counts = two input scans).
         committed = read_extracted(spark, out_dir)
         if committed is not None:
             n_input = prepared.count()
             seen = committed.select(F.col("doc_hash").alias("doc_hash_pre")).distinct()
             prepared = prepared.join(seen, "doc_hash_pre", "left_anti")
-            n_todo = prepared.count()
-            n_skipped = n_input - n_todo
     _tick('input_count')
 
     # distribute by url hash: uniform task sizes regardless of host skew
@@ -882,7 +883,10 @@ def run_pipeline(
             .agg(F.sum("n_docs")).collect()[0]
         )
         n_todo = int(row[0] or 0)
-        n_input = n_todo + n_skipped
+        if n_input is None:
+            n_input = n_todo + n_skipped
+        else:
+            n_skipped = n_input - n_todo
     _tick('metrics')
 
     try:
