@@ -599,23 +599,34 @@ def bm25_query_index(
         raise FileNotFoundError(f"no committed BM25 snapshot in {index_dir}")
     committed_runs = current.get("runs")
     df_tbl = spark.read.parquet(os.path.join(index_dir, current["df"]))
-    stats = spark.read.parquet(os.path.join(index_dir, current["stats"]))
-    idf_raw = df_tbl.crossJoin(F.broadcast(stats)).withColumn(
-        "idf_raw",
-        F.log(F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
-        - F.log(F.col("doc_freq") + F.lit(0.5)),
-    ).withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
-    avg_idf = idf_raw.agg(F.avg("idf_raw").alias("avg_idf"))
-    idf = (
-        idf_raw.crossJoin(F.broadcast(avg_idf))
-        .withColumn(
-            "idf",
-            F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf"))
-            .otherwise(F.col("idf_raw")),
-        )
-        .select("term", "idf", "avgdl")
+    # the snapshot scalars (n_docs, sum_dl; avg idf over the WHOLE
+    # vocabulary for the epsilon floor) are single-row aggregates —
+    # collect them as literals instead of threading them through
+    # crossJoin(broadcast(...)) chains (each broadcast is its own job;
+    # measured ~2x the probe's cold wall on tiny snapshots, and at
+    # scale a 1-row collect is the same work as a 1-row broadcast)
+    n_docs, sum_dl = spark.read.parquet(
+        os.path.join(index_dir, current["stats"])
+    ).collect()[0]
+    avgdl = float(sum_dl) / float(n_docs)
+    idf_raw_col = F.log(F.lit(float(n_docs)) - F.col("doc_freq") + F.lit(0.5)) - F.log(
+        F.col("doc_freq") + F.lit(0.5)
+    )
+    avg_idf = float(
+        df_tbl.agg(F.avg(idf_raw_col)).collect()[0][0]
     )
     q = [t.lower() for t in query_terms]
+    # idf needed only for the query terms — vocabulary-sized df table
+    # never leaves the scan except through this filtered projection
+    idf = (
+        df_tbl.filter(F.col("term").isin(q))
+        .select(
+            "term",
+            F.when(idf_raw_col < 0, F.lit(epsilon * avg_idf))
+            .otherwise(idf_raw_col)
+            .alias("idf"),
+        )
+    )
     postings = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
         F.col("term").isin(q)
     )
@@ -630,7 +641,7 @@ def bm25_query_index(
             "contrib",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
         )
         .groupBy("chunk_id")
         .agg(F.sum("contrib").alias("bm25_score"))
