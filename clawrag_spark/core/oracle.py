@@ -9,9 +9,11 @@ output to verify the two independent execution paths agree.
 
 Routing mirrors backend/src/services/extraction_service.py:120-187 and
 docling_service.py:264-444:
-- ``application/pdf``  → PDF layout parser (repair-passthrough semantics:
-  a parse failure falls back to empty text + error, like
-  pdf_repair_service.py's passthrough-on-failure),
+- ``application/pdf``  → PDF layout parser with S8 repair-then-retry
+  (``repair_pdf`` structurally fixes truncated text ops / unbalanced
+  streams, mirroring pdf_repair_service.py:12-46's pikepdf round-trip;
+  a failure the repair cannot salvage passes through as empty text +
+  error, the reference's passthrough-on-failure),
 - ``text/html``        → DOM + boilerplate-strip extractor,
 - ``text/plain``       → UTF-8/latin-1 read, text kept as-is
   (extraction_service.py:150-163),
@@ -27,7 +29,7 @@ from . import mime as mime_mod
 from .chunkers import Chunk, separator_cascade_chunks
 from .html_extract import extract_html
 from .langid import detect_language
-from .pdf_extract import analyze_pdf, extract_pdf
+from .pdf_extract import analyze_pdf, extract_pdf, repair_pdf
 from .quality import score_extraction, structure_score
 
 MAX_PAYLOAD_BYTES = 100 * 1024 * 1024  # 100 MB cap (docling_service.py:38)
@@ -82,6 +84,22 @@ def process_document(payload: bytes | None, lang_hint: str | None = None) -> Doc
                     text, artifacts = extract_pdf(payload)
                 except Exception:
                     error = "pdf_parse_failure"
+                # S8 repair-then-retry (pdf_repair_service.py:12-46):
+                # structural repair runs whenever the document is
+                # damaged (repair_pdf is identity on intact documents);
+                # the repaired parse wins only when it recovers MORE
+                # text, and the original failure passes through when
+                # the repair salvages nothing (passthrough-on-failure)
+                repaired = repair_pdf(payload)
+                if repaired != payload:
+                    try:
+                        r_text, r_artifacts = extract_pdf(repaired)
+                    except Exception:
+                        r_text = ""
+                    if r_text and (error or len(r_text) > len(text)):
+                        text = r_text
+                        artifacts = dict(r_artifacts, repaired_count=1)
+                        error = None
         elif detected == mime_mod.MIME_HTML:
             engine = ENGINE_DOCLING
             try:

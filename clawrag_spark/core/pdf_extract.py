@@ -143,3 +143,52 @@ def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
         "images_count": 0,
     }
     return "\n\n".join(blocks), counts
+
+
+def repair_pdf(payload: bytes) -> bytes:
+    """S8: structural PDF repair — the from-scratch stand-in for
+    pdf_repair_service.py:12-46's pikepdf open→save round-trip, which
+    rebuilds broken xref/trailer structure and closes truncated
+    objects.  For this engine's uncompressed-content-stream dialect the
+    equivalent structural fixes are:
+
+    - resync to the ``%PDF`` header (leading garbage bytes before it),
+      or prepend a minimal header when it is missing entirely,
+    - close an unterminated final text operation (payload truncated
+      inside ``BT … Tj ET``: unbalanced ``(`` gets its ``) Tj``, a
+      dangling text object gets its ``ET``),
+    - balance ``stream``/``endstream`` (missing terminators appended),
+
+    all deterministic and idempotent (repairing an intact document
+    returns it unchanged).  Callers re-extract the repaired bytes and
+    fall back to the original failure if the repair salvages nothing —
+    the reference's passthrough-on-failure contract.
+    """
+    fixed = payload
+    idx = fixed.find(b"%PDF")
+    if idx > 0:
+        fixed = fixed[idx:]
+    elif idx < 0:
+        fixed = b"%PDF-1.4\n" + fixed
+
+    # truncated final text op: BT opened after the last ET
+    last_bt = fixed.rfind(b"BT")
+    last_et = fixed.rfind(b"ET")
+    if last_bt >= 0 and last_bt > last_et:
+        tail = fixed[last_bt:]
+        # salvage-level paren balance (escaped parens are rare enough in
+        # a truncation tail that exactness doesn't change the outcome)
+        n_open = tail.count(b"(") - tail.count(b")")
+        if n_open > 0:
+            fixed += b")"
+            tail = fixed[last_bt:]
+        if n_open > 0 and not tail.rstrip().endswith(b"Tj"):
+            fixed += b" Tj"
+        fixed += b"\nET"
+
+    # \bstream\b does not match inside 'endstream' (no word boundary)
+    n_streams = len(re.findall(rb"\bstream\b", fixed))
+    n_ends = len(re.findall(rb"\bendstream\b", fixed))
+    if n_streams > n_ends:
+        fixed += b"\nendstream" * (n_streams - n_ends)
+    return fixed
