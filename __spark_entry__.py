@@ -577,6 +577,63 @@ def q_semantic_chunks(spark, sf_dir):
     )
 
 
+def _chunker_family_query(chunker: str):
+    """C1/C3/C5 driver queries (fixed-window, sentence, code): run the
+    real span function in a pandas UDF, check against the committed
+    content-addressed expected-spans parquet (core/expected.py) the
+    DuckDB oracle joins on md5(text) — same pattern as semantic_chunks,
+    one parquet for the whole chunker family."""
+
+    def q(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        from clawrag_spark.core.expected import CHUNKER_FNS, SEMANTIC_MAX_DOC_ID
+
+        fn = CHUNKER_FNS[chunker]
+
+        @F.pandas_udf(T.ArrayType(T.StructType([
+            T.StructField("chunk_index", T.LongType()),
+            T.StructField("char_start", T.LongType()),
+            T.StructField("char_end", T.LongType()),
+        ])))
+        def split(texts: pd.Series) -> pd.Series:
+            return pd.Series([
+                [(i, c.char_start, c.char_end) for i, c in enumerate(fn(t or ""))]
+                for t in texts
+            ])
+
+        docs = _load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < SEMANTIC_MAX_DOC_ID
+        )
+        return (
+            docs.select("doc_id", F.explode(split(F.col("text"))).alias("c"))
+            .select(
+                "doc_id",
+                F.col("c.chunk_index").alias("chunk_index"),
+                F.col("c.char_start").alias("char_start"),
+                F.col("c.char_end").alias("char_end"),
+            )
+        )
+
+    q.__doc__ = _chunker_family_query.__doc__
+    return q
+
+
+q_fixed_window_chunks = _chunker_family_query("fixed_window")
+q_sentence_chunks = _chunker_family_query("sentence")
+q_code_chunks = _chunker_family_query("code")
+
+
+def _chunker_family_oracle(chunker: str) -> str:
+    return f"""
+        SELECT d.doc_id, e.chunk_index, e.char_start, e.char_end
+        FROM documents d
+        JOIN read_parquet('/root/repo/data/expected_chunkers.parquet') e
+          ON md5(d.text) = e.text_md5
+        WHERE e.chunker = '{chunker}' AND d.doc_id < 120
+    """
+
+
 def q_rerank_lexical(spark, sf_dir):
     """T4/E5 rerank shape: limit-50 BM25 candidates → deterministic
     lexical-overlap scorer (the engine's stand-in for the cross-encoder,
@@ -935,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clause_amount_counts": q_clause_amount_counts,
         "simhash_pairs": q_simhash_pairs,
         "semantic_chunks": q_semantic_chunks,
+        "fixed_window_chunks": q_fixed_window_chunks,
+        "sentence_chunks": q_sentence_chunks,
+        "code_chunks": q_code_chunks,
         "rerank_lexical": q_rerank_lexical,
         "minmax_by_source": q_minmax_by_source,
         "dedup_24h": q_dedup_24h,
@@ -1107,6 +1167,9 @@ def oracle_sql() -> dict[str, str]:
               ON md5(d.text) = e.text_md5
             WHERE d.doc_id < 120
         """,
+        "fixed_window_chunks": _chunker_family_oracle("fixed_window"),
+        "sentence_chunks": _chunker_family_oracle("sentence"),
+        "code_chunks": _chunker_family_oracle("code"),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

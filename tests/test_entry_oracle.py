@@ -111,6 +111,18 @@ def test_expected_semantic_parquet_fresh():
         "`python -m clawrag_spark.core.expected`"
     )
 
+    from clawrag_spark.core.expected import (
+        EXPECTED_CHUNKERS_PATH,
+        expected_chunkers_table,
+    )
+
+    committed = pq.read_table(EXPECTED_CHUNKERS_PATH)
+    live = expected_chunkers_table()
+    assert committed.equals(live), (
+        "data/expected_chunkers.parquet is stale — regenerate with "
+        "`python -m clawrag_spark.core.expected`"
+    )
+
 
 def test_pipeline_demo_rebuild_reproducible(spark, tmp_path):
     """The committed demo artifacts (data/pipeline_demo) must be exactly
