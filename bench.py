@@ -206,23 +206,41 @@ def main() -> None:
 
         def windows():
             # adjacent (lo, hi) windows in run order: (lo_i, hi_i) and
-            # (lo_{i+1}, hi_i)
+            # (lo_{i+1}, hi_i).  A window is only VALID when its lo run
+            # is near the best lo throughput observed — a co-tenant
+            # burst that depresses the lo baseline inflates the ratio
+            # into fake super-linear "efficiency" (observed: 1.177 from
+            # a 402 docs/s lo vs a ~700 docs/s clean lo), which is
+            # evidence of noise, not of scaling.
+            max_lo = max(r["docs_per_sec"] for r in lo_runs)
             out = []
             for i, hi_r in enumerate(hi_runs):
                 for lo_r in lo_runs[i: i + 2]:
                     eff = (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / (
                         hi_cores / lo_cores
                     )
-                    out.append((eff, lo_r, hi_r))
+                    valid = lo_r["docs_per_sec"] >= 0.85 * max_lo
+                    out.append((eff, valid, lo_r, hi_r))
             return out
 
         for rep in range(max_repeats):
             lo_runs.append(run_extraction_at(lo_cores, pages_path))
             hi_runs.append(run_extraction_at(hi_cores, pages_path))
-            if rep + 1 >= repeats and max(w[0] for w in windows()) >= target_eff:
+            best_valid = max(
+                (w[0] for w in windows() if w[1]), default=0.0
+            )
+            if rep + 1 >= repeats and best_valid >= target_eff:
                 break
-        efficiency, lo, hi = max(windows(), key=lambda p: p[0])
-        all_pair_effs = [round(w[0], 3) for w in windows()]
+        raw_eff, _, lo, hi = max(
+            (w for w in windows() if w[1]), key=lambda p: p[0]
+        )
+        # >1.0 can only come from residual noise (the hi side got the
+        # quieter slice); clamp the headline number, keep the raw value
+        efficiency = min(raw_eff, 1.0)
+        all_pair_effs = [
+            round(w[0], 3) if w[1] else f"{round(w[0], 3)} (lo-degraded)"
+            for w in windows()
+        ]
         ceiling = hardware_ceiling(lo_cores, hi_cores)
         # work conservation: measured python-seconds ratio hi/lo (≈1.0
         # means the job itself adds no contention as parallelism grows)
@@ -246,7 +264,8 @@ def main() -> None:
             f"wall_sec_local{lo_cores}": round(lo["wall_sec"], 3),
             f"wall_sec_local{hi_cores}": round(hi["wall_sec"], 3),
             "scaling_efficiency": round(efficiency, 3),
-            "pair_efficiencies": all_pair_effs,  # every repeat, not just best
+            "scaling_efficiency_raw": round(raw_eff, 3),
+            "pair_efficiencies": all_pair_effs,  # every window, not just best
             "hardware_ceiling": ceiling,
             "efficiency_vs_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
             "work_inflation": work_inflation,
@@ -294,6 +313,11 @@ def _update_best_window(extraction: dict) -> dict:
         f"docs_per_sec_local{extraction['cores_hi']}",
     ]
     current = {k: extraction.get(k) for k in keys}
+    # refuse to record windows whose raw ratio is meaningfully
+    # super-linear — that's a depressed-baseline artifact, and letting
+    # it in would overwrite honest sub-1.0 records with noise
+    if extraction.get("scaling_efficiency_raw", 0) > 1.05:
+        return best if best is not None else current
     if best is None or (
         (current["scaling_efficiency"] or 0) > (best.get("scaling_efficiency") or 0)
     ):
