@@ -229,3 +229,80 @@ def sessionize_hosts(
         .start()
     )
     query.awaitTermination()
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    embed_dim: int = 64,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming writer for the SAME persisted BM25 index the batch
+    pipeline maintains: each micro-batch runs extract → chunk+embed →
+    per-batch chunks delta → ``build_bm25_index`` snapshot commit, so
+    ``bm25_query_index`` serves batch- and stream-built indexes
+    identically (one index implementation, two writers).
+
+    Exactly-once anatomy (foreachBatch is at-least-once; idempotence
+    makes it exactly-once):
+    - the batch's run id is derived from ``batch_id``, which Spark
+      replays stably after a crash,
+    - the chunks delta is written with OVERWRITE into its own
+      ``run_id=`` partition dir — a replay rewrites the same rows
+      instead of appending duplicates,
+    - the index build ingests only runs absent from the snapshot
+      pointer (``todo = {run_id} − pointer.runs``), so a replay after
+      the pointer swap is a no-op and a replay before it rebuilds from
+      the (consistent, overwritten) delta.
+    """
+    from .core import oracle as _oracle
+    from .pipeline import build_bm25_index
+    from .udfs import CHUNK_FLAT_SCHEMA, make_chunk_embed_arrow
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_index_checkpoint")
+    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(pages_dir)
+    chunk_embed = make_chunk_embed_arrow(
+        _oracle.DEFAULT_CHUNK_SIZE, _oracle.DEFAULT_CHUNK_OVERLAP, embed_dim
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        run_id = f"stream_b{batch_id:06d}"
+        prepared = prepare_pages(batch_df)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        versions = narrow_versioning(prepared)
+        distributed = (
+            prepared.repartition(n_parts, "url")
+            .join(F.broadcast(versions), "url", "left")
+        )
+        extracted = distributed.select(
+            "url", "warc_ts", "host", "url_bucket", "version", "is_active",
+            "html", "lang",
+        ).mapInPandas(_extract_partitions, _EXTRACT_OUT_SCHEMA)
+        good = extracted.filter(
+            F.col("error").isNull() & (F.col("text_length") > 0)
+        ).filter(F.col("is_active")).select("url", "url_bucket", "doc_id", "text")
+        chunks = (
+            good.mapInArrow(chunk_embed, CHUNK_FLAT_SCHEMA)
+            .withColumn(
+                "chunk_id",
+                F.concat_ws("_", F.col("doc_id"), F.lit("chunk"),
+                            F.col("chunk_index")),
+            )
+        )
+        chunks.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "chunks", f"run_id={run_id}")
+        )
+        build_bm25_index(spark, out_dir, run_id, commit=True)
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

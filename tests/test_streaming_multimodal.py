@@ -267,3 +267,67 @@ class TestRealDecoders:
         for i, img in imgs.items():
             key = hashlib.sha256(encode_bmp(img)).hexdigest()
             assert got[key] == local_feature(img), f"img {i} pixel mismatch"
+
+
+class TestStreamingIndex:
+    def test_streaming_bm25_index_matches_full_recompute(self, spark, tmp_path):
+        """The stream-maintained BM25 index must score identically to a
+        from-scratch recompute over all streamed chunks, stay unchanged
+        on an empty re-trigger (checkpoint), and fold in late-arriving
+        files incrementally (pointer grows, scores update)."""
+        from clawrag_spark.corpus import generate_pages
+        from clawrag_spark.operators import retrieval as R
+        from clawrag_spark.pipeline import bm25_query_index, _bm25_current
+        from clawrag_spark.streaming import incremental_index_stream
+        import pyarrow.parquet as pq
+
+        terms = ["the", "data", "scale"]
+        pages_dir = tmp_path / "pages"
+        pages_dir.mkdir()
+        out = str(tmp_path / "out")
+        full = generate_pages(240)
+        pq.write_table(full.slice(0, 100), str(pages_dir / "a.parquet"))
+        pq.write_table(full.slice(100, 100), str(pages_dir / "b.parquet"))
+
+        incremental_index_stream(
+            spark, str(pages_dir), out, max_files_per_trigger=1
+        )
+
+        def scores():
+            return {
+                r["chunk_id"]: r["bm25_score"]
+                for r in bm25_query_index(spark, out, terms).collect()
+            }
+
+        def recompute():
+            chunks = spark.read.parquet(os.path.join(out, "chunks")).select(
+                "chunk_id", "text"
+            )
+            return {
+                r["chunk_id"]: r["bm25_score"]
+                for r in R.bm25_scores(chunks, "chunk_id", "text", terms).collect()
+            }
+
+        got, want = scores(), recompute()
+        assert len(want) > 0 and got.keys() == want.keys()
+        for cid, sc in want.items():
+            assert got[cid] == pytest.approx(sc, rel=1e-12)
+        runs_after_two = set(_bm25_current(os.path.join(out, "bm25_index"))["runs"])
+        assert len(runs_after_two) == 2  # one per micro-batch
+
+        # re-trigger with no new files: checkpoint makes it a no-op
+        incremental_index_stream(
+            spark, str(pages_dir), out, max_files_per_trigger=1
+        )
+        assert scores() == got
+
+        # late-arriving file: incremental fold-in
+        pq.write_table(full.slice(200, 40), str(pages_dir / "c.parquet"))
+        incremental_index_stream(
+            spark, str(pages_dir), out, max_files_per_trigger=1
+        )
+        got2, want2 = scores(), recompute()
+        assert got2.keys() == want2.keys() and len(got2) > len(got)
+        for cid, sc in want2.items():
+            assert got2[cid] == pytest.approx(sc, rel=1e-12)
+        assert len(set(_bm25_current(os.path.join(out, "bm25_index"))["runs"])) == 3
