@@ -93,3 +93,74 @@ def embed_many_np(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
 def embed_batch(texts, dim: int = DEFAULT_DIM) -> list[list[float]]:
     """Embed a batch (UDF path) — same math, loop kept in numpy per text."""
     return [embed_text(t, dim) for t in texts]
+
+
+# ---------------------------------------------------- E2 fallback chain
+# Mirrors embedding_manager.py:43-67 (per-provider fallback chains +
+# known-dimension registry) and :146-163 (try primary → walk the chain
+# skipping the model just tried → cache the resolution under the
+# ORIGINAL key so later calls go straight to the fallback).  Providers
+# here are deterministic hash-embedder families; a production deploy
+# swaps the registry for real model endpoints behind the same resolve().
+
+FALLBACK_CHAIN: dict[str, list[str]] = {
+    "hash": ["hash-64:v1", "hash-32:v1", "hash-16:v1"],
+    "hash-wide": ["hash-768:v1", "hash-256:v1", "hash-64:v1"],
+}
+
+KNOWN_DIMENSIONS: dict[str, int] = {
+    "hash-16:v1": 16,
+    "hash-32:v1": 32,
+    "hash-64:v1": 64,
+    "hash-256:v1": 256,
+    "hash-768:v1": 768,
+}
+
+_RESOLVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def resolve_embedder(
+    provider: str = "hash",
+    model: str = "hash-64:v1",
+    available=None,
+    use_fallback: bool = True,
+) -> tuple[str, int]:
+    """Resolve (model, dim) for a provider/model request.
+
+    ``available`` is a predicate ``model_name -> bool`` standing in for
+    the reference's provider initialization (network models can fail to
+    load; hash embedders never do, so tests inject failures).  Raises
+    ``LookupError`` when the primary and every fallback are unavailable
+    — the reference's all-attempts-failed None return, made loud.
+    """
+    key = (provider, model)
+    cached = _RESOLVE_CACHE.get(key)
+    if cached is not None:
+        return cached, KNOWN_DIMENSIONS[cached]
+    ok = available if available is not None else (lambda name: True)
+
+    def try_model(name: str) -> tuple[str, int] | None:
+        if name in KNOWN_DIMENSIONS and ok(name):
+            _RESOLVE_CACHE[key] = name  # cache under the ORIGINAL key
+            return name, KNOWN_DIMENSIONS[name]
+        return None
+
+    hit = try_model(model)
+    if hit:
+        return hit
+    if use_fallback:
+        for fb in FALLBACK_CHAIN.get(provider, []):
+            if fb == model:
+                continue  # skip the model just tried (:153-155)
+            hit = try_model(fb)
+            if hit:
+                return hit
+    raise LookupError(
+        f"no available embedding model for {provider}:{model} "
+        f"(fallback={'on' if use_fallback else 'off'})"
+    )
+
+
+def embed_with_model(texts, model: str) -> np.ndarray:
+    """Embed a batch with a registry model (dim from the registry)."""
+    return embed_many_np(texts, KNOWN_DIMENSIONS[model])

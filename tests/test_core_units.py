@@ -299,3 +299,45 @@ def test_pdf_repair_recovers_truncated_documents():
     r = process_document(b"%PDF-1.4\nnothing here", "en")
     assert r.text == ""
     assert "repaired_count" not in r.artifacts
+
+
+def test_embedder_fallback_chain():
+    """E2: primary failure walks the chain (skipping the tried model),
+    the resolution is cached under the ORIGINAL key, and exhausting the
+    chain raises (embedding_manager.py:43-67,146-163)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from clawrag_spark.core import embedder as E
+
+    E._RESOLVE_CACHE.clear()
+    # healthy primary resolves directly
+    assert E.resolve_embedder("hash", "hash-64:v1") == ("hash-64:v1", 64)
+
+    # dead primary falls back to the first live chain entry
+    E._RESOLVE_CACHE.clear()
+    down = {"hash-64:v1"}
+    name, dim = E.resolve_embedder(
+        "hash", "hash-64:v1", available=lambda m: m not in down
+    )
+    assert (name, dim) == ("hash-32:v1", 32)
+    # cached under the original key: a later call with everything
+    # healthy still returns the fallback (reference :158-160)
+    assert E.resolve_embedder("hash", "hash-64:v1") == ("hash-32:v1", 32)
+
+    # exhausted chain raises; fallback off fails fast
+    E._RESOLVE_CACHE.clear()
+    with _pytest.raises(LookupError):
+        E.resolve_embedder("hash", "hash-64:v1", available=lambda m: False)
+    with _pytest.raises(LookupError):
+        E.resolve_embedder(
+            "hash", "hash-64:v1",
+            available=lambda m: m != "hash-64:v1", use_fallback=False,
+        )
+
+    # the resolved model embeds at its registry dim, same math as
+    # embed_many_np
+    E._RESOLVE_CACHE.clear()
+    vecs = E.embed_with_model(["alpha beta"], "hash-32:v1")
+    assert vecs.shape == (1, 32)
+    assert np.allclose(vecs, E.embed_many_np(["alpha beta"], 32))
