@@ -622,6 +622,23 @@ def _chunker_family_query(chunker: str):
 q_fixed_window_chunks = _chunker_family_query("fixed_window")
 q_sentence_chunks = _chunker_family_query("sentence")
 q_code_chunks = _chunker_family_query("code")
+q_parent_child_chunks = _chunker_family_query("parent_child_children")
+
+
+def q_adaptive_topk(spark, sf_dir):
+    """T7 adaptive per-collection k (documents/query.py:137): fanning a
+    query across n collections fetches max(floor, total_k // n) per
+    collection; here the collections are document sources and the
+    per-collection ranking is n_chars desc."""
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.select("source").distinct().count()
+    k = R.adaptive_collection_k(n, total_k=100, floor=10)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rank"))
+    )
 
 
 def _chunker_family_oracle(chunker: str) -> str:
@@ -995,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_window_chunks": q_fixed_window_chunks,
         "sentence_chunks": q_sentence_chunks,
         "code_chunks": q_code_chunks,
+        "parent_child_chunks": q_parent_child_chunks,
+        "adaptive_topk": q_adaptive_topk,
         "rerank_lexical": q_rerank_lexical,
         "minmax_by_source": q_minmax_by_source,
         "dedup_24h": q_dedup_24h,
@@ -1170,6 +1189,22 @@ def oracle_sql() -> dict[str, str]:
         "fixed_window_chunks": _chunker_family_oracle("fixed_window"),
         "sentence_chunks": _chunker_family_oracle("sentence"),
         "code_chunks": _chunker_family_oracle("code"),
+        "parent_child_chunks": _chunker_family_oracle("parent_child_children"),
+        "adaptive_topk": """
+            WITH k AS (
+                SELECT greatest(10, 100 // count(DISTINCT source)) AS k
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rank
+                FROM documents
+            )
+            SELECT doc_id, source, rank FROM ranked, k WHERE rank <= k.k
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 from .chunkers import (
     code_chunks,
     fixed_window_chunks,
+    parent_child_chunks,
     semantic_chunks,
     sentence_chunks,
 )
@@ -50,6 +51,7 @@ CHUNKER_FNS = {
     "sentence": lambda t: sentence_chunks(t, 128, 20),            # C3
     "semantic": lambda t: semantic_chunks(t),                     # C4
     "code": lambda t: code_chunks(t, "generic"),                  # C5
+    "parent_child_children": lambda t: parent_child_chunks(t)[1],  # C6 (200/20)
 }
 
 
