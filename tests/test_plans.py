@@ -186,3 +186,72 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS bkt_a")
             spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+class TestSkewHandling:
+    def test_salted_aggregate_matches_plain(self, spark):
+        """Salted two-phase aggregation must equal the plain groupBy for
+        every algebraic aggregate, independent of salt placement."""
+        from clawrag_spark.operators.skew import salted_aggregate
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plain = {
+            (r["source"],): (r["n"], r["s"], r["mn"], r["mx"])
+            for r in docs.groupBy("source").agg(
+                F.count("*").alias("n"), F.sum("n_chars").alias("s"),
+                F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"),
+            ).collect()
+        }
+        for salt_expr in (None, F.pmod(F.xxhash64("doc_id"), F.lit(8))):
+            salted = {
+                (r["source"],): (r["n"], r["s"], r["mn"], r["mx"])
+                for r in salted_aggregate(
+                    docs, ["source"],
+                    {"n": ("*", "count"), "s": ("n_chars", "sum"),
+                     "mn": ("n_chars", "min"), "mx": ("n_chars", "max")},
+                    salt_expr=salt_expr,
+                ).collect()
+            }
+            assert salted == plain
+
+    def test_salted_aggregate_rejects_non_algebraic(self, spark):
+        from clawrag_spark.operators.skew import salted_aggregate
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        with pytest.raises(ValueError, match="not algebraic"):
+            salted_aggregate(docs, ["source"], {"a": ("n_chars", "avg")})
+
+    def test_aqe_splits_skewed_join_partitions(self, spark):
+        """AQE skew-join must actually fire on a Zipf-skewed join: the
+        final adaptive plan carries the isSkew=true split marker."""
+        import re
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.shuffle.partitions": "8",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # hot key: ~80% of fact rows share key 0 (Zipf-ish)
+            fact = spark.range(0, 40000).select(
+                F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id"))
+                .alias("k"),
+                F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+            )
+            dim = spark.range(0, 40000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            joined = fact.join(dim, "k")
+            # collect() executes THIS DataFrame's queryExecution (count()
+            # would build a separate plan and leave this one unfinalized)
+            assert len(joined.collect()) == 40000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r"isSkew=true|skew=\[?true", plan), plan[:3000]
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
