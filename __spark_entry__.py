@@ -625,6 +625,30 @@ q_code_chunks = _chunker_family_query("code")
 q_parent_child_chunks = _chunker_family_query("parent_child_children")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of (point-in-time) join: for every purchase event, the value
+    of the same user's most recent view at ts <= purchase ts.  The
+    Spark side is the union-sort single-shuffle operator
+    (operators/temporal.py — never a per-key cross product); the oracle
+    is DuckDB's NATIVE ASOF JOIN, an independent implementation of the
+    same greatest-ts<= semantics."""
+    from clawrag_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", ["value"], tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 2).alias("last_view_value")
+    )
+
+
 def q_adaptive_topk(spark, sf_dir):
     """T7 adaptive per-collection k (documents/query.py:137): fanning a
     query across n collections fetches max(floor, total_k // n) per
@@ -1014,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks": q_code_chunks,
         "parent_child_chunks": q_parent_child_chunks,
         "adaptive_topk": q_adaptive_topk,
+        "asof_join": q_asof_join,
         "rerank_lexical": q_rerank_lexical,
         "minmax_by_source": q_minmax_by_source,
         "dedup_24h": q_dedup_24h,
@@ -1190,6 +1215,12 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": _chunker_family_oracle("sentence"),
         "code_chunks": _chunker_family_oracle("code"),
         "parent_child_chunks": _chunker_family_oracle("parent_child_children"),
+        "asof_join": """
+            SELECT p.event_id, p.user_id, round(v.value, 2) AS last_view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
         "adaptive_topk": """
             WITH k AS (
                 SELECT greatest(10, 100 // count(DISTINCT source)) AS k

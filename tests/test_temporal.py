@@ -1,0 +1,73 @@
+"""As-of join edge semantics: exact-tie timestamps, null payload
+fields, rows with no preceding match, and the no-pair-blowup plan."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clawrag_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:05:00"), "a"),   # after r2
+            (1, _ts("2024-01-01T00:02:00"), "b"),   # exact tie with r1@02:00
+            (1, _ts("2024-01-01T00:00:30"), "c"),   # before any right row
+            (2, _ts("2024-01-01T09:00:00"), "d"),   # key with null-payload row
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:01:00"), 10, 1.0),
+            (1, _ts("2024-01-01T00:02:00"), 11, 2.0),   # tie candidate
+            (1, _ts("2024-01-01T00:02:00"), 12, 3.0),   # same ts, higher tiebreak
+            (1, _ts("2024-01-01T00:04:00"), 13, 4.0),
+            (2, _ts("2024-01-01T08:00:00"), 14, None),  # null payload FIELD
+            (2, _ts("2024-01-01T07:00:00"), 15, 9.0),
+        ],
+        "k long, ts timestamp, rid long, v double",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark, frames):
+    left, right = frames
+    out = {
+        r["tag"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            left, right, ["k"], "ts", ["rid", "v"], tiebreak_col="rid"
+        ).collect()
+    }
+    assert out["a"] == (13, 4.0)          # latest ts <= 05:00
+    assert out["b"] == (12, 3.0)          # ts tie: >= includes it; max tiebreak
+    assert out["c"] == (None, None)       # nothing precedes
+    # the 08:00 row IS the as-of match even though its v is null — a
+    # per-column carry would have stitched v=9.0 from 07:00 onto rid=14
+    assert out["d"] == (14, None)
+
+
+def test_asof_no_cartesian_plan(spark, frames):
+    left, right = frames
+    plan = (
+        asof_join(left, right, ["k"], "ts", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # union + window, not a join at all
+
+
+def test_asof_preserves_left_rowcount(spark, frames):
+    left, right = frames
+    assert asof_join(left, right, ["k"], "ts", ["v"]).count() == left.count()
+    # empty right: all-null payloads, same rowcount
+    empty = right.limit(0)
+    got = asof_join(left, empty, ["k"], "ts", ["v"]).collect()
+    assert len(got) == left.count() and all(r["asof_v"] is None for r in got)
