@@ -649,6 +649,31 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Range (interval) join: purchases falling inside each user's
+    daily view-activity window [first view, last view].  Spark side is
+    the binned equi-join (operators/temporal.py — intervals explode
+    into hour buckets, points join on their bucket, residual BETWEEN
+    filter; never a theta-join cross product).  Oracle: plain SQL
+    BETWEEN join."""
+    from clawrag_spark.operators.temporal import range_join_binned
+
+    ev = _load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    intervals = views.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("win_start"), F.max("ts").alias("win_end"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = range_join_binned(
+        purchases, intervals, ["user_id"], "ts", "win_start", "win_end"
+    )
+    return out.select(
+        "event_id", "user_id", "day", F.round("value", 2).alias("value")
+    )
+
+
 def q_adaptive_topk(spark, sf_dir):
     """T7 adaptive per-collection k (documents/query.py:137): fanning a
     query across n collections fetches max(floor, total_k // n) per
@@ -1039,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_child_chunks": q_parent_child_chunks,
         "adaptive_topk": q_adaptive_topk,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "rerank_lexical": q_rerank_lexical,
         "minmax_by_source": q_minmax_by_source,
         "dedup_24h": q_dedup_24h,
@@ -1215,6 +1241,18 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": _chunker_family_oracle("sentence"),
         "code_chunks": _chunker_family_oracle("code"),
         "parent_child_chunks": _chunker_family_oracle("parent_child_children"),
+        "range_join": """
+            WITH iv AS (
+                SELECT user_id, ts::DATE AS day,
+                       min(ts) AS s, max(ts) AS e
+                FROM events WHERE event_type = 'view'
+                GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, iv.day, round(p.value, 2) AS value
+            FROM events p
+            JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.s AND iv.e
+            WHERE p.event_type = 'purchase'
+        """,
         "asof_join": """
             SELECT p.event_id, p.user_id, round(v.value, 2) AS last_view_value
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -93,3 +93,44 @@ def asof_join(
         *[F.col(f"__row.{c}").alias(c) for c in left_cols],
         *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: point rows matched to interval rows with
+    ``start <= time <= end`` per key — binned so Catalyst gets an
+    EQUI-join instead of the theta join it would otherwise plan as a
+    per-key cross product.
+
+    Both sides are quantized to ``bin_seconds`` buckets: points join on
+    their single bucket, intervals explode into the buckets they cover
+    (an interval of length L adds ~L/bin replicas — pick the bin near
+    the median interval length so replication stays O(1) per interval).
+    Every qualifying (point, interval) pair meets in EXACTLY the
+    point's bucket, so no dedup pass is needed; the residual
+    ``BETWEEN`` filter runs post-join on equi-matched candidates only.
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.unix_timestamp(F.col(time_col)) / bin_seconds)
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+            )
+        ),
+    )
+    return (
+        p.join(iv, key_cols + ["__bin"])
+        .filter(F.col(time_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__bin")
+    )

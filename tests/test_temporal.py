@@ -71,3 +71,48 @@ def test_asof_preserves_left_rowcount(spark, frames):
     empty = right.limit(0)
     got = asof_join(left, empty, ["k"], "ts", ["v"]).collect()
     assert len(got) == left.count() and all(r["asof_v"] is None for r in got)
+
+
+def test_range_join_binned_matches_theta(spark):
+    """Binned equi range-join must equal the naive theta join for every
+    bin width (including bins smaller and larger than the intervals),
+    and plan as a hash/merge join, never cartesian."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), f"p{k}_{m}")
+         for k in (1, 2) for m in range(0, 600, 7)],
+        "k long, ts timestamp, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=25), "i1"),
+            (1, base + dt.timedelta(minutes=24), base + dt.timedelta(minutes=300), "i2"),  # overlaps i1
+            (2, base + dt.timedelta(minutes=0), base + dt.timedelta(minutes=1), "i3"),
+            (2, base + dt.timedelta(minutes=550), base + dt.timedelta(minutes=620), "i4"),
+        ],
+        "k long, s timestamp, e timestamp, iid string",
+    )
+    from clawrag_spark.operators.temporal import range_join_binned
+
+    theta = {
+        (r["pid"], r["iid"])
+        for r in points.join(intervals, "k")
+        .filter(F.col("ts").between(F.col("s"), F.col("e")))
+        .collect()
+    }
+    assert theta, "fixture produced no matches"
+    for bin_s in (60, 3600, 86400):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                points, intervals, ["k"], "ts", "s", "e", bin_seconds=bin_s
+            ).collect()
+        }
+        assert got == theta, f"bin={bin_s}"
+    plan = (
+        range_join_binned(points, intervals, ["k"], "ts", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
