@@ -23,6 +23,7 @@ from clawrag_spark.operators import dataset as DS
 from clawrag_spark.operators import retrieval as R
 from clawrag_spark.operators import stats as S
 from clawrag_spark.operators import textops as X
+from clawrag_spark.operators import webtext as WT
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -1016,6 +1017,115 @@ def q_union_collections(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher-style top-bigram repetition signals (Rae et al. 2021
+    §A1.1) — per-document mode computed by a JVM-side sort+fold over the
+    row's own token array, no shuffle (operators/webtext.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = WT.ngram_repetition_signals(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "distinct_word_ratio",
+        "top_ngram",
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        "top_ngram_char_frac",
+    )
+
+
+def q_line_signals(spark, sf_dir):
+    """Duplicate-line fractions over the demo pipeline's committed
+    extracted chunks — pure array expressions, zero shuffle."""
+    from clawrag_spark.pipeline import read_chunks
+
+    out_dir = _ensure_pipeline_demo(spark)
+    chunks = read_chunks(spark, out_dir)
+    res = WT.line_repetition_signals(chunks, "chunk_id", "text")
+    return res.select(
+        "chunk_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-level repeated-paragraph removal over the demo
+    chunks: md5-keyed frequency shuffle + in-order reassembly (the 3%
+    duplicate bodies in the corpus make ~113 paragraphs repeat)."""
+    from clawrag_spark.pipeline import read_chunks
+
+    out_dir = _ensure_pipeline_demo(spark)
+    chunks = read_chunks(spark, out_dir)
+    res = WT.paragraph_dedup(chunks, "chunk_id", "text", min_rep=2)
+    return res.select(
+        "chunk_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "paras_kept",
+        "paras_removed",
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + masking: deterministic synthetic PII is injected
+    FROM the documents table (so the fixture scales with sf), then
+    counted and masked with RE2-compatible regexes the oracle replays
+    verbatim — the hash check covers the full masked text."""
+    docs = _load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org tel 555-"),
+            (F.col("n_chars") % 900 + 100).cast("string"),
+            F.lit("-"),
+            F.lpad(((F.col("n_chars") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("n_chars") % 256).cast("string"),
+            F.when((F.col("doc_id") % 3) == 0, F.lit(" cc admin@example.org"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = WT.pii_signals(injected, "doc_id", "text")
+    masked = injected.select(
+        "doc_id", F.md5(WT.mask_pii(F.col("text"))).alias("masked_md5")
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    ).join(masked, "doc_id")
+
+
+def q_url_latest(spark, sf_dir):
+    """Crawl-frontier URL canonicalization + keep-newest-capture over
+    the demo pages augmented with deterministic tracking-param /
+    param-order / fragment variants: 800 captures collapse to 400
+    canonical urls, winner chosen by (warc_ts DESC, url ASC)."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet")).select(
+        "url", "warc_ts"
+    )
+
+    def variant(suffix: str, hours: int) -> DataFrame:
+        return pages.select(
+            F.concat("url", F.lit(suffix)).alias("url"),
+            (F.col("warc_ts") + F.expr(f"INTERVAL {hours} HOUR")).alias("warc_ts"),
+        )
+
+    allp = (
+        pages.unionByName(variant("?utm_source=feed&ref=abc#frag", 1))
+        .unionByName(variant("?b=2&a=1", 2))
+        .unionByName(variant("?a=1&b=2&utm_campaign=x", 3))
+    )
+    return WT.latest_per_url(allp)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end engine surface — run the batch pipeline
     (extraction → chunk+embed → persisted BM25 index) over the seeded
@@ -1082,6 +1192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_scan": q_profile_scan,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
+        "ngram_repetition": q_ngram_repetition,
+        "line_signals": q_line_signals,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
+        "url_latest": q_url_latest,
     }
 
 
@@ -1860,5 +1975,171 @@ def oracle_sql() -> dict[str, str]:
                    ) AS bucket,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY 1
+        """,
+        "ngram_repetition": """
+            WITH w AS (
+                SELECT doc_id, length(text) AS tlen,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, tlen, len(words) AS nw, list_unique(words) AS ndw,
+                       unnest(words) AS word, generate_subscripts(words, 1) AS ord
+                FROM w
+            ),
+            pairs AS (
+                SELECT doc_id, word || ' ' ||
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+                FROM b
+            ),
+            cnt AS (
+                SELECT doc_id, bg, count(*) AS c FROM pairs
+                WHERE bg IS NOT NULL GROUP BY doc_id, bg
+            ),
+            top AS (
+                SELECT doc_id, bg, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, bg ASC) AS rn
+                FROM cnt
+            ),
+            base AS (SELECT DISTINCT doc_id, tlen, nw, ndw FROM b)
+            SELECT base.doc_id, base.nw::BIGINT AS n_words,
+                   base.ndw / base.nw AS distinct_word_ratio,
+                   coalesce(t.bg, '') AS top_ngram,
+                   coalesce(t.c, 0)::BIGINT AS top_ngram_count,
+                   CASE WHEN base.tlen > 0
+                        THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
+                        ELSE 0.0 END AS top_ngram_char_frac
+            FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "line_signals": f"""
+            WITH src AS (
+                SELECT chunk_id, text
+                FROM read_parquet('{_DEMO_OUT}/chunks/*.parquet')
+                WHERE run_id = 'demo'
+            ),
+            u AS (
+                SELECT chunk_id, line FROM (
+                    SELECT chunk_id,
+                           trim(unnest(string_split(text, chr(10)))) AS line
+                    FROM src
+                ) WHERE line <> ''
+            ),
+            tc AS (
+                SELECT chunk_id, count(*) AS n, count(DISTINCT line) AS nd,
+                       sum(length(line)) AS chars
+                FROM u GROUP BY chunk_id
+            ),
+            dc AS (
+                SELECT chunk_id, sum(length(line)) AS chars_d
+                FROM (SELECT DISTINCT chunk_id, line FROM u) GROUP BY chunk_id
+            )
+            SELECT src.chunk_id, coalesce(tc.n, 0)::BIGINT AS n_lines,
+                   CASE WHEN coalesce(tc.n, 0) > 0
+                        THEN (tc.n - tc.nd) / tc.n ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN coalesce(tc.chars, 0) > 0
+                        THEN (tc.chars - dc.chars_d) / tc.chars
+                        ELSE 0.0 END AS dup_line_char_frac
+            FROM src
+            LEFT JOIN tc USING (chunk_id)
+            LEFT JOIN dc USING (chunk_id)
+        """,
+        "paragraph_dedup": f"""
+            WITH c AS (
+                SELECT chunk_id, string_split(text, chr(10) || chr(10)) AS paras
+                FROM read_parquet('{_DEMO_OUT}/chunks/*.parquet')
+                WHERE run_id = 'demo'
+            ),
+            p0 AS (
+                SELECT chunk_id, generate_subscripts(paras, 1) AS ord,
+                       unnest(paras) AS para
+                FROM c
+            ),
+            p AS (
+                SELECT chunk_id, ord, trim(para) AS para
+                FROM p0 WHERE trim(para) <> ''
+            ),
+            f AS (SELECT md5(para) AS k, count(*) AS ct FROM p GROUP BY 1),
+            m AS (
+                SELECT p.chunk_id, p.ord, p.para, f.ct >= 2 AS rm
+                FROM p JOIN f ON md5(p.para) = f.k
+            )
+            SELECT chunk_id,
+                   md5(coalesce(string_agg(CASE WHEN NOT rm THEN para END,
+                                           chr(10) || chr(10) ORDER BY ord),
+                                '')) AS clean_md5,
+                   count(*) FILTER (WHERE NOT rm) AS paras_kept,
+                   count(*) FILTER (WHERE rm) AS paras_removed
+            FROM m GROUP BY chunk_id
+        """,
+        "pii_scrub": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id ||
+                       '@example.org tel 555-' || (n_chars % 900 + 100) ||
+                       '-' || lpad(CAST(n_chars * 7 % 10000 AS VARCHAR), 4, '0') ||
+                       ' ip 10.0.' || (doc_id % 256) || '.' || (n_chars % 256) ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' cc admin@example.org' ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g')) AS masked_md5
+            FROM inj
+        """,
+        "url_latest": f"""
+            WITH raw AS (
+                SELECT url, warc_ts
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                UNION ALL
+                SELECT url || '?utm_source=feed&ref=abc#frag',
+                       warc_ts + INTERVAL 1 HOUR
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                UNION ALL
+                SELECT url || '?b=2&a=1', warc_ts + INTERVAL 2 HOUR
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                UNION ALL
+                SELECT url || '?a=1&b=2&utm_campaign=x',
+                       warc_ts + INTERVAL 3 HOUR
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            ),
+            s1 AS (SELECT url, warc_ts,
+                          regexp_replace(url, '#.*$', '') AS nf FROM raw),
+            s2 AS (SELECT url, warc_ts,
+                          regexp_replace(lower(split_part(nf, '?', 1)),
+                                         '/$', '') AS base,
+                          CASE WHEN contains(nf, '?')
+                               THEN split_part(nf, '?', 2) ELSE '' END AS q
+                   FROM s1),
+            s3 AS (SELECT url, warc_ts, base,
+                          array_to_string(list_sort(list_filter(
+                              string_split(q, '&'),
+                              p -> p <> '' AND NOT starts_with(p, 'utm_')
+                                   AND NOT starts_with(p, 'ref='))),
+                              '&') AS qs
+                   FROM s2),
+            s4 AS (SELECT url, warc_ts,
+                          CASE WHEN qs <> '' THEN base || '?' || qs
+                               ELSE base END AS canonical_url
+                   FROM s3),
+            s5 AS (SELECT canonical_url, url, warc_ts,
+                          row_number() OVER (PARTITION BY canonical_url
+                                             ORDER BY warc_ts DESC, url ASC) AS rn,
+                          count(*) OVER (PARTITION BY canonical_url) AS n_captures
+                   FROM s4)
+            SELECT canonical_url, url, warc_ts, n_captures
+            FROM s5 WHERE rn = 1
         """,
     }

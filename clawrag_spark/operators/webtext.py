@@ -1,0 +1,281 @@
+"""Web-corpus curation operators: repetition signals, corpus-level
+paragraph dedup, PII detection/masking, URL canonicalization.
+
+These extend the reference's per-document quality scoring
+(``backend/src/core/quality_scorer.py``) with the corpus-level filters a
+training-data pipeline runs at web scale — the repetition heuristics of
+Gopher (Rae et al. 2021, §A1.1), CCNet-style repeated-paragraph removal
+(Wenzek et al. 2019), and crawl-frontier URL canonicalization.
+
+Design notes (100 TB):
+- The per-document signals (`ngram_repetition_signals`,
+  `line_repetition_signals`, `pii_signals`) are pure JVM column
+  expressions — no shuffle, no Python, whole-stage-codegen friendly.
+  The most-frequent-n-gram is computed with a sort + single fold over
+  the row's own token array (``array_sort`` + ``aggregate``) instead of
+  an explode/groupBy, so a 10^12-document scan stays embarrassingly
+  parallel.
+- `paragraph_dedup` is the one corpus-level op: it shuffles paragraph
+  *hashes* (md5, 32 bytes) rather than paragraph text, so the frequency
+  exchange is O(paragraphs · 32 B) regardless of paragraph length, and
+  reassembly is a single groupBy on the document id.
+- `canonicalize_url` is expression-only; `latest_per_url` is one
+  window over the canonical key (the same url-hash key the pipeline
+  buckets by, so in the bucketed layout it is shuffle-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ngram_repetition_signals",
+    "line_repetition_signals",
+    "paragraph_dedup",
+    "pii_signals",
+    "mask_pii",
+    "canonicalize_url",
+    "latest_per_url",
+    "EMAIL_RE",
+    "PHONE_RE",
+    "IPV4_RE",
+]
+
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repeats,
+# \b, \d — no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(count, value) of the most frequent element of a pre-sorted array.
+
+    One fold, O(n), entirely JVM-side.  Ties break to the
+    lexicographically smallest element: with the array ascending and a
+    strictly-greater update rule, the first element to reach the final
+    maximum run length keeps the slot.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("arg"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["arg"]).alias("arg"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        merge,
+        lambda acc: F.struct(acc["best"].alias("count"), acc["arg"].alias("value")),
+    )
+
+
+def ngram_repetition_signals(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals, one row per document.
+
+    Returns (id, n_words, distinct_word_ratio, top_ngram,
+    top_ngram_count, top_ngram_char_frac) where ``top_ngram_char_frac``
+    is the fraction of the document's characters covered by occurrences
+    of its most frequent word n-gram — the "top n-gram character
+    fraction" filter of Rae et al. 2021 §A1.1 (documents above ~0.2 for
+    n=2 are template spam).
+
+    Pure column expressions: tokenize, build n-grams with
+    ``zip_with``/``slice``, sort, and fold for the mode — no shuffle,
+    no UDF, so the scan parallelizes trivially at 10^12 documents.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    w = _words(F.col(text_col))
+    nw = F.size(w)
+    grams = F.slice(w, 1, F.greatest(nw - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, k + 1, F.greatest(nw - (n - 1), F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    top = _top_run(F.array_sort(grams))
+    tlen = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        (F.size(F.array_distinct(w)) / nw).alias("distinct_word_ratio"),
+        top["value"].alias("top_ngram"),
+        top["count"].alias("top_ngram_count"),
+        F.when(tlen > 0, top["count"] * F.length(top["value"]) / tlen)
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_char_frac"),
+    )
+
+
+def line_repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate-line fractions per document (Gopher §A1.1).
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac): the
+    fraction of non-empty trimmed lines that are repeats of another
+    line in the same document, by count and by character mass.  Pure
+    expressions — per-row arrays only, no shuffle.
+    """
+    lines = F.filter(
+        # one-arg lambda on purpose: bare F.trim would bind transform's
+        # (element, index) pair to trim's deprecated two-arg signature
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    dist = F.array_distinct(lines)
+    nl = F.size(lines)
+    chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    chars_dist = F.aggregate(dist, F.lit(0), lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col),
+        nl.alias("n_lines"),
+        F.when(nl > 0, (nl - F.size(dist)) / nl).otherwise(F.lit(0.0)).alias(
+            "dup_line_frac"
+        ),
+        F.when(chars > 0, (chars - chars_dist) / chars)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str, text_col: str, min_rep: int = 2
+) -> DataFrame:
+    """Remove paragraphs repeated >= min_rep times corpus-wide (CCNet).
+
+    Splits each document on blank lines, counts trimmed-paragraph
+    frequency across the whole corpus, drops every occurrence of any
+    paragraph reaching ``min_rep``, and reassembles the survivors in
+    original order.  Returns (id, clean_text, paras_kept,
+    paras_removed); documents with no non-empty paragraphs drop out.
+
+    Scale shape: the frequency aggregation and the membership join both
+    key on ``md5(paragraph)`` (fixed 32 bytes) so the shuffle volume is
+    independent of paragraph length; reassembly is one groupBy on the
+    document id with an in-row sort — two shuffles total for the whole
+    corpus-level operation.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), "\n\n")).alias("ord", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        .withColumn("k", F.md5("para"))
+    )
+    freq = paras.groupBy("k").agg(F.count("*").alias("ct"))
+    marked = paras.join(freq, "k").withColumn("rm", F.col("ct") >= min_rep)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ord"),
+                F.when(~F.col("rm"), F.col("para")).alias("p"),
+            )
+        )
+    )
+    return (
+        marked.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.concat_ws("\n\n", F.transform(arr, lambda s: s["p"])).alias(
+                "clean_text"
+            ),
+            F.count(F.when(~F.col("rm"), 1)).alias("paras_kept"),
+            F.count(F.when(F.col("rm"), 1)).alias("paras_removed"),
+        )
+    )
+
+
+def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count emails / phone numbers / IPv4 literals per document.
+
+    Pure regexp expressions (JVM, codegen); patterns are RE2-compatible
+    so the DuckDB oracle runs the identical strings.
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ipv4"),
+    )
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace emails, phones, and IPv4 literals with typed tags.
+
+    Order matters: emails first (an address can embed digit runs),
+    then phones, then IPv4 — the same cascade in the oracle SQL.
+    """
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-style URL canonicalization as pure column expressions.
+
+    lowercases scheme+host+path, strips the fragment and any trailing
+    slash on the path, drops tracking params (``utm_*``, ``ref=``), and
+    sorts the surviving query params — so syntactic variants of one
+    resource collapse to a single dedup key.  Expression-only: safe to
+    apply inside the 10^12-row scan before the url-hash bucketing.
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    base = F.regexp_replace(F.lower(F.substring_index(no_frag, "?", 1)), "/$", "")
+    query = F.when(
+        no_frag.contains("?"), F.substring_index(no_frag, "?", -1)
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.startswith("utm_")
+            & ~p.startswith("ref="),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.when(qs != "", F.concat(base, F.lit("?"), qs)).otherwise(base)
+
+
+def latest_per_url(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:
+    """Keep the newest capture per canonical URL.
+
+    Returns (canonical_url, url, warc_ts, n_captures).  One window over
+    the canonical key; in the pipeline's url-hash-bucketed layout the
+    partitioning already co-locates the key, so no extra shuffle.
+    Ties on timestamp break to the lexicographically smallest raw url
+    for determinism.
+    """
+    canon = canonicalize_url(F.col(url_col)).alias("canonical_url")
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        pages.select(canon, F.col(url_col), F.col(ts_col))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_captures", F.count("*").over(Window.partitionBy("canonical_url")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,173 @@
+"""Unit tests for clawrag_spark.operators.webtext (Gopher repetition
+signals, CCNet paragraph dedup, PII masking, URL canonicalization)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from clawrag_spark.operators import webtext as W
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+# ---------------------------------------------------------------- ngram
+
+
+def test_ngram_top_bigram(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z"), (3, "w")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in _rows(W.ngram_repetition_signals(docs, "doc_id", "text"))}
+    # "a b" occurs 3x ("a b a b a b" -> a b, b a, a b, b a, a b); len("a b")=3, text len 13
+    r = out[1]
+    assert r["top_ngram"] == "a b" and r["top_ngram_count"] == 3
+    assert r["top_ngram_char_frac"] == pytest.approx(3 * 3 / 13)
+    assert r["n_words"] == 7
+    assert r["distinct_word_ratio"] == pytest.approx(3 / 7)
+    # all-unique doc: every bigram count 1, lexicographically smallest wins
+    assert out[2]["top_ngram"] == "x y" and out[2]["top_ngram_count"] == 1
+    # single word: no bigram
+    assert out[3]["top_ngram"] == "" and out[3]["top_ngram_count"] == 0
+    assert out[3]["top_ngram_char_frac"] == 0.0
+
+
+def test_ngram_trigram_mode(spark):
+    docs = spark.createDataFrame([(1, "p q r p q r p q r s")], ["doc_id", "text"])
+    r = _rows(W.ngram_repetition_signals(docs, "doc_id", "text", n=3))[0]
+    assert r["top_ngram"] == "p q r" and r["top_ngram_count"] == 3
+
+
+def test_ngram_tie_breaks_lexicographically(spark):
+    docs = spark.createDataFrame([(1, "b a b a")], ["doc_id", "text"])
+    r = _rows(W.ngram_repetition_signals(docs, "doc_id", "text"))[0]
+    # "a b" x1, "b a" x2 -> b a wins on count; craft a true tie:
+    docs2 = spark.createDataFrame([(1, "c d e f")], ["doc_id", "text"])
+    r2 = _rows(W.ngram_repetition_signals(docs2, "doc_id", "text"))[0]
+    assert r["top_ngram"] == "b a" and r["top_ngram_count"] == 2
+    assert r2["top_ngram"] == "c d"  # all counts 1 -> lex smallest
+
+
+# ---------------------------------------------------------------- lines
+
+
+def test_line_repetition(spark):
+    text = "same\nother\nsame\n\n  same  \nunique"
+    df = spark.createDataFrame([(1, text), (2, "one line")], ["id", "text"])
+    out = {r["id"]: r for r in _rows(W.line_repetition_signals(df, "id", "text"))}
+    # trimmed non-empty lines: same, other, same, same, unique -> 5 lines, 3 distinct
+    r = out[1]
+    assert r["n_lines"] == 5
+    assert r["dup_line_frac"] == pytest.approx(2 / 5)
+    chars = 4 + 5 + 4 + 4 + 6
+    chars_dist = 4 + 5 + 6
+    assert r["dup_line_char_frac"] == pytest.approx((chars - chars_dist) / chars)
+    assert out[2]["dup_line_frac"] == 0.0
+
+
+# ----------------------------------------------------------- paragraphs
+
+
+def test_paragraph_dedup_removes_boilerplate(spark):
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n\n{boiler}\n\nbeta two"),
+            (2, f"{boiler}\n\ngamma three"),
+            (3, "delta four\n\nepsilon five"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in _rows(W.paragraph_dedup(docs, "id", "text", min_rep=2))}
+    assert out[1]["clean_text"] == "alpha one\n\nbeta two"
+    assert out[1]["paras_kept"] == 2 and out[1]["paras_removed"] == 1
+    assert out[2]["clean_text"] == "gamma three"
+    assert out[3]["clean_text"] == "delta four\n\nepsilon five"
+    assert out[3]["paras_removed"] == 0
+
+
+def test_paragraph_dedup_all_removed_yields_empty(spark):
+    docs = spark.createDataFrame([(1, "dup"), (2, "dup")], ["id", "text"])
+    out = {r["id"]: r for r in _rows(W.paragraph_dedup(docs, "id", "text"))}
+    assert out[1]["clean_text"] == "" and out[1]["paras_kept"] == 0
+
+
+def test_paragraph_dedup_plan_has_no_cartesian(spark):
+    docs = spark.createDataFrame([(1, "a\n\nb")], ["id", "text"])
+    plan = W.paragraph_dedup(docs, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------------ pii
+
+
+def test_pii_counts_and_mask(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@corp.io or alice.smith@my-site.co.uk tel 555-123-4567"),
+            (2, "server at 192.168.0.1 no pii otherwise"),
+            (3, "clean text"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in _rows(W.pii_signals(df, "id", "text"))}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_emails"] == 0
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ipv4"] == 0
+
+    masked = {
+        r["id"]: r["m"]
+        for r in df.select("id", W.mask_pii(F.col("text")).alias("m")).collect()
+    }
+    assert masked[1] == "mail <EMAIL> or <EMAIL> tel <PHONE>"
+    assert masked[2] == "server at <IP> no pii otherwise"
+    assert masked[3] == "clean text"
+
+
+def test_pii_plan_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    plan = W.pii_signals(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------------------ url
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("https://EX.com/A/b/", "https://ex.com/a/b"),
+        ("https://ex.com/p?utm_source=x&ref=rss", "https://ex.com/p"),
+        ("https://ex.com/p?b=2&a=1#frag", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?a=1&utm_campaign=c&b=2", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p", "https://ex.com/p"),
+    ],
+)
+def test_canonicalize_url(spark, raw, canon):
+    got = (
+        spark.range(1)
+        .select(W.canonicalize_url(F.lit(raw)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == canon
+
+
+def test_latest_per_url(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        ("https://ex.com/p?utm_source=a", t0),
+        ("https://ex.com/p", t0 + dt.timedelta(hours=2)),
+        ("https://ex.com/p?ref=x", t0 + dt.timedelta(hours=1)),
+        ("https://ex.com/q", t0),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts"])
+    out = {r["canonical_url"]: r for r in _rows(W.latest_per_url(pages))}
+    assert len(out) == 2
+    p = out["https://ex.com/p"]
+    assert p["n_captures"] == 3
+    assert p["url"] == "https://ex.com/p" and p["warc_ts"] == t0 + dt.timedelta(hours=2)
