@@ -1090,16 +1090,34 @@ def q_pii_scrub(spark, sf_dir):
             .otherwise(F.lit("")),
         ).alias("text"),
     )
+    # counts + mask in ONE projection — no self-join, zero shuffle
     sig = WT.pii_signals(injected, "doc_id", "text")
-    masked = injected.select(
-        "doc_id", F.md5(WT.mask_pii(F.col("text"))).alias("masked_md5")
-    )
     return sig.select(
         "doc_id",
         F.col("n_emails").cast("long").alias("n_emails"),
         F.col("n_phones").cast("long").alias("n_phones"),
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
-    ).join(masked, "doc_id")
+        "masked_md5",
+    )
+
+
+#: training-mix sampling rates by language — en kept whole, others
+#: downsampled; 'zh' unlisted on purpose to exercise the default rate.
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_SALT = "mix1"
+
+
+def q_training_mix(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix construction:
+    per-language keep rates decided by salted-md5 threshold compare —
+    reproducible on any engine, no RNG state, no shuffle."""
+    docs = _load(spark, sf_dir, "documents")
+    out = WT.stratified_sample(
+        docs, "lang", _MIX_RATES, "doc_id", salt=_MIX_SALT,
+        default_rate=_MIX_DEFAULT,
+    )
+    return out.select("doc_id", "lang")
 
 
 def q_url_latest(spark, sf_dir):
@@ -1193,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
         "ngram_repetition": q_ngram_repetition,
+        "training_mix": q_training_mix,
         "line_signals": q_line_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2012,6 +2031,17 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
                         ELSE 0.0 END AS top_ngram_char_frac
             FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "training_mix": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('{_MIX_SALT}|' || doc_id), 1, 15) <
+                  CASE lang
+                      WHEN 'en' THEN '{WT._rate_threshold_hex(_MIX_RATES["en"])}'
+                      WHEN 'de' THEN '{WT._rate_threshold_hex(_MIX_RATES["de"])}'
+                      WHEN 'fr' THEN '{WT._rate_threshold_hex(_MIX_RATES["fr"])}'
+                      WHEN 'es' THEN '{WT._rate_threshold_hex(_MIX_RATES["es"])}'
+                      ELSE '{WT._rate_threshold_hex(_MIX_DEFAULT)}'
+                  END
         """,
         "line_signals": f"""
             WITH src AS (

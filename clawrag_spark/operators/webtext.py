@@ -35,6 +35,7 @@ __all__ = [
     "paragraph_dedup",
     "pii_signals",
     "mask_pii",
+    "stratified_sample",
     "canonicalize_url",
     "latest_per_url",
     "EMAIL_RE",
@@ -208,7 +209,8 @@ def paragraph_dedup(
 
 
 def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Count emails / phone numbers / IPv4 literals per document.
+    """Count emails / phone numbers / IPv4 literals per document, plus
+    the md5 of the fully masked text (one projection, no second pass).
 
     Pure regexp expressions (JVM, codegen); patterns are RE2-compatible
     so the DuckDB oracle runs the identical strings.
@@ -219,6 +221,7 @@ def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
         F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ipv4"),
+        F.md5(mask_pii(t)).alias("masked_md5"),
     )
 
 
@@ -231,6 +234,54 @@ def mask_pii(text: Column) -> Column:
     out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def _rate_threshold_hex(p: float) -> str:
+    """Map a sampling rate to a 15-hex-digit threshold.
+
+    A row is kept iff the first 15 hex chars of its salted md5 compare
+    lexicographically below the threshold — hex-string order equals
+    numeric order at equal width, so P(keep) = p to within 16^-15.
+    p >= 1 returns 'g', which sorts above every hex string (keep all).
+    """
+    if p < 0 or p != p:
+        raise ValueError(f"rate must be in [0, 1], got {p}")
+    if p >= 1.0:
+        return "g"
+    return format(int(p * 16**15), "015x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-mix construction.
+
+    Keeps each row with probability ``rates[stratum]`` (``default_rate``
+    for unlisted strata), decided by comparing the salted md5 of the
+    row id against a per-stratum hex threshold.  Pure expressions: a
+    literal map lookup plus one string compare — no shuffle, no RNG
+    state, and the SAME rows are kept on every engine and every rerun
+    (change ``salt`` to draw an independent sample).  This is the
+    standard way to up/down-weight languages or quality tiers when
+    assembling a training mix at 10^12 documents: the decision is local
+    to the row, so it composes with any upstream filter at scan speed.
+    """
+    pairs: list[Column] = []
+    for k, v in sorted(rates.items()):
+        pairs.extend([F.lit(k), F.lit(_rate_threshold_hex(v))])
+    thr = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)),
+        F.lit(_rate_threshold_hex(default_rate)),
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
+    )
+    return df.filter(key < thr)
 
 
 def canonicalize_url(url: Column) -> Column:

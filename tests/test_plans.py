@@ -255,3 +255,35 @@ class TestSkewHandling:
         finally:
             for k, v in prev.items():
                 spark.conf.set(k, v)
+
+
+class TestWebtextPlans:
+    """The curation family's scale contracts: per-document signals stay
+    shuffle-free and JVM-side; the one corpus-level op (paragraph dedup)
+    never degenerates into a cartesian/nested-loop plan."""
+
+    def test_ngram_repetition_has_no_shuffle_no_python(self, spark):
+        plan = plan_of(entry_mod.q_ngram_repetition(spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+    def test_pii_scrub_has_no_shuffle_no_python(self, spark):
+        plan = plan_of(entry_mod.q_pii_scrub(spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+    def test_line_signals_has_no_shuffle_no_python(self, spark):
+        plan = plan_of(entry_mod.q_line_signals(spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+    def test_paragraph_dedup_no_cartesian_no_python(self, spark):
+        plan = plan_of(entry_mod.q_paragraph_dedup(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+
+    def test_url_latest_single_window_no_python(self, spark):
+        plan = plan_of(entry_mod.q_url_latest(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert plan.count("Window") >= 1

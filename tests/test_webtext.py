@@ -171,3 +171,43 @@ def test_latest_per_url(spark):
     p = out["https://ex.com/p"]
     assert p["n_captures"] == 3
     assert p["url"] == "https://ex.com/p" and p["warc_ts"] == t0 + dt.timedelta(hours=2)
+
+
+# -------------------------------------------------------------- sampler
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from clawrag_spark.operators.webtext import _rate_threshold_hex
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 1.0, "de": 0.25}
+    out = W.stratified_sample(df, "lang", rates, "doc_id", salt="t")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 2000  # rate 1.0 keeps everything
+    # binomial(2000, 0.25): mean 500, sd ~19 -> 6 sigma bounds
+    assert 380 <= counts.get("de", 0) <= 620
+    # determinism: same salt -> identical sample; different salt -> different
+    again = set(r["doc_id"] for r in W.stratified_sample(df, "lang", rates, "doc_id", salt="t").collect())
+    assert again == set(r["doc_id"] for r in out.collect())
+    other = set(r["doc_id"] for r in W.stratified_sample(df, "lang", rates, "doc_id", salt="u").collect())
+    assert other != again
+    # default rate 0.0 drops unlisted strata entirely
+    none = W.stratified_sample(df, "lang", {"en": 0.0}, "doc_id", default_rate=0.0)
+    assert none.count() == 0
+    # threshold edge cases
+    assert _rate_threshold_hex(1.0) == "g"
+    assert _rate_threshold_hex(0.5) == "800000000000000"
+    with pytest.raises(ValueError):
+        _rate_threshold_hex(-0.1)
+
+
+def test_stratified_sample_plan_is_scan_plus_filter(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    out = W.stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
