@@ -1101,6 +1101,21 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter: char-trigram model trained on the
+    'en' slice, every document scored by average negative log-likelihood
+    (en docs score low, zh high — the filter CCNet thresholds on).
+    Model tables are vocabulary-bounded and broadcast; the scoring
+    shuffle carries one row per document."""
+    docs = _load(spark, sf_dir, "documents")
+    model = WT.train_char_lm(docs.filter(F.col("lang") == "en"), "text")
+    return WT.lm_score(docs, "doc_id", "text", model).select(
+        "doc_id",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        "avg_neg_logp",
+    )
+
+
 #: training-mix sampling rates by language — en kept whole, others
 #: downsampled; 'zh' unlisted on purpose to exercise the default rate.
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
@@ -1212,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "ngram_repetition": q_ngram_repetition,
         "training_mix": q_training_mix,
+        "lm_perplexity": q_lm_perplexity,
         "line_signals": q_line_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2031,6 +2047,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
                         ELSE 0.0 END AS top_ngram_char_frac
             FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "lm_perplexity": """
+            WITH lo AS (
+                SELECT doc_id, lang, lower(text) AS c FROM documents
+                WHERE length(lower(text)) >= 3
+            ),
+            g AS (
+                SELECT doc_id, lang, substr(c, i, 3) AS g
+                FROM lo, LATERAL UNNEST(generate_series(1, length(c) - 2)) AS t(i)
+            ),
+            tri AS (
+                SELECT g, count(*) AS c3 FROM g WHERE lang = 'en' GROUP BY g
+            ),
+            ctx AS (
+                SELECT substr(g, 1, 2) AS b, sum(c3) AS c2 FROM tri GROUP BY 1
+            ),
+            sc AS (
+                SELECT gg.doc_id,
+                       ln((coalesce(t.c3, 0) + 0.5) /
+                          (coalesce(x.c2, 0) + 0.5 * 64)) AS lp
+                FROM g gg
+                LEFT JOIN tri t USING (g)
+                LEFT JOIN ctx x ON substr(gg.g, 1, 2) = x.b
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+                   -avg(lp) AS avg_neg_logp
+            FROM sc GROUP BY doc_id
         """,
         "training_mix": f"""
             SELECT doc_id, lang FROM documents

@@ -36,6 +36,8 @@ __all__ = [
     "pii_signals",
     "mask_pii",
     "stratified_sample",
+    "train_char_lm",
+    "lm_score",
     "canonicalize_url",
     "latest_per_url",
     "EMAIL_RE",
@@ -234,6 +236,86 @@ def mask_pii(text: Column) -> Column:
     out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def _char_trigrams(df: DataFrame, keep_cols: list[str], text_col: str) -> DataFrame:
+    """Explode each row into its lowercase character trigrams.
+
+    The lowered text materializes into its own projection first — an
+    expression referenced inside ``transform()`` is re-evaluated PER
+    ELEMENT (no CSE across lambda scopes), which would make trigram
+    extraction O(len²) per row if ``lower()`` stayed inline.
+    """
+    cleaned = df.select(
+        *[F.col(c) for c in keep_cols], F.lower(F.col(text_col)).alias("__c")
+    ).filter(F.length("__c") >= 3)
+    return cleaned.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__c") - 2),
+                lambda i: F.substr(F.col("__c"), i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+
+
+def train_char_lm(train: DataFrame, text_col: str) -> dict[str, DataFrame]:
+    """Train an add-k character-trigram LM (the CCNet perplexity filter,
+    Wenzek et al. 2019 §3.2, with a char-trigram model standing in for
+    KenLM's 5-gram word model).
+
+    Returns {'tri': (g, c3), 'ctx': (b, c2)} where ``c3`` counts each
+    trigram and ``c2`` sums the counts per 2-char context, so
+    P(c|b) = (c3 + a) / (c2 + a·V) is a proper conditional.  Both
+    tables are vocabulary-bounded (≤ |charset|³ rows) regardless of
+    corpus size — train once over a reference slice, then broadcast.
+    """
+    grams = _char_trigrams(train, [], text_col)
+    tri = grams.groupBy("g").agg(F.count("*").alias("c3"))
+    ctx = tri.groupBy(F.substring("g", 1, 2).alias("b")).agg(
+        F.sum("c3").alias("c2")
+    )
+    return {"tri": tri, "ctx": ctx}
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict[str, DataFrame],
+    alpha: float = 0.5,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Average negative log-likelihood per document under the trigram
+    LM — the quality signal CCNet thresholds on (low = fluent in the
+    training slice's language, high = junk/other-language).
+
+    Returns (id, n_trigrams, avg_neg_logp).  Scale shape: the model
+    joins are broadcast (vocabulary-bounded), the per-trigram log-probs
+    partially aggregate map-side, so the only shuffle carries one row
+    per document.
+    """
+    grams = _char_trigrams(docs, [id_col], text_col)
+    scored = (
+        grams.join(F.broadcast(model["tri"]), "g", "left")
+        .join(
+            F.broadcast(model["ctx"]),
+            F.substring("g", 1, 2) == model["ctx"]["b"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha * vocab_size))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        (-F.avg("lp")).alias("avg_neg_logp"),
+    )
 
 
 def _rate_threshold_hex(p: float) -> str:

@@ -211,3 +211,44 @@ def test_stratified_sample_plan_is_scan_plus_filter(spark):
     out = W.stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ------------------------------------------------------------------- lm
+
+
+def test_char_lm_probability_math(spark):
+    import math
+
+    train = spark.createDataFrame([(1, "aaab")], ["id", "text"])
+    model = W.train_char_lm(train, "text")
+    tri = {r["g"]: r["c3"] for r in model["tri"].collect()}
+    ctx = {r["b"]: r["c2"] for r in model["ctx"].collect()}
+    assert tri == {"aaa": 1, "aab": 1} and ctx == {"aa": 2}
+
+    score = W.lm_score(
+        spark.createDataFrame([(9, "aaac")], ["id", "text"]), "id", "text", model
+    ).collect()[0]
+    expect = -(math.log(1.5 / 34) + math.log(0.5 / 34)) / 2
+    assert score["n_trigrams"] == 2
+    assert score["avg_neg_logp"] == pytest.approx(expect)
+
+
+def test_char_lm_separates_languages(spark):
+    # model trained on English-like text scores English lower than junk
+    en = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(5)]
+    train = spark.createDataFrame(en, ["id", "text"])
+    model = W.train_char_lm(train, "text")
+    docs = spark.createDataFrame(
+        [(1, "the brown dog jumps over the fox"), (2, "zzqx vvkj wwpy qqzz xxjv")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["avg_neg_logp"] for r in W.lm_score(docs, "id", "text", model).collect()}
+    assert out[1] < out[2]
+
+
+def test_char_lm_short_docs_drop(spark):
+    model = W.train_char_lm(spark.createDataFrame([(1, "abcd")], ["id", "text"]), "text")
+    out = W.lm_score(
+        spark.createDataFrame([(1, "ab"), (2, "abc")], ["id", "text"]), "id", "text", model
+    )
+    assert [r["id"] for r in out.collect()] == [2]
