@@ -1101,6 +1101,17 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters: MinHash-band candidates
+    resolved by iterative min-label propagation (3-4 shuffles, lineage
+    checkpointed per round).  cluster_id = smallest doc_id in the
+    component — the deterministic keep-one representative."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
+    cc = DS.connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("n").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality filter: char-trigram model trained on the
     'en' slice, every document scored by average negative log-likelihood
@@ -1228,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "training_mix": q_training_mix,
         "lm_perplexity": q_lm_perplexity,
+        "dedup_clusters": q_dedup_clusters,
         "line_signals": q_line_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2047,6 +2059,42 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
                         ELSE 0.0 END AS top_ngram_char_frac
             FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 120
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band, min(md5(band::VARCHAR || '.0|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            )
+            SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+            FROM reach GROUP BY n
         """,
         "lm_perplexity": """
             WITH lo AS (

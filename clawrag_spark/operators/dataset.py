@@ -691,3 +691,50 @@ def text_quality_signals(docs: DataFrame, id_col: str, text_col: str) -> DataFra
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
     )
+
+
+# ------------------------------------------- dedup cluster resolution
+
+def connected_components(
+    pairs: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
+    iterative min-label propagation (the step between pair generation
+    and keep-one-per-cluster in a dedup pipeline).
+
+    Each node starts labeled with its own id; every iteration each node
+    takes the minimum label among itself and its neighbors, until a
+    fixpoint — the label is then the smallest id in the component, a
+    deterministic canonical representative.  Convergence needs
+    O(component diameter) rounds; near-dup clusters are dense (diameter
+    ≤ ~3), so 3-4 shuffles in practice.  ``localCheckpoint`` truncates
+    the growing lineage each round — without it the plan doubles per
+    iteration and the job dies at scale on plan size, not data size.
+
+    Returns (n, cluster) — one row per node that appears in any pair.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("n")).distinct().withColumn("lbl", F.col("n"))
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.select(F.col("n").alias("a"), "lbl"), "a"
+        ).select(F.col("b").alias("n"), "lbl")
+        new_labels = (
+            labels.union(neigh).groupBy("n").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("x"), "n")
+            .filter(F.col("x.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("n", F.col("lbl").alias("cluster"))

@@ -250,3 +250,30 @@ def test_ann_ivf_multiprobe_recall_with_sampled_training(spark, sf_dir):
     assert brute[0] in probe(2), "true nearest neighbour missed at n_probe=2"
     assert recalls[1] <= recalls[2] <= recalls[n_cells]
     assert recalls[n_cells] == 5, "exhaustive probe must equal brute force"
+
+
+class TestConnectedComponents:
+    def test_clusters_match_transitive_closure(self, spark):
+        from clawrag_spark.operators.dataset import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], ["doc_a", "doc_b"]
+        )
+        out = {
+            r["n"]: r["cluster"]
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+    def test_path_graph_converges(self, spark):
+        from clawrag_spark.operators.dataset import connected_components
+
+        # worst case for min-propagation: a 8-node path, diameter 7
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10, 17)], ["doc_a", "doc_b"]
+        )
+        out = {
+            r["n"]: r["cluster"]
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        }
+        assert set(out.values()) == {10} and len(out) == 8
