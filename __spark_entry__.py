@@ -1101,6 +1101,23 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language document-length distribution (quartiles + mean/max)
+    — the profiling pass before setting curation length cutoffs.  Uses
+    exact interpolated percentile to match the oracle bit-for-bit; at
+    real corpus scale swap in approx_percentile (t-digest sketch, one
+    pass, mergeable) — same call shape, bounded error."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_chars", 0.25).alias("q25"),
+        F.percentile("n_chars", 0.5).alias("q50"),
+        F.percentile("n_chars", 0.75).alias("q75"),
+        F.avg("n_chars").alias("mean_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate clusters: MinHash-band candidates
     resolved by iterative min-label propagation (3-4 shuffles, lineage
@@ -1240,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
+        "length_quantiles": q_length_quantiles,
         "line_signals": q_line_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2059,6 +2077,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
                         ELSE 0.0 END AS top_ngram_char_frac
             FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   quantile_cont(n_chars, 0.25) AS q25,
+                   quantile_cont(n_chars, 0.5) AS q50,
+                   quantile_cont(n_chars, 0.75) AS q75,
+                   avg(n_chars) AS mean_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (

@@ -306,3 +306,29 @@ def incremental_index_stream(
         .start()
     )
     query.awaitTermination()
+
+
+def streaming_dedup(
+    pages_stream,
+    watermark: str = "1 hour",
+    key_cols: tuple[str, ...] = ("doc_hash_pre",),
+):
+    """Exactly-once streaming exact-dedup: drop any page whose content
+    hash was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes it, so state is bounded by (arrival rate
+    × horizon) instead of growing with the full corpus — the streaming
+    twin of the batch anti-join (J1/U4); durable corpus-level dedup
+    stays with the manifest-gated batch resume (pipeline.py S18).
+
+    Takes a streaming DataFrame of raw pages (url/warc_ts/html/...),
+    stamps the same pre-extraction content hash the batch pipeline
+    dedups on, and returns the deduplicated stream.
+    """
+    from .pipeline import prepare_pages
+
+    hashed = prepare_pages(pages_stream)
+    return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -331,3 +331,61 @@ class TestStreamingIndex:
         for cid, sc in want2.items():
             assert got2[cid] == pytest.approx(sc, rel=1e-12)
         assert len(set(_bm25_current(os.path.join(out, "bm25_index"))["runs"])) == 3
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """Same html under different urls inside the horizon → one
+        survivor; state is watermark-bounded so the stream never holds
+        the full corpus's keys."""
+        import datetime as dt
+
+        from clawrag_spark.streaming import PAGES_SCHEMA, streaming_dedup
+
+        pages_dir = tmp_path / "pages"
+        pages_dir.mkdir()
+        t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+        dup = b"<html><body>same payload</body></html>"
+        uniq = b"<html><body>other payload</body></html>"
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "url": pa.array(
+                    ["https://a.example.com/1", "https://a.example.com/2",
+                     "https://b.example.com/3"], pa.string()),
+                "warc_ts": pa.array(
+                    [t0, t0 + dt.timedelta(minutes=5),
+                     t0 + dt.timedelta(minutes=10)], pa.timestamp("us")),
+                "html": pa.array([dup, dup, uniq], pa.binary()),
+                "text": pa.array([""] * 3, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }),
+            str(pages_dir / "b1.parquet"),
+        )
+
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .parquet(str(pages_dir))
+        )
+        out = streaming_dedup(stream, watermark="1 hour")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            out.select("url", "doc_hash_pre")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        # 2 distinct payloads survive out of 3 pages
+        assert got.count() == 2
+        assert got.select("doc_hash_pre").distinct().count() == 2
+        # the duplicate kept is a single row for the dup payload
+        urls = {r["url"] for r in got.collect()}
+        assert "https://b.example.com/3" in urls
+        assert len(urls & {"https://a.example.com/1", "https://a.example.com/2"}) == 1
