@@ -223,6 +223,12 @@ def main() -> None:
                     out.append((eff, valid, lo_r, hi_r))
             return out
 
+        # wall-clock budget for the sampling loop: under heavy co-tenant
+        # load every run stretches 2-3x and six repeats can blow an
+        # outer harness timeout — better to report fewer (honest)
+        # windows than to produce no bench line at all
+        max_wall = float(os.environ.get("BENCH_MAX_WALL_SEC", "1500"))
+        ext_t0 = time.monotonic()
         for rep in range(max_repeats):
             lo_runs.append(run_extraction_at(lo_cores, pages_path))
             hi_runs.append(run_extraction_at(hi_cores, pages_path))
@@ -230,6 +236,8 @@ def main() -> None:
                 (w[0] for w in windows() if w[1]), default=0.0
             )
             if rep + 1 >= repeats and best_valid >= target_eff:
+                break
+            if time.monotonic() - ext_t0 > max_wall:
                 break
         raw_eff, _, lo, hi = max(
             (w for w in windows() if w[1]), key=lambda p: p[0]
