@@ -400,18 +400,9 @@ def q_minhash_bands(spark, sf_dir):
     return DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup detection at scale: MinHash-band candidate
-    generation (never all-pairs) → exact Jaccard verify on candidates only.
-
-    Round-1 fix: the old version was an all-pairs theta join bounded to 40
-    docs and returned 0 rows (vacuous).  Candidate generation is the same
-    deterministic md5 min-hash as ``q_minhash_bands`` so the DuckDB oracle
-    replicates it exactly; the verify step computes exact 3-gram Jaccard
-    and keeps near-dups (> 0.8) — the synthetic corpus plants ~3% of docs
-    as near-copies, so this is non-vacuous at every sf.
-    """
-    docs = _load(spark, sf_dir, "documents")
+def _jaccard_verified_pairs(docs):
+    """MinHash-band candidates (r=2) → exact 3-gram Jaccard verify >0.8.
+    Shared by q_ngram_jaccard and the curation funnel's dedup stage."""
     # r=2 rows per band: candidate prob 1-(1-j²)⁴ — ≥98% recall at the
     # 0.8 verify threshold, but random low-Jaccard pairs (rampant in the
     # tiny-vocab corpus) collapse from ~42k candidates to a few hundred.
@@ -453,6 +444,20 @@ def q_ngram_jaccard(spark, sf_dir):
         )
         .filter(F.col("jaccard") > 0.8)
     )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup detection at scale: MinHash-band candidate
+    generation (never all-pairs) → exact Jaccard verify on candidates only.
+
+    Round-1 fix: the old version was an all-pairs theta join bounded to 40
+    docs and returned 0 rows (vacuous).  Candidate generation is the same
+    deterministic md5 min-hash as ``q_minhash_bands`` so the DuckDB oracle
+    replicates it exactly; the verify step computes exact 3-gram Jaccard
+    and keeps near-dups (> 0.8) — the synthetic corpus plants ~3% of docs
+    as near-copies, so this is non-vacuous at every sf.
+    """
+    return _jaccard_verified_pairs(_load(spark, sf_dir, "documents"))
 
 
 def q_embedding_sign_buckets(spark, sf_dir):
@@ -1101,6 +1106,48 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_curation_funnel(spark, sf_dir):
+    """The end-to-end training-data curation pipeline as ONE job:
+    input → quality gate (length + Gopher top-bigram repetition) →
+    near-dedup (MinHash candidates → Jaccard verify → connected
+    components, keep the min-id representative) → stratified language
+    mix.  Returns per-(stage, lang) survivor counts — the funnel report
+    a curation run ships with.  Intermediate stages are persisted (each
+    feeds both its own count and the next stage)."""
+    docs = _load(spark, sf_dir, "documents")
+    sig = WT.ngram_repetition_signals(docs, "doc_id", "text")
+    quality = (
+        docs.join(sig.select("doc_id", "top_ngram_char_frac"), "doc_id")
+        .filter((F.col("n_chars") >= 100) & (F.col("top_ngram_char_frac") <= 0.12))
+        .persist()
+    )
+    pairs = _jaccard_verified_pairs(quality)
+    cc = DS.connected_components(pairs, "doc_a", "doc_b")
+    drop_ids = cc.filter(F.col("n") != F.col("cluster")).select(
+        F.col("n").alias("doc_id")
+    )
+    dedup = quality.join(drop_ids, "doc_id", "left_anti").persist()
+    mix = WT.stratified_sample(
+        dedup, "lang", _MIX_RATES, "doc_id", salt=_MIX_SALT,
+        default_rate=_MIX_DEFAULT,
+    )
+
+    def stage_counts(df, idx, name):
+        return df.groupBy("lang").agg(F.count("*").alias("n_docs")).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "lang",
+            "n_docs",
+        )
+
+    return (
+        stage_counts(docs, 0, "input")
+        .unionByName(stage_counts(quality, 1, "quality"))
+        .unionByName(stage_counts(dedup, 2, "near_dedup"))
+        .unionByName(stage_counts(mix, 3, "training_mix"))
+    )
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language document-length distribution (quartiles + mean/max)
     — the profiling pass before setting curation length cutoffs.  Uses
@@ -1258,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "length_quantiles": q_length_quantiles,
+        "curation_funnel": q_curation_funnel,
         "line_signals": q_line_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2077,6 +2125,117 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
                         ELSE 0.0 END AS top_ngram_char_frac
             FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "curation_funnel": f"""
+            WITH RECURSIVE d0 AS (
+                SELECT doc_id, lang, n_chars, text FROM documents
+            ),
+            w AS (
+                SELECT doc_id, length(text) AS tlen,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS words
+                FROM d0
+            ),
+            bq AS (
+                SELECT doc_id, tlen, unnest(words) AS word,
+                       generate_subscripts(words, 1) AS ord
+                FROM w
+            ),
+            prs AS (
+                SELECT doc_id, tlen, word || ' ' ||
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+                FROM bq
+            ),
+            cntb AS (
+                SELECT doc_id, tlen, bg, count(*) AS c FROM prs
+                WHERE bg IS NOT NULL GROUP BY doc_id, tlen, bg
+            ),
+            topb AS (
+                SELECT doc_id, c * length(bg) / tlen AS frac,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, bg ASC) AS rn
+                FROM cntb
+            ),
+            qual AS (
+                SELECT d0.* FROM d0
+                LEFT JOIN (SELECT doc_id, frac FROM topb WHERE rn = 1) t
+                  USING (doc_id)
+                WHERE n_chars >= 100 AND coalesce(t.frac, 0) <= 0.12
+            ),
+            toksq AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM qual
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toksq, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(band::VARCHAR || '.0|' || shingle))
+                       || min(md5(band::VARCHAR || '.1|' || shingle)) AS sig
+                FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            gr AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                       )) AS grams
+                FROM toksq
+            ),
+            pairs AS (
+                SELECT c.doc_a, c.doc_b
+                FROM cand c
+                JOIN gr a ON a.doc_id = c.doc_a
+                JOIN gr b ON b.doc_id = c.doc_b
+                WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(list_concat(a.grams, b.grams))), 6) > 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ),
+            cc AS (SELECT n, least(n, min(m)) AS cluster FROM reach GROUP BY n),
+            dedup AS (
+                SELECT * FROM qual
+                WHERE doc_id NOT IN (SELECT n FROM cc WHERE n <> cluster)
+            ),
+            mix AS (
+                SELECT * FROM dedup
+                WHERE substr(md5('{_MIX_SALT}|' || doc_id), 1, 15) <
+                      CASE lang
+                          WHEN 'en' THEN '{WT._rate_threshold_hex(_MIX_RATES["en"])}'
+                          WHEN 'de' THEN '{WT._rate_threshold_hex(_MIX_RATES["de"])}'
+                          WHEN 'fr' THEN '{WT._rate_threshold_hex(_MIX_RATES["fr"])}'
+                          WHEN 'es' THEN '{WT._rate_threshold_hex(_MIX_RATES["es"])}'
+                          ELSE '{WT._rate_threshold_hex(_MIX_DEFAULT)}'
+                      END
+            )
+            SELECT 0::BIGINT AS stage_idx, 'input' AS stage, lang,
+                   count(*) AS n_docs FROM d0 GROUP BY lang
+            UNION ALL
+            SELECT 1::BIGINT, 'quality', lang, count(*) FROM qual GROUP BY lang
+            UNION ALL
+            SELECT 2::BIGINT, 'near_dedup', lang, count(*) FROM dedup GROUP BY lang
+            UNION ALL
+            SELECT 3::BIGINT, 'training_mix', lang, count(*) FROM mix GROUP BY lang
         """,
         "length_quantiles": """
             SELECT lang, count(*) AS n_docs,
