@@ -287,3 +287,9 @@ class TestWebtextPlans:
         plan = plan_of(entry_mod.q_url_latest(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert plan.count("Window") >= 1
+
+    def test_curation_funnel_no_cartesian_no_python(self, spark):
+        plan = plan_of(entry_mod.q_curation_funnel(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan

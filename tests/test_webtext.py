@@ -252,3 +252,53 @@ def test_char_lm_short_docs_drop(spark):
         spark.createDataFrame([(1, "ab"), (2, "abc")], ["id", "text"]), "id", "text", model
     )
     assert [r["id"] for r in out.collect()] == [2]
+
+
+# ------------------------------------------------------------ properties
+
+
+def test_canonicalize_idempotent_on_corpus_urls(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — canonical
+    forms are fixpoints, so re-crawling canonical urls can't re-dup."""
+    raw = [
+        "https://EX.com/A/b/?utm_source=x&b=2&a=1#f",
+        "https://ex.com/p?ref=rss",
+        "https://ex.com/p?z=9&y=8&utm_campaign=c",
+        "https://ex.com/plain",
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], ["url"])
+    once = df.select(W.canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", W.canonicalize_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"]
+
+
+def test_paragraph_dedup_identity_when_no_repeats(spark):
+    """With all-unique paragraphs the op is a normalizing identity:
+    trimmed paragraphs rejoined, nothing dropped."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta\n\n gamma delta \n\nepsilon"), (2, "zeta")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in W.paragraph_dedup(docs, "id", "text").collect()}
+    assert out[1]["clean_text"] == "alpha beta\n\ngamma delta\n\nepsilon"
+    assert out[1]["paras_removed"] == 0 and out[2]["paras_removed"] == 0
+
+
+def test_stratified_sample_is_stable_under_subset(spark):
+    """Hash-threshold sampling decides per row: sampling a subset keeps
+    exactly the intersection of the full sample — required for
+    incremental corpus growth to never resample old rows."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    full = set(
+        r["doc_id"]
+        for r in W.stratified_sample(df, "lang", {"en": 0.4}, "doc_id").collect()
+    )
+    sub = df.filter(F.col("doc_id") < 500)
+    sub_sample = set(
+        r["doc_id"]
+        for r in W.stratified_sample(sub, "lang", {"en": 0.4}, "doc_id").collect()
+    )
+    assert sub_sample == {i for i in full if i < 500}
