@@ -724,9 +724,12 @@ def connected_components(
         neigh = edges.join(
             labels.select(F.col("n").alias("a"), "lbl"), "a"
         ).select(F.col("b").alias("n"), "lbl")
+        # lazy checkpoint: materialized BY the convergence count below —
+        # one job per round instead of an eager-checkpoint job plus a
+        # count job (measured ~2x fewer driver round-trips per iteration)
         new_labels = (
             labels.union(neigh).groupBy("n").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = (
             labels.alias("o")
             .join(new_labels.alias("x"), "n")
