@@ -858,6 +858,28 @@ def q_winnow_fingerprints(spark, sf_dir):
     return DS.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
 
 
+def q_shared_passages(spark, sf_dir):
+    """Passage-level duplicate detection (the substring-dedup signal of
+    Lee et al. 2021): docs sharing ≥5 winnowing fingerprints share
+    multiple ≥11-char substrings (guarantee: k+w−1).  Stop-fingerprints
+    with document frequency >10 are dropped BEFORE the self-join — the
+    skew guard that keeps a corpus-common substring from exploding the
+    join quadratically at scale."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    fps = DS.winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    keep = fps.join(freq.filter(F.col("df") <= 10), "fp").select("doc_id", "fp")
+    a = keep.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """BPE-ish token counting: GPT-style pre-tokenizer classes (letter
     runs / digit runs / punctuation runs, optionally space-prefixed) —
@@ -1299,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_filter": q_metadata_filter,
         "profile_scan": q_profile_scan,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "shared_passages": q_shared_passages,
         "bpe_token_counts": q_bpe_token_counts,
         "ngram_repetition": q_ngram_repetition,
         "training_mix": q_training_mix,
@@ -1925,6 +1948,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE lang = 'en' AND source IN ('src0', 'src2') AND n_chars >= 200
+        """,
+        "shared_passages": """
+            WITH clean AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS c
+                FROM documents WHERE doc_id < 40
+            ),
+            hashes AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(0, greatest(length(c) - 8, 0)),
+                           i -> md5(substring(c, i + 1, 8))) AS hs
+                FROM clean WHERE length(c) >= 8
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, greatest(len(hs) - 4, 0)),
+                           j -> list_min(hs[j + 1 : j + 4]))) AS fps
+                FROM hashes
+            ),
+            fps AS (SELECT doc_id, f.fp FROM sel, LATERAL UNNEST(fps) AS f(fp)),
+            freq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+            keep AS (
+                SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp)
+                WHERE df <= 10
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 5
         """,
         "winnow_fingerprints": """
             WITH clean AS (
