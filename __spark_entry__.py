@@ -1128,6 +1128,38 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+#: crawl blocklist for q_host_stats (synthetic stand-ins for a UT1-style
+#: domain denylist); broadcast-size by construction.
+_BLOCKED_HOSTS = ("host003.example.com", "host007.example.com")
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl stats behind a domain blocklist, aggregated with
+    the SALTED two-phase plan (operators/skew.py): the Zipf-hot hosts
+    spread across n_salts partial tasks before the per-host combine.
+    The oracle is a plain GROUP BY — hash equality IS the proof that
+    salted recombination is exact."""
+    from clawrag_spark.operators.skew import salted_aggregate
+
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    host = F.regexp_extract(F.col("url"), "^[a-z]+://([^/]+)", 1)
+    df = (
+        pages.select(host.alias("host"), F.octet_length("html").alias("nb"))
+        .filter(~F.col("host").isin(*_BLOCKED_HOSTS))
+    )
+    return salted_aggregate(
+        df,
+        ["host"],
+        {
+            "n_pages": ("nb", "count"),
+            "total_bytes": ("nb", "sum"),
+            "max_bytes": ("nb", "max"),
+        },
+        n_salts=8,
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """The end-to-end training-data curation pipeline as ONE job:
     input → quality gate (length + Gopher top-bigram repetition) →
@@ -1329,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "length_quantiles": q_length_quantiles,
         "curation_funnel": q_curation_funnel,
+        "host_stats": q_host_stats,
         "line_signals": q_line_signals,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2179,6 +2212,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(t.c, 0) * length(coalesce(t.bg, '')) / base.tlen
                         ELSE 0.0 END AS top_ngram_char_frac
             FROM base LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "host_stats": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   count(*)::BIGINT AS n_pages,
+                   sum(octet_length(html))::BIGINT AS total_bytes,
+                   max(octet_length(html)) AS max_bytes
+            FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            WHERE regexp_extract(url, '^[a-z]+://([^/]+)', 1) NOT IN
+                  ('host003.example.com', 'host007.example.com')
+            GROUP BY 1
         """,
         "curation_funnel": f"""
             WITH RECURSIVE d0 AS (
