@@ -1169,9 +1169,12 @@ def q_curation_funnel(spark, sf_dir):
     a curation run ships with.  Intermediate stages are persisted (each
     feeds both its own count and the next stage)."""
     docs = _load(spark, sf_dir, "documents")
-    sig = WT.ngram_repetition_signals(docs, "doc_id", "text")
+    # the repetition signal is a pure projection — applied INLINE in the
+    # scan-side filter (no self-join, no shuffle for stage 1)
     quality = (
-        docs.join(sig.select("doc_id", "top_ngram_char_frac"), "doc_id")
+        docs.withColumn(
+            "top_ngram_char_frac", WT.top_ngram_char_frac(F.col("text"))
+        )
         .filter((F.col("n_chars") >= 100) & (F.col("top_ngram_char_frac") <= 0.12))
         .persist()
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "ngram_repetition_signals",
+    "top_ngram_char_frac",
     "line_repetition_signals",
     "paragraph_dedup",
     "pii_signals",
@@ -88,6 +89,30 @@ def _top_run(sorted_arr: Column) -> Column:
         init,
         merge,
         lambda acc: F.struct(acc["best"].alias("count"), acc["arg"].alias("value")),
+    )
+
+
+def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
+    """The Gopher top-n-gram character fraction as a single column
+    expression — usable inline in any scan-side filter (no join, no
+    shuffle): fraction of the text's characters covered by occurrences
+    of its most frequent word n-gram."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    w = _words(text)
+    nw = F.size(w)
+    grams = F.slice(w, 1, F.greatest(nw - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(w, k + 1, F.greatest(nw - (n - 1), F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    top = _top_run(F.array_sort(grams))
+    tlen = F.length(text)
+    return (
+        F.when(tlen > 0, top["count"] * F.length(top["value"]) / tlen)
+        .otherwise(F.lit(0.0))
     )
 
 
