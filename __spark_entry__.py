@@ -315,6 +315,40 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_knn_join(spark, sf_dir):
+    """Exact k-NN JOIN baseline: every query vector (small broadcast
+    side) against the full embedding table in one scan, per-query top-3
+    via a window over the rounded similarity.  The intended plan IS the
+    broadcast nested-loop (queries are tiny); at large query sets the
+    IVF route (`ann_ivf`) replaces the scan with centroid-pruned
+    buckets."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                R.cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qv").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def q_hybrid_minmax(spark, sf_dir):
     """J2+A3+F7: hybrid merge, min-max normalize (degenerate branch incl.),
     0.5/0.5 fusion, top-k (query.py:239-311)."""
@@ -1318,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "bm25_postings": q_bm25_postings,
         "cosine_topk": q_cosine_topk,
+        "knn_join": q_knn_join,
         "hybrid_minmax": q_hybrid_minmax,
         "rrf_fusion": q_rrf_fusion,
         "interleave_merge": q_interleave_merge,
@@ -2055,6 +2090,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 6 IN (0, 1, 2, 5)
             GROUP BY 1
+        """,
+        "knn_join": """
+            WITH q AS (
+                SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 5
+            ),
+            s AS (
+                SELECT q.q_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.qv::DOUBLE[]), 4) AS cos_sim
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+            ),
+            r AS (
+                SELECT q_id, vec_id, cos_sim,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT q_id, vec_id, cos_sim, rank::BIGINT AS rank
+            FROM r WHERE rank <= 3
         """,
         "ann_ivf": """
             WITH qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
