@@ -403,8 +403,10 @@ def _read_parquet_or_none(spark: SparkSession, path: str):
         raise
 
 
-def completed_run_ids(out_dir: str) -> list[str]:
-    """Run ids with a committed manifest — the pipeline's commit record.
+def completed_run_ids(out_dir: str, as_of_run: str | None = None) -> list[str]:
+    """Run ids with a committed manifest — the pipeline's commit record —
+    in COMMIT order (``committed_at`` in the manifest; file mtime for
+    manifests predating that field).
 
     The manifest is written LAST, so a run id listed here has all of its
     sinks (extracted, chunks, audit, metrics) fully committed.  Resume
@@ -413,35 +415,59 @@ def completed_run_ids(out_dir: str) -> list[str]:
     those docs done (they'd never be chunked).  In production this is an
     Iceberg multi-table transaction / snapshot commit; on plain parquet
     the manifest file plays the snapshot pointer.
+
+    ``as_of_run`` truncates the history at that snapshot (inclusive) —
+    Iceberg-style time travel over the append-only run partitions.
+    Raises ValueError for an unknown (uncommitted) run id.
     """
     manifest_dir = os.path.join(out_dir, "manifest")
     if not os.path.isdir(manifest_dir):
+        if as_of_run is not None:
+            raise ValueError(f"no committed run {as_of_run!r} in {out_dir}")
         return []
-    ids = []
+    entries = []
     for name in sorted(os.listdir(manifest_dir)):
-        if name.startswith("run_") and name.endswith(".json"):
-            ids.append(name[len("run_"):-len(".json")])
+        if not (name.startswith("run_") and name.endswith(".json")):
+            continue
+        path = os.path.join(manifest_dir, name)
+        try:
+            with open(path) as fh:
+                committed_at = json.load(fh).get("committed_at")
+        except (OSError, json.JSONDecodeError):
+            committed_at = None
+        if committed_at is None:
+            committed_at = os.path.getmtime(path)
+        entries.append((committed_at, name[len("run_"):-len(".json")]))
+    entries.sort()
+    ids = [rid for _, rid in entries]
+    if as_of_run is not None:
+        if as_of_run not in ids:
+            raise ValueError(f"no committed run {as_of_run!r} in {out_dir}")
+        ids = ids[: ids.index(as_of_run) + 1]
     return ids
 
 
-def read_extracted(spark: SparkSession, out_dir: str):
+def read_extracted(spark: SparkSession, out_dir: str, as_of_run: str | None = None):
     """The committed view of the extracted table: rows whose run has a
     manifest.  Orphan rows from a crashed run (appended but never
     chunked/manifested) are invisible here and get reprocessed by the
-    next run's resume anti-join."""
+    next run's resume anti-join.  ``as_of_run`` time-travels to the
+    table state as of that snapshot (runs are append-only, so the state
+    is exactly the union of runs committed up to it)."""
     ext = _read_parquet_or_none(spark, os.path.join(out_dir, "extracted"))
     if ext is None:
         return None
-    done = completed_run_ids(out_dir)
+    done = completed_run_ids(out_dir, as_of_run=as_of_run)
     return ext.filter(F.col("run_id").isin(done))
 
 
-def read_chunks(spark: SparkSession, out_dir: str):
-    """Committed view of the chunks table (same manifest gating)."""
+def read_chunks(spark: SparkSession, out_dir: str, as_of_run: str | None = None):
+    """Committed view of the chunks table (same manifest gating + time
+    travel)."""
     ch = _read_parquet_or_none(spark, os.path.join(out_dir, "chunks"))
     if ch is None:
         return None
-    done = completed_run_ids(out_dir)
+    done = completed_run_ids(out_dir, as_of_run=as_of_run)
     return ch.filter(F.col("run_id").isin(done))
 
 
@@ -927,6 +953,10 @@ def run_pipeline(
         "n_buckets": n_buckets,
         "n_salts": n_salts,
         "policy": policy,
+        # snapshot ordering for time travel (read_chunks(as_of_run=...));
+        # run ids are content-derived hex, so filename order is NOT
+        # commit order — this is
+        "committed_at": time.time(),
     }
     os.makedirs(manifest_path, exist_ok=True)
     with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:

@@ -156,3 +156,31 @@ class TestEmbeddings:
 
         ch = spark.read.parquet(os.path.join(out, "chunks")).first()
         assert ch["embedding"] == embed_text(ch["text"], 64)
+
+
+class TestTimeTravel:
+    def test_read_chunks_as_of_snapshot(self, spark, tmp_path):
+        """Iceberg-style time travel: reading as of run 1 shows exactly
+        run 1's table state; the latest view unions both runs; unknown
+        snapshots raise."""
+        import pytest as _pytest
+
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.pipeline import read_chunks, run_pipeline
+
+        out = str(tmp_path / "out")
+        p1 = write_pages_parquet(str(tmp_path / "p1.parquet"), 40, seed=11)
+        m1 = run_pipeline(spark, spark.read.parquet(p1), out)
+        p2 = write_pages_parquet(str(tmp_path / "p2.parquet"), 30, seed=12)
+        m2 = run_pipeline(spark, spark.read.parquet(p2), out)
+        assert m1["run_id"] != m2["run_id"]
+
+        latest = read_chunks(spark, out)
+        asof1 = read_chunks(spark, out, as_of_run=m1["run_id"])
+        asof2 = read_chunks(spark, out, as_of_run=m2["run_id"])
+        n1 = asof1.count()
+        assert set(r["run_id"] for r in asof1.select("run_id").distinct().collect()) == {m1["run_id"]}
+        assert asof2.count() == latest.count() > n1 > 0
+
+        with _pytest.raises(ValueError, match="no committed run"):
+            read_chunks(spark, out, as_of_run="nonexistent")
