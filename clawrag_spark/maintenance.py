@@ -103,3 +103,125 @@ def compact_pipeline_output(
             spark, os.path.join(out_dir, sub), target_file_bytes
         )
     return results
+
+
+def expire_runs(
+    spark: SparkSession, out_dir: str, keep_last: int = 2
+) -> dict:
+    """Snapshot expiration: consolidate all but the newest ``keep_last``
+    runs into one base snapshot (Iceberg ``expire_snapshots`` +
+    ``rewrite_manifests`` parity for the plain-parquet layout).
+
+    Every table keeps its ROWS — expiry collapses lineage, not data, so
+    resume (doc-hash anti-join) and BM25 scoring are unaffected; only
+    time travel to the expired run ids stops resolving.  Old rows are
+    re-labeled with a synthetic ``base-<last-old-run>`` id whose
+    manifest commits FIRST, then tables rewrite one atomic swap at a
+    time, then the old manifests drop, then BM25 delta partitions merge
+    and the pointer swaps — a crash between any two steps leaves every
+    row covered by some committed manifest (the same ordering argument
+    as the pipeline's manifest-last commit).
+    """
+    import json as _json
+
+    from .pipeline import _bm25_commit_pointer, completed_run_ids
+
+    runs = completed_run_ids(out_dir)
+    if len(runs) <= keep_last:
+        return {"expired": False, "reason": "history_within_keep_last",
+                "n_runs": len(runs)}
+    old = runs[: len(runs) - keep_last]
+    base_id = f"base-{old[-1]}"
+    manifest_dir = os.path.join(out_dir, "manifest")
+
+    # 1. commit the base manifest first (rows renamed later are covered
+    # the moment they appear)
+    totals = {"n_input": 0, "n_processed": 0, "n_chunks": 0}
+    committed_at = None
+    for rid in old:
+        with open(os.path.join(manifest_dir, f"run_{rid}.json")) as fh:
+            m = _json.load(fh)
+        for k in totals:
+            totals[k] += m.get(k) or 0
+        ts = m.get("committed_at") or os.path.getmtime(
+            os.path.join(manifest_dir, f"run_{rid}.json")
+        )
+        committed_at = ts if committed_at is None else min(committed_at, ts)
+    base_manifest = {
+        "run_id": base_id, **totals, "expired_runs": old,
+        "committed_at": committed_at,
+    }
+    with open(os.path.join(manifest_dir, f"run_{base_id}.json"), "w") as fh:
+        _json.dump(base_manifest, fh, indent=2)
+
+    # 2. rewrite each run_id-carrying table with old ids mapped to base
+    from pyspark.sql import functions as F
+
+    rewritten = []
+    for sub in ("extracted", "chunks", "dedup_audit", "metrics"):
+        path = os.path.join(out_dir, sub)
+        if not os.path.isdir(path):
+            continue
+        df = spark.read.parquet(path)
+        if "run_id" not in df.columns:
+            continue
+        out = df.withColumn(
+            "run_id",
+            F.when(F.col("run_id").isin(old), F.lit(base_id))
+            .otherwise(F.col("run_id")),
+        )
+        tmp = path.rstrip("/") + ".expire_tmp"
+        bak = path.rstrip("/") + ".expire_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak, ignore_errors=True)
+        rewritten.append(sub)
+
+    # 3. drop the expired manifests
+    for rid in old:
+        os.remove(os.path.join(manifest_dir, f"run_{rid}.json"))
+
+    # 4. merge BM25 delta partitions + swap the pointer
+    index_dir = os.path.join(out_dir, "bm25_index")
+    pointer_path = os.path.join(index_dir, "_current.json")
+    bm25_merged = False
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as fh:
+            pointer = _json.load(fh)
+        expired_in_ptr = [r for r in pointer.get("runs", []) if r in old]
+        if expired_in_ptr:
+            for tbl in ("postings", "doclen"):
+                root = os.path.join(index_dir, tbl)
+                src_dirs = [
+                    os.path.join(root, f"run_id={rid}")
+                    for rid in expired_in_ptr
+                    if os.path.isdir(os.path.join(root, f"run_id={rid}"))
+                ]
+                if not src_dirs:
+                    continue
+                merged = spark.read.parquet(*src_dirs)
+                dst = os.path.join(root, f"run_id={base_id}")
+                tmp = dst + ".expire_tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                merged.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(tmp, dst)
+                for d in src_dirs:
+                    shutil.rmtree(d, ignore_errors=True)
+            pointer["runs"] = [base_id] + [
+                r for r in pointer.get("runs", []) if r not in old
+            ]
+            _bm25_commit_pointer(index_dir, pointer)
+            bm25_merged = True
+
+    return {
+        "expired": True,
+        "base_run_id": base_id,
+        "expired_runs": old,
+        "kept_runs": runs[len(runs) - keep_last:],
+        "tables_rewritten": rewritten,
+        "bm25_merged": bm25_merged,
+    }

@@ -49,3 +49,66 @@ def test_compaction_noop_paths(spark, tmp_path):
     spark.range(10).coalesce(1).write.parquet(one)
     res = compact_parquet_dir(spark, one)
     assert res["compacted"] is False and res["reason"] == "already_compact"
+
+
+class TestExpireRuns:
+    def test_expiry_preserves_rows_resume_and_bm25(self, spark, tmp_path):
+        """Three committed runs -> expire to keep_last=1: latest view
+        row-identical, resume still skips everything, BM25 index scores
+        unchanged, time travel to expired snapshots now raises."""
+        import pytest as _pytest
+
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.maintenance import expire_runs
+        from clawrag_spark.pipeline import (
+            bm25_query_index,
+            completed_run_ids,
+            read_chunks,
+            run_pipeline,
+        )
+
+        out = str(tmp_path / "out")
+        paths, manifests = [], []
+        for i, n in enumerate((30, 20, 25)):
+            p = write_pages_parquet(str(tmp_path / f"p{i}.parquet"), n, seed=20 + i)
+            paths.append(p)
+            manifests.append(
+                run_pipeline(spark, spark.read.parquet(p), out, bm25_index=True)
+            )
+        before_chunks = sorted(
+            r["chunk_id"] for r in read_chunks(spark, out).select("chunk_id").collect()
+        )
+        terms = ["daten", "extraction"]
+        before_scores = {
+            r["chunk_id"]: r["bm25_score"]
+            for r in bm25_query_index(spark, out, terms).collect()
+        }
+
+        res = expire_runs(spark, out, keep_last=1)
+        assert res["expired"] and res["bm25_merged"]
+        assert res["expired_runs"] == [m["run_id"] for m in manifests[:2]]
+
+        # history: exactly [base, last]
+        runs_after = completed_run_ids(out)
+        assert runs_after == [res["base_run_id"], manifests[2]["run_id"]]
+
+        # rows preserved exactly
+        after_chunks = sorted(
+            r["chunk_id"] for r in read_chunks(spark, out).select("chunk_id").collect()
+        )
+        assert after_chunks == before_chunks
+
+        # BM25 scoring identical after partition merge + pointer swap
+        after_scores = {
+            r["chunk_id"]: r["bm25_score"]
+            for r in bm25_query_index(spark, out, terms).collect()
+        }
+        assert after_scores == before_scores
+
+        # resume: re-running run 1's pages skips every doc
+        m = run_pipeline(spark, spark.read.parquet(paths[0]), out)
+        assert m["n_skipped_resume"] == m["n_input"]
+
+        # time travel to an expired snapshot no longer resolves
+        with _pytest.raises(ValueError, match="no committed run"):
+            read_chunks(spark, out, as_of_run=manifests[0]["run_id"])
