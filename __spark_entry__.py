@@ -315,6 +315,24 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — 4x smaller
+    at rest (the difference between an embedding table that fits the
+    cluster and one that doesn't at 10^12 chunks).  Codes round
+    half-away-from-zero in both engines, so the oracle matches the
+    exact byte stream; a pytest pins top-k recall on the dequantized
+    vectors."""
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = DS.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """Exact k-NN JOIN baseline: every query vector (small broadcast
     side) against the full embedding table in one scan, per-query top-3
@@ -1353,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_postings": q_bm25_postings,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
+        "embedding_quantize": q_embedding_quantize,
         "hybrid_minmax": q_hybrid_minmax,
         "rrf_fusion": q_rrf_fusion,
         "interleave_merge": q_interleave_merge,
@@ -2090,6 +2109,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 6 IN (0, 1, 2, 5)
             GROUP BY 1
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+            ),
+            s AS (
+                SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                                                     x -> abs(x::DOUBLE)),
+                                      'max') AS amax
+                FROM e
+            ),
+            q AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN amax > 0 THEN amax / 127.0
+                            ELSE 1.0 END AS scale
+                FROM s
+            )
+            SELECT vec_id, scale::FLOAT AS scale,
+                   array_to_string(list_transform(embedding,
+                       x -> CAST(CAST(round(x::DOUBLE / scale) AS TINYINT)
+                                 AS VARCHAR)), ',') AS codes_csv
+            FROM q
         """,
         "knn_join": """
             WITH q AS (

@@ -741,3 +741,39 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("n", F.col("lbl").alias("cluster"))
+
+
+# --------------------------------------------- embedding quantization
+
+def quantize_embeddings_int8(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an embedding column.
+
+    Returns (id, codes array<tinyint>, scale float): each component is
+    round(x / scale) with scale = max(|x|)/127 — 4x smaller at rest than
+    float32, which at 10^12 chunks is the difference between an
+    embedding table that fits the cluster and one that doesn't.  Pure
+    column expressions (transform + aggregate), no Python.
+
+    Dequantize with ``dequantize_int8``; cosine on dequantized vectors
+    preserves top-k ordering to ~1e-2 relative error (pinned by a
+    recall test) because cosine is scale-invariant and per-vector
+    scaling cancels in the norm.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        scale.cast("float").alias("scale"),
+    )
+
+
+def dequantize_int8(codes, scale):
+    """array<tinyint> codes + scalar scale → array<double>."""
+    return F.transform(codes, lambda c: c.cast("double") * scale.cast("double"))

@@ -277,3 +277,41 @@ class TestConnectedComponents:
             for r in connected_components(pairs, "doc_a", "doc_b").collect()
         }
         assert set(out.values()) == {10} and len(out) == 8
+
+
+class TestInt8Quantization:
+    def test_round_trip_and_topk_recall(self, spark):
+        import numpy as np
+
+        from clawrag_spark.operators.dataset import (
+            dequantize_int8,
+            quantize_embeddings_int8,
+        )
+        from clawrag_spark.operators.retrieval import cosine
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = quantize_embeddings_int8(emb, "vec_id", "embedding")
+        # max reconstruction error is scale/2 per component
+        joined = emb.join(q, "vec_id").select(
+            "vec_id", "embedding", dequantize_int8(F.col("codes"), F.col("scale")).alias("deq"), "scale"
+        )
+        row = joined.first()
+        err = np.abs(np.array(row["embedding"], dtype=np.float64) - np.array(row["deq"]))
+        assert err.max() <= row["scale"] / 2 + 1e-9
+
+        # top-10 cosine recall on dequantized vs exact, query = vec 0
+        qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        qlit = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+        exact = [
+            r["vec_id"]
+            for r in emb.filter("vec_id != 0")
+            .select("vec_id", cosine(F.col("embedding").cast("array<double>"), qlit).alias("c"))
+            .orderBy(F.desc("c"), "vec_id").limit(10).collect()
+        ]
+        approx = [
+            r["vec_id"]
+            for r in joined.filter("vec_id != 0")
+            .select("vec_id", cosine(F.col("deq"), qlit).alias("c"))
+            .orderBy(F.desc("c"), "vec_id").limit(10).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= 9
