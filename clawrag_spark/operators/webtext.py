@@ -204,6 +204,11 @@ def paragraph_dedup(
     document id with an in-row sort — two shuffles total for the whole
     corpus-level operation.
     """
+    if min_rep < 2:
+        raise ValueError(
+            f"min_rep must be >= 2 (got {min_rep}): 1 would remove every "
+            "paragraph, 0 and below are meaningless"
+        )
     paras = (
         docs.select(
             F.col(id_col).alias("__id"),
