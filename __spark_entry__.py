@@ -1257,6 +1257,17 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs from the training sources that
+    share any 8-token shingle with the 'src0' slice (the stand-in
+    benchmark suite) — the overlap filter every serious training-data
+    pipeline runs before a model ever sees the corpus."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return WT.decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Per-language document-length distribution (quartiles + mean/max)
     — the profiling pass before setting curation length cutoffs.  Uses
@@ -1417,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dedup_clusters": q_dedup_clusters,
         "length_quantiles": q_length_quantiles,
+        "decontaminate": q_decontaminate,
         "curation_funnel": q_curation_funnel,
         "host_stats": q_host_stats,
         "line_signals": q_line_signals,
@@ -2433,6 +2445,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2::BIGINT, 'near_dedup', lang, count(*) FROM dedup GROUP BY lang
             UNION ALL
             SELECT 3::BIGINT, 'training_mix', lang, count(*) FROM mix GROUP BY lang
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS g
+                FROM toks,
+                     LATERAL UNNEST(generate_series(0, len(toks) - 8)) AS t(i)
+                WHERE len(toks) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+            SELECT s.doc_id, count(DISTINCT s.g) AS n_hits
+            FROM sh s JOIN bench b USING (g)
+            WHERE s.source <> 'src0'
+            GROUP BY s.doc_id
         """,
         "length_quantiles": """
             SELECT lang, count(*) AS n_docs,

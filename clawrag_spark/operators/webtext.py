@@ -37,6 +37,7 @@ __all__ = [
     "pii_signals",
     "mask_pii",
     "stratified_sample",
+    "decontaminate",
     "train_char_lm",
     "lm_score",
     "canonicalize_url",
@@ -345,6 +346,54 @@ def lm_score(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_trigrams"),
         (-F.avg("lp")).alias("avg_neg_logp"),
+    )
+
+
+def _token_shingle_hashes(df: DataFrame, keep_cols: list[str], text_col: str, n: int) -> DataFrame:
+    """md5 of each n-token shingle, one row per position.  Tokens
+    materialize into their own projection first (lambda-CSE rule)."""
+    toks = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        ).alias("__t"),
+    ).filter(F.size("__t") >= n)
+    return toks.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.md5(F.array_join(F.slice(F.col("__t"), i + 1, n), " ")),
+            )
+        ).alias("g"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM style): flag corpus
+    documents sharing any n-token shingle with the benchmark set.
+
+    Returns (id, n_hits) — corpus docs with ≥1 overlapping shingle and
+    how many DISTINCT benchmark shingles they contain; the caller
+    anti-joins the flagged ids out of the training mix.  Scale shape:
+    benchmark suites are tiny next to the corpus, so the distinct
+    benchmark-shingle set broadcasts and the corpus side is one scan +
+    map-side semi-join — no corpus shuffle except the per-doc count.
+    """
+    bench_shingles = (
+        _token_shingle_hashes(benchmark, [], text_col, n).select("g").distinct()
+    )
+    corpus_shingles = _token_shingle_hashes(corpus, [id_col], text_col, n)
+    return (
+        corpus_shingles.join(F.broadcast(bench_shingles), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_hits"))
     )
 
 

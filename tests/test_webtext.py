@@ -302,3 +302,41 @@ def test_stratified_sample_is_stable_under_subset(spark):
         for r in W.stratified_sample(sub, "lang", {"en": 0.4}, "doc_id").collect()
     )
     assert sub_sample == {i for i in full if i < 500}
+
+
+# -------------------------------------------------------- decontamination
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8-gram verbatim
+            (1, "x y alpha beta gamma delta epsilon zeta eta theta end"),
+            # clean
+            (2, "one two three four five six seven eight nine ten"),
+            # shares only a 7-token run -> below n=8, clean
+            (3, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail pad"),
+        ],
+        ["id", "text"],
+    )
+    from clawrag_spark.operators.webtext import decontaminate
+
+    out = {r["id"]: r["n_hits"] for r in decontaminate(corpus, bench, "id", "text").collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out and 3 not in out
+
+
+def test_decontaminate_broadcast_plan(spark):
+    from clawrag_spark.operators.webtext import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d e f g h i")], ["id", "text"])
+    corpus = spark.createDataFrame([(2, "a b c d e f g h i j")], ["id", "text"])
+    plan = (
+        decontaminate(corpus, bench, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "EvalPython" not in plan
