@@ -1220,41 +1220,17 @@ def q_curation_funnel(spark, sf_dir):
     mix.  Returns per-(stage, lang) survivor counts — the funnel report
     a curation run ships with.  Intermediate stages are persisted (each
     feeds both its own count and the next stage)."""
+    from clawrag_spark.curation import curate_corpus, funnel_report
+
     docs = _load(spark, sf_dir, "documents")
-    # the repetition signal is a pure projection — applied INLINE in the
-    # scan-side filter (no self-join, no shuffle for stage 1)
-    quality = (
-        docs.withColumn(
-            "top_ngram_char_frac", WT.top_ngram_char_frac(F.col("text"))
-        )
-        .filter((F.col("n_chars") >= 100) & (F.col("top_ngram_char_frac") <= 0.12))
-        .persist()
+    res = curate_corpus(
+        docs, "doc_id", "text", "lang",
+        min_chars=100, max_top_bigram_frac=0.12, chars_col="n_chars",
+        pair_fn=_jaccard_verified_pairs,
+        mix_rates=_MIX_RATES, mix_default_rate=_MIX_DEFAULT,
+        mix_salt=_MIX_SALT,
     )
-    pairs = _jaccard_verified_pairs(quality)
-    cc = DS.connected_components(pairs, "doc_a", "doc_b")
-    drop_ids = cc.filter(F.col("n") != F.col("cluster")).select(
-        F.col("n").alias("doc_id")
-    )
-    dedup = quality.join(drop_ids, "doc_id", "left_anti").persist()
-    mix = WT.stratified_sample(
-        dedup, "lang", _MIX_RATES, "doc_id", salt=_MIX_SALT,
-        default_rate=_MIX_DEFAULT,
-    )
-
-    def stage_counts(df, idx, name):
-        return df.groupBy("lang").agg(F.count("*").alias("n_docs")).select(
-            F.lit(idx).cast("long").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "lang",
-            "n_docs",
-        )
-
-    return (
-        stage_counts(docs, 0, "input")
-        .unionByName(stage_counts(quality, 1, "quality"))
-        .unionByName(stage_counts(dedup, 2, "near_dedup"))
-        .unionByName(stage_counts(mix, 3, "training_mix"))
-    )
+    return funnel_report(res["stages"], "lang")
 
 
 def q_decontaminate(spark, sf_dir):

@@ -340,3 +340,33 @@ def test_decontaminate_broadcast_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "EvalPython" not in plan
+
+
+def test_curate_corpus_full_funnel_with_decontamination(spark):
+    from clawrag_spark.curation import curate_corpus, funnel_report
+
+    # per-doc stride over a large token space: no two docs share an
+    # 8-token run unless planted
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 53 + j * (2 * i + 3)) % 997}" for j in range(40)), "en")
+         for i in range(30)]
+        + [(98, "short", "en"),  # fails min_chars
+           (99, " ".join(f"v{j}" for j in range(40)), "de")],
+        ["doc_id", "text", "lang"],
+    )
+    bench = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    res = curate_corpus(
+        docs, "doc_id", "text", "lang",
+        min_chars=50, max_top_bigram_frac=0.9,
+        benchmark=bench, decontaminate_n=8,
+        mix_rates={"en": 1.0, "de": 1.0},
+    )
+    names = [n for n, _ in res["stages"]]
+    assert names == ["input", "quality", "decontaminated", "training_mix"]
+    curated_ids = {r["doc_id"] for r in res["curated"].select("doc_id").collect()}
+    assert 98 not in curated_ids          # length gate
+    assert 0 not in curated_ids           # overlaps the benchmark (itself)
+    assert 99 in curated_ids
+    report = funnel_report(res["stages"], "lang")
+    rows = {(r["stage"], r["lang"]): r["n_docs"] for r in report.collect()}
+    assert rows[("input", "en")] == 31 and rows[("training_mix", "de")] == 1
