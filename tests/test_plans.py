@@ -293,3 +293,11 @@ class TestWebtextPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "EvalPython" not in plan
+
+    def test_knn_join_broadcasts_query_side(self, spark):
+        plan = plan_of(entry_mod.q_knn_join(spark, SF_DIR))
+        # the nested-loop is intended here — but ONLY with a broadcast
+        # query side, never a shuffled cartesian
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
