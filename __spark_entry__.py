@@ -1218,8 +1218,9 @@ def q_curation_funnel(spark, sf_dir):
     near-dedup (MinHash candidates → Jaccard verify → connected
     components, keep the min-id representative) → stratified language
     mix.  Returns per-(stage, lang) survivor counts — the funnel report
-    a curation run ships with.  Intermediate stages are persisted (each
-    feeds both its own count and the next stage)."""
+    a curation run ships with.  Each stage materializes exactly once
+    (its report counts ARE the cache-warming job) and intermediate
+    caches release as soon as their successor is warm."""
     from clawrag_spark.curation import curate_corpus, funnel_report
 
     docs = _load(spark, sf_dir, "documents")
@@ -1230,7 +1231,7 @@ def q_curation_funnel(spark, sf_dir):
         mix_rates=_MIX_RATES, mix_default_rate=_MIX_DEFAULT,
         mix_salt=_MIX_SALT,
     )
-    return funnel_report(res["stages"], "lang")
+    return funnel_report(res, "lang")
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1326,6 +1327,8 @@ def q_url_latest(spark, sf_dir):
         pages.unionByName(variant("?utm_source=feed&ref=abc#frag", 1))
         .unionByName(variant("?b=2&a=1", 2))
         .unionByName(variant("?a=1&b=2&utm_campaign=x", 3))
+        # embedded '?' in a param value: query must split on FIRST '?'
+        .unionByName(variant("?x=1&redirect=https://o.com/a?b=2", 4))
     )
     return WT.latest_per_url(allp)
 
@@ -1340,8 +1343,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate runs only the
+    # FIRST 50 entries, so queries are listed least-recently-verified
+    # first — (a) brand-new this round, (b) never driver-verified
+    # (added r3, landed outside r3's 50-window), (c) verified r2 but
+    # not r3, (d) verified r3 (rotate to the back; the overflow keeps
+    # its r3 green row).  Re-rotate every round.
     return {
+        # -- (b) added r3, never driver-verified ----------------------
+        "shared_passages": q_shared_passages,
+        "ngram_repetition": q_ngram_repetition,
+        "training_mix": q_training_mix,
+        "lm_perplexity": q_lm_perplexity,
+        "dedup_clusters": q_dedup_clusters,
+        "length_quantiles": q_length_quantiles,
+        "decontaminate": q_decontaminate,
+        "curation_funnel": q_curation_funnel,
+        "host_stats": q_host_stats,
+        "line_signals": q_line_signals,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
+        "url_latest": q_url_latest,
+        # -- (c) verified r2, outside the r3 window --------------------
+        "row_chunks": q_row_chunks,
+        "email_parse": q_email_parse,
+        "relevance_filtered": q_relevance_filtered,
+        "metadata_filter": q_metadata_filter,
+        "profile_scan": q_profile_scan,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_token_counts": q_bpe_token_counts,
+        # -- (d) verified r3, rotated back -----------------------------
         "hybrid_pipeline_topk": q_hybrid_pipeline_topk,
+        "embedding_quantize": q_embedding_quantize,
+        "ngram_jaccard": q_ngram_jaccard,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "best_order_per_customer": q_best_order_per_customer,
@@ -1358,14 +1392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_postings": q_bm25_postings,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
-        "embedding_quantize": q_embedding_quantize,
         "hybrid_minmax": q_hybrid_minmax,
         "rrf_fusion": q_rrf_fusion,
         "interleave_merge": q_interleave_merge,
         "version_windows": q_version_windows,
         "audit_join": q_audit_join,
         "minhash_bands": q_minhash_bands,
-        "ngram_jaccard": q_ngram_jaccard,
         "embedding_sign_buckets": q_embedding_sign_buckets,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1391,26 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "union_collections": q_union_collections,
         "data_type_route": q_data_type_route,
-        "row_chunks": q_row_chunks,
-        "email_parse": q_email_parse,
-        "relevance_filtered": q_relevance_filtered,
-        "metadata_filter": q_metadata_filter,
-        "profile_scan": q_profile_scan,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "shared_passages": q_shared_passages,
-        "bpe_token_counts": q_bpe_token_counts,
-        "ngram_repetition": q_ngram_repetition,
-        "training_mix": q_training_mix,
-        "lm_perplexity": q_lm_perplexity,
-        "dedup_clusters": q_dedup_clusters,
-        "length_quantiles": q_length_quantiles,
-        "decontaminate": q_decontaminate,
-        "curation_funnel": q_curation_funnel,
-        "host_stats": q_host_stats,
-        "line_signals": q_line_signals,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pii_scrub": q_pii_scrub,
-        "url_latest": q_url_latest,
     }
 
 
@@ -2626,6 +2638,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url || '?a=1&b=2&utm_campaign=x',
                        warc_ts + INTERVAL 3 HOUR
                 FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                UNION ALL
+                SELECT url || '?x=1&redirect=https://o.com/a?b=2',
+                       warc_ts + INTERVAL 4 HOUR
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
             ),
             s1 AS (SELECT url, warc_ts,
                           regexp_replace(url, '#.*$', '') AS nf FROM raw),
@@ -2633,7 +2649,8 @@ def oracle_sql() -> dict[str, str]:
                           regexp_replace(lower(split_part(nf, '?', 1)),
                                          '/$', '') AS base,
                           CASE WHEN contains(nf, '?')
-                               THEN split_part(nf, '?', 2) ELSE '' END AS q
+                               THEN substring(nf, instr(nf, '?') + 1)
+                               ELSE '' END AS q
                    FROM s1),
             s3 AS (SELECT url, warc_ts, base,
                           array_to_string(list_sort(list_filter(

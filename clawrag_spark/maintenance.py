@@ -118,9 +118,13 @@ def expire_runs(
     re-labeled with a synthetic ``base-<last-old-run>`` id whose
     manifest commits FIRST, then tables rewrite one atomic swap at a
     time, then the old manifests drop, then BM25 delta partitions merge
-    and the pointer swaps — a crash between any two steps leaves every
-    row covered by some committed manifest (the same ordering argument
-    as the pipeline's manifest-last commit).
+    and the pointer swaps.  Every ROW stays covered by some committed
+    manifest throughout, but each table swap has the same two-rename
+    window as the compaction module: a crash (or concurrent reader)
+    between ``rename(path, .expire_old)`` and ``rename(.expire_tmp,
+    path)`` sees the table directory briefly missing — recover by
+    renaming the ``.expire_old`` directory back into place (it holds
+    the complete pre-expiration table).
     """
     import json as _json
 

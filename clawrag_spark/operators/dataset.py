@@ -739,6 +739,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exiting via max_iter with labels still moving means SPLIT
+        # clusters downstream (multiple "representatives" of one dup
+        # cluster) with no other signal — fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the component diameter "
+            f"exceeds max_iter — raise max_iter or use "
+            f"connected_components_star for chain-shaped graphs"
+        )
     edges.unpersist()
     return labels.select("n", F.col("lbl").alias("cluster"))
 
@@ -762,15 +773,28 @@ def quantize_embeddings_int8(
     scaling cancels in the norm.
     """
     v = F.col(vec_col)
-    amax = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    # Stage the O(d) amax fold into its own projection BEFORE anything
+    # references it more than once: an expression referenced inside a
+    # transform() lambda is re-evaluated PER ELEMENT (no CSE across
+    # lambda scopes), so an inline scale would re-run the fold for
+    # every component — O(d²)/row, ~590k ops instead of ~1.5k at the
+    # 768-dim production width.  Two stages: (1) amax (the CASE WHEN
+    # in scale references it twice), (2) scale (the codes lambda and
+    # the output column reference it twice) — multiple non-cheap
+    # references are what keep CollapseProject from re-inlining, and a
+    # plan pin asserts the fold survives exactly once.
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    s1 = emb.select(F.col(id_col), v.alias("__v"), amax.alias("__amax"))
+    scale = F.when(F.col("__amax") > 0, F.col("__amax") / F.lit(127.0)).otherwise(
+        F.lit(1.0)
     )
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    codes = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
-    return emb.select(
+    s2 = s1.select(F.col(id_col), F.col("__v"), scale.alias("__scale"))
+    s = F.col("__scale")
+    codes = F.transform(F.col("__v"), lambda x: F.round(x / s).cast("tinyint"))
+    return s2.select(
         F.col(id_col),
         codes.alias("codes"),
-        scale.cast("float").alias("scale"),
+        s.cast("float").alias("scale"),
     )
 
 

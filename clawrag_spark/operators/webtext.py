@@ -456,8 +456,12 @@ def canonicalize_url(url: Column) -> Column:
     """
     no_frag = F.regexp_replace(url, "#.*$", "")
     base = F.regexp_replace(F.lower(F.substring_index(no_frag, "?", 1)), "/$", "")
+    # query = everything after the FIRST '?': a second '?' is a literal
+    # inside a param value (e.g. ?x=1&redirect=https://o.com/a?b=2,
+    # common in crawl data) and must stay with its param — splitting on
+    # the LAST '?' would drop every real param for such URLs.
     query = F.when(
-        no_frag.contains("?"), F.substring_index(no_frag, "?", -1)
+        no_frag.contains("?"), F.substr(no_frag, F.instr(no_frag, "?") + 1)
     ).otherwise(F.lit(""))
     kept = F.array_sort(
         F.filter(

@@ -301,3 +301,19 @@ class TestWebtextPlans:
         assert "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
+
+    def test_quantize_scale_fold_staged_once(self, spark):
+        # the O(d) amax fold must NOT sit inside the transform() lambda
+        # (no CSE across lambda scopes -> O(d^2)/row); two staged
+        # projections leave exactly ONE aggregate in the optimized plan
+        from clawrag_spark.operators.dataset import quantize_embeddings_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25])], "vec_id long, embedding array<double>"
+        )
+        q = quantize_embeddings_int8(df, "vec_id", "embedding")
+        opt = q._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("aggregate(") == 1
+        # and the codes lambda references the staged attribute, not the fold
+        transform_part = opt[opt.index("transform(") :].split("\n")[0]
+        assert "aggregate(" not in transform_part

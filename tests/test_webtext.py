@@ -367,6 +367,7 @@ def test_curate_corpus_full_funnel_with_decontamination(spark):
     assert 98 not in curated_ids          # length gate
     assert 0 not in curated_ids           # overlaps the benchmark (itself)
     assert 99 in curated_ids
-    report = funnel_report(res["stages"], "lang")
+    assert "top_ngram_char_frac" not in res["curated"].columns
+    report = funnel_report(res, "lang")
     rows = {(r["stage"], r["lang"]): r["n_docs"] for r in report.collect()}
     assert rows[("input", "en")] == 31 and rows[("training_mix", "de")] == 1
