@@ -932,6 +932,21 @@ def q_shared_passages(spark, sf_dir):
     )
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Exact substring-span REMOVAL (Lee et al. 2021) — one step past
+    ``shared_passages``' pair detection: duplicated spans ≥20 chars are
+    cut from every doc except the first occurrence corpus-wide and the
+    text is rewritten.  k=10 gram hashes stand in for the paper's
+    suffix array (identical output for spans ≥ 2k−1); the md5 of the
+    rewritten text is the oracle-pinned witness."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = DS.remove_duplicate_passages(docs, "doc_id", "text", k=10, min_len=20)
+    return out.select(
+        "doc_id", "n_dup_spans", "n_removed_chars",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """BPE-ish token counting: GPT-style pre-tokenizer classes (letter
     runs / digit runs / punctuation runs, optionally space-prefixed) —
@@ -1350,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not r3, (d) verified r3 (rotate to the back; the overflow keeps
     # its r3 green row).  Re-rotate every round.
     return {
+        # -- (a) new this round ----------------------------------------
+        "passage_dedup": q_passage_dedup,
         # -- (b) added r3, never driver-verified ----------------------
         "shared_passages": q_shared_passages,
         "ngram_repetition": q_ngram_repetition,
@@ -2092,6 +2109,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, f.fp
             FROM sel, LATERAL UNNEST(fps) AS f(fp)
+        """,
+        "passage_dedup": """
+            WITH docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 40
+            ),
+            g AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 9)) AS pos
+                FROM docs WHERE length(text) >= 10
+            ),
+            h AS (
+                SELECT doc_id, pos, md5(substring(text, pos, 10)) AS h
+                FROM g
+            ),
+            dup AS (
+                SELECT doc_id, pos, pos + 9 AS e
+                FROM h
+                QUALIFY row_number() OVER (
+                    PARTITION BY h ORDER BY doc_id, pos) > 1
+            ),
+            iv AS (
+                SELECT doc_id, pos, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS pmax
+                FROM dup
+            ),
+            isl AS (
+                SELECT doc_id, pos, e,
+                       sum(CASE WHEN pmax IS NULL OR pos > pmax + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM iv
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS s, max(e) AS e
+                FROM isl GROUP BY doc_id, island
+                HAVING max(e) - min(pos) + 1 >= 20
+            ),
+            sp2 AS (
+                SELECT doc_id, s, e,
+                       lag(e, 1, 0) OVER (PARTITION BY doc_id
+                                          ORDER BY s) AS prev_e
+                FROM spans
+            ),
+            pieces AS (
+                SELECT p.doc_id, p.s AS ord,
+                       substring(d.text, p.prev_e + 1, p.s - p.prev_e - 1) AS piece
+                FROM sp2 p JOIN docs d USING (doc_id)
+                UNION ALL
+                SELECT t.doc_id, length(d.text) + 1 AS ord,
+                       substring(d.text, t.max_e + 1) AS piece
+                FROM (SELECT doc_id, max(e) AS max_e
+                      FROM spans GROUP BY doc_id) t
+                JOIN docs d USING (doc_id)
+            ),
+            agg AS (
+                SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean
+                FROM pieces GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                       sum(e - s + 1)::BIGINT AS n_removed_chars
+                FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+                   coalesce(st.n_removed_chars, 0) AS n_removed_chars,
+                   md5(coalesce(a.clean, d.text)) AS clean_md5
+            FROM docs d
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
         """,
         "bpe_token_counts": """
             SELECT doc_id,

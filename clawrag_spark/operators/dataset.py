@@ -652,6 +652,107 @@ def winnow_fingerprints(
     )
 
 
+def remove_duplicate_passages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_len: int = 20,
+) -> DataFrame:
+    """Exact substring-span REMOVAL (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every character that
+    sits inside a duplicated span of length ≥ ``min_len`` is cut from
+    all but the FIRST occurrence corpus-wide, and the text is rewritten
+    — the operation SlimPajama/RefinedWeb-style pipelines actually run,
+    one step past the pair *detection* that ``winnow_fingerprints``
+    feeds.
+
+    Algorithm (hash-join stand-in for the paper's suffix array, same
+    output semantics for spans ≥ min_len ≥ 2k−1):
+    1. every k-gram position hashes to (id, pos, h) — one row per char,
+    2. per hash, the first occurrence (min (id, pos)) OWNS it; every
+       later occurrence is a duplicate k-gram,
+    3. per doc, overlapping-or-adjacent duplicate intervals
+       [pos, pos+k−1] merge into maximal spans (gaps-and-islands over
+       one window); spans shorter than min_len are kept as text
+       (incidental overlap, not plagiarism),
+    4. surviving text = concat of the inter-span segments — a pure
+       ``aggregate`` fold over the doc's sorted spans.
+
+    Returns (id_col, text_clean, n_dup_spans, n_removed_chars) — one
+    row per input doc, including docs with nothing removed.
+
+    Scale shape: two shuffles (hash → first-occurrence window; doc →
+    span merge + rewrite).  The gram pass is one 16-byte row per input
+    CHARACTER — linear but heavy, so at corpus scale run it only over
+    the candidate set ``shared_passages`` flags (winnowed fingerprints,
+    ~2/(w+1) of this volume) plus their first-occurrence partners; the
+    full pass here is the exact reference semantics the candidates
+    approximate.
+    """
+    from pyspark.sql import Window
+
+    tc = F.col(text_col)
+    base = ensure_parallelism(docs).select(F.col(id_col), tc)
+    g = base.filter(F.length(tc) >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(tc) - k + 1),
+                lambda p: F.struct(
+                    p.alias("pos"), F.md5(F.substr(tc, p, F.lit(k))).alias("h")
+                ),
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+    # 2. duplicate k-gram positions: everything after the first (id, pos)
+    w_h = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    dup = (
+        g.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") > 1)
+        .select(F.col(id_col), "pos", (F.col("pos") + (k - 1)).alias("e"))
+    )
+
+    # 3. gaps-and-islands merge per doc
+    w_d = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("e").over(w_d.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_d))
+    spans = (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.count("*").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("n_removed_chars"),
+        )
+    )
+
+    # 4. rewrite: fold the sorted spans, emitting each inter-span segment
+    rebuilt = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit("").alias("acc"), F.lit(1).cast("int").alias("nxt")),
+        lambda a, sp: F.struct(
+            F.concat(a.acc, F.substr(tc, a.nxt, sp.s - a.nxt)).alias("acc"),
+            (sp.e + 1).cast("int").alias("nxt"),
+        ),
+        lambda a: F.concat(a.acc, F.substr(tc, a.nxt, F.length(tc) - a.nxt + 1)),
+    )
+    return base.join(spans, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("spans").isNull(), tc).otherwise(rebuilt).alias("text_clean"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("n_removed_chars"), F.lit(0))
+        .cast("long")
+        .alias("n_removed_chars"),
+    )
+
+
 # ----------------------------------------------------- quality signals
 
 _STOPWORDS = (

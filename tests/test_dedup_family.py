@@ -315,3 +315,56 @@ class TestInt8Quantization:
             .orderBy(F.desc("c"), "vec_id").limit(10).collect()
         ]
         assert len(set(exact) & set(approx)) >= 9
+
+
+class TestPassageRemoval:
+    """Exact substring-span removal (Lee et al. 2021 semantics)."""
+
+    def test_first_occurrence_kept_later_cut(self, spark):
+        from clawrag_spark.operators.dataset import remove_duplicate_passages
+
+        shared = "The quick brown fox jumps over the lazy dog near the river."
+        docs = spark.createDataFrame(
+            [
+                (1, "AAA unique one. " + shared + " tail one."),
+                (2, "BBB different start. " + shared + " other tail."),
+                (3, "no duplication at all here, totally fresh words."),
+                (4, "self " + shared + " mid " + shared + " end"),
+                (5, "tiny"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicate_passages(
+                docs, "doc_id", "text", k=10, min_len=20
+            ).collect()
+        }
+        assert len(out) == 5  # every input doc present, dup-free included
+        # first occurrence corpus-wide survives byte-for-byte
+        assert shared in out[1]["text_clean"] and out[1]["n_removed_chars"] == 0
+        # later occurrences are cut, including both copies in doc 4
+        assert shared not in out[2]["text_clean"]
+        assert shared not in out[4]["text_clean"] and out[4]["n_dup_spans"] == 2
+        assert out[2]["n_removed_chars"] >= len(shared)
+        # untouched docs pass through unchanged
+        assert out[3]["text_clean"].startswith("no duplication")
+        assert out[5]["text_clean"] == "tiny" and out[5]["n_dup_spans"] == 0
+
+    def test_short_incidental_overlap_stays(self, spark):
+        from clawrag_spark.operators.dataset import remove_duplicate_passages
+
+        # the shared run is 14 chars — >= k but < min_len: detected as a
+        # dup island, then dropped by the min_len gate, so text survives
+        docs = spark.createDataFrame(
+            [(1, "alpha common-run-xy beta"), (2, "gamma common-run-xy delta")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicate_passages(
+                docs, "doc_id", "text", k=10, min_len=20
+            ).collect()
+        }
+        assert out[2]["n_dup_spans"] == 0
+        assert out[2]["text_clean"] == "gamma common-run-xy delta"
