@@ -454,7 +454,19 @@ def q_minhash_bands(spark, sf_dir):
 
 def _jaccard_verified_pairs(docs):
     """MinHash-band candidates (r=2) → exact 3-gram Jaccard verify >0.8.
-    Shared by q_ngram_jaccard and the curation funnel's dedup stage."""
+    Shared by q_ngram_jaccard and the curation funnel's dedup stage.
+
+    The verify is HASH-ROW based, never array-based: grams explode to
+    (doc, md5(gram)) rows, pre-filtered to docs that appear in any
+    candidate pair, and |A∩B| is a count aggregation over the two
+    equi-joins — so the candidate-join shuffle carries 16-byte hashes,
+    one row per shared gram.  The old array path shipped BOTH docs'
+    full distinct-gram arrays to every candidate pair: a hot doc in
+    many pairs replicated its whole array per pair through the shuffle
+    — fine at sf0.1, quadratic traffic at 100 TB.  jaccard =
+    inter/(|A|+|B|−inter) over the same distinct-gram counts, so the
+    value (and the DuckDB oracle) is bit-identical to the array path.
+    """
     # r=2 rows per band: candidate prob 1-(1-j²)⁴ — ≥98% recall at the
     # 0.8 verify threshold, but random low-Jaccard pairs (rampant in the
     # tiny-vocab corpus) collapse from ~42k candidates to a few hundred.
@@ -480,17 +492,38 @@ def _jaccard_verified_pairs(docs):
             )
         ).alias("grams"),
     )
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    # explode once; only docs that appear in some candidate pair matter
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    gh = (
+        grams.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode("grams").alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    sizes = gh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(gh.select(F.col("doc_id").alias("doc_a"), "gh"), "doc_a")
+        .join(gh.select(F.col("doc_id").alias("doc_b"), "gh"), ["doc_b", "gh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("grams_a", "grams_b"))
-                / F.size(F.array_union("grams_a", "grams_b")),
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 6,
             ).alias("jaccard"),
         )

@@ -317,3 +317,12 @@ class TestWebtextPlans:
         # and the codes lambda references the staged attribute, not the fold
         transform_part = opt[opt.index("transform(") :].split("\n")[0]
         assert "aggregate(" not in transform_part
+
+    def test_jaccard_verify_no_arrays_cross_candidate_join(self, spark):
+        # the verify must count (doc, gram-hash) ROWS, never ship whole
+        # gram arrays per candidate pair through the shuffle
+        plan = plan_of(entry_mod.q_ngram_jaccard(spark, SF_DIR))
+        assert "array_intersect" not in plan
+        assert "array_union" not in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
