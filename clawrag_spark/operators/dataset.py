@@ -804,15 +804,21 @@ def connected_components(
     and keep-one-per-cluster in a dedup pipeline).
 
     Each node starts labeled with its own id; every iteration each node
-    takes the minimum label among itself and its neighbors, until a
-    fixpoint — the label is then the smallest id in the component, a
-    deterministic canonical representative.  Convergence needs
-    O(component diameter) rounds; near-dup clusters are dense (diameter
-    ≤ ~3), so 3-4 shuffles in practice.  ``localCheckpoint`` truncates
-    the growing lineage each round — without it the plan doubles per
-    iteration and the job dies at scale on plan size, not data size.
+    takes the minimum label among (a) itself, (b) its neighbors, and
+    (c) its label's OWN label — the pointer-jumping / path-halving step
+    that doubles how far a small label has travelled each round, so a
+    chain-shaped component of length L converges in O(log L) rounds
+    instead of O(L) (the alternating-star bound of Kiveris et al. 2014,
+    obtained here with one extra self-join per round).  Near-dup
+    clusters are dense (diameter ≤ ~3) and converge in 3-4 rounds
+    either way; the jump is what protects adversarial chains at scale.
+    ``localCheckpoint`` truncates the growing lineage each round —
+    without it the plan doubles per iteration and the job dies at scale
+    on plan size, not data size.
 
-    Returns (n, cluster) — one row per node that appears in any pair.
+    Returns (n, cluster) — one row per node that appears in any pair;
+    the label is the smallest id in the component, a deterministic
+    canonical representative.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(
@@ -825,11 +831,24 @@ def connected_components(
         neigh = edges.join(
             labels.select(F.col("n").alias("a"), "lbl"), "a"
         ).select(F.col("b").alias("n"), "lbl")
+        # pointer jump: lbl ← labels[lbl]; labels always point at a
+        # node that exists in `labels` (a min over node ids), so the
+        # inner join is total
+        jump = (
+            labels.select(F.col("n").alias("jn"), F.col("lbl").alias("mid"))
+            .join(
+                labels.select(F.col("n").alias("mid"), F.col("lbl").alias("jl")),
+                "mid",
+            )
+            .select(F.col("jn").alias("n"), F.col("jl").alias("lbl"))
+        )
         # lazy checkpoint: materialized BY the convergence count below —
         # one job per round instead of an eager-checkpoint job plus a
         # count job (measured ~2x fewer driver round-trips per iteration)
         new_labels = (
-            labels.union(neigh).groupBy("n").agg(F.min("lbl").alias("lbl"))
+            labels.union(neigh).union(jump)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=False)
         changed = (
             labels.alias("o")
@@ -847,9 +866,9 @@ def connected_components(
         edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); the component diameter "
-            f"exceeds max_iter — raise max_iter or use "
-            f"connected_components_star for chain-shaped graphs"
+            f"({changed} labels still changing); with pointer jumping "
+            f"this needs a component of length > ~2^{max_iter} — check "
+            f"the pair generator before raising max_iter"
         )
     edges.unpersist()
     return labels.select("n", F.col("lbl").alias("cluster"))

@@ -278,6 +278,33 @@ class TestConnectedComponents:
         }
         assert set(out.values()) == {10} and len(out) == 8
 
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from clawrag_spark.operators.dataset import connected_components
+
+        # 1000-node path, diameter 999: plain min-propagation needs
+        # ~999 rounds; pointer jumping must land it within 15
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(999)], ["doc_a", "doc_b"]
+        ).coalesce(4)
+        out = {
+            r["n"]: r["cluster"]
+            for r in connected_components(
+                pairs, "doc_a", "doc_b", max_iter=15
+            ).collect()
+        }
+        assert set(out.values()) == {0} and len(out) == 1000
+
+    def test_unconverged_raises_instead_of_splitting(self, spark):
+        import pytest
+
+        from clawrag_spark.operators.dataset import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(999)], ["doc_a", "doc_b"]
+        ).coalesce(4)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, "doc_a", "doc_b", max_iter=2)
+
 
 class TestInt8Quantization:
     def test_round_trip_and_topk_recall(self, spark):
