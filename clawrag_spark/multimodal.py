@@ -76,10 +76,11 @@ def _sniff(payload: bytes) -> tuple[str, str]:
 
 
 # ------------------------------------------------ real decoders (no libs)
-# BMP (24/32-bit uncompressed BI_RGB) and binary PPM (P6) are simple
-# enough to decode with the stdlib + numpy — these run REAL pixel
-# decode end-to-end in this container; jpeg/png/gif get real HEADER
-# parsing (dimensions) but pixel decode still needs a codec library.
+# BMP (24/32-bit uncompressed BI_RGB), binary PPM (P6), and PNG (8-bit
+# gray/RGB/RGBA, non-interlaced — stdlib zlib + the five filter
+# predictors) decode REAL pixels end-to-end in this container; jpeg/gif
+# get real HEADER parsing (dimensions) but pixel decode still needs a
+# codec library.
 
 def encode_bmp(img: np.ndarray) -> bytes:
     """Minimal BITMAPINFOHEADER 24-bit BMP writer (test-fixture twin of
@@ -153,6 +154,152 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3).copy()
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB/RGBA/gray, no interlace) — the
+    test-fixture twin of ``decode_png``.  ``filter_type`` applies one
+    scanline filter (0..4) to EVERY row so round-trip tests can
+    exercise each predictor, not just filter 0."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[nch]
+    img = img.astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.uint8)
+    for y in range(h):
+        row = img[y].reshape(-1)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(nch, np.uint8), row[:-nch]])
+            filt = row - left
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(nch, np.uint8), row[:-nch]])
+            filt = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(nch, np.uint8), row[:-nch]])
+            ul = np.concatenate([np.zeros(nch, np.uint8), prev[:-nch]])
+            filt = row - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"unknown filter {filter_type}")
+        raw.append(filter_type)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over whole scanlines."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = ul.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG to HxWxC uint8
+    — stdlib ``zlib`` + the five scanline filter predictors, no codec
+    library.  Filters Sub/Up are vectorized (per-channel-lane cumsum /
+    row add); Average and Paeth recurse on the just-reconstructed left
+    neighbour, so they reconstruct pixel-sequentially per row with the
+    up/upper-left terms precomputed as arrays.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    nch = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth != 8 or nch is None or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}) — 8-bit gray/RGB/RGBA only"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += 1 + stride
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-channel-lane running sum mod 256
+            rec = row
+            for c in range(nch):
+                rec[c::nch] = np.cumsum(rec[c::nch], dtype=np.uint64) & 0xFF
+        elif f == 2:  # Up: uint8 addition wraps mod 256 per spec
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = row
+            for x in range(stride):
+                left = int(rec[x - nch]) if x >= nch else 0
+                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row
+            for x in range(stride):
+                a = int(rec[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, nch).copy()
+
+
 def _header_dims(payload: bytes, fmt: str) -> tuple[int, int] | None:
     """Real (height, width) from the container header, codec-free."""
     import struct
@@ -221,8 +368,9 @@ def media_metadata(payload: pd.Series) -> pd.DataFrame:
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode to an HxWx3 uint8 array.
 
-    BMP (24/32-bit BI_RGB) and PPM (P6) decode for REAL, codec-free
-    (decode_bmp/decode_ppm above).  Other formats need Pillow; without
+    BMP (24/32-bit BI_RGB), PPM (P6), and PNG (8-bit gray/RGB/RGBA,
+    non-interlaced) decode for REAL, codec-free (decode_bmp /
+    decode_ppm / decode_png above).  Other formats need Pillow; without
     it the deterministic fake emits a seeded gradient so downstream
     stages (resize, feature extract) still exercise real numpy work on
     real batch shapes.
@@ -231,6 +379,17 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] == b"P6" and payload[2:3] in b" \t\n\r":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        import struct
+        import zlib
+
+        try:
+            img = decode_png(payload)
+            if img.shape[2] == 1:       # gray → RGB
+                return np.repeat(img, 3, axis=2)
+            return img[:, :, :3].copy()  # RGBA → drop alpha
+        except (ValueError, zlib.error, struct.error, IndexError):
+            pass  # corrupt/unsupported PNG in a crawl → stand-in below
     if HAVE_PIL:  # pragma: no cover
         raise NotImplementedError("wire PIL.Image.open here when codecs exist")
     h, w = _fake_dims(payload)

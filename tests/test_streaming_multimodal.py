@@ -389,3 +389,100 @@ class TestStreamingDedup:
         urls = {r["url"] for r in got.collect()}
         assert "https://b.example.com/3" in urls
         assert len(urls & {"https://a.example.com/1", "https://a.example.com/2"}) == 1
+
+
+class TestPngDecoder:
+    """PNG pixel decode is REAL (stdlib zlib + the five filter
+    predictors) — reference parity point: extraction_service.py:180-185
+    treats images as metadata-only; we decode the most common web image
+    format end-to-end."""
+
+    def test_round_trip_every_filter(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+        for ft in range(5):
+            assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img), (
+                f"filter {ft} round-trip failed"
+            )
+
+    def test_round_trip_gray_and_rgba(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(12)
+        gray = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(gray))[:, :, 0], gray)
+        rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+        for ft in (2, 4):
+            assert np.array_equal(decode_png(encode_png(rgba, filter_type=ft)), rgba)
+
+    def test_multiple_idat_chunks(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from clawrag_spark.multimodal import _png_chunk, decode_png, encode_png
+
+        img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        # rebuild the file with the IDAT stream split in two chunks
+        raw = bytearray()
+        for y in range(4):
+            raw.append(0)
+            raw += img[y].tobytes()
+        z = zlib.compress(bytes(raw))
+        ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", z[: len(z) // 2])
+            + _png_chunk(b"IDAT", z[len(z) // 2 :])
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), img)
+
+    def test_rejects_unsupported(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from clawrag_spark.multimodal import _png_chunk, decode_png, encode_png
+
+        with _pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"nope")
+        # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(bad)
+        # truncated scanlines
+        good = bytearray(encode_png(np.zeros((3, 3, 3), np.uint8)))
+        with _pytest.raises(ValueError):
+            decode_png(bytes(good[:40]))
+
+    def test_media_metadata_real_png_dims_and_features(self, spark):
+        import numpy as np
+
+        from clawrag_spark.multimodal import (
+            FEATURE_DIM, encode_png, extract_image_features, media_metadata,
+        )
+
+        img = np.zeros((20, 30, 3), np.uint8)
+        img[:, :, 0] = 255  # pure red
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(img, filter_type=4)))],
+            "media_id int, media binary",
+        )
+        meta = df.select(media_metadata(F.col("media")).alias("m")).select("m.*").first()
+        assert (meta["width"], meta["height"]) == (30, 20)
+        assert meta["format"] == "png"
+        feat = extract_image_features(df).first()["feature"]
+        assert len(feat) == FEATURE_DIM
+        # every pixel decodes to the (2,0,0) histogram bucket = index 18
+        assert abs(feat[18] - 1.0) < 1e-6
