@@ -358,6 +358,171 @@ def ann_ivf_topk(
     )
 
 
+# ------------------------------------------------ product quantization
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    sample_mod: int | None = None,
+    iters: int = 8,
+):
+    """Train product-quantization codebooks: split the vector into
+    ``m_subspaces`` contiguous subvectors, run Lloyd's k-means with
+    ``k_codes`` centroids per subspace on a DETERMINISTIC sample
+    collected to the driver (FAISS-style: codebooks train on a bounded
+    in-memory sample — pick ``sample_mod`` so the sample is ≤ ~100k
+    rows at corpus scale — then encode everything distributed).
+
+    Determinism: the sample is ``pmod(xxhash64(id), sample_mod) == 0``,
+    sorted by id; initial centroids are evenly-spaced sample rows;
+    ties in assignment break to the lowest code.  Same data → same
+    codebooks on every run.
+
+    Returns a numpy array of shape (m_subspaces, k_codes, d/m).
+    """
+    import numpy as np
+
+    src = emb
+    if sample_mod is not None and sample_mod > 1:
+        src = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = src.select(F.col(id_col), F.col(vec_col)).collect()
+    rows.sort(key=lambda r: r[0])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by {m_subspaces} subspaces")
+    dsub = d // m_subspaces
+    k = min(k_codes, n)
+    books = np.zeros((m_subspaces, k_codes, dsub))
+    for m in range(m_subspaces):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        cents = S[np.linspace(0, n - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = S[mask].mean(axis=0)
+        books[m, :k] = cents
+        if k < k_codes:           # degenerate tiny input: repeat last
+            books[m, k:] = cents[-1]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame, id_col: str, vec_col: str, codebooks
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    nearest codebook centroid (L2).  One vectorized Arrow-batched
+    pandas UDF — the codes column is m_subspaces bytes per vector
+    (64-dim float32 → 8 bytes: 32× smaller at rest), the storage story
+    that makes a 10^12-vector ANN index fit a cluster.
+
+    Returns (id_col, codes array<tinyint>).
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, k, dsub = books.shape
+    # ||x - c||² = ||x||² − 2x·c + ||c||²; per-row ||x||² is constant
+    # across codes, so argmin needs only the GEMM term and ||c||²
+    cnorm = (books**2).sum(axis=2)  # (M, K)
+
+    @F.pandas_udf(T.ArrayType(T.ByteType()))
+    def _encode(col: pd.Series) -> pd.Series:
+        X = np.array(col.tolist(), dtype=np.float64)
+        n = X.shape[0]
+        codes = np.zeros((n, m_sub), dtype=np.int8)
+        for m in range(m_sub):
+            S = X[:, m * dsub : (m + 1) * dsub]
+            scores = cnorm[m][None, :] - 2.0 * (S @ books[m].T)  # (n, K)
+            codes[:, m] = scores.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    query_vec: list[float],
+    k: int,
+    rerank: int = 0,
+    cell_col: str | None = None,
+    n_probe: int = 0,
+    train_sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k: optional coarse-cell probe (IVF partition prune),
+    then asymmetric-distance scoring over PQ codes — approx cosine
+    from per-subspace inner-product lookup tables, Σ_m <q_m, c[m,code]>
+    over Σ_m ||c[m,code]||² — then optional EXACT re-rank of the top
+    ``rerank`` shortlist against the stored vectors.
+
+    Scale shape: the scan reads codes (m bytes/vector) instead of raw
+    vectors; with ``cell_col``/``n_probe`` only the probed cells scan
+    at all; only the ``rerank`` shortlist rows ever touch float
+    vectors.  Returns (id_col, cos_sim) — exact cosine when rerank>0,
+    ADC-approx otherwise.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, n_codes, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut_ip = np.stack(
+        [books[m] @ q[m * dsub : (m + 1) * dsub] for m in range(m_sub)]
+    )  # (M, K) inner products
+    lut_n2 = (books**2).sum(axis=2)  # (M, K) centroid sq-norms
+    qnorm = float(np.sqrt((q**2).sum()))
+
+    base = emb
+    if cell_col is not None and n_probe > 0:
+        cents = ivf_centroids(emb, id_col, vec_col, cell_col, train_sample_mod)
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+        best_cells = (
+            cents.select(F.col(cell_col), cosine(F.col("centroid"), qlit).alias("s"))
+            .orderBy(F.desc("s"), F.col(cell_col))
+            .limit(n_probe)
+            .select(cell_col)
+        )
+        base = emb.join(F.broadcast(best_cells), cell_col)
+
+    codes = pq_encode(base, id_col, vec_col, codebooks)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(codes_col: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        C = _np.array(codes_col.tolist(), dtype=_np.int64)  # (n, M)
+        ip = lut_ip[_np.arange(m_sub)[None, :], C].sum(axis=1)
+        n2 = lut_n2[_np.arange(m_sub)[None, :], C].sum(axis=1)
+        denom = qnorm * _np.sqrt(_np.maximum(n2, 1e-30))
+        return pd.Series(ip / denom)
+
+    approx = codes.select(F.col(id_col), _adc(F.col("codes")).alias("adc_sim"))
+    if rerank <= 0:
+        return approx.select(
+            F.col(id_col), F.col("adc_sim").alias("cos_sim")
+        ).orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    shortlist = approx.orderBy(F.desc("adc_sim"), F.col(id_col)).limit(rerank)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        base.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups_blocked(
     emb: DataFrame,
     id_col: str,

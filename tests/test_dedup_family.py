@@ -395,3 +395,83 @@ class TestPassageRemoval:
         }
         assert out[2]["n_dup_spans"] == 0
         assert out[2]["text_clean"] == "gamma common-run-xy delta"
+
+
+class TestProductQuantization:
+    """IVF-PQ: deterministic codebooks, ADC shortlist, exact re-rank."""
+
+    def _brute_top(self, X, ids, q, k):
+        import numpy as np
+
+        cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+        return [int(i) for i in ids[np.lexsort((ids, -cos))][:k]]
+
+    def test_codes_shape_and_determinism(self, spark):
+        import numpy as np
+
+        from clawrag_spark.operators.dataset import pq_encode, pq_train_codebooks
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        b1 = pq_train_codebooks(emb, "vec_id", "embedding", 8, 16)
+        b2 = pq_train_codebooks(emb, "vec_id", "embedding", 8, 16)
+        assert np.array_equal(b1, b2), "codebook training must be deterministic"
+        assert b1.shape == (8, 16, 8)
+        codes = pq_encode(emb, "vec_id", "embedding", b1).collect()
+        assert len(codes) == 500
+        assert all(len(r["codes"]) == 8 for r in codes)
+        assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    def test_adc_shortlist_recall_and_exact_rerank(self, spark):
+        import numpy as np
+
+        from clawrag_spark.operators.dataset import pq_topk, pq_train_codebooks
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        X = np.array([r["embedding"] for r in rows], float)
+        ids = np.array([r["vec_id"] for r in rows])
+        q = [float(x) for x in X[ids == 0][0]]
+        true10 = self._brute_top(X, ids, np.array(q), 10)
+
+        books = pq_train_codebooks(emb, "vec_id", "embedding", 8, 32)
+        # ADC-only recall@100 >= 0.9 on clusterless near-random vectors
+        adc100 = {
+            r["vec_id"]
+            for r in pq_topk(emb, "vec_id", "embedding", books, q, 100).collect()
+        }
+        assert len(set(true10) & adc100) >= 9
+        # with the shortlist covering, exact re-rank == brute force
+        reranked = [
+            r["vec_id"]
+            for r in pq_topk(
+                emb, "vec_id", "embedding", books, q, 10, rerank=200
+            ).collect()
+        ]
+        assert reranked == true10
+
+    def test_ivf_probe_composes_with_pq(self, spark):
+        from clawrag_spark.operators.dataset import pq_topk, pq_train_codebooks
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [
+            float(x)
+            for x in emb.filter("vec_id = 0").first()["embedding"]
+        ]
+        books = pq_train_codebooks(emb, "vec_id", "embedding", 8, 32)
+        # narrow probe: returns k rows with exact-cosine scores, sorted
+        out = pq_topk(
+            emb, "vec_id", "embedding", books, q, 5,
+            rerank=50, cell_col="label", n_probe=2,
+        ).collect()
+        assert len(out) == 5
+        sims = [r["cos_sim"] for r in out]
+        assert sims == sorted(sims, reverse=True)
+        # exhaustive probe covers every cell -> the query itself wins
+        full = pq_topk(
+            emb, "vec_id", "embedding", books, q, 5,
+            rerank=200, cell_col="label", n_probe=1000,
+        ).collect()
+        assert full[0]["vec_id"] == 0 and abs(full[0]["cos_sim"] - 1.0) < 1e-9
+        # narrow-probe results are a subset of the probed universe, so
+        # each score can never beat the exhaustive winner
+        assert all(r["cos_sim"] <= full[0]["cos_sim"] + 1e-12 for r in out)
