@@ -332,3 +332,103 @@ def streaming_dedup(
     return hashed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def incremental_curate(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    min_chars: int = 100,
+    max_top_bigram_frac: float = 0.12,
+    dedup_watermark: str = "24 hours",
+    benchmark=None,
+    decontaminate_n: int = 8,
+    mix_rates: dict[str, float] | None = None,
+    mix_default_rate: float = 0.0,
+    mix_salt: str = "mix",
+) -> None:
+    """Incremental counterpart of ``curation.curate_corpus``: drain the
+    unseen page files, run the curation funnel on the delta, append the
+    survivors — the continuously-fed variant of the batch funnel for a
+    crawl that lands files all day.
+
+    Stage mapping (batch funnel → incremental):
+    - exact dedup → engine-native ``dropDuplicatesWithinWatermark`` on
+      the content md5 BEFORE foreachBatch: per-key state is bounded by
+      (arrival rate × watermark horizon) and carries across invocations
+      through the checkpoint, so a re-crawled page dropped yesterday
+      stays dropped today.  Dedup and the per-row quality gate commute
+      (both are pure functions of the text), so running dedup first is
+      result-identical to the batch stage order.
+    - quality gate / decontamination / stratified mix → inside
+      ``foreachBatch``, reusing the batch operators verbatim on each
+      micro-batch (they are stateless per row, so batch ≡ incremental).
+      ``benchmark`` is a static DataFrame — its shingle set broadcasts
+      into every micro-batch join.
+    - near-dedup connected components stays batch-only BY DESIGN:
+      global iterative label propagation isn't expressible as bounded
+      streaming state; run it as a periodic compaction over the
+      accumulated output (the Lee-et-al. pipelines do the same).
+
+    Sinks: ``curated_stream`` (survivor rows) and ``curation_metrics``
+    (one row per micro-batch: batch id + per-stage survivor counts —
+    the incremental funnel report).
+    """
+    from .operators import webtext as WT
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_curate_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+    )
+    deduped = (
+        stream.withColumn("text_md5", F.md5(F.col("text")))
+        .withWatermark("warc_ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )
+
+    curated_path = os.path.join(out_dir, "curated_stream")
+    metrics_path = os.path.join(out_dir, "curation_metrics")
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        n_in = batch_df.count()
+        quality = batch_df.filter(
+            (F.length("text") >= min_chars)
+            & (WT.top_ngram_char_frac(F.col("text")) <= max_top_bigram_frac)
+        )
+        cached = [quality.persist()]
+        current = cached[0]
+        n_quality = current.count()
+        n_decontaminated = n_quality
+        if benchmark is not None:
+            flagged = WT.decontaminate(
+                current, benchmark, "url", "text", n=decontaminate_n
+            ).select("url")
+            current = current.join(flagged, "url", "left_anti").persist()
+            cached.append(current)
+            n_decontaminated = current.count()
+        n_mix = n_decontaminated
+        if mix_rates is not None:
+            current = WT.stratified_sample(
+                current, "lang", mix_rates, "url",
+                salt=mix_salt, default_rate=mix_default_rate,
+            )
+            n_mix = current.count()
+        (current.withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .write.mode("append").parquet(curated_path))
+        (spark.createDataFrame(
+            [(int(batch_id), n_in, n_quality, n_decontaminated, n_mix)],
+            "batch_id long, n_after_dedup long, n_quality long, "
+            "n_decontaminated long, n_mix long",
+        ).write.mode("append").parquet(metrics_path))
+        for frame in cached:
+            frame.unpersist()
+
+    query = (
+        deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -486,3 +486,75 @@ class TestPngDecoder:
         assert len(feat) == FEATURE_DIM
         # every pixel decodes to the (2,0,0) histogram bucket = index 18
         assert abs(feat[18] - 1.0) < 1e-6
+
+
+def _write_pages_txt(path, rows):
+    """rows = [(url, ts, text, lang)] → pages-schema parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([b""] * len(rows), pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        }),
+        path,
+    )
+
+
+class TestStreamingCuration:
+    def test_incremental_funnel_with_cross_run_dedup(
+        self, spark, out_dir, tmp_path
+    ):
+        from datetime import datetime
+
+        from clawrag_spark.streaming import incremental_curate
+
+        t0 = datetime(2025, 6, 1, 12, 0)
+        text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        text_b = "one two three four five six seven eight nine ten eleven"
+        text_c = "rot gruen blau gelb weiss schwarz lila braun rosa grau"
+        text_d = "fresh words never seen before in any earlier batch here"
+        pages_dir = str(tmp_path / "pages_curate")
+        os.makedirs(pages_dir)
+        _write_pages_txt(os.path.join(pages_dir, "b1.parquet"), [
+            ("https://a.ex/1", t0, text_a, "en"),
+            ("https://a.ex/2", t0, text_a, "en"),     # exact dup in batch
+            ("https://a.ex/3", t0, "short", "en"),    # quality fail
+            ("https://a.ex/4", t0, text_b, "en"),     # benchmark overlap
+            ("https://a.ex/5", t0, text_c, "de"),
+            ("https://a.ex/6", t0, text_c + " x", "zz"),  # lang not in mix
+        ])
+        bench = spark.createDataFrame(
+            [("q1", "one two three four five six seven eight questions")],
+            ["bid", "text"],
+        )
+        kwargs = dict(
+            min_chars=30, max_top_bigram_frac=0.9,
+            benchmark=bench, decontaminate_n=8,
+            mix_rates={"en": 1.0, "de": 1.0}, mix_default_rate=0.0,
+        )
+        incremental_curate(spark, pages_dir, out_dir, **kwargs)
+        curated = os.path.join(out_dir, "curated_stream")
+        kept = {r["url"] for r in spark.read.parquet(curated).collect()}
+        assert kept == {"https://a.ex/1", "https://a.ex/5"}
+        m1 = spark.read.parquet(os.path.join(out_dir, "curation_metrics")).collect()
+        stages = {(r["n_after_dedup"], r["n_quality"],
+                   r["n_decontaminated"], r["n_mix"]) for r in m1}
+        assert (5, 4, 3, 2) in stages
+
+        # run 2: a re-crawl of text_a (dup ACROSS invocations — dedup
+        # state carries through the checkpoint) plus one new doc
+        _write_pages_txt(os.path.join(pages_dir, "b2.parquet"), [
+            ("https://b.ex/1", t0, text_a, "en"),
+            ("https://b.ex/2", t0, text_d, "en"),
+        ])
+        incremental_curate(spark, pages_dir, out_dir, **kwargs)
+        kept2 = {r["url"] for r in spark.read.parquet(curated).collect()}
+        assert kept2 == {"https://a.ex/1", "https://a.ex/5", "https://b.ex/2"}
+        # re-run with no new files: nothing reprocessed
+        incremental_curate(spark, pages_dir, out_dir, **kwargs)
+        assert spark.read.parquet(curated).count() == 3
