@@ -969,14 +969,16 @@ def connected_components(
     and keep-one-per-cluster in a dedup pipeline).
 
     Each node starts labeled with its own id; every iteration each node
-    takes the minimum label among (a) itself, (b) its neighbors, and
-    (c) its label's OWN label — the pointer-jumping / path-halving step
-    that doubles how far a small label has travelled each round, so a
-    chain-shaped component of length L converges in O(log L) rounds
-    instead of O(L) (the alternating-star bound of Kiveris et al. 2014,
-    obtained here with one extra self-join per round).  Near-dup
-    clusters are dense (diameter ≤ ~3) and converge in 3-4 rounds
-    either way; the jump is what protects adversarial chains at scale.
+    takes the minimum label among (a) itself, (b) its neighbors, and —
+    from round 3 — (c) its label's OWN label, the pointer-jumping /
+    path-halving step that doubles how far a small label has travelled
+    each round, so a chain-shaped component of length L converges in
+    O(log L) rounds instead of O(L) (the alternating-star bound of
+    Kiveris et al. 2014, obtained here with one extra self-join per
+    round).  Near-dup clusters are dense (diameter ≤ ~3) and converge
+    within 3 neighbor-only rounds, so the jump join is deferred until
+    a component is still moving after round 2 — exactly the
+    chain-shaped case it protects against.
     ``localCheckpoint`` truncates the growing lineage each round —
     without it the plan doubles per iteration and the job dies at scale
     on plan size, not data size.
@@ -992,28 +994,33 @@ def connected_components(
     labels = (
         edges.select(F.col("a").alias("n")).distinct().withColumn("lbl", F.col("n"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = edges.join(
             labels.select(F.col("n").alias("a"), "lbl"), "a"
         ).select(F.col("b").alias("n"), "lbl")
+        parts = labels.union(neigh)
         # pointer jump: lbl ← labels[lbl]; labels always point at a
         # node that exists in `labels` (a min over node ids), so the
-        # inner join is total
-        jump = (
-            labels.select(F.col("n").alias("jn"), F.col("lbl").alias("mid"))
-            .join(
-                labels.select(F.col("n").alias("mid"), F.col("lbl").alias("jl")),
-                "mid",
+        # inner join is total.  Engaged from round 3 only: dense
+        # near-dup clusters converge in ≤3 neighbor rounds and the
+        # extra self-join per round would be pure overhead (measured
+        # 3×); a component still moving after round 2 is chain-shaped —
+        # exactly when halving pays.
+        if it >= 2:
+            jump = (
+                labels.select(F.col("n").alias("jn"), F.col("lbl").alias("mid"))
+                .join(
+                    labels.select(F.col("n").alias("mid"), F.col("lbl").alias("jl")),
+                    "mid",
+                )
+                .select(F.col("jn").alias("n"), F.col("jl").alias("lbl"))
             )
-            .select(F.col("jn").alias("n"), F.col("jl").alias("lbl"))
-        )
+            parts = parts.union(jump)
         # lazy checkpoint: materialized BY the convergence count below —
         # one job per round instead of an eager-checkpoint job plus a
         # count job (measured ~2x fewer driver round-trips per iteration)
         new_labels = (
-            labels.union(neigh).union(jump)
-            .groupBy("n")
-            .agg(F.min("lbl").alias("lbl"))
+            parts.groupBy("n").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=False)
         changed = (
             labels.alias("o")

@@ -42,6 +42,9 @@ __all__ = [
     "lm_score",
     "canonicalize_url",
     "latest_per_url",
+    "gopher_quality_gate",
+    "politeness_schedule",
+    "GOPHER_STOPWORDS",
     "EMAIL_RE",
     "PHONE_RE",
     "IPV4_RE",
@@ -494,4 +497,151 @@ def latest_per_url(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_t
         .withColumn("n_captures", F.count("*").over(Window.partitionBy("canonical_url")))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+#: Gopher §A1.1 "must contain at least two of" stop words.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    §A1.1) as one scan-side projection: per-document signals plus the
+    composed ``keep`` flag.  Defaults are the paper's published
+    thresholds.
+
+    Signals: word count bounds, mean word length bounds, symbol-to-word
+    ratio ('#' and '…'/'...'), bullet-started and ellipsis-ended line
+    fractions, fraction of words containing ≥1 alphabetic char, and the
+    ≥2-of-8 stop-word requirement.  Pure column expressions — no
+    shuffle, no UDF; at 10^12 documents this is a free rider on the
+    extraction scan.  Float signals round to 6 dp so the DuckDB oracle
+    hash-matches.
+    """
+    t = F.col(text_col)
+    base = docs.select(F.col(id_col), _words(t).alias("__w"), t.alias("__t"))
+    w, t2 = F.col("__w"), F.col("__t")
+    nw = F.size(w)
+    sig = base.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.when(
+            nw > 0,
+            F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)) / nw,
+        ).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(
+            nw > 0,
+            (
+                F.regexp_count(t2, F.lit(r"#"))
+                + F.regexp_count(t2, F.lit(r"\.\.\.|…"))
+            ) / nw,
+        ).otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
+        _line_frac(t2, prefix=True).alias("bullet_line_frac"),
+        _line_frac(t2, prefix=False).alias("ellipsis_line_frac"),
+        F.when(
+            nw > 0,
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw,
+        ).otherwise(F.lit(0.0)).alias("alpha_word_frac"),
+        F.size(
+            F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+        ).cast("long").alias("n_stop_hits"),
+    )
+    rounded = sig.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("n_stop_hits"),
+    )
+    return rounded.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits),
+    )
+
+
+def _line_frac(text: Column, prefix: bool) -> Column:
+    """Fraction of non-empty trimmed lines starting with a bullet
+    (prefix=True) or ending with an ellipsis (prefix=False)."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    nl = F.size(lines)
+    if prefix:
+        hits = F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("• "),
+        )
+    else:
+        hits = F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    return F.when(nl > 0, F.size(hits) / nl).otherwise(F.lit(0.0))
+
+
+def politeness_schedule(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    min_delay_sec: float = 5.0,
+) -> DataFrame:
+    """Per-host crawl politeness scheduling: the earliest fetch time for
+    every url given at most one request per ``min_delay_sec`` per host
+    — the frontier-scheduler pass a recrawl pipeline runs before
+    dispatching 10^12 fetches.
+
+    The queue recurrence sched_i = max(ready_i, sched_{i-1} + d) is
+    rewritten as sched_i = i·d + running_max_{j≤i}(ready_j − j·d), so
+    the whole schedule is ONE cumulative window max per host — no
+    iteration, no UDF; hosts partition the single shuffle and a hot
+    host's schedule is a sequential scan of its own rows only.
+
+    Returns (url, host, ready_epoch, sched_epoch, wait_sec) with epochs
+    as double seconds (rounded to 6 dp for cross-engine parity).
+    """
+    host = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("host").orderBy(F.col(ts_col).asc(), F.col(url_col).asc())
+    staged = pages.select(
+        host.alias("host"),
+        F.col(url_col),
+        F.col(ts_col),
+        # NTZ → TIMESTAMP (session tz is pinned UTC) → double seconds;
+        # a direct NTZ→double cast is rejected by Spark 4
+        F.col(ts_col).cast("timestamp").cast("double").alias("ready_epoch"),
+    ).withColumn("rn", F.row_number().over(w))
+    adj = (F.col("ready_epoch") - F.col("rn") * F.lit(min_delay_sec)).alias("adj")
+    staged = staged.withColumn("adj", adj)
+    run_max = F.max("adj").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sched = F.col("rn") * F.lit(min_delay_sec) + run_max
+    return staged.select(
+        F.col(url_col),
+        "host",
+        F.round("ready_epoch", 6).alias("ready_epoch"),
+        F.round(sched, 6).alias("sched_epoch"),
+        F.round(sched - F.col("ready_epoch"), 6).alias("wait_sec"),
     )

@@ -326,3 +326,14 @@ class TestWebtextPlans:
         assert "array_union" not in plan
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
+
+    def test_gopher_quality_no_shuffle_no_python(self, spark):
+        plan = plan_of(entry_mod.q_gopher_quality(spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+    def test_crawl_schedule_single_host_shuffle_no_python(self, spark):
+        plan = plan_of(entry_mod.q_crawl_schedule(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # one host-partitioned sort drives both window functions
+        assert plan.count("Window") >= 1
