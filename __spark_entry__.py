@@ -1330,6 +1330,33 @@ def q_crawl_schedule(spark, sf_dir):
     return WT.politeness_schedule(pages, "url", "warc_ts", min_delay_sec=5.0)
 
 
+#: robots.txt fixtures for q_robots_gate — star-group longest-match
+#: semantics exercised: tie-break to Allow, non-star groups ignored,
+#: comments stripped, hosts without robots allowed.
+_ROBOTS_FIXTURES = [
+    ("host001.example.com",
+     "User-agent: *\nDisallow: /\nAllow: /s  # longest match wins"),
+    ("host002.example.com", "user-AGENT: *\ndisallow: /s"),
+    ("host004.example.com", "User-agent: *\nDisallow: /x\nDisallow:"),
+    ("host005.example.com", "User-agent: bad-bot\nDisallow: /"),
+]
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt gating of a crawl frontier (RFC 9309 star groups):
+    parse Allow/Disallow prefix rules with window-numbered groups,
+    broadcast the tiny rules table, and resolve each url by its
+    longest-prefix match (ties to Allow).  Hosts without robots — or
+    with no matching rule — stay allowed."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet")).select(
+        "url"
+    )
+    robots = spark.createDataFrame(_ROBOTS_FIXTURES, ["host", "robots_txt"])
+    rules = WT.parse_robots(robots)
+    return WT.robots_filter(pages, rules)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs from the training sources that
     share any 8-token shingle with the 'src0' slice (the stand-in
@@ -1451,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "gopher_quality": q_gopher_quality,
         "crawl_schedule": q_crawl_schedule,
+        "robots_gate": q_robots_gate,
         # -- (b) added r3, never driver-verified ----------------------
         "shared_passages": q_shared_passages,
         "ngram_repetition": q_ngram_repetition,
@@ -2198,6 +2226,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, f.fp
             FROM sel, LATERAL UNNEST(fps) AS f(fp)
+        """,
+        "robots_gate": """
+            WITH robots(host, txt) AS (VALUES """ + ", ".join(
+            "('{}', {})".format(
+                h, " || chr(10) || ".join("'{}'".format(ln) for ln in t.split("\n"))
+            )
+            for h, t in _ROBOTS_FIXTURES
+        ) + f"""),
+            lines AS (
+                SELECT host,
+                       generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
+                       trim(regexp_replace(
+                           unnest(string_split(txt, chr(10))), '#.*$', '')) AS line
+                FROM robots
+            ),
+            parsed AS (
+                SELECT host, ln,
+                       lower(trim(split_part(line, ':', 1))) AS d,
+                       trim(substring(line, instr(line, ':') + 1)) AS v
+                FROM lines WHERE line <> '' AND instr(line, ':') > 0
+            ),
+            grouped AS (
+                SELECT host, d, v,
+                       sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY ln) AS grp
+                FROM parsed
+            ),
+            star AS (
+                SELECT DISTINCT host, grp FROM grouped
+                WHERE d = 'user-agent' AND v = '*'
+            ),
+            rules AS (
+                SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
+                       length(g.v) AS plen
+                FROM grouped g JOIN star USING (host, grp)
+                WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
+            ),
+            frontier AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(url, '^[a-z]+://[^/]*', '')
+                       END AS path
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            ),
+            m AS (
+                SELECT f.url, f.host,
+                       arg_max(struct_pack(allow := r.allow, prefix := r.prefix),
+                               coalesce(r.plen, -1) * 2
+                               + coalesce(r.allow::INT, 0)) AS best
+                FROM frontier f LEFT JOIN rules r
+                  ON f.host = r.host AND starts_with(f.path, r.prefix)
+                GROUP BY f.url, f.host
+            )
+            SELECT url, host, coalesce(best.allow, true) AS allowed,
+                   best.prefix AS matched_prefix
+            FROM m
         """,
         "gopher_quality": """
             WITH w AS (

@@ -44,6 +44,8 @@ __all__ = [
     "latest_per_url",
     "gopher_quality_gate",
     "politeness_schedule",
+    "parse_robots",
+    "robots_filter",
     "GOPHER_STOPWORDS",
     "EMAIL_RE",
     "PHONE_RE",
@@ -644,4 +646,107 @@ def politeness_schedule(
         F.round("ready_epoch", 6).alias("ready_epoch"),
         F.round(sched, 6).alias("sched_epoch"),
         F.round(sched - F.col("ready_epoch"), 6).alias("wait_sec"),
+    )
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into prefix rules (RFC 9309, the
+    ``User-agent: *`` groups): returns (host, allow boolean, prefix,
+    plen) — one row per Allow/Disallow line in a star group.
+
+    Expression-only line grammar: comments stripped, directives
+    case-insensitive, group id = running count of ``User-agent`` lines
+    per host (one UA line per group — the layout crawler fixtures and
+    most real files use; stacked-UA groups collapse to their last
+    line).  Empty-value Disallow ("allow everything") contributes no
+    rule, per the RFC.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
+    ).select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))).alias("d"),
+        F.trim(F.substr(F.col("line"), F.instr(F.col("line"), ":") + 1)).alias("v"),
+    ).filter(F.instr(F.col("line"), ":") > 0)
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = parsed.withColumn(
+        "grp", F.sum(F.when(F.col("d") == "user-agent", 1).otherwise(0)).over(w)
+    )
+    star_groups = (
+        grouped.filter((F.col("d") == "user-agent") & (F.col("v") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.filter(F.col("d").isin("allow", "disallow") & (F.col("v") != ""))
+        .join(star_groups, ["host", "grp"])
+        .select(
+            "host",
+            (F.col("d") == "allow").alias("allow"),
+            F.col("v").alias("prefix"),
+            F.length("v").alias("plen"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply parsed robots rules to a URL frontier: per url, the
+    longest-prefix-matching rule decides (ties break to Allow, per
+    RFC 9309 §2.2.2); no matching rule — or no robots.txt for the
+    host — means allowed.
+
+    Returns (url, host, allowed, matched_prefix).  Scale shape: the
+    rules table is tiny next to the frontier (one row per directive
+    line on the web), so it broadcasts; the frontier is scanned once
+    and the longest-match resolution is a per-url max over its own
+    matched rules, partially aggregated map-side.
+    """
+    host = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
+    path_raw = F.regexp_replace(F.col(url_col), "^[a-z]+://[^/]*", "")
+    path = F.when(path_raw == "", "/").otherwise(path_raw)
+    frontier = urls.select(
+        F.col(url_col), host.alias("host"), path.alias("path")
+    )
+    r = rules.select(
+        F.col("host").alias("r_host"), "allow", "prefix", "plen"
+    )
+    # the match predicate lives in the JOIN condition, not a post-join
+    # filter: a host that HAS robots but no matching rule must keep its
+    # all-null row (allowed), not vanish from the frontier
+    matched = (
+        frontier.join(
+            F.broadcast(r),
+            (F.col("host") == F.col("r_host"))
+            & F.col("path").startswith(F.col("prefix")),
+            "left",
+        )
+        .groupBy(url_col, "host")
+        .agg(
+            F.max_by(
+                F.struct(F.col("allow"), F.col("prefix")),
+                # longest prefix wins; equal length -> Allow wins.
+                # scalar key (plen*2 + allow) instead of a struct key:
+                # DuckDB's arg_max can't order by STRUCT, and the twin
+                # oracle must use the identical ordering
+                F.coalesce(F.col("plen"), F.lit(-1)) * 2
+                + F.coalesce(F.col("allow").cast("int"), F.lit(0)),
+            ).alias("best"),
+        )
+    )
+    return matched.select(
+        F.col(url_col),
+        "host",
+        F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
+        F.col("best.prefix").alias("matched_prefix"),
     )

@@ -371,3 +371,64 @@ def test_curate_corpus_full_funnel_with_decontamination(spark):
     report = funnel_report(res, "lang")
     rows = {(r["stage"], r["lang"]): r["n_docs"] for r in report.collect()}
     assert rows[("input", "en")] == 31 and rows[("training_mix", "de")] == 1
+
+
+def test_robots_longest_match_semantics(spark):
+    from clawrag_spark.operators.webtext import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("a.ex", "User-agent: *\nDisallow: /private/\nAllow: /private/pub"),
+            ("b.ex", "User-agent: *\nAllow: /p\nDisallow: /p  # tie -> allow"),
+            ("c.ex", "User-agent: bot\nDisallow: /"),
+        ],
+        ["host", "robots_txt"],
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.ex/private/secret",),   # disallowed
+            ("https://a.ex/private/pub/x",),    # longer Allow wins
+            ("https://a.ex/open",),             # no rule matches
+            ("https://b.ex/page",),             # equal length -> Allow
+            ("https://c.ex/anything",),         # non-star group ignored
+            ("https://d.ex/",),                 # no robots at all
+        ],
+        ["url"],
+    )
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        "https://a.ex/private/secret": False,
+        "https://a.ex/private/pub/x": True,
+        "https://a.ex/open": True,
+        "https://b.ex/page": True,
+        "https://c.ex/anything": True,
+        "https://d.ex/": True,
+    }
+
+
+def test_politeness_schedule_queue_recurrence(spark):
+    from datetime import datetime
+
+    from clawrag_spark.operators.webtext import politeness_schedule
+
+    t = lambda s: datetime(2025, 6, 1, 12, 0, s)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.ex/1", t(0)),
+            ("https://a.ex/2", t(1)),    # ready before slot -> waits 4s
+            ("https://a.ex/3", t(30)),   # long gap -> no wait
+            ("https://a.ex/4", t(31)),
+            ("https://b.ex/1", t(0)),    # other host independent
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = {
+        r["url"]: (r["sched_epoch"] - r["ready_epoch"])
+        for r in politeness_schedule(pages, min_delay_sec=5.0).collect()
+    }
+    assert got["https://a.ex/1"] == 0.0
+    assert got["https://a.ex/2"] == 4.0     # sched = t(0)+5
+    assert got["https://a.ex/3"] == 0.0
+    assert got["https://a.ex/4"] == 4.0     # sched = t(30)+5 = t(35) -> wait 4
+    assert got["https://b.ex/1"] == 0.0
