@@ -1093,3 +1093,103 @@ def quantize_embeddings_int8(
 def dequantize_int8(codes, scale):
     """array<tinyint> codes + scalar scale → array<double>."""
     return F.transform(codes, lambda c: c.cast("double") * scale.cast("double"))
+
+
+def build_pq_index(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    m_subspaces: int = 8,
+    k_codes: int = 32,
+    sample_mod: int | None = None,
+) -> dict:
+    """Persist a PQ ANN index: train codebooks, encode every vector,
+    write ``codes`` parquet (id + m int8 codes — the 8 B/vector scan
+    surface) plus a ``codebooks.json`` sidecar (M×K×dsub floats, tiny).
+    Mirrors the pipeline's persisted-BM25 story: build once, probe many
+    times from the artifact without touching float vectors.
+
+    Returns {"n_vectors", "m_subspaces", "k_codes", "dsub"}.
+    """
+    import json
+    import os
+
+    books = pq_train_codebooks(
+        emb, id_col, vec_col, m_subspaces, k_codes, sample_mod=sample_mod
+    )
+    codes = pq_encode(emb, id_col, vec_col, books)
+    os.makedirs(out_dir, exist_ok=True)
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+    meta = {
+        "m_subspaces": int(books.shape[0]),
+        "k_codes": int(books.shape[1]),
+        "dsub": int(books.shape[2]),
+        "id_col": id_col,
+        "codebooks": [[list(map(float, c)) for c in sub] for sub in books],
+    }
+    tmp = os.path.join(out_dir, "codebooks.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(out_dir, "codebooks.json"))
+    n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    return {"n_vectors": n, **{k: meta[k] for k in ("m_subspaces", "k_codes", "dsub")}}
+
+
+def pq_index_topk(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int,
+    rerank: int = 0,
+    emb: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted PQ index: ADC-score the stored codes against
+    per-subspace lookup tables built from the query, optionally exact
+    re-rank the shortlist against ``emb`` (the float table is touched
+    only for ``rerank`` rows).  Returns (id, cos_sim)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(out_dir, "codebooks.json")) as fh:
+        meta = json.load(fh)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    id_col = meta["id_col"]
+    m_sub, _, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut_ip = np.stack(
+        [books[m] @ q[m * dsub : (m + 1) * dsub] for m in range(m_sub)]
+    )
+    lut_n2 = (books**2).sum(axis=2)
+    qnorm = float(np.sqrt((q**2).sum()))
+    codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(codes_col: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        C = _np.array(codes_col.tolist(), dtype=_np.int64)
+        ip = lut_ip[_np.arange(m_sub)[None, :], C].sum(axis=1)
+        n2 = lut_n2[_np.arange(m_sub)[None, :], C].sum(axis=1)
+        return pd.Series(ip / (qnorm * _np.sqrt(_np.maximum(n2, 1e-30))))
+
+    approx = codes.select(F.col(id_col), _adc(F.col("codes")).alias("adc_sim"))
+    if rerank <= 0 or emb is None:
+        return approx.select(
+            F.col(id_col), F.col("adc_sim").alias("cos_sim")
+        ).orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    shortlist = approx.orderBy(F.desc("adc_sim"), F.col(id_col)).limit(rerank)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

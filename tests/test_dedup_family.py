@@ -475,3 +475,28 @@ class TestProductQuantization:
         # narrow-probe results are a subset of the probed universe, so
         # each score can never beat the exhaustive winner
         assert all(r["cos_sim"] <= full[0]["cos_sim"] + 1e-12 for r in out)
+
+    def test_persisted_index_matches_direct_pq(self, spark, tmp_path):
+        from clawrag_spark.operators.dataset import (
+            build_pq_index, pq_index_topk, pq_train_codebooks, pq_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        out = str(tmp_path / "pq_index")
+        meta = build_pq_index(spark, emb, "vec_id", "embedding", out, 8, 32)
+        assert meta["n_vectors"] == 500 and meta["dsub"] == 8
+        # probing the artifact == computing from scratch (ADC-only)
+        books = pq_train_codebooks(emb, "vec_id", "embedding", 8, 32)
+        direct = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in pq_topk(emb, "vec_id", "embedding", books, q, 20).collect()
+        ]
+        from_index = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in pq_index_topk(spark, out, q, 20).collect()
+        ]
+        assert from_index == direct
+        # exact re-rank path touches the float table only for the shortlist
+        rr = pq_index_topk(spark, out, q, 5, rerank=200, emb=emb).collect()
+        assert rr[0]["vec_id"] == 0 and abs(rr[0]["cos_sim"] - 1.0) < 1e-9
