@@ -76,11 +76,11 @@ def _sniff(payload: bytes) -> tuple[str, str]:
 
 
 # ------------------------------------------------ real decoders (no libs)
-# BMP (24/32-bit uncompressed BI_RGB), binary PPM (P6), and PNG (8-bit
+# BMP (24/32-bit uncompressed BI_RGB), binary PPM (P6), PNG (8-bit
 # gray/RGB/RGBA, non-interlaced — stdlib zlib + the five filter
-# predictors) decode REAL pixels end-to-end in this container; jpeg/gif
-# get real HEADER parsing (dimensions) but pixel decode still needs a
-# codec library.
+# predictors) and GIF (non-interlaced, real LZW) decode REAL pixels
+# end-to-end in this container; jpeg gets real HEADER parsing
+# (dimensions) but pixel decode still needs a codec library.
 
 def encode_bmp(img: np.ndarray) -> bytes:
     """Minimal BITMAPINFOHEADER 24-bit BMP writer (test-fixture twin of
@@ -390,6 +390,13 @@ def _decode_image(payload: bytes) -> np.ndarray:
             return img[:, :, :3].copy()  # RGBA → drop alpha
         except (ValueError, zlib.error, struct.error, IndexError):
             pass  # corrupt/unsupported PNG in a crawl → stand-in below
+    if payload[:4] == b"GIF8":
+        import struct
+
+        try:
+            return decode_gif(payload)
+        except (ValueError, struct.error, IndexError):
+            pass  # corrupt/unsupported GIF → stand-in below
     if HAVE_PIL:  # pragma: no cover
         raise NotImplementedError("wire PIL.Image.open here when codecs exist")
     h, w = _fake_dims(payload)
@@ -460,3 +467,178 @@ def frame_sample_plan(video_df: DataFrame, media_col: str, every_n: int = 30) ->
             ),
         )
     )
+
+
+# ------------------------------------------------------------------ GIF
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a writer (single frame, global color table, real
+    LZW) — the test-fixture twin of ``decode_gif``.  The palette is
+    built from the image's unique colors (≤256)."""
+    import struct
+
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif supports <=256 unique colors")
+    depth = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table = np.zeros((2**depth, 3), np.uint8)
+    table[: len(palette)] = palette
+    indices = inverse.astype(np.int32)
+
+    # LZW encode: LSB-first bit packing; code width grows in lockstep
+    # with the decoder (decoder widens when its table REACHES 2^width
+    # after an append, so the encoder widens when dict_next does)
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    state = {"acc": 0, "n": 0, "width": min_code + 1}
+
+    def emit(code: int) -> None:
+        state["acc"] |= code << state["n"]
+        state["n"] += state["width"]
+        while state["n"] >= 8:
+            bits.append(state["acc"] & 0xFF)
+            state["acc"] >>= 8
+            state["n"] -= 8
+
+    def reset_dict():
+        state["width"] = min_code + 1
+        return {(i,): i for i in range(1 << min_code)}, eoi + 1
+
+    emit(clear)
+    table_d, dict_next = reset_dict()
+    seq: tuple = ()
+    for px in indices:
+        cand = seq + (int(px),)
+        if cand in table_d:
+            seq = cand
+            continue
+        emit(table_d[seq])
+        if dict_next < (1 << 12):
+            table_d[cand] = dict_next
+            dict_next += 1
+            # the decoder lags the encoder by exactly one entry (it
+            # builds E_{k-1} while reading c_k), so the encoder widens
+            # one add LATER than the decoder's size==2^width rule
+            if dict_next == (1 << state["width"]) + 1 and state["width"] < 12:
+                state["width"] += 1
+        else:
+            emit(clear)
+            table_d, dict_next = reset_dict()
+        seq = (int(px),)
+    if seq:
+        emit(table_d[seq])
+    emit(eoi)
+    if state["n"]:
+        bits.append(state["acc"] & 0xFF)
+
+    blob = bytearray()
+    blob += b"GIF89a"
+    blob += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    blob += table.tobytes()
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    blob.append(min_code)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        blob.append(len(chunk))
+        blob += chunk
+    blob += b"\x00\x3b"
+    return bytes(blob)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first frame of a non-interlaced GIF87a/89a to HxWx3
+    uint8 RGB — real LZW with variable code width, dictionary resets,
+    and sub-block reassembly; extensions are skipped per the grammar.
+    """
+    import struct
+
+    if payload[:4] != b"GIF8" or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, iw, ih, ipack = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            table = gct
+            if ipack & 0x80:
+                n = 2 ** ((ipack & 0x07) + 1)
+                table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ipack & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(data), min_code, iw * ih)
+            img = table[np.array(indices, np.int32)].reshape(ih, iw, 3)
+            return img.copy()
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x} at {pos}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF LZW: LSB-first bit stream, width grows after the dictionary
+    fills the current width, CLEAR resets, EOI ends."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[tuple] = [(i,) for i in range(1 << min_code)] + [(), ()]
+    out: list[int] = []
+    acc = n_acc = bit_pos = 0
+    prev: tuple | None = None
+    i = 0
+    while len(out) < n_pixels and i <= len(data):
+        while n_acc < width and i < len(data):
+            acc |= data[i] << n_acc
+            n_acc += 8
+            i += 1
+        if n_acc < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            table = [(j,) for j in range(1 << min_code)] + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} of {len(table)}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(f"LZW stream short: {len(out)} of {n_pixels} pixels")
+    return out[:n_pixels]

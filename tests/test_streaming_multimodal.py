@@ -558,3 +558,58 @@ class TestStreamingCuration:
         # re-run with no new files: nothing reprocessed
         incremental_curate(spark, pages_dir, out_dir, **kwargs)
         assert spark.read.parquet(curated).count() == 3
+
+
+class TestGifDecoder:
+    """GIF pixel decode is REAL: variable-width LZW, dictionary resets,
+    sub-block reassembly."""
+
+    def test_round_trip(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(21)
+        # few colors (deep LZW sequences) and many colors (wide codes)
+        few = rng.integers(0, 2, size=(40, 30, 3), dtype=np.uint8) * 255
+        many = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        flat = np.tile(np.array([[10, 20, 30]], np.uint8), (64, 1)).reshape(8, 8, 3)
+        for img in (few, many, flat):
+            assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    def test_large_image_forces_width_growth(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(22)
+        img = rng.integers(0, 8, size=(80, 80), dtype=np.uint8)
+        rgb = np.stack([img * 31, img * 17, img * 7], axis=2).astype(np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(rgb)), rgb)
+
+    def test_rejects_bad_payloads(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from clawrag_spark.multimodal import decode_gif, encode_gif
+
+        with _pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"nope")
+        good = encode_gif(np.zeros((4, 4, 3), np.uint8))
+        with _pytest.raises(ValueError):
+            decode_gif(good[:20])
+
+    def test_feature_stage_decodes_real_gif(self, spark):
+        import numpy as np
+
+        from clawrag_spark.multimodal import (
+            FEATURE_DIM, encode_gif, extract_image_features,
+        )
+
+        img = np.zeros((10, 12, 3), np.uint8)
+        img[:, :, 2] = 255  # pure blue -> histogram bucket (0,0,2)=2
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_gif(img)))], "media_id int, media binary"
+        )
+        feat = extract_image_features(df).first()["feature"]
+        assert len(feat) == FEATURE_DIM and abs(feat[2] - 1.0) < 1e-6
