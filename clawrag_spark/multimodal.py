@@ -642,3 +642,106 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
     if len(out) < n_pixels:
         raise ValueError(f"LZW stream short: {len(out)} of {n_pixels} pixels")
     return out[:n_pixels]
+
+
+# ------------------------------------------------------------------ WAV
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM16, mono or multichannel) — fixture
+    twin of ``decode_wav``.  ``samples`` is (n,) or (n, channels) int16."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * 2, nch * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 RIFF/WAVE payload to ((n, channels) int16 array,
+    sample_rate) — real chunk-walking parse, stdlib struct only."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, nch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, "<i2")
+    samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch)
+    return samples.copy(), rate
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media_df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Decode→feature stage for audio payloads: PCM16 WAV decodes for
+    REAL (duration, RMS, peak over normalized samples); other audio
+    formats yield null features (honest: no codec in this container).
+    Same mapInPandas shape as the image feature stage."""
+
+    def run(iterator):
+        import struct
+
+        for batch in iterator:
+            out = {k: [] for k in (
+                "content_hash", "sample_rate", "n_samples",
+                "duration_sec", "rms", "peak",
+            )}
+            for p in batch["media"]:
+                p = bytes(p or b"")
+                out["content_hash"].append(hashlib.sha256(p).hexdigest())
+                try:
+                    samples, rate = decode_wav(p)
+                except (ValueError, struct.error, IndexError):
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_sec"].append(None)
+                    out["rms"].append(None)
+                    out["peak"].append(None)
+                    continue
+                x = samples.astype(np.float64) / 32768.0
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(samples.shape[0]))
+                out["duration_sec"].append(
+                    float(samples.shape[0] / rate) if rate else 0.0
+                )
+                out["rms"].append(float(np.sqrt((x**2).mean())) if x.size else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if x.size else 0.0)
+            yield pd.DataFrame(out)
+
+    return media_df.select(F.col(media_col).alias("media")).mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
