@@ -467,47 +467,37 @@ def _jaccard_verified_pairs(docs):
     inter/(|A|+|B|−inter) over the same distinct-gram counts, so the
     value (and the DuckDB oracle) is bit-identical to the array path.
     """
+    # The tokenize+shingle explode is the expensive scan-side subtree
+    # and EVERY downstream consumer needs it (both sides of the band
+    # self-join, and the gram hashes).  Persist it and materialize
+    # EAGERLY: a lazy persist referenced by concurrently-scheduled
+    # stages recomputes the subtree under the cache-miss race — the
+    # whole query measured 25 s cold with lazy persists on cand/gh vs
+    # ~5 s with one eager shingle cache.  Caches are session-scoped
+    # like the funnel's stage caches.
+    sh = DS.shingle_rows(docs, "doc_id", "text").persist()
+    sh.count()  # materialize before anything forks the plan
     # r=2 rows per band: candidate prob 1-(1-j²)⁴ — ≥98% recall at the
     # 0.8 verify threshold, but random low-Jaccard pairs (rampant in the
     # tiny-vocab corpus) collapse from ~42k candidates to a few hundred.
     cand = DS.minhash_candidate_pairs(
-        docs, "doc_id", "text", n_bands=4, rows_per_band=2
-    )
-    # project toks in its own step: inlining sql_tokens(...) inside the
-    # transform lambda re-tokenizes the doc per gram element (O(n²) regex
-    # work — this was 10 of the query's 14 seconds)
-    grams = docs.select(
-        "doc_id", R.sql_tokens(F.col("text")).alias("toks")
-    ).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                    F.element_at(F.col("toks"), i + 3),
-                ),
-            )
-        ).alias("grams"),
-    )
-    # cand feeds three consumers (the doc-set semi-join and the two
-    # intersection joins) and gh three more (sizes + both joins):
-    # persist both or the MinHash banding and the tokenize+explode
-    # re-run per consumer (measured: 14.5 s vs 2.2 s at sf0.1).  Caches
-    # are scoped to the session like the funnel's stage caches.
-    cand = cand.persist()
-    # explode once; only docs that appear in some candidate pair matter
+        docs, "doc_id", "text", n_bands=4, rows_per_band=2, shingles=sh
+    ).persist()
+    cand.count()  # feeds the doc-set semi-join and both intersection joins
+    # only docs that appear in some candidate pair matter
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # distinct 3-grams per candidate doc == distinct shingles: docs with
+    # <3 tokens can never be candidates (no shingles → no signature), so
+    # deriving the gram hashes from the SAME cached shingle rows is
+    # value-identical to the old per-doc array build.
     gh = (
-        grams.join(cand_docs, "doc_id", "left_semi")
-        .select("doc_id", F.explode("grams").alias("g"))
-        .select("doc_id", F.md5("g").alias("gh"))
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.md5("shingle").alias("gh"))
+        .distinct()
     ).persist()
     sizes = gh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (

@@ -62,25 +62,17 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str, text_col: str) -> DataF
     )
 
 
-def minhash_band_signatures(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_bands: int = 4,
-    rows_per_band: int = 1,
-) -> DataFrame:
-    """Per-(doc, band) MinHash signature over 3-shingles.
-
-    Each band's signature is the concatenation of ``rows_per_band``
-    independent min-hashes (salted md5; lexicographic min of hex strings
-    is order-isomorphic to numeric min, and md5 with distinct salt
-    prefixes gives independent permutations of the shingle space).
-    Banding theory: candidate probability is 1-(1-j^r)^b — r=1 is pure
-    OR (high recall, floods candidates when random pairs share shingles),
-    r≥2 keeps near-1 recall above j≈0.8 while collapsing the false-
-    positive tail quadratically.
-    """
-    shingles = (
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode docs to (id, 3-token shingle) rows — the shared input of
+    MinHash banding AND the exact Jaccard verify.  Tokenization + the
+    shingle transform are the expensive scan-side work at corpus scale;
+    callers that feed several consumers (candidate generation, gram
+    hashing, signature stats) should persist + materialize THIS frame
+    once so the subtree is computed exactly once instead of per
+    consumer (a lazy persist referenced by concurrently-scheduled
+    stages recomputes under the cache-miss race — measured 25 s vs 5 s
+    cold for the sf0.1 Jaccard query)."""
+    return (
         ensure_parallelism(docs)
         .select(F.col(id_col), sql_tokens(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= 3)  # docs shorter than one shingle drop out
@@ -99,6 +91,32 @@ def minhash_band_signatures(
             ).alias("shingle"),
         )
     )
+
+
+def minhash_band_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 1,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-(doc, band) MinHash signature over 3-shingles.
+
+    Each band's signature is the concatenation of ``rows_per_band``
+    independent min-hashes (salted md5; lexicographic min of hex strings
+    is order-isomorphic to numeric min, and md5 with distinct salt
+    prefixes gives independent permutations of the shingle space).
+    Banding theory: candidate probability is 1-(1-j^r)^b — r=1 is pure
+    OR (high recall, floods candidates when random pairs share shingles),
+    r≥2 keeps near-1 recall above j≈0.8 while collapsing the false-
+    positive tail quadratically.
+
+    Pass ``shingles`` (a cached :func:`shingle_rows` frame) to skip the
+    tokenize+explode scan when the caller shares it across consumers.
+    """
+    if shingles is None:
+        shingles = shingle_rows(docs, id_col, text_col)
     # One pass: all band×row minima as parallel aggregates (map-side
     # partial min, one shuffle of n_docs rows) instead of a ×n_bands
     # crossJoin of the exploded shingle stream; min is duplicate-
@@ -124,9 +142,17 @@ def minhash_candidate_pairs(
     text_col: str,
     n_bands: int = 4,
     rows_per_band: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band signature."""
-    sigs = minhash_band_signatures(docs, id_col, text_col, n_bands, rows_per_band)
+    """LSH candidate pairs: docs sharing any band signature.
+
+    The self-join computes the signature subtree twice (no plan reuse
+    across aliases); pass a cached :func:`shingle_rows` frame so each
+    side rebuilds only the cheap aggregate, not the tokenize+explode.
+    """
+    sigs = minhash_band_signatures(
+        docs, id_col, text_col, n_bands, rows_per_band, shingles=shingles
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
