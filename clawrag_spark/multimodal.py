@@ -78,9 +78,11 @@ def _sniff(payload: bytes) -> tuple[str, str]:
 # ------------------------------------------------ real decoders (no libs)
 # BMP (24/32-bit uncompressed BI_RGB), binary PPM (P6), PNG (8-bit
 # gray/RGB/RGBA, non-interlaced — stdlib zlib + the five filter
-# predictors) and GIF (non-interlaced, real LZW) decode REAL pixels
-# end-to-end in this container; jpeg gets real HEADER parsing
-# (dimensions) but pixel decode still needs a codec library.
+# predictors), GIF (non-interlaced, real LZW) and baseline JPEG
+# (T.81 sequential DCT, tables read from the file's own DQT/DHT,
+# 4:4:4 / 4:2:2 / 4:2:0, restart markers) decode REAL pixels
+# end-to-end in this container.  Progressive JPEG falls back to the
+# deterministic stand-in.
 
 def encode_bmp(img: np.ndarray) -> bytes:
     """Minimal BITMAPINFOHEADER 24-bit BMP writer (test-fixture twin of
@@ -397,6 +399,16 @@ def _decode_image(payload: bytes) -> np.ndarray:
             return decode_gif(payload)
         except (ValueError, struct.error, IndexError):
             pass  # corrupt/unsupported GIF → stand-in below
+    if payload[:3] == b"\xff\xd8\xff":
+        import struct
+
+        try:
+            img = decode_jpeg(payload)
+            if img.shape[2] == 1:        # grayscale → RGB
+                return np.repeat(img, 3, axis=2)
+            return img
+        except (ValueError, struct.error, IndexError, StopIteration):
+            pass  # corrupt/progressive JPEG in a crawl → stand-in below
     if HAVE_PIL:  # pragma: no cover
         raise NotImplementedError("wire PIL.Image.open here when codecs exist")
     h, w = _fake_dims(payload)
@@ -745,3 +757,529 @@ def extract_audio_features(media_df: DataFrame, media_col: str = "media") -> Dat
     return media_df.select(F.col(media_col).alias("media")).mapInPandas(
         run, AUDIO_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- JPEG
+# Real baseline JPEG (ITU-T T.81 sequential DCT): stdlib-only encoder
+# (fixture builder) + decoder.  The decoder reads quantization and
+# Huffman tables from the file's own DQT/DHT segments — it decodes any
+# baseline JPEG with 8-bit precision and sampling factors ≤2 (4:4:4,
+# 4:2:2, 4:2:0 cover effectively every web JPEG), including restart
+# markers.  Reference parity point: the reference pipes images through
+# Docling/PIL (backend/src/services/extraction_service.py:180-185);
+# here the hot path stays numpy (blockwise DCT as two 8x8 matmuls).
+
+_ZIGZAG = [
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K tables: quantization (K.1/K.2) and the typical Huffman tables
+# (K.3-K.6) as (bits[1..16], huffval) — written into DQT/DHT by the
+# encoder, so encoder and decoder stay self-consistent by construction.
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,  12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,  14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,  24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,  72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,  18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,  47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 orthonormal DCT-II matrix: dct(B) = D @ B @ D.T."""
+    k = np.arange(8)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    D[0, :] *= 1 / np.sqrt(2)
+    return D
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman (T.81 C.2): value → (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _quality_scale(table, quality: int) -> np.ndarray:
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.array(table, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def mark_restart(self, n: int) -> None:
+        """Byte-align (pad with 1s) and emit RSTn — markers are raw,
+        never byte-stuffed (T.81 B.1.1.3)."""
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)
+        self.buf += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: (category, additional bits) for a coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a baseline JFIF JPEG.
+
+    ``subsample=True`` writes 4:2:0 (chroma averaged over 2x2), else
+    4:4:4.  ``restart_interval`` > 0 writes a DRI segment and emits an
+    RSTn marker (with DC-predictor reset) every that-many MCUs — the
+    structure real encoders use so corrupt scans can resynchronize.
+    Deterministic: same pixels → same bytes.
+    """
+    import struct
+
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg wants HxWx3 uint8")
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+
+    if subsample:  # 4:2:0 — chroma averaged over 2x2 (edge-padded)
+        def _down2(p: np.ndarray) -> np.ndarray:
+            p = np.pad(p, ((0, (-p.shape[0]) % 2), (0, (-p.shape[1]) % 2)), mode="edge")
+            return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+        cb, cr = _down2(cb), _down2(cr)
+
+    qt_l = _quality_scale(_QT_LUMA, quality)     # zigzag order
+    qt_c = _quality_scale(_QT_CHROMA, quality)
+    # de-zigzag into natural 8x8 layout for the blockwise quantize
+    qnat_l = np.empty(64, np.int32)
+    qnat_c = np.empty(64, np.int32)
+    for zz, nat in enumerate(_ZIGZAG):
+        qnat_l[nat] = qt_l[zz]
+        qnat_c[nat] = qt_c[zz]
+    qnat_l = qnat_l.reshape(8, 8)
+    qnat_c = qnat_c.reshape(8, 8)
+
+    D = _dct_matrix()
+
+    def blocks_of(plane: np.ndarray, qnat: np.ndarray) -> np.ndarray:
+        ph = -plane.shape[0] % 8
+        pw = -plane.shape[1] % 8
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        b = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)       # (bh,bw,8,8)
+        coef = np.einsum("ij,abjk,lk->abil", D, b, D)
+        return np.round(coef / qnat).astype(np.int64)
+
+    yb = blocks_of(y, qnat_l)
+    cbb = blocks_of(cb, qnat_c)
+    crb = blocks_of(cr, qnat_c)
+
+    enc_dc = [_huff_encode_table(*_DC_LUMA), _huff_encode_table(*_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_AC_LUMA), _huff_encode_table(*_AC_CHROMA)]
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    zz = np.array(_ZIGZAG)
+
+    def put_block(block: np.ndarray, comp: int, tbl: int) -> None:
+        flat = block.reshape(64)[zz]
+        s, extra = _magnitude(int(flat[0]) - pred[comp])
+        pred[comp] = int(flat[0])
+        code, ln = enc_dc[tbl][s]
+        bw_.write(code, ln)
+        if s:
+            bw_.write(extra, s)
+        run = 0
+        nz = np.nonzero(flat[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(flat[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[tbl][0xF0]     # ZRL
+                bw_.write(code, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            code, ln = enc_ac[tbl][(run << 4) | s]
+            bw_.write(code, ln)
+            bw_.write(extra, s)
+            run = 0
+        if last < 63:
+            code, ln = enc_ac[tbl][0x00]         # EOB
+            bw_.write(code, ln)
+
+    n_rst = 0
+    mcu_done = 0
+
+    def end_mcu(total: int) -> None:
+        nonlocal n_rst, mcu_done
+        mcu_done += 1
+        if restart_interval and mcu_done % restart_interval == 0 and mcu_done < total:
+            bw_.mark_restart(n_rst)
+            n_rst += 1
+            pred[0] = pred[1] = pred[2] = 0
+
+    if subsample:
+        mby, mbx = yb.shape[0], yb.shape[1]
+        # pad Y blocks to even so each MCU has its full 2x2
+        yb = np.pad(yb, ((0, mby % 2), (0, mbx % 2), (0, 0), (0, 0)), mode="edge")
+        n_mcu = (yb.shape[0] // 2) * (yb.shape[1] // 2)
+        for my in range(yb.shape[0] // 2):
+            for mx in range(yb.shape[1] // 2):
+                for dy in range(2):
+                    for dx in range(2):
+                        put_block(yb[2 * my + dy, 2 * mx + dx], 0, 0)
+                put_block(cbb[my, mx], 1, 1)
+                put_block(crb[my, mx], 2, 1)
+                end_mcu(n_mcu)
+    else:
+        n_mcu = yb.shape[0] * yb.shape[1]
+        for by in range(yb.shape[0]):
+            for bx in range(yb.shape[1]):
+                put_block(yb[by, bx], 0, 0)
+                put_block(cbb[by, bx], 1, 1)
+                put_block(crb[by, bx], 2, 1)
+                end_mcu(n_mcu)
+
+    scan = bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")                               # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qt_l))
+    out += seg(0xDB, bytes([1]) + bytes(int(x) for x in qt_c))
+    hv_y = 0x22 if subsample else 0x11
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]))  # SOF0
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (0, 1, _DC_CHROMA), (1, 0, _AC_LUMA), (1, 1, _AC_CHROMA)
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))      # DRI
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"                                         # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data underrun")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 C.2): (length, code) → value."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s low bits back to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(br, dc_tbl, ac_tbl) -> np.ndarray:
+    """One 8x8 block of zigzag-order coefficients (DC is the DIFF —
+    caller adds the predictor)."""
+    coef = np.zeros(64, np.int64)
+    s = _read_huff(br, dc_tbl)
+    coef[0] = _extend(br.bits(s), s) if s else 0
+    k = 1
+    while k < 64:
+        rs = _read_huff(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:            # ZRL: 16 zeros
+                k += 16
+                continue
+            break                  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    return coef
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0/SOF1, 8-bit) to an
+    HxWx3 uint8 RGB array (HxWx1 stays gray → caller broadcasts).
+
+    Real T.81 decode, stdlib+numpy only: quantization and Huffman
+    tables are read from the file's own DQT/DHT segments, so any
+    baseline JPEG decodes — 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+    markers, multiple tables per segment.  Progressive (SOF2) raises.
+    The per-block Huffman walk is pure Python but the dequantize +
+    IDCT runs as one batched einsum per component (two 8x8 matmuls
+    per block, vectorized over all blocks).
+    """
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:          # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                # standalone markers
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:          # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq:              # 16-bit precision
+                    qts[tq] = np.frombuffer(
+                        body[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    qts[tq] = np.frombuffer(
+                        body[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+        elif marker == 0xC4:        # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                bits = list(body[i:i + 16])
+                i += 16
+                nv = sum(bits)
+                vals = list(body[i:i + nv])
+                i += nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                    bits, vals)
+        elif marker in (0xC0, 0xC1):            # SOF0/1: baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:        # DRI
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:        # SOS: scan header + entropy data
+            ns = body[0]
+            stabs = {}
+            for c in range(ns):
+                stabs[body[1 + 2 * c]] = (body[2 + 2 * c] >> 4,
+                                          body[2 + 2 * c] & 15)
+            # unstuff entropy data, splitting at RST markers
+            segments: list[bytes] = []
+            cur = bytearray()
+            i = pos
+            while i < len(payload) - 1:
+                b = payload[i]
+                if b == 0xFF:
+                    nxt = payload[i + 1]
+                    if nxt == 0x00:          # stuffed 0xFF
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # restart marker
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break                    # next real marker (EOI)
+                cur.append(b)
+                i += 1
+            segments.append(bytes(cur))
+            scan = (stabs, segments)
+            pos = i
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+
+    h, w, comps = frame
+    stabs, segments = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zz = np.array(_ZIGZAG)
+    blocks = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 8, 8), np.float64)
+        for cid, hs, vs, _ in comps
+    }
+
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    preds = {c[0]: 0 for c in comps}
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            br = _BitReader(next(seg_iter))   # RST: re-align, reset DC
+            preds = {c[0]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs, tq in comps:
+            dct, act = stabs[cid]
+            for dy in range(vs):
+                for dx in range(hs):
+                    coef = _decode_block(br, huff_dc[dct], huff_ac[act])
+                    preds[cid] += int(coef[0])
+                    coef[0] = preds[cid]
+                    nat = np.zeros(64, np.float64)
+                    nat[zz] = coef * qts[tq]  # de-zigzag + dequantize
+                    blocks[cid][my * vs + dy, mx * hs + dx] = nat.reshape(8, 8)
+
+    D = _dct_matrix()
+    planes = {}
+    for cid, hs, vs, _ in comps:
+        b = blocks[cid]
+        pix = np.einsum("ji,abjk,kl->abil", D, b, D) + 128.0  # D.T @ c @ D
+        by, bx = b.shape[0], b.shape[1]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full resolution (sample-and-hold), crop to h x w
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        planes[cid] = plane[:h, :w]
+
+    order = [c[0] for c in comps]
+    if len(order) == 1:
+        y = np.clip(planes[order[0]], 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = planes[order[0]], planes[order[1]] - 128, planes[order[2]] - 128
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

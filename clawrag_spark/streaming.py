@@ -432,3 +432,82 @@ def incremental_curate(
         .start()
     )
     query.awaitTermination()
+
+
+def streaming_decontaminate(
+    spark: SparkSession,
+    pages_dir: str,
+    benchmark_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    n: int = 8,
+) -> None:
+    """Streaming benchmark decontamination against an UPDATABLE
+    benchmark set: drain unseen page files, flag every page sharing any
+    ``n``-token shingle with the benchmark *as it exists at that
+    micro-batch*, and append clean/flagged rows separately.
+
+    Why re-read per batch: a stream-static join snapshots the static
+    side's FILE LISTING when the query plans, so benchmark files that
+    land mid-run (a new eval suite added to the blocklist) would be
+    invisible until restart.  Re-building the benchmark frame inside
+    ``foreachBatch`` re-lists the directory every micro-batch — the
+    engine-sanctioned pattern for slowly-changing dimensions — and the
+    checkpoint still gives exactly-once page processing, so growing the
+    benchmark never reprocesses old pages (append-only semantics: pages
+    already emitted as clean are NOT retracted; re-screen the
+    accumulated output in batch when the benchmark grows
+    retroactively — same compaction story as the near-dedup stage of
+    ``incremental_curate``).
+
+    Scale shape per micro-batch: benchmark shingle set is distinct'd
+    and broadcast (benchmark suites are small next to a crawl);
+    the page side is one scan + map-side join, one shuffle for the
+    per-url hit count.
+
+    Sinks under ``out_dir``: ``clean`` (rows with no overlap),
+    ``flagged`` (url + n_hits), ``decontam_metrics`` (one row per
+    micro-batch: batch id, rows in/clean/flagged, benchmark rows the
+    batch screened against — the audit trail that shows WHICH benchmark
+    snapshot each batch saw).
+    """
+    from .operators import webtext as WT
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_decontam_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+    )
+    clean_path = os.path.join(out_dir, "clean")
+    flagged_path = os.path.join(out_dir, "flagged")
+    metrics_path = os.path.join(out_dir, "decontam_metrics")
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_in = batch_df.count()
+        bench = spark.read.parquet(benchmark_dir)  # re-list every batch
+        n_bench = bench.count()
+        flagged = WT.decontaminate(batch_df, bench, "url", "text", n=n).persist()
+        n_flagged = flagged.count()
+        flagged.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(flagged_path)
+        clean = batch_df.join(flagged.select("url"), "url", "left_anti")
+        clean.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(clean_path)
+        spark.createDataFrame(
+            [(int(batch_id), n_in, n_in - n_flagged, n_flagged, n_bench)],
+            "batch_id long, n_in long, n_clean long, n_flagged long, "
+            "n_benchmark long",
+        ).write.mode("append").parquet(metrics_path)
+        flagged.unpersist()
+        batch_df.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

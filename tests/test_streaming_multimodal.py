@@ -2,6 +2,8 @@
 
 import os
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -662,3 +664,146 @@ class TestWavDecoder:
         assert abs(wav_row["peak"] - 32767 / 32768) < 1e-9
         mp3_row = [r for r in got.values() if r["sample_rate"] is None][0]
         assert mp3_row["duration_sec"] is None  # honest: no mp3 codec
+
+
+class TestStreamingDecontaminate:
+    """Per-micro-batch benchmark RE-READ: a benchmark file that lands
+    between invocations screens later batches without reprocessing
+    earlier ones."""
+
+    def test_benchmark_grows_between_runs(self, spark, out_dir, tmp_path):
+        from datetime import datetime
+
+        from clawrag_spark.streaming import streaming_decontaminate
+
+        t0 = datetime(2025, 6, 1, 12, 0)
+        text_clean = "alpha beta gamma delta epsilon zeta eta theta iota"
+        text_v1hit = "one two three four five six seven eight extra tail"
+        text_v2hit = "red green blue yellow white black purple brown pink"
+        pages_dir = str(tmp_path / "pages_dec")
+        bench_dir = str(tmp_path / "bench_dec")
+        os.makedirs(pages_dir)
+        os.makedirs(bench_dir)
+        _write_pages_txt(os.path.join(pages_dir, "b1.parquet"), [
+            ("https://a.ex/1", t0, text_clean, "en"),
+            ("https://a.ex/2", t0, text_v1hit, "en"),
+            # overlaps only the v2 benchmark doc — clean in run 1
+            ("https://a.ex/3", t0, text_v2hit, "en"),
+        ])
+        spark.createDataFrame(
+            [("q1", "one two three four five six seven eight questions")],
+            ["bid", "text"],
+        ).write.parquet(bench_dir, mode="append")
+
+        streaming_decontaminate(spark, pages_dir, bench_dir, out_dir, n=8)
+        flagged = os.path.join(out_dir, "flagged")
+        clean = os.path.join(out_dir, "clean")
+        assert {r["url"] for r in spark.read.parquet(flagged).collect()} == {
+            "https://a.ex/2"
+        }
+        assert {r["url"] for r in spark.read.parquet(clean).collect()} == {
+            "https://a.ex/1", "https://a.ex/3"
+        }
+
+        # the benchmark GROWS between invocations; a new page overlapping
+        # the new suite must be flagged, and the old clean rows stay put
+        spark.createDataFrame(
+            [("q2", "red green blue yellow white black purple brown quiz")],
+            ["bid", "text"],
+        ).write.parquet(bench_dir, mode="append")
+        _write_pages_txt(os.path.join(pages_dir, "b2.parquet"), [
+            ("https://b.ex/1", t0, text_v2hit, "en"),
+            ("https://b.ex/2", t0, text_clean + " again", "en"),
+        ])
+        streaming_decontaminate(spark, pages_dir, bench_dir, out_dir, n=8)
+        assert {r["url"] for r in spark.read.parquet(flagged).collect()} == {
+            "https://a.ex/2", "https://b.ex/1"
+        }
+        assert {r["url"] for r in spark.read.parquet(clean).collect()} == {
+            "https://a.ex/1", "https://a.ex/3", "https://b.ex/2"
+        }
+        # audit trail records WHICH benchmark snapshot each batch saw
+        metrics = spark.read.parquet(
+            os.path.join(out_dir, "decontam_metrics")
+        ).collect()
+        sizes = sorted(r["n_benchmark"] for r in metrics)
+        assert sizes == [1, 2]
+        # exactly-once: re-run with no new files appends nothing
+        streaming_decontaminate(spark, pages_dir, bench_dir, out_dir, n=8)
+        assert spark.read.parquet(clean).count() == 3
+
+
+class TestJpegCodec:
+    """Real baseline JPEG codec: tables from the file's own DQT/DHT."""
+
+    @staticmethod
+    def _gradient(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([
+            yy * 255 // max(h - 1, 1),
+            xx * 255 // max(w - 1, 1),
+            (yy + xx) * 255 // max(h + w - 2, 1),
+        ], axis=2).astype(np.uint8)
+
+    def test_roundtrip_444(self):
+        from clawrag_spark.multimodal import decode_jpeg, encode_jpeg
+
+        img = self._gradient(45, 61)  # odd dims force edge-padded blocks
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (45, 61, 3)
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.mean() < 1.0 and err.max() <= 4
+
+    def test_roundtrip_420_with_restarts(self):
+        from clawrag_spark.multimodal import decode_jpeg, encode_jpeg
+
+        img = self._gradient(33, 29)
+        data = encode_jpeg(img, quality=85, subsample=True, restart_interval=2)
+        assert any(  # RST markers actually present in the stream
+            data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+            for i in range(2, len(data) - 2)
+        )
+        out = decode_jpeg(data)
+        assert out.shape == (33, 29, 3)
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.mean() < 4.0  # 4:2:0 chroma loss on a smooth gradient
+
+    def test_quality_monotonic(self):
+        from clawrag_spark.multimodal import decode_jpeg, encode_jpeg
+
+        img = self._gradient(24, 40)
+        errs, sizes = [], []
+        for q in (30, 70, 95):
+            data = encode_jpeg(img, quality=q)
+            sizes.append(len(data))
+            out = decode_jpeg(data)
+            errs.append(np.abs(out.astype(float) - img.astype(float)).mean())
+        assert errs[0] > errs[2]    # lower quality → more error
+        assert sizes[0] < sizes[2]  # ...and fewer bytes
+
+    def test_progressive_rejected(self):
+        from clawrag_spark.multimodal import decode_jpeg, encode_jpeg
+
+        data = bytearray(encode_jpeg(self._gradient(16, 16)))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(data))
+
+    def test_decode_dispatch_and_metadata(self, spark):
+        from clawrag_spark.multimodal import (
+            _decode_image, decode_jpeg, encode_jpeg, media_metadata,
+        )
+
+        img = self._gradient(21, 18)
+        data = encode_jpeg(img, quality=90)
+        # _decode_image routes jpeg to the real decoder, not the fake
+        assert np.array_equal(_decode_image(data), decode_jpeg(data))
+        row = (
+            spark.createDataFrame([(data,)], "payload binary")
+            .select(media_metadata("payload").alias("m"))
+            .select("m.*")
+            .collect()[0]
+        )
+        assert (row["format"], row["media_type"]) == ("jpeg", "image")
+        assert (row["height"], row["width"]) == (21, 18)
