@@ -23,6 +23,7 @@ from clawrag_spark.operators import dataset as DS
 from clawrag_spark.operators import retrieval as R
 from clawrag_spark.operators import stats as S
 from clawrag_spark.operators import textops as X
+from clawrag_spark.operators import webgraph as WG
 from clawrag_spark.operators import webtext as WT
 
 _TABLES = (
@@ -1275,6 +1276,37 @@ def q_host_stats(spark, sf_dir):
     )
 
 
+def q_link_graph(spark, sf_dir):
+    """Host-level webgraph edges from raw crawl pages: magic-prefix
+    html gate (binary compare BEFORE the string cast, so non-UTF-8
+    payloads never decode), href extraction via one regexp_extract_all
+    + explode, RFC 3986 relative resolution as pure CASE/regex
+    expressions (absolute / protocol-relative / root-relative /
+    directory-relative, first-'#' fragment strip, bounded dot-segment
+    collapse), then one shuffle on the host pair.  The DuckDB oracle
+    replicates the resolution operator-for-operator."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    return WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """Weighted host-level PageRank (k=3, d=0.85) with dangling-mass
+    redistribution over the extracted link graph — the CC-style host
+    rank every web corpus ships for crawl prioritization.  Fixed
+    iteration count keeps the result engine-reproducible; the oracle
+    unrolls the same three synchronous iterations in SQL.  Per
+    iteration: one contrib shuffle on dst + a broadcast 1-row dangling
+    mass; lineage truncated via lazy localCheckpoint."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    pr = WG.pagerank(edges, weight="n_links", k=3, damping=0.85)
+    return pr.select(
+        F.col("n").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """The end-to-end training-data curation pipeline as ONE job:
     input → quality gate (length + Gopher top-bigram repetition) →
@@ -1464,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "link_graph": q_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
         "passage_dedup": q_passage_dedup,
         "ann_ivfpq": q_ann_ivfpq,
         "gopher_quality": q_gopher_quality,
@@ -1683,8 +1717,144 @@ def _hybrid_pipeline_oracle() -> str:
     """
 
 
+def _webgraph_edges_cte() -> str:
+    """Shared WITH-body replicating webgraph.extract_links →
+    resolve_links → host_edges operator-for-operator in DuckDB
+    (``clawrag_spark/operators/webgraph.py``).
+
+    The complete-document gate runs on the blob's escaped-VARCHAR form:
+    the prefix/suffix literals are pure printable ASCII, which DuckDB's
+    blob→VARCHAR cast maps to itself, so ``decode`` only ever sees
+    fully-delivered (hence valid-UTF-8) documents — matching Spark's
+    binary-substring gate byte for byte.  DuckDB ``regexp_replace`` is
+    first-match-only by default, so every replace that Spark applies
+    globally carries the ``'g'`` flag (the two anchored single-match
+    replaces don't need it)."""
+    return f"""
+        gated AS (
+            SELECT url AS src, decode(html) AS h
+            FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            WHERE starts_with(html::VARCHAR, '<!DOCTYPE html>')
+              AND ends_with(html::VARCHAR, '</html>')
+        ),
+        hrefs AS (
+            SELECT src,
+                   unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS href0
+            FROM gated
+        ),
+        kept AS (
+            SELECT src, href FROM (
+                SELECT src, split_part(href0, '#', 1) AS href FROM hrefs
+            )
+            WHERE href <> ''
+              AND NOT regexp_matches(href, '^(mailto|javascript|data|tel):')
+        ),
+        parts AS (
+            SELECT src, href,
+                   regexp_extract(src, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+                   regexp_extract(src, '^([a-z][a-z0-9+.-]*://[^/]+)', 1) AS origin,
+                   regexp_replace(src, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS path
+            FROM kept
+        ),
+        rawr AS (
+            SELECT src,
+                   CASE
+                       WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://')
+                           THEN href
+                       WHEN starts_with(href, '//')
+                           THEN scheme || ':' || href
+                       WHEN starts_with(href, '/')
+                           THEN origin || href
+                       ELSE origin
+                            || (CASE WHEN path = '' THEN '/'
+                                     ELSE regexp_replace(path, '[^/]*$', '')
+                                END)
+                            || href
+                   END AS raw
+            FROM parts
+        ),
+        resolved AS (
+            SELECT src,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(raw, '/\\./', '/', 'g'),
+                       '/[^/]+/\\.\\./', '/', 'g'),
+                       '/[^/]+/\\.\\./', '/', 'g'),
+                       '/[^/]+/\\.\\./', '/', 'g') AS dst
+            FROM rawr
+        ),
+        edges AS (
+            SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
+                       AS src_host,
+                   regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
+                       AS dst_host,
+                   count(*)::BIGINT AS n_links
+            FROM resolved
+            WHERE regexp_matches(dst, '^https?://')
+            GROUP BY 1, 2
+        )"""
+
+
+def _pagerank_oracle(k: int = 3, damping: float = 0.85) -> str:
+    """Unrolled k-iteration PageRank twin of ``webgraph.pagerank``.
+
+    Fixed-k synchronous iterations (never a tolerance stop) keep the
+    result engine-reproducible; every float literal is cast ::DOUBLE so
+    DuckDB performs the identical IEEE ops as Spark's Python-computed
+    ``F.lit`` constants (a bare 0.85 would parse as DECIMAL and make
+    ``1.0 - 0.85`` exact where Python's is not)."""
+    it = ""
+    prev = "r0"
+    for i in range(1, k + 1):
+        it += f""",
+        c{i} AS (
+            SELECT f.dst AS n, sum(f.frac * r.rank) AS c
+            FROM frac f JOIN {prev} r ON f.src = r.n
+            GROUP BY 1
+        ),
+        d{i} AS (
+            SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm
+            FROM {prev} WHERE n NOT IN (SELECT src FROM wsum)
+        ),
+        r{i} AS (
+            SELECT nodes.n,
+                   (1.0::DOUBLE - {damping}::DOUBLE) / nn.c
+                   + {damping}::DOUBLE
+                     * (coalesce(c{i}.c, 0.0::DOUBLE) + d{i}.dm / nn.c)
+                       AS rank
+            FROM nodes LEFT JOIN c{i} ON nodes.n = c{i}.n, nn, d{i}
+        )"""
+        prev = f"r{i}"
+    return f"""
+        WITH {_webgraph_edges_cte()},
+        nodes AS (
+            SELECT DISTINCT n FROM (
+                SELECT src_host AS n FROM edges
+                UNION ALL SELECT dst_host FROM edges
+            )
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS c FROM nodes),
+        wsum AS (
+            SELECT src_host AS src, sum(n_links::DOUBLE) AS ws
+            FROM edges GROUP BY 1
+        ),
+        frac AS (
+            SELECT e.src_host AS src, e.dst_host AS dst,
+                   e.n_links::DOUBLE / w.ws AS frac
+            FROM edges e JOIN wsum w ON e.src_host = w.src
+        ),
+        r0 AS (SELECT n, 1.0::DOUBLE / nn.c AS rank FROM nodes, nn)
+        {it}
+        SELECT n AS host, round(rank, 6) AS "rank" FROM {prev}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "link_graph": f"""
+            WITH {_webgraph_edges_cte()}
+            SELECT src_host, dst_host, n_links FROM edges
+        """,
+        "pagerank_hosts": _pagerank_oracle(k=3, damping=0.85),
         "hybrid_pipeline_topk": _hybrid_pipeline_oracle(),
         # C4: precomputed expected spans (core/expected.py), keyed by
         # md5(text) so ONE committed parquet serves every sf — the join

@@ -1,0 +1,236 @@
+"""Webgraph analytics: link extraction, URL resolution, PageRank.
+
+The reference never builds a link graph (its crawl surface stops at
+per-document extraction — backend/src/services/extraction_service.py),
+but a Common-Crawl-scale corpus pipeline needs one: outlink extraction
+feeds frontier expansion, host-level authority scores (PageRank) feed
+crawl prioritization and quality weighting (the CC "host ranks"
+sidecar every serious web corpus ships).
+
+Everything here is expression-only until the PageRank loop, and the
+loop is one shuffle per iteration:
+
+- link extraction: one ``regexp_extract_all`` + ``explode`` over the
+  decoded html (gated on the html magic prefix BEFORE decoding, so
+  non-UTF-8 payloads — PDFs, latin-1, binary junk — never reach the
+  string cast and both Spark and a SQL oracle see identical input),
+- URL resolution: pure CASE/regex expressions (absolute, protocol-
+  relative, root-relative, directory-relative; first-'#' fragment
+  strip; bounded ``/./`` and ``/seg/../`` collapse) — engine-portable,
+  no UDF,
+- ``pagerank``: weighted, with dangling-mass redistribution; the
+  per-source out-weight is joined ONCE up front (``frac`` persisted),
+  each iteration is contrib-shuffle on dst + a 1-row broadcast of the
+  dangling mass, and ``localCheckpoint(eager=False)`` truncates the
+  growing lineage exactly like ``connected_components`` does.
+
+Scale shape at 10^12 pages: extraction is scan-side (no shuffle);
+edge aggregation shuffles 2 host strings + a count; PageRank state is
+one row per HOST (~10^8), frac one row per host-edge — both orders of
+magnitude below page count, and every join key is the natural hash
+key.  No driver-side loops over data (the only ``count()`` is the
+node-count scalar, computed once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: byte prefix every generated html page starts with; checking it on
+#: the BINARY column keeps undecodable payloads away from the string
+#: cast (Spark would replacement-char them, a SQL oracle would error —
+#: the gate makes both engines see the same rows)
+_HTML_MAGIC = b"<!DOCTYPE html>"
+
+#: closing-tag suffix completing the document gate.  Truncated
+#: payloads can end mid-UTF-8-sequence: Spark's string cast substitutes
+#: U+FFFD where a strict decoder (a SQL oracle's ``decode``) raises, so
+#: the two engines would disagree on the decoded input.  Requiring the
+#: closing tag keeps only fully-delivered documents — valid UTF-8 by
+#: construction — so both engines see byte-identical text.  Truncated
+#: pages belong to the extraction pipeline's parse-failure path
+#: (pipeline.py), not the link graph.
+_HTML_SUFFIX = b"</html>"
+
+#: href attribute matcher — deliberately simple (double-quoted hrefs
+#: only) so the same pattern runs identically under Java regex and RE2
+_HREF_PATTERN = r'href="([^"]*)"'
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, href) — one row per double-quoted href in each html page.
+
+    Scan-side only: complete-document gate on the binary column (magic
+    prefix AND closing-tag suffix — see ``_HTML_SUFFIX`` for why both),
+    decode, ``regexp_extract_all``, ``explode``.  Empty hrefs and
+    non-http(s) schemes (mailto:, javascript:, data:) are dropped after
+    fragment stripping.
+    """
+    magic = F.lit(_HTML_MAGIC)
+    html_str = F.col(html_col).cast("string")
+    links = (
+        pages.filter(
+            F.substring(F.col(html_col), 1, len(_HTML_MAGIC)) == magic
+        )
+        .filter(
+            F.substring(
+                F.col(html_col), -len(_HTML_SUFFIX), len(_HTML_SUFFIX)
+            )
+            == F.lit(_HTML_SUFFIX)
+        )
+        .select(
+            F.col(url_col).alias("src"),
+            F.explode(
+                F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), F.lit(1))
+            ).alias("href"),
+        )
+        # first-'#' split (NOT last): fragments can't contain '#' but
+        # queries can contain anything — and split_part/substring_index
+        # agree on first-split semantics across engines
+        .withColumn("href", F.substring_index(F.col("href"), "#", 1))
+        .filter(F.col("href") != "")
+        .filter(
+            ~F.col("href").rlike(r"^(mailto|javascript|data|tel):")
+        )
+    )
+    return links
+
+
+def resolve_links(
+    links: DataFrame, src_col: str = "src", href_col: str = "href"
+) -> DataFrame:
+    """(src, dst) with ``href`` resolved to an absolute URL against
+    ``src`` — RFC 3986 §5 relative resolution as pure expressions:
+
+    - absolute (``scheme://``) hrefs pass through,
+    - ``//host/p`` takes the base scheme,
+    - ``/p`` takes the base origin,
+    - anything else joins to the base URL's directory,
+    - then ``/./`` segments collapse and ``/seg/../`` pairs cancel
+      (three global-replace passes — nesting deeper than 3 survives,
+      documented bound; crawl hrefs beyond that are vanishingly rare
+      and resolve consistently on every engine either way).
+
+    Everything is CASE + regex, so a SQL oracle can replicate it
+    operator-for-operator (DuckDB twin: q_link_graph's oracle).
+    """
+    src = F.col(src_col)
+    href = F.col(href_col)
+    scheme = F.regexp_extract(src, r"^([a-z][a-z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(src, r"^([a-z][a-z0-9+.-]*://[^/]+)", 1)
+    path = F.regexp_replace(src, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    base_dir = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"[^/]*$", "")
+    )
+    raw = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+    dst = F.regexp_replace(raw, r"/\./", "/")
+    for _ in range(3):  # bounded /seg/../ cancellation
+        dst = F.regexp_replace(dst, r"/[^/]+/\.\./", "/")
+    out = links.select(src.alias("src"), dst.alias("dst"))
+    return out.filter(F.col("dst").rlike(r"^https?://"))
+
+
+def url_host(col) -> "F.Column":
+    """Host part of an absolute URL (expression)."""
+    return F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def host_edges(resolved: DataFrame) -> DataFrame:
+    """Aggregate a page-level (src, dst) link table to weighted
+    host-level edges (src_host, dst_host, n_links).  One shuffle on the
+    host pair; self-edges (intra-host links) are kept — PageRank with
+    self-loops is well-defined and intra-host structure is real signal
+    for crawl scheduling."""
+    return (
+        resolved.select(
+            url_host(F.col("src")).alias("src_host"),
+            url_host(F.col("dst")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = None,
+    k: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution.
+
+    rank'(n) = (1-d)/N + d * (Σ_{(m,n)∈E} rank(m)·w(m,n)/wsum(m)
+                              + dangling/N)
+
+    where ``dangling`` is the total rank held by nodes with no
+    out-edges.  Exactly ``k`` synchronous iterations (fixed k keeps
+    the result engine-reproducible — a tolerance stop would make the
+    output depend on float summation order).
+
+    Plan per iteration: one shuffle (contrib groupBy dst), a left join
+    back onto the node set, and a 1-row crossJoin broadcast carrying
+    the dangling mass — the scalar never round-trips the driver.
+    ``frac`` (edge weight / source out-weight) is computed and
+    persisted ONCE; ``localCheckpoint(eager=False)`` truncates lineage
+    each round so the plan stays O(1) across iterations.
+    """
+    if k < 1:
+        raise ValueError(f"pagerank needs k >= 1, got {k}")
+    w = (F.col(weight) if weight else F.lit(1)).cast("double")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # scalar metadata, computed once
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    frac = (
+        e.join(wsum, "src")
+        .select("src", "dst", (F.col("w") / F.col("wsum")).alias("frac"))
+        .persist()
+    )
+    sources = wsum.select(F.col("src").alias("n"))
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(k):
+        contrib = (
+            frac.join(
+                ranks.select(F.col("n").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("rank")).alias("c"))
+        )
+        dangling = ranks.join(sources, "n", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contrib.select(F.col("dst").alias("n"), "c"), "n", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    nodes.unpersist()
+    frac.unpersist()
+    return ranks

@@ -1,0 +1,163 @@
+"""Webgraph operators: link extraction gate, RFC 3986 resolution,
+host-edge aggregation, and PageRank vs an independent numpy power
+iteration.  Driver-contract parity for the two webgraph queries lives
+in test_entry_oracle.py (link_graph / pagerank_hosts oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clawrag_spark.operators import webgraph as WG
+
+
+def _links_df(spark, rows):
+    return spark.createDataFrame(rows, "src string, href string")
+
+
+# ---------------------------------------------------------------- extract
+
+
+def test_extract_links_gate_and_filters(spark):
+    page = (
+        '<!DOCTYPE html><html><body>'
+        '<a href="/a">a</a> <a href="https://x.com/b#frag">b</a> '
+        '<a href="mailto:me@x.com">m</a> <a href="javascript:void(0)">j</a> '
+        '<a href="">empty</a> <a href="#top">frag-only</a>'
+        "</body></html>"
+    )
+    truncated = page[:40]  # magic passes, closing tag missing
+    latin1 = "café naïve".encode("latin-1")
+    rows = [
+        ("https://h.example/p/1", page.encode("utf-8")),
+        ("https://h.example/p/2", truncated.encode("utf-8")),
+        ("https://h.example/p/3", latin1),
+        ("https://h.example/p/4", b"%PDF-1.4 junk"),
+        ("https://h.example/p/5", b""),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(
+        (r.src, r.href) for r in WG.extract_links(pages).collect()
+    )
+    # only the complete html page contributes; fragments stripped,
+    # mailto/javascript/empty/fragment-only dropped
+    assert got == [
+        ("https://h.example/p/1", "/a"),
+        ("https://h.example/p/1", "https://x.com/b"),
+    ]
+
+
+# ---------------------------------------------------------------- resolve
+
+
+@pytest.mark.parametrize(
+    "src,href,want",
+    [
+        # absolute passthrough
+        ("https://a.com/d/p", "https://b.com/x", "https://b.com/x"),
+        ("https://a.com/d/p", "http://b.com/x", "http://b.com/x"),
+        # protocol-relative takes base scheme
+        ("https://a.com/d/p", "//c.com/y", "https://c.com/y"),
+        ("http://a.com/d/p", "//c.com/y", "http://c.com/y"),
+        # root-relative takes base origin
+        ("https://a.com/d/p", "/top", "https://a.com/top"),
+        # directory-relative joins the base directory
+        ("https://a.com/d/p", "x.html", "https://a.com/d/x.html"),
+        ("https://a.com/d/sub/p", "x", "https://a.com/d/sub/x"),
+        # no path on base → directory is /
+        ("https://a.com", "x", "https://a.com/x"),
+        # dot segments
+        ("https://a.com/d/p", "./x", "https://a.com/d/x"),
+        ("https://a.com/d/sub/p", "../x", "https://a.com/d/x"),
+        ("https://a.com/a/b/c/p", "../../x", "https://a.com/a/x"),
+    ],
+)
+def test_resolve_links_cases(spark, src, href, want):
+    out = WG.resolve_links(_links_df(spark, [(src, href)])).collect()
+    assert [(r.src, r.dst) for r in out] == [(src, want)]
+
+
+def test_resolve_links_drops_non_http(spark):
+    out = WG.resolve_links(
+        _links_df(spark, [("https://a.com/p", "ftp://f.com/x")])
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------- edges
+
+
+def test_host_edges_weights(spark):
+    resolved = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://a.com/2"),
+            ("https://a.com/1", "https://a.com/3"),
+            ("https://a.com/2", "https://b.com/x"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in WG.host_edges(resolved).collect()
+    }
+    assert got == {("a.com", "a.com"): 2, ("a.com", "b.com"): 1}
+
+
+# -------------------------------------------------------------- pagerank
+
+
+def _np_pagerank(edges, k, damping):
+    """Independent dense power iteration with dangling redistribution —
+    same fixed-k synchronous semantics as webgraph.pagerank."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] += w
+    out = W.sum(axis=1)
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(k):
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (P.T @ r + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_and_conserves_mass(spark):
+    edges = [
+        ("a", "b", 2.0),
+        ("a", "c", 1.0),
+        ("b", "c", 1.0),
+        ("c", "a", 1.0),
+        ("c", "d", 3.0),  # d is dangling
+        ("e", "a", 1.0),  # e has no in-links
+    ]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links double"
+    )
+    got = {
+        r.n: r.rank
+        for r in WG.pagerank(df, weight="n_links", k=5, damping=0.85).collect()
+    }
+    want = _np_pagerank(edges, k=5, damping=0.85)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # dangling redistribution conserves total mass exactly
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_symmetric_cycle(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src_host string, dst_host string"
+    )
+    got = [r.rank for r in WG.pagerank(df, k=4).collect()]
+    assert len(got) == 3
+    for r in got:  # symmetric cycle → uniform stationary ranks
+        assert r == pytest.approx(1.0 / 3, abs=1e-12)
+
+
+def test_pagerank_rejects_bad_k(spark):
+    df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
+    with pytest.raises(ValueError):
+        WG.pagerank(df, k=0)
