@@ -1307,6 +1307,19 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text sidecar: (dst_host, anchor, n_mentions) — what the
+    rest of the web calls each host.  Same complete-document gate and
+    href hygiene as link_graph; the (href, anchor) pairs come from two
+    capture groups of ONE pattern zipped positionally (arrays_zip in
+    Spark, aligned unnest in the DuckDB twin), ride through the
+    expression-only RFC 3986 resolver, and aggregate in one shuffle
+    with map-side combine absorbing repeated nav anchors."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    return WG.anchor_stats(WG.resolve_links(WG.extract_anchor_texts(pages)))
+
+
 def q_curation_funnel(spark, sf_dir):
     """The end-to-end training-data curation pipeline as ONE job:
     input → quality gate (length + Gopher top-bigram repetition) →
@@ -1498,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) new this round ----------------------------------------
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
+        "anchor_texts": q_anchor_texts,
         "passage_dedup": q_passage_dedup,
         "ann_ivfpq": q_ann_ivfpq,
         "gopher_quality": q_gopher_quality,
@@ -1717,10 +1731,14 @@ def _hybrid_pipeline_oracle() -> str:
     """
 
 
-def _webgraph_edges_cte() -> str:
+def _webgraph_edges_cte(anchors: bool = False) -> str:
     """Shared WITH-body replicating webgraph.extract_links →
     resolve_links → host_edges operator-for-operator in DuckDB
-    (``clawrag_spark/operators/webgraph.py``).
+    (``clawrag_spark/operators/webgraph.py``).  With ``anchors=True``
+    it instead extracts (href, anchor) pairs — two aligned ``unnest``
+    calls over the SAME pattern, DuckDB's positional zip — and carries
+    the trimmed anchor through resolution, twinning
+    ``extract_anchor_texts``'s ``arrays_zip``.
 
     The complete-document gate runs on the blob's escaped-VARCHAR form:
     the prefix/suffix literals are pure printable ASCII, which DuckDB's
@@ -1730,6 +1748,18 @@ def _webgraph_edges_cte() -> str:
     first-match-only by default, so every replace that Spark applies
     globally carries the ``'g'`` flag (the two anchored single-match
     replaces don't need it)."""
+    if anchors:
+        pat = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+        extract = f"""
+                   unnest(regexp_extract_all(h, '{pat}', 1)) AS href0,
+                   unnest(regexp_extract_all(h, '{pat}', 2)) AS anchor0"""
+        carry = ", trim(anchor0) AS anchor"
+        extra = ", anchor"
+    else:
+        extract = """
+                   unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS href0"""
+        carry = ""
+        extra = ""
     return f"""
         gated AS (
             SELECT url AS src, decode(html) AS h
@@ -1738,26 +1768,26 @@ def _webgraph_edges_cte() -> str:
               AND ends_with(html::VARCHAR, '</html>')
         ),
         hrefs AS (
-            SELECT src,
-                   unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS href0
+            SELECT src,{extract}
             FROM gated
         ),
         kept AS (
-            SELECT src, href FROM (
-                SELECT src, split_part(href0, '#', 1) AS href FROM hrefs
+            SELECT src, href{extra} FROM (
+                SELECT src, split_part(href0, '#', 1) AS href{carry}
+                FROM hrefs
             )
             WHERE href <> ''
               AND NOT regexp_matches(href, '^(mailto|javascript|data|tel):')
         ),
         parts AS (
-            SELECT src, href,
+            SELECT src, href{extra},
                    regexp_extract(src, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
                    regexp_extract(src, '^([a-z][a-z0-9+.-]*://[^/]+)', 1) AS origin,
                    regexp_replace(src, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS path
             FROM kept
         ),
         rawr AS (
-            SELECT src,
+            SELECT src{extra},
                    CASE
                        WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://')
                            THEN href
@@ -1774,7 +1804,7 @@ def _webgraph_edges_cte() -> str:
             FROM parts
         ),
         resolved AS (
-            SELECT src,
+            SELECT src{extra},
                    regexp_replace(regexp_replace(regexp_replace(
                        regexp_replace(raw, '/\\./', '/', 'g'),
                        '/[^/]+/\\.\\./', '/', 'g'),
@@ -1786,11 +1816,11 @@ def _webgraph_edges_cte() -> str:
             SELECT regexp_extract(src, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
                        AS src_host,
                    regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
-                       AS dst_host,
+                       AS dst_host{extra},
                    count(*)::BIGINT AS n_links
             FROM resolved
             WHERE regexp_matches(dst, '^https?://')
-            GROUP BY 1, 2
+            GROUP BY ALL
         )"""
 
 
@@ -1855,6 +1885,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM edges
         """,
         "pagerank_hosts": _pagerank_oracle(k=3, damping=0.85),
+        "anchor_texts": f"""
+            WITH {_webgraph_edges_cte(anchors=True)}
+            SELECT regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
+                       AS dst_host,
+                   anchor, count(*)::BIGINT AS n_mentions
+            FROM resolved
+            WHERE regexp_matches(dst, '^https?://') AND anchor <> ''
+            GROUP BY 1, 2
+        """,
         "hybrid_pipeline_topk": _hybrid_pipeline_oracle(),
         # C4: precomputed expected spans (core/expected.py), keyed by
         # md5(text) so ONE committed parquet serves every sf — the join

@@ -57,6 +57,37 @@ _HTML_SUFFIX = b"</html>"
 #: only) so the same pattern runs identically under Java regex and RE2
 _HREF_PATTERN = r'href="([^"]*)"'
 
+#: (href, anchor-text) pair matcher.  Anchor group is ``[^<]*`` — a
+#: link whose text contains nested markup cannot reach ``</a>`` and is
+#: skipped entirely (documented bound; the curation use-case is
+#: aggregate statistics over plain-text anchors, not rich-text
+#: rendering), and the pattern behaves identically under Java regex
+#: and RE2.
+_ANCHOR_PATTERN = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def _complete_html(pages: DataFrame, html_col: str) -> DataFrame:
+    """Complete-document gate: magic prefix AND closing-tag suffix,
+    both compared on the BINARY column (see ``_HTML_SUFFIX`` for why
+    the suffix matters)."""
+    return pages.filter(
+        F.substring(F.col(html_col), 1, len(_HTML_MAGIC)) == F.lit(_HTML_MAGIC)
+    ).filter(
+        F.substring(F.col(html_col), -len(_HTML_SUFFIX), len(_HTML_SUFFIX))
+        == F.lit(_HTML_SUFFIX)
+    )
+
+
+def _href_filters(df: DataFrame) -> DataFrame:
+    """Shared href hygiene: first-'#' fragment strip, drop empties and
+    non-navigational schemes.  Applied identically by the link and
+    anchor extractors so both feed ``resolve_links`` the same keyspace."""
+    return (
+        df.withColumn("href", F.substring_index(F.col("href"), "#", 1))
+        .filter(F.col("href") != "")
+        .filter(~F.col("href").rlike(r"^(mailto|javascript|data|tel):"))
+    )
+
 
 def extract_links(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
@@ -69,34 +100,55 @@ def extract_links(
     non-http(s) schemes (mailto:, javascript:, data:) are dropped after
     fragment stripping.
     """
-    magic = F.lit(_HTML_MAGIC)
     html_str = F.col(html_col).cast("string")
-    links = (
-        pages.filter(
-            F.substring(F.col(html_col), 1, len(_HTML_MAGIC)) == magic
-        )
-        .filter(
-            F.substring(
-                F.col(html_col), -len(_HTML_SUFFIX), len(_HTML_SUFFIX)
-            )
-            == F.lit(_HTML_SUFFIX)
-        )
+    links = _complete_html(pages, html_col).select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), F.lit(1))
+        ).alias("href"),
+    )
+    # first-'#' split (NOT last): fragments can't contain '#' but
+    # queries can contain anything — and split_part/substring_index
+    # agree on first-split semantics across engines
+    return _href_filters(links)
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, href, anchor) — one row per ``<a href="...">text</a>``.
+
+    Anchor text is the classic web-corpus sidecar (it describes the
+    TARGET page better than the target's own boilerplate — the signal
+    behind anchor-augmented retrieval corpora like MS MARCO and CC
+    anchor datasets).  Same scan-side shape as ``extract_links``: the
+    two capture groups are pulled as parallel arrays by the SAME
+    pattern, zipped positionally, exploded once; same complete-document
+    gate and href hygiene, so (src, href) keys match ``extract_links``
+    row-for-row wherever the href sits inside an ``<a>`` element whose
+    text is markup-free (see ``_ANCHOR_PATTERN`` for the nested-markup
+    bound).  Anchors are whitespace-trimmed but otherwise verbatim.
+    """
+    html_str = F.col(html_col).cast("string")
+    pat = F.lit(_ANCHOR_PATTERN)
+    pairs = (
+        _complete_html(pages, html_col)
         .select(
             F.col(url_col).alias("src"),
             F.explode(
-                F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), F.lit(1))
-            ).alias("href"),
+                F.arrays_zip(
+                    F.regexp_extract_all(html_str, pat, F.lit(1)).alias("href"),
+                    F.regexp_extract_all(html_str, pat, F.lit(2)).alias("anchor"),
+                )
+            ).alias("p"),
         )
-        # first-'#' split (NOT last): fragments can't contain '#' but
-        # queries can contain anything — and split_part/substring_index
-        # agree on first-split semantics across engines
-        .withColumn("href", F.substring_index(F.col("href"), "#", 1))
-        .filter(F.col("href") != "")
-        .filter(
-            ~F.col("href").rlike(r"^(mailto|javascript|data|tel):")
+        .select(
+            "src",
+            F.col("p.href").alias("href"),
+            F.trim(F.col("p.anchor")).alias("anchor"),
         )
     )
-    return links
+    return _href_filters(pairs)
 
 
 def resolve_links(
@@ -116,6 +168,8 @@ def resolve_links(
 
     Everything is CASE + regex, so a SQL oracle can replicate it
     operator-for-operator (DuckDB twin: q_link_graph's oracle).
+    Payload columns besides (src, href) — e.g. anchor text — pass
+    through unchanged.
     """
     src = F.col(src_col)
     href = F.col(href_col)
@@ -134,8 +188,29 @@ def resolve_links(
     dst = F.regexp_replace(raw, r"/\./", "/")
     for _ in range(3):  # bounded /seg/../ cancellation
         dst = F.regexp_replace(dst, r"/[^/]+/\.\./", "/")
-    out = links.select(src.alias("src"), dst.alias("dst"))
+    # withColumn + drop (not a bare select) so payload columns riding
+    # along — e.g. extract_anchor_texts' anchor — survive resolution
+    out = links.withColumn("dst", dst).drop(href_col)
+    if src_col != "src":
+        out = out.withColumnRenamed(src_col, "src")
     return out.filter(F.col("dst").rlike(r"^https?://"))
+
+
+def anchor_stats(resolved_anchors: DataFrame) -> DataFrame:
+    """Aggregate resolved (src, anchor, dst) rows into per-(dst_host,
+    anchor) mention counts — the anchor-text sidecar table keyed the
+    way consumers read it (what does the web call this host?).  One
+    shuffle on the (host, anchor) pair; counts are algebraic, so the
+    map-side partial aggregation absorbs the nav-link skew (the same
+    anchor repeated across a host's pages combines before shuffling)."""
+    return (
+        resolved_anchors.select(
+            url_host(F.col("dst")).alias("dst_host"), "anchor"
+        )
+        .filter(F.col("anchor") != "")
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").cast("long").alias("n_mentions"))
+    )
 
 
 def url_host(col) -> "F.Column":

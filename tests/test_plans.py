@@ -6,6 +6,8 @@ TakeOrderedAndProject for top-k (no global sort), and whole-stage
 codegen for expression-only operators.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -337,3 +339,64 @@ class TestWebtextPlans:
         assert "EvalPython" not in plan
         # one host-partitioned sort drives both window functions
         assert plan.count("Window") >= 1
+
+
+class TestWebgraphPlans:
+    """Webgraph scale contracts: extraction/resolution stay JVM-side
+    expression-only; edge aggregation is ONE shuffle; the PageRank
+    dangling-mass scalar rides a 1-row broadcast, never a cartesian."""
+
+    def test_link_graph_expression_only_single_shuffle(self, spark):
+        plan = plan_of(entry_mod.q_link_graph(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # scan -> partial agg -> ONE exchange on the host pair -> final
+        # (each node prints twice in formatted plans: tree + detail)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_anchor_texts_expression_only_single_shuffle(self, spark):
+        plan = plan_of(entry_mod.q_anchor_texts(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_pagerank_iteration_no_cartesian(self, spark):
+        # pin the PRE-checkpoint iteration plan (the query's own final
+        # frame hides behind the localCheckpoint RDD scan): the 1-row
+        # dangling-mass crossJoin must plan as a broadcast nested loop,
+        # never a shuffled CartesianProduct, and stay Python-free
+        from pyspark.sql import functions as F
+        from clawrag_spark.operators import webgraph as WG
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 2.0)],
+            "src_host string, dst_host string, n_links double",
+        )
+        e = edges.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
+            F.col("n_links").cast("double").alias("w"),
+        )
+        nodes = e.select(F.col("src").alias("n")).union(
+            e.select(F.col("dst").alias("n"))
+        ).distinct()
+        wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+        frac = e.join(wsum, "src").select(
+            "src", "dst", (F.col("w") / F.col("wsum")).alias("frac")
+        )
+        ranks = nodes.select("n", F.lit(1.0 / 3).alias("rank"))
+        contrib = (
+            frac.join(ranks.select(F.col("n").alias("src"), "rank"), "src")
+            .groupBy("dst").agg(F.sum(F.col("frac") * F.col("rank")).alias("c"))
+        )
+        dangling = ranks.join(
+            wsum.select(F.col("src").alias("n")), "n", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        step = (
+            nodes.join(contrib.select(F.col("dst").alias("n"), "c"), "n", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("n", (F.col("dm") + F.coalesce(F.col("c"), F.lit(0.0))).alias("r"))
+        )
+        plan = plan_of(step)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "EvalPython" not in plan

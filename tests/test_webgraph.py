@@ -161,3 +161,60 @@ def test_pagerank_rejects_bad_k(spark):
     df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
     with pytest.raises(ValueError):
         WG.pagerank(df, k=0)
+
+
+# ---------------------------------------------------------------- anchors
+
+
+def test_extract_anchor_texts_pairs_and_trim(spark):
+    page = (
+        '<!DOCTYPE html><body>'
+        '<a href="/a"> padded text </a>'
+        '<a href="https://x.com/b#frag" class="ext">ext link</a>'
+        '<a href="/c"><b>nested</b> tail</a>'
+        '<a href="mailto:z@q.com">mail</a>'
+        '<a href="/d"></a>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/p", page.encode("utf-8"))],
+        "url string, html binary",
+    )
+    got = sorted(
+        (r.href, r.anchor) for r in WG.extract_anchor_texts(pages).collect()
+    )
+    # nested-markup links are skipped (pattern can't cross inner tags —
+    # documented bound); fragment stripped; mailto dropped; trimmed
+    assert got == [
+        ("/a", "padded text"),
+        ("/d", ""),
+        ("https://x.com/b", "ext link"),
+    ]
+
+
+def test_resolve_links_preserves_anchor_column(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/d/p", "../x", "click me")],
+        "src string, href string, anchor string",
+    )
+    out = WG.resolve_links(df).collect()
+    assert [(r.src, r.anchor, r.dst) for r in out] == [
+        ("https://a.com/d/p", "click me", "https://a.com/x")
+    ]
+
+
+def test_anchor_stats_counts_and_drops_empty(spark):
+    resolved = spark.createDataFrame(
+        [
+            ("https://a.com/1", "home", "https://b.com/x"),
+            ("https://a.com/2", "home", "https://b.com/y"),
+            ("https://a.com/1", "", "https://b.com/z"),
+            ("https://a.com/1", "docs", "https://c.com/d"),
+        ],
+        "src string, anchor string, dst string",
+    )
+    got = {
+        (r.dst_host, r.anchor): r.n_mentions
+        for r in WG.anchor_stats(resolved).collect()
+    }
+    assert got == {("b.com", "home"): 2, ("c.com", "docs"): 1}
