@@ -1307,6 +1307,38 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def q_host_template_strip(spark, sf_dir):
+    """Host-level template-line removal (RefinedWeb/CCNet heuristic:
+    a line in >= 50% AND >= 2 of a host's pages is boilerplate).  The
+    fixture corpora carry no multi-line per-host templates — the
+    extractor already strips page-level boilerplate — so the query
+    deterministically injects a per-source header and footer around
+    each document's text (source plays the host role); the operator
+    must remove exactly those and keep every original line, and the
+    oracle replicates the same construction.  md5 is the result key so
+    full texts don't round-trip the compare."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stacked = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("HOME | ABOUT | "), F.upper(F.col("source"))),
+            F.col("text"),
+            F.concat(F.lit("(c) 2025 "), F.col("source")),
+        ).alias("text"),
+    )
+    res = WT.strip_host_templates(
+        stacked, "source", "doc_id", "text", min_docs=2, min_frac=0.5
+    )
+    return res.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "lines_kept",
+        "lines_removed",
+    )
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text sidecar: (dst_host, anchor, n_mentions) — what the
     rest of the web calls each host.  Same complete-document gate and
@@ -1512,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_texts": q_anchor_texts,
+        "host_template_strip": q_host_template_strip,
         "passage_dedup": q_passage_dedup,
         "ann_ivfpq": q_ann_ivfpq,
         "gopher_quality": q_gopher_quality,
@@ -1885,6 +1918,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM edges
         """,
         "pagerank_hosts": _pagerank_oracle(k=3, damping=0.85),
+        # host-template strip: same injected header/footer construction
+        # as the Spark query; templates resolved on (source, line)
+        # directly — md5 keying is a Spark shuffle-width concern, not a
+        # semantic one
+        "host_template_strip": """
+            WITH stacked AS (
+                SELECT doc_id, source,
+                       'HOME | ABOUT | ' || upper(source) || chr(10) ||
+                       text || chr(10) || '(c) 2025 ' || source AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, source,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS ord,
+                       trim(unnest(string_split(text, chr(10)))) AS line
+                FROM stacked
+            ),
+            ne AS (SELECT doc_id, source, ord, line FROM l WHERE line <> ''),
+            presence AS (SELECT DISTINCT source, doc_id, line FROM ne),
+            docfreq AS (
+                SELECT source, line, count(*) AS df
+                FROM presence GROUP BY 1, 2
+            ),
+            hp AS (
+                SELECT source, count(DISTINCT doc_id) AS np
+                FROM presence GROUP BY 1
+            ),
+            templ AS (
+                SELECT d.source, d.line
+                FROM docfreq d JOIN hp USING (source)
+                WHERE d.df >= 2 AND d.df >= 0.5 * hp.np
+            ),
+            marked AS (
+                SELECT n.doc_id, n.ord, n.line, t.line IS NOT NULL AS rm
+                FROM ne n LEFT JOIN templ t
+                  ON n.source = t.source AND n.line = t.line
+            )
+            SELECT doc_id,
+                   md5(coalesce(
+                       string_agg(CASE WHEN NOT rm THEN line END,
+                                  chr(10) ORDER BY ord),
+                       '')) AS clean_md5,
+                   count(CASE WHEN NOT rm THEN 1 END)::BIGINT AS lines_kept,
+                   count(CASE WHEN rm THEN 1 END)::BIGINT AS lines_removed
+            FROM marked GROUP BY doc_id
+        """,
         "anchor_texts": f"""
             WITH {_webgraph_edges_cte(anchors=True)}
             SELECT regexp_extract(dst, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)

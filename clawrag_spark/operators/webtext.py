@@ -34,6 +34,7 @@ __all__ = [
     "top_ngram_char_frac",
     "line_repetition_signals",
     "paragraph_dedup",
+    "strip_host_templates",
     "pii_signals",
     "mask_pii",
     "stratified_sample",
@@ -243,6 +244,88 @@ def paragraph_dedup(
             F.count(F.when(~F.col("rm"), 1)).alias("paras_kept"),
             F.count(F.when(F.col("rm"), 1)).alias("paras_removed"),
         )
+    )
+
+
+def strip_host_templates(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Remove per-HOST template lines — host-level boilerplate the
+    per-document extractor can't see (cookie banners, footers, nav
+    crumbs that survive DOM heuristics because they look like content
+    on any single page).  A trimmed line is a template iff it appears
+    in >= ``min_docs`` documents of its host AND in >= ``min_frac`` of
+    them — the RefinedWeb/CCNet host-frequency heuristic; the
+    corpus-wide cousin is ``paragraph_dedup``.
+
+    Returns (id, clean_text, lines_kept, lines_removed); documents with
+    no non-empty lines drop out.  The host's page count is taken over
+    documents that contribute at least one non-empty line (a blank page
+    can't dilute the fraction).
+
+    Scale shape: presence is deduped to ONE row per (host, line, doc)
+    before counting, so a line repeated inside a single page cannot
+    inflate its document frequency; the frequency aggregation and the
+    membership join key on (host, ``md5(line)``) — fixed 32 bytes, never
+    line text; per-host page counts are a tiny frame joined broadcast;
+    reassembly is one groupBy on the document id with an in-row sort.
+    Three shuffles total, each map-side-combinable.
+    """
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (got {min_docs}): 1 would mark every "
+            "line of every host a template"
+        )
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    lines = (
+        df.select(
+            F.col(host_col).alias("__h"),
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("ord", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+        .withColumn("k", F.md5("line"))
+    )
+    presence = lines.select("__h", "__id", "k").distinct()
+    docfreq = presence.groupBy("__h", "k").agg(F.count("*").alias("df_"))
+    host_pages = (
+        presence.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("np"))
+    )
+    templates = (
+        docfreq.join(F.broadcast(host_pages), "__h")
+        .filter(
+            (F.col("df_") >= min_docs)
+            & (F.col("df_") >= F.lit(float(min_frac)) * F.col("np"))
+        )
+        .select("__h", "k", F.lit(True).alias("rm0"))
+    )
+    marked = lines.join(templates, ["__h", "k"], "left").withColumn(
+        "rm", F.coalesce(F.col("rm0"), F.lit(False))
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ord"),
+                F.when(~F.col("rm"), F.col("line")).alias("p"),
+            )
+        )
+    )
+    return marked.groupBy(F.col("__id").alias(id_col)).agg(
+        F.concat_ws("\n", F.transform(arr, lambda s: s["p"])).alias(
+            "clean_text"
+        ),
+        F.count(F.when(~F.col("rm"), 1)).alias("lines_kept"),
+        F.count(F.when(F.col("rm"), 1)).alias("lines_removed"),
     )
 
 

@@ -95,6 +95,90 @@ def test_paragraph_dedup_all_removed_yields_empty(spark):
     assert out[1]["clean_text"] == "" and out[1]["paras_kept"] == 0
 
 
+def test_strip_host_templates_per_host_boilerplate(spark):
+    nav = "Home | About | Contact"
+    docs = spark.createDataFrame(
+        [
+            # host a: nav appears in 2/3 pages (>=2 and >=50%) -> template
+            ("a", 1, f"{nav}\nalpha body one"),
+            ("a", 2, f"{nav}\nbeta body two"),
+            ("a", 3, "gamma body three"),
+            # host b: nav appears only once -> NOT a template there
+            ("b", 4, f"{nav}\ndelta body"),
+            ("b", 5, "epsilon body"),
+        ],
+        ["host", "id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in W.strip_host_templates(
+            docs, "host", "id", "text", min_docs=2, min_frac=0.5
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha body one"
+    assert out[1]["lines_removed"] == 1 and out[1]["lines_kept"] == 1
+    assert out[3]["clean_text"] == "gamma body three"
+    assert out[4]["clean_text"] == f"{nav}\ndelta body"
+    assert out[4]["lines_removed"] == 0
+
+
+def test_strip_host_templates_intra_doc_repeat_does_not_inflate_df(spark):
+    # "loop" occurs 3x inside doc 1 but in only 1 of 3 documents of the
+    # host -> document frequency is 1, so it must NOT become a template.
+    docs = spark.createDataFrame(
+        [
+            ("h", 1, "loop\nloop\nloop\nreal one"),
+            ("h", 2, "real two"),
+            ("h", 3, "real three"),
+        ],
+        ["host", "id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in W.strip_host_templates(docs, "host", "id", "text").collect()
+    }
+    assert out[1]["clean_text"] == "loop\nloop\nloop\nreal one"
+    assert out[1]["lines_removed"] == 0
+
+
+def test_strip_host_templates_blank_page_does_not_dilute(spark):
+    # doc 3 contributes no non-empty line: host page count must be 2,
+    # so a line shared by docs 1+2 is 2/2 = 100% -> template.
+    docs = spark.createDataFrame(
+        [
+            ("h", 1, "footer 2025\none"),
+            ("h", 2, "footer 2025\ntwo"),
+            ("h", 3, "\n  \n"),
+        ],
+        ["host", "id", "text"],
+    )
+    res = W.strip_host_templates(docs, "host", "id", "text")
+    out = {r["id"]: r for r in res.collect()}
+    assert set(out) == {1, 2}  # blank page drops out entirely
+    assert out[1]["clean_text"] == "one"
+    assert out[2]["clean_text"] == "two"
+
+
+def test_strip_host_templates_rejects_degenerate_params(spark):
+    docs = spark.createDataFrame([("h", 1, "x")], ["host", "id", "text"])
+    with pytest.raises(ValueError):
+        W.strip_host_templates(docs, "host", "id", "text", min_docs=1)
+    with pytest.raises(ValueError):
+        W.strip_host_templates(docs, "host", "id", "text", min_frac=0.0)
+
+
+def test_strip_host_templates_plan_no_cartesian_no_python(spark):
+    docs = spark.createDataFrame([("h", 1, "a\nb")], ["host", "id", "text"])
+    plan = (
+        W.strip_host_templates(docs, "host", "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_paragraph_dedup_plan_has_no_cartesian(spark):
     docs = spark.createDataFrame([(1, "a\n\nb")], ["id", "text"])
     plan = W.paragraph_dedup(docs, "id", "text")._jdf.queryExecution().executedPlan().toString()
