@@ -1360,14 +1360,37 @@ def q_curation_funnel(spark, sf_dir):
     mix.  Returns per-(stage, lang) survivor counts — the funnel report
     a curation run ships with.  Each stage materializes exactly once
     (its report counts ARE the cache-warming job) and intermediate
-    caches release as soon as their successor is warm."""
+    caches release as soon as their successor is warm.
+
+    The dedup stage consumes the CORPUS-WIDE near-dup pair table
+    (`_jaccard_verified_pairs(docs)`) restricted to quality survivors,
+    not a recomputation over the filtered frame: a doc's MinHash band
+    signature and its Jaccard against a partner depend only on the two
+    docs' own shingles, never on the rest of the corpus, so
+    "pairs-on-survivors" ≡ "corpus pairs with both endpoints
+    surviving" — value-identical, pinned by
+    tests/test_dedup_family.py.  This is how production pipelines run
+    too (the dedup pair artifact is built once corpus-wide and shared);
+    here it additionally means the funnel reuses the session-cached
+    pair plan that `ngram_jaccard`/`dedup_clusters` already
+    materialized instead of paying the shingle+verify scan a second
+    time on an input no other query shares."""
     from clawrag_spark.curation import curate_corpus, funnel_report
 
     docs = _load(spark, sf_dir, "documents")
+
+    def survivor_pairs(survivors):
+        ids = survivors.select("doc_id")
+        return (
+            _jaccard_verified_pairs(docs)
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        )
+
     res = curate_corpus(
         docs, "doc_id", "text", "lang",
         min_chars=100, max_top_bigram_frac=0.12, chars_col="n_chars",
-        pair_fn=_jaccard_verified_pairs,
+        pair_fn=survivor_pairs,
         mix_rates=_MIX_RATES, mix_default_rate=_MIX_DEFAULT,
         mix_salt=_MIX_SALT,
     )

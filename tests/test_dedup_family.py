@@ -306,6 +306,34 @@ class TestConnectedComponents:
             connected_components(pairs, "doc_a", "doc_b", max_iter=2)
 
 
+class TestPairRestrictionIdentity:
+    def test_subset_pairs_equal_corpus_pairs_restricted(self, spark):
+        """Per-doc MinHash signatures make 'pairs computed on a filtered
+        corpus' identical to 'corpus-wide pairs with both endpoints in
+        the filter' — the identity q_curation_funnel relies on to share
+        the corpus-wide pair artifact across funnel and dedup queries."""
+        import __spark_entry__ as e
+        from pyspark.sql import functions as F
+
+        docs = e._load(spark, "/root/testdata/sf0.001", "documents")
+        survivors = docs.filter(F.col("n_chars") >= 100)
+
+        on_subset = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in e._jaccard_verified_pairs(survivors).collect()
+        }
+        ids = survivors.select("doc_id")
+        restricted = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in e._jaccard_verified_pairs(docs)
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+            .collect()
+        }
+        assert on_subset == restricted
+        assert restricted  # non-vacuous: the corpus plants near-copies
+
+
 class TestInt8Quantization:
     def test_round_trip_and_topk_recall(self, spark):
         import numpy as np
