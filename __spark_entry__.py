@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from clawrag_spark.operators import dataset as DS
 from clawrag_spark.operators import retrieval as R
+from clawrag_spark.operators import sketches as SK
 from clawrag_spark.operators import stats as S
 from clawrag_spark.operators import textops as X
 from clawrag_spark.operators import webgraph as WG
@@ -1339,6 +1340,48 @@ def q_host_template_strip(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-adjacency phrase search over positional postings: filter
+    the postings to the phrase's terms (a partition prune on a
+    term-bucketed index), chain (doc, pos) equi-joins — never a corpus
+    scan at probe time."""
+    docs = _load(spark, sf_dir, "documents")
+    post = R.positional_postings(docs, "doc_id", "text")
+    return R.phrase_match(post, "doc_id", "hash join")
+
+
+def q_hll_user_days(spark, sf_dir):
+    """Deterministic HyperLogLog (b=6, md5-bit-pinned) distinct-user
+    estimate per event day, joined against the exact count so the
+    result carries its own error audit.  The register file is the whole
+    shuffle payload — ≤64 rows per day regardless of cardinality; the
+    DuckDB oracle replicates the register math bit-for-bit (integer
+    Z-sum, same alpha literal), which Spark's own HLL++
+    (approx_count_distinct) cannot offer cross-engine."""
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    est = SK.hll_distinct(ev, ["event_date"], "user_id", b=6)
+    exact = ev.groupBy("event_date").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_date").select(
+        "event_date", "hll_estimate", "exact_distinct", "n_registers"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    top-5 docs per language by u^(1/n_chars) with a salted-md5 u —
+    deterministic on any engine, one window, no RNG state."""
+    docs = _load(spark, sf_dir, "documents")
+    out = WT.weighted_sample(docs, "doc_id", "n_chars", 5, "lang")
+    return out.select(
+        "doc_id", "lang", F.round("sample_key", 6).alias("sample_key"),
+        "sample_rank",
+    )
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text sidecar: (dst_host, anchor, n_mentions) — what the
     rest of the web calls each host.  Same complete-document gate and
@@ -1564,6 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "phrase_search": q_phrase_search,
+        "hll_user_days": q_hll_user_days,
+        "weighted_sample": q_weighted_sample,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_texts": q_anchor_texts,
@@ -1935,7 +1981,104 @@ def _pagerank_oracle(k: int = 3, damping: float = 0.85) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # HLL oracle constants — MUST mirror sketches.hll_distinct(b=6)
+    # bit-for-bit: 60-bit md5 hash, cap = 60 - b + 1, exact-integer
+    # register sum, and the exact double literal Spark multiplies by.
+    hll_cap = 55  # 60 - b + 1 for b=6
+    hll_num = repr(SK._alpha(64) * 64 * 64 * float(1 << hll_cap))
+    ws_den = repr(float((1 << 60) + 1))
     return {
+        # positional-postings phrase search: tokenizer identical to the
+        # BM25 SQL twin; positions via generate_subscripts (1-based —
+        # offsets cancel in the adjacency join, so parity with Spark's
+        # 0-based posexplode holds)
+        "phrase_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''), 1) AS pos,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            )
+            SELECT t0.doc_id, count(*)::BIGINT AS n_occurrences
+            FROM toks t0
+            JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+            WHERE t0.term = 'hash' AND t1.term = 'join'
+            GROUP BY t0.doc_id
+        """,
+        # deterministic HLL (b=6): same 60-bit md5, register max, exact
+        # integer Z-sum, identical double literals — the whole point is
+        # that a foreign engine can re-derive the estimate bit-for-bit
+        "hll_user_days": f"""
+            WITH hashed AS (
+                SELECT ts::DATE AS event_date,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                           AS h
+                FROM events
+            ),
+            regs AS (
+                SELECT event_date, h % 64 AS j,
+                       max(CASE WHEN (h >> 6) = 0 THEN {hll_cap}
+                                ELSE {hll_cap} - length(bin(h >> 6))
+                           END) AS m_j
+                FROM hashed GROUP BY 1, 2
+            ),
+            summed AS (
+                SELECT event_date,
+                       sum(1::BIGINT << ({hll_cap} - m_j))::BIGINT AS s,
+                       count(*)::BIGINT AS n_registers
+                FROM regs GROUP BY 1
+            ),
+            est AS (
+                SELECT event_date, n_registers,
+                       64 - n_registers AS zeros,
+                       {hll_num} / (s + (64 - n_registers)
+                                    * {1 << hll_cap}) AS e_raw
+                FROM summed
+            ),
+            hll AS (
+                SELECT event_date, n_registers,
+                       round(CASE WHEN e_raw <= 160.0 AND zeros > 0
+                                  THEN 64.0 * ln(64.0 / zeros)
+                                  ELSE e_raw END, 4) AS hll_estimate
+                FROM est
+            ),
+            exact AS (
+                SELECT ts::DATE AS event_date,
+                       count(DISTINCT user_id)::BIGINT AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT h.event_date, h.hll_estimate, e.exact_distinct,
+                   h.n_registers
+            FROM hll h JOIN exact e USING (event_date)
+        """,
+        # Efraimidis–Spirakis weighted sample: same salted-md5 u, same
+        # 9-dp-rounded ranking key, same (key desc, id asc) order
+        "weighted_sample": f"""
+            WITH keyed AS (
+                SELECT doc_id, lang,
+                       round(pow(
+                           (('0x' || substr(md5('ws|' || doc_id::VARCHAR),
+                                            1, 15))::BIGINT + 1) / {ws_den},
+                           1.0 / n_chars::DOUBLE), 9) AS sample_key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            ranked AS (
+                SELECT doc_id, lang, sample_key,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY sample_key DESC, doc_id ASC
+                       )::BIGINT AS sample_rank
+                FROM keyed
+            )
+            SELECT doc_id, lang, round(sample_key, 6) AS sample_key,
+                   sample_rank
+            FROM ranked WHERE sample_rank <= 5
+        """,
         "link_graph": f"""
             WITH {_webgraph_edges_cte()}
             SELECT src_host, dst_host, n_links FROM edges

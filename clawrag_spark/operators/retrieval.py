@@ -14,6 +14,8 @@ embeddings table — no shuffle at all until the final top-k.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -336,4 +338,59 @@ def paginate(
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn").between(offset + 1, offset + limit))
         .drop("rn")
+    )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional inverted-index rows: one ``(id, term, pos)`` per token
+    occurrence (0-based position), using the SQL-expressible tokenizer
+    so DuckDB oracles replicate it exactly.
+
+    This is the index layout phrase and proximity queries need — the
+    BM25 postings (``bm25_build_index``) keep only per-doc term
+    frequencies.  At scale the postings sink is written bucketed by
+    ``term`` so a phrase probe prunes to its terms' buckets instead of
+    scanning the corpus.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(sql_tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    postings: DataFrame, id_col: str, phrase: str
+) -> DataFrame:
+    """Exact-adjacency phrase search over positional postings: returns
+    ``(id, n_occurrences)`` for documents containing the phrase's
+    tokens at consecutive positions.
+
+    Plan shape (the standard distributed phrase probe): filter the
+    postings to the phrase's terms FIRST — with a term-bucketed
+    postings table that is a partition prune, never a corpus scan —
+    then chain equi-joins on ``(id, pos)``: occurrence of term_i at
+    ``pos0 + i`` for all i.  Each join input is one term's (tiny)
+    posting list; the join key carries 16 bytes.  A repeated term in
+    the phrase joins the same filtered frame twice — still correct,
+    positions differ.
+
+    Raises on phrases with fewer than 2 tokens (a 1-token "phrase" is
+    a plain term lookup — use the BM25 index).
+    """
+    terms = [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+    if len(terms) < 2:
+        raise ValueError(f"phrase needs >= 2 tokens, got {terms!r}")
+    occ = (
+        postings.filter(F.col("term") == terms[0])
+        .select(F.col(id_col), F.col("pos"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        occ = occ.join(nxt, [id_col, "pos"])
+    return occ.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_occurrences")
     )

@@ -38,6 +38,7 @@ __all__ = [
     "pii_signals",
     "mask_pii",
     "stratified_sample",
+    "weighted_sample",
     "decontaminate",
     "train_char_lm",
     "lm_score",
@@ -531,6 +532,65 @@ def stratified_sample(
         F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
     )
     return df.filter(key < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k per
+    stratum), via the Efraimidis–Spirakis A-ES key: each row draws
+    ``u ∈ (0,1)`` from its salted md5 and ranks by ``u^(1/weight)`` —
+    the k largest keys are a weighted sample without replacement, the
+    distributed-systems standard because the decision needs ONE pass
+    and no shared RNG state.  Where :func:`stratified_sample` keeps
+    rows at a per-stratum *rate*, this keeps an exact per-stratum
+    *count* biased by a per-row weight (quality score, token count) —
+    the "pick the best N docs per language, weight by quality" step of
+    a training-mix build.
+
+    Determinism / engine parity: ``u`` is a 60-bit md5 integer mapped
+    into (0,1); the ranking key is ``round(u^(1/w), 9)`` with the row
+    id as tie-break, so both the sample AND its order reproduce on any
+    engine (the rounding absorbs last-ulp ``pow`` differences between
+    libm implementations; a collision on a 9-dp key falls back to the
+    id order, still deterministic).
+
+    Scale shape: key computation is scan-side expression work; the
+    top-k per stratum is one window over the stratum partition —
+    rank(k) never materializes a global sort.  Weights must be > 0
+    (rows with NULL or non-positive weight are dropped, not sampled).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0,1) exclusive: (h+1) / (2^60 + 1)
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    ).alias("sample_key")
+    part = [stratum_col] if stratum_col is not None else []
+    w = Window.partitionBy(*part).orderBy(
+        F.desc("sample_key"), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select("*", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
 
 
 def canonicalize_url(url: Column) -> Column:

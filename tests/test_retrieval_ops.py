@@ -116,3 +116,55 @@ class TestCompatAndAdaptiveK:
         assert adaptive_collection_k(4) == 25
         assert adaptive_collection_k(50) == 10   # floor
         assert adaptive_collection_k(0) == 100   # guard
+
+
+# ------------------------------------------------- positional phrase
+
+
+def test_phrase_match_counts_and_overlap(spark):
+    from clawrag_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join beats sort merge; a hash join wins again"),
+            (2, "hash then join later"),            # not adjacent
+            (3, "the join hash order is reversed"),  # wrong order
+            (4, "a a a"),                            # overlapping occurrences
+        ],
+        ["doc_id", "text"],
+    )
+    post = positional_postings(docs, "doc_id", "text")
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(post, "doc_id", "hash join").collect()
+    }
+    assert out == {1: 2}
+    # repeated-term phrase: "a a" occurs at pos 0-1 and 1-2 (overlap ok)
+    rep = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(post, "doc_id", "a a").collect()
+    }
+    assert rep == {4: 2}
+
+
+def test_phrase_match_three_terms_and_validation(spark):
+    from clawrag_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "broadcast hash join plan"), (2, "broadcast join hash plan")],
+        ["doc_id", "text"],
+    )
+    post = positional_postings(docs, "doc_id", "text")
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(post, "doc_id", "broadcast hash join").collect()
+    }
+    assert out == {1: 1}
+    with pytest.raises(ValueError, match="phrase needs"):
+        phrase_match(post, "doc_id", "solo")

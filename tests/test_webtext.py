@@ -516,3 +516,60 @@ def test_politeness_schedule_queue_recurrence(spark):
     assert got["https://a.ex/3"] == 0.0
     assert got["https://a.ex/4"] == 4.0     # sched = t(30)+5 = t(35) -> wait 4
     assert got["https://b.ex/1"] == 0.0
+
+
+# ------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_exact_k_per_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", 10 + i) for i in range(40)],
+        ["doc_id", "lang", "w"],
+    )
+    out = _rows(W.weighted_sample(df, "doc_id", "w", 3, "lang"))
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de"}
+    for rows in by_lang.values():
+        assert sorted(r["sample_rank"] for r in rows) == [1, 2, 3]
+        # ranks follow the key: descending sample_key along ascending rank
+        rows.sort(key=lambda r: r["sample_rank"])
+        keys = [r["sample_key"] for r in rows]
+        assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_without_replacement_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_id", "w"]
+    )
+    a = [r["doc_id"] for r in _rows(W.weighted_sample(df, "doc_id", "w", 5))]
+    b = [r["doc_id"] for r in _rows(
+        W.weighted_sample(df.repartition(7), "doc_id", "w", 5)
+    )]
+    assert len(set(a)) == 5  # without replacement
+    assert sorted(a) == sorted(b)  # partitioning-invariant
+
+
+def test_weighted_sample_weight_bias(spark):
+    # one row with weight 1000x the rest: u^(1/w) -> u^(1/1000) ~ 1,
+    # so it must appear in a k=1 sample for (almost) any salt; check a
+    # handful of salts all pick the heavy row
+    df = spark.createDataFrame(
+        [(0, 100_000.0)] + [(i, 1.0) for i in range(1, 50)],
+        ["doc_id", "w"],
+    )
+    for salt in ("s1", "s2", "s3"):
+        picked = _rows(W.weighted_sample(df, "doc_id", "w", 1, salt=salt))
+        assert picked[0]["doc_id"] == 0
+
+
+def test_weighted_sample_drops_nonpositive_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        ["doc_id", "w"],
+    )
+    out = _rows(W.weighted_sample(df, "doc_id", "w", 10))
+    assert sorted(r["doc_id"] for r in out) == [1, 5]
+    with pytest.raises(ValueError, match="k must be"):
+        W.weighted_sample(df, "doc_id", "w", 0)
