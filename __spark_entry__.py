@@ -1589,6 +1589,88 @@ def q_url_latest(spark, sf_dir):
     return WT.latest_per_url(allp)
 
 
+def q_pack_shards(spark, sf_dir):
+    """Training-shard sequence packing ("concat-and-chunk"): every doc
+    gets a position in a deterministic pseudorandom global order and
+    shard_id = start_offset div 2000 over the exclusive token-count
+    prefix sum.  Physical plan is the two-phase parallel prefix sum
+    (range partition → local window → P broadcast offsets), never a
+    single-partition global window; the oracle IS that global window."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return PK.pack_training_shards(toks, "doc_id", "n_tokens", 2000)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot CDC: two deterministic snapshot views of the
+    corpus (drops + content edits keyed off doc_id residues) diffed by
+    content fingerprint — added/removed/changed/unchanged per key, only
+    32-byte digests ever join or shuffle."""
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("!u"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return WT.snapshot_diff(old, new, "doc_id", "fp")
+
+
+def q_url_templates(spark, sf_dir):
+    """Crawler-trap detection: URLs collapse to path templates (digit
+    runs → N, long hex runs → H) and templates fanning out to ≥10
+    distinct URLs are flagged — the frontier blocklist for calendar /
+    pagination / session-id traps."""
+    docs = _load(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/"),
+            F.col("source"),
+            F.lit("/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("/item-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return WT.url_path_templates(urls, min_urls=10)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed-bigram bag models
+    for target (en docs) vs raw corpus; per-doc importance weight =
+    log-likelihood ratio.  Both models are 256-row broadcast
+    aggregates; the corpus pays one bigram explode."""
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return WT.dsir_importance(docs, target, "doc_id", "text")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within each embedding cluster
+    cell, drop vectors with a smaller-id neighbor at cosine ≥ 0.45;
+    pairs never leave their cell (per-cell GEMM), shuffle is O(N)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.45)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end engine surface — run the batch pipeline
     (extraction → chunk+embed → persisted BM25 index) over the seeded
@@ -1607,6 +1689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "pack_shards": q_pack_shards,
+        "snapshot_diff": q_snapshot_diff,
+        "url_templates": q_url_templates,
+        "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
         "phrase_search": q_phrase_search,
         "hll_user_days": q_hll_user_days,
         "weighted_sample": q_weighted_sample,
@@ -1988,6 +2075,122 @@ def oracle_sql() -> dict[str, str]:
     hll_num = repr(SK._alpha(64) * 64 * 64 * float(1 << hll_cap))
     ws_den = repr(float((1 << 60) + 1))
     return {
+        # pack_shards: the ORACLE is the naive single-window global
+        # prefix sum the Spark side deliberately avoids (two-phase
+        # range-partitioned prefix sum) — same values, different plan
+        "pack_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''
+                       ))::BIGINT AS n_tokens,
+                       md5('pack|' || CAST(doc_id AS VARCHAR)) AS ok
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY ok
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 2000)::BIGINT AS shard_id
+            FROM s
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+                SELECT doc_id, md5(text) AS fp FROM documents
+                WHERE doc_id % 11 <> 3
+            ),
+            n AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 0 THEN text || '!u'
+                                ELSE text END) AS fp
+                FROM documents WHERE doc_id % 13 <> 5
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.fp AS fp_old, n.fp AS fp_new
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        "url_templates": """
+            WITH u AS (
+                SELECT 'https://site-' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/' || source || '/'
+                       || CAST(doc_id % 97 AS VARCHAR)
+                       || '/item-' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            )
+            SELECT template, count(*)::BIGINT AS n_urls,
+                   min(url) AS example_url
+            FROM (
+                SELECT url,
+                       regexp_replace(
+                           regexp_replace(lower(url), '[0-9]+', 'N', 'g'),
+                           '\\b[a-f]{8,}\\b', 'H', 'g'
+                       ) AS template
+                FROM u
+            )
+            GROUP BY template
+            HAVING count(*) >= 10
+        """,
+        # dsir_weights: bigram bucket = first 2 hex chars of
+        # md5(tok_i || ' ' || tok_{i+1}) — identical to Spark's
+        # _token_shingle_hashes(n=2) + substring; alpha = 0.5, B = 256
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''
+                       ) AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, lang,
+                       substr(md5(t[i] || ' ' || t[i + 1]), 1, 2) AS b
+                FROM toks,
+                     LATERAL UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 2
+            ),
+            tgt AS (
+                SELECT b, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY b
+            ),
+            raw AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+            nt AS (SELECT sum(ct)::DOUBLE AS nt FROM tgt),
+            nr AS (SELECT sum(cr)::DOUBLE AS nr FROM raw),
+            sc AS (
+                SELECT gg.doc_id,
+                       ln((COALESCE(t.ct, 0) + 0.5) / (nt.nt + 0.5 * 256))
+                       - ln((COALESCE(r.cr, 0) + 0.5) / (nr.nr + 0.5 * 256))
+                       AS lr
+                FROM g gg
+                LEFT JOIN tgt t USING (b)
+                LEFT JOIN raw r USING (b), nt, nr
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(sum(lr), 6) AS log_ratio
+            FROM sc GROUP BY doc_id
+        """,
+        # semantic_dedup: smaller-id domination within the cluster cell
+        # as a plain EXISTS self-join; cosine on the same 6-dp grid as
+        # the Spark kernel
+        "semantic_dedup": """
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings o
+                WHERE o.label = e.label AND o.vec_id < e.vec_id
+                  AND round(list_cosine_similarity(
+                          o.embedding::DOUBLE[], e.embedding::DOUBLE[]
+                      ), 6) >= 0.45
+            )
+        """,
         # positional-postings phrase search: tokenizer identical to the
         # BM25 SQL twin; positions via generate_subscripts (1-based —
         # offsets cancel in the adjacency join, so parity with Spark's

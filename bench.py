@@ -158,7 +158,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
         ).alias("sh"),
     ).select("id", "k", SF.md5("sh").alias("h"))
     agg = warm.groupBy("k").agg(SF.min("h").alias("mh"), SF.count("*").alias("n"))
-    joined = agg.alias("a").join(agg.alias("b"), "k").join(
+    agg_b = agg.select("k", SF.col("mh").alias("mh_b"), SF.col("n").alias("n_b"))
+    joined = agg.join(agg_b, "k").join(
         SF.broadcast(spark.range(97).select(SF.concat(SF.lit("w"), SF.col("id").cast("string")).alias("k"))),
         "k",
     )

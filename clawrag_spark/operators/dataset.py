@@ -1219,3 +1219,63 @@ def pq_index_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside
+    pre-computed embedding clusters.
+
+    Within each cluster cell (k-means label — ``ivf_centroids`` produces
+    one, or reuse an upstream classifier's label), score all pairs and
+    drop every vector that has a same-cell neighbor with cosine ≥
+    ``threshold`` and a smaller id.  The smaller-id-domination rule is
+    SemDeDup's keep-one-per-group made deterministic and
+    oracle-expressible (an EXISTS self-join) — no transitive closure,
+    so two borderline chains can keep one extra member; at the paper's
+    thresholds (0.9+) groups are tight and this matches CC-level
+    behavior.
+
+    Returns the surviving rows (id, cell).  Scale shape: pairs never
+    leave their cell — the cogroup key is the cell id, each task runs
+    one dense GEMM over its cell's vectors (cells are k-means-balanced;
+    at 10^12 rows you shard fat cells with the same block-pair grid as
+    ``embedding_near_dups_blocked``).  Shuffle volume is O(N) vector
+    rows, never O(N²) pairs.
+    """
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    tagged = emb.select(
+        F.col(cell_col).alias("__cell"),
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+
+    def dominated(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["__vid"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"__vid": pd.Series(dtype=ids.dtype)})
+        A = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((A * A).sum(axis=1))
+        cos = (A @ A.T) / (nrm[:, None] * nrm[None, :])
+        # same 6-dp threshold grid as the blocked near-dup kernel, so
+        # boundary pairs agree with the SQL twin
+        hit = np.round(cos, 6) >= thr
+        smaller = ids[:, None] < ids[None, :]
+        dom = (hit & smaller).any(axis=0)
+        return pd.DataFrame({"__vid": ids[dom]})
+
+    dup_ids = tagged.groupBy("__cell").applyInPandas(
+        dominated, f"__vid {id_dt}"
+    )
+    return emb.join(
+        dup_ids.withColumnRenamed("__vid", id_col), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(cell_col))

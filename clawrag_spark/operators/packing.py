@@ -1,0 +1,129 @@
+"""Training-shard sequence packing: a distributed prefix sum.
+
+LLM training runs concatenate the (shuffled) token stream of the whole
+corpus and chop it into fixed-size shards/sequences ("concat-and-chunk",
+the layout GPT-2/3-style dataloaders consume).  The reference's chunker
+family (``backend/src/core/chunker.py``) splits one document at a time;
+this operator is the corpus-level counterpart a 10^12-document pipeline
+needs: every document gets a deterministic position in a pseudorandom
+global order and a shard id = floor(start_offset / shard_tokens), where
+start_offset is the exclusive prefix sum of token counts in that order.
+
+Scale design — the naive plan is a single global window
+(``SUM(tokens) OVER (ORDER BY key)``), which Spark executes as a
+one-partition sort: a 10^12-row stream through one task.  Instead this
+runs the classic two-phase parallel prefix sum:
+
+1. range-partition by the order key (so partition p holds a contiguous
+   key range, sorted within),
+2. per-partition *local* prefix sums via a partition-local window,
+3. per-partition totals (one tiny row per partition) are collected,
+   cumulated on the driver — P values, not P rows of data — and added
+   back as broadcast offsets.
+
+The result is independent of the number of partitions and of where the
+range sampler places the boundaries (the order key is unique), so the
+oracle — a plain global-window SQL — matches bit-for-bit while the
+physical plan stays fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["shuffle_order_key", "pack_training_shards"]
+
+
+def shuffle_order_key(id_col: Column, salt: str = "pack") -> Column:
+    """Deterministic pseudorandom global order: md5 of the salted id.
+
+    This is the corpus 'global shuffle' step — engine-portable (md5 is
+    identical everywhere), reproducible across reruns, and a different
+    ``salt`` draws an independent permutation.  Ties are impossible for
+    unique ids, which is what makes the packed layout well-defined.
+    """
+    return F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string")))
+
+
+def pack_training_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int,
+    salt: str = "pack",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training shard.
+
+    Returns (id, tokens, start_offset, shard_id): documents laid out in
+    ``shuffle_order_key`` order, ``start_offset`` the exclusive prefix
+    sum of ``tokens_col``, ``shard_id = start_offset div shard_tokens``
+    (integer division on BIGINT — no float rounding at 10^12-token
+    offsets).  A document straddling a boundary belongs to the shard its
+    first token lands in, matching the usual dataloader convention.
+
+    Physical plan: repartitionByRange + in-partition window for the
+    local prefix sums, a P-row aggregate for the partition totals, and a
+    broadcast join of the P cumulated offsets — no global sort, no
+    single-partition window, shuffle volume O(rows · 16 B).
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("__tok"),
+        shuffle_order_key(F.col(id_col), salt).alias("__ok"),
+    )
+    # Pin the range boundaries before the plan forks: RangePartitioner
+    # samples its bounds per-RDD, so the totals job and the window job
+    # could otherwise each draw DIFFERENT partition splits and the
+    # pid-keyed offsets would not describe the rows they are added to.
+    # Eager persist (the codebase's lazy-persist race rule) makes both
+    # branches read the same materialized partitioning.  The final
+    # result is nonetheless partition-count-independent — __ok is
+    # unique, so the global prefix sum is well-defined regardless of
+    # where the sampled boundaries fall.
+    parted = (
+        keyed.repartitionByRange(num_partitions, "__ok")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    parted.count()
+    # Partition-local prefix sum.  partitionBy(__pid) re-shuffles only
+    # (id, tok, 16-byte key) rows, hash-on-pid — each window group IS a
+    # range partition, so group sizes stay the range partitioner's
+    # balanced splits (no skew: __ok is md5-uniform).
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__ok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn(
+        "__loc", F.coalesce(F.sum("__tok").over(w), F.lit(0))
+    )
+    # Exclusive running total of the P per-partition sums: P rows (one
+    # per partition, not per document) through a single-partition window
+    # — metadata-sized by construction — then broadcast back.
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.sum("__tok").alias("__t"))
+        .withColumn("__off", F.coalesce(F.sum("__t").over(wp), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col(id_col),
+            F.col("__tok").alias(tokens_col),
+            (F.col("__loc") + F.col("__off")).alias("start_offset"),
+        )
+        .withColumn("shard_id", F.expr(f"start_offset div {int(shard_tokens)}"))
+    )

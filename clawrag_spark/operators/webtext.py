@@ -44,6 +44,9 @@ __all__ = [
     "lm_score",
     "canonicalize_url",
     "latest_per_url",
+    "snapshot_diff",
+    "url_path_templates",
+    "dsir_importance",
     "gopher_quality_gate",
     "politeness_schedule",
     "parse_robots",
@@ -892,4 +895,155 @@ def robots_filter(
         "host",
         F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
         F.col("best.prefix").alias("matched_prefix"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Crawl-snapshot CDC: classify every key across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    ``fp_col`` is a content fingerprint (sha2/md5 of the extracted
+    text), so the diff never compares — or shuffles — page bodies, only
+    keys and 32-byte digests.  Returns (key, status, fp_old, fp_new).
+
+    Scale shape: one full-outer equi-join on the snapshot key.  In the
+    pipeline's Iceberg layout both snapshots are bucketed by
+    ``bucket(N, url_hash)``, so the join is storage-partitioned and
+    shuffle-free; incremental crawls diff only the buckets whose
+    manifests changed.  This is the batch twin of the streaming
+    exact-dedup operator (``streaming.py``): the same
+    anti-join-on-fingerprint decides "re-extract or skip" for a new
+    crawl against the committed corpus.
+    """
+    o = old.select(
+        F.col(key_col).alias("__k"), F.col(fp_col).alias("fp_old")
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"), F.col(fp_col).alias("fp_new")
+    )
+    return (
+        o.join(n, "__k", "full_outer")
+        .select(
+            F.col("__k").alias(key_col),
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            "fp_old",
+            "fp_new",
+        )
+    )
+
+
+def url_path_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 10,
+) -> DataFrame:
+    """Crawler-trap detection: collapse URLs to path *templates* and
+    flag templates that explode into many distinct URLs.
+
+    Calendar pages, paginated archives, session-id paths and other
+    infinite URL spaces dominate naive frontier growth (IRLbot, Lee et
+    al. 2009; Common Crawl's url-frontier heuristics).  The template
+    replaces digit runs with ``N`` and ≥8-char lower-hex runs with
+    ``H`` (session tokens / content hashes), keeping scheme+host+path
+    shape.  Returns (template, n_urls, example_url) for templates with
+    ``n_urls ≥ min_urls`` — the blocklist a frontier consults before
+    enqueueing.
+
+    Expression-only scan (two regexp_replace) + one hash aggregation on
+    the template string; the regexes are RE2-portable so the DuckDB
+    twin computes the identical template.
+    """
+    t = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(url_col)), "[0-9]+", "N"),
+        "\\b[a-f]{8,}\\b",
+        "H",
+    )
+    return (
+        pages.select(F.col(url_col), t.alias("template"))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min(url_col).alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling").
+
+    Fits two bag-of-hashed-bigram unigram models — one on the *target*
+    distribution (the high-quality corpus you want more of), one on the
+    *raw* corpus — and scores every raw document with the
+    log-likelihood ratio  Σ_g [log p_target(b(g)) − log p_raw(b(g))]
+    over its bigram occurrences.  Documents that look like the target
+    get positive weights; Gumbel-top-k / threshold sampling on the
+    weight column then draws the training subset (compose with
+    ``weighted_sample``).
+
+    Hashed features: bucket = first two hex chars of md5(bigram) — 256
+    buckets, engine-portable (the DuckDB twin computes the identical
+    bucket), add-alpha smoothed.  Scale shape: both models are
+    256-row aggregates (map-side partial, broadcast back); the corpus
+    pays one bigram explode and a one-row-per-doc final shuffle —
+    the same layout as ``lm_score``.
+
+    Returns (id, n_bigrams, log_ratio) with log_ratio rounded to 6 dp
+    (the cross-engine float-compare grid).
+    """
+    n_buckets = 256
+
+    def buckets(df: DataFrame, keep: list[str]) -> DataFrame:
+        g = _token_shingle_hashes(df, keep, text_col, 2)
+        return g.select(*keep, F.substring("g", 1, 2).alias("b"))
+
+    def model(df: DataFrame, total_name: str) -> DataFrame:
+        return buckets(df, []).groupBy("b").agg(
+            F.count("*").alias(total_name)
+        )
+
+    tgt = model(target, "ct")
+    raw = model(corpus, "cr")
+    # totals as 1-row frames joined by cross broadcast (scalar-sized)
+    tot_t = tgt.agg(F.sum("ct").alias("nt"))
+    tot_r = raw.agg(F.sum("cr").alias("nr"))
+    occ = buckets(corpus, [id_col])
+    scored = (
+        occ.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("nt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("nr") + F.lit(alpha * n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lr"), 6).alias("log_ratio"),
     )

@@ -1,0 +1,200 @@
+"""Sequence packing (distributed prefix sum), crawl-snapshot CDC,
+URL-trap templates, DSIR importance weights, SemDeDup.
+
+The packing tests pin the property that makes the two-phase prefix sum
+trustworthy: the result is IDENTICAL at every partition count (the
+global order key is unique, so shard layout is a pure function of the
+data), while the physical plan never runs a global single-partition
+window.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clawrag_spark.operators import dataset as DS
+from clawrag_spark.operators import packing as PK
+from clawrag_spark.operators import webtext as WT
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(500)], "doc_id long, n_tok long"
+    )
+
+
+class TestPackShards:
+    def expected(self, rows, budget):
+        import hashlib
+
+        order = sorted(
+            rows, key=lambda r: hashlib.md5(f"pack|{r[0]}".encode()).hexdigest()
+        )
+        out, acc = {}, 0
+        for doc_id, tok in order:
+            out[doc_id] = (acc, acc // budget)
+            acc += tok
+        return out
+
+    def test_matches_serial_prefix_sum(self, spark, docs):
+        got = {
+            r["doc_id"]: (r["start_offset"], r["shard_id"])
+            for r in PK.pack_training_shards(docs, "doc_id", "n_tok", 700).collect()
+        }
+        want = self.expected(
+            [(r["doc_id"], r["n_tok"]) for r in docs.collect()], 700
+        )
+        assert got == want
+
+    def test_partition_count_invariant(self, spark, docs):
+        a = PK.pack_training_shards(
+            docs, "doc_id", "n_tok", 700, num_partitions=3
+        ).collect()
+        b = PK.pack_training_shards(
+            docs, "doc_id", "n_tok", 700, num_partitions=17
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_every_shard_full_except_last(self, spark, docs):
+        out = PK.pack_training_shards(docs, "doc_id", "n_tok", 700)
+        per = (
+            out.groupBy("shard_id")
+            .agg(F.min("start_offset").alias("lo"))
+            .orderBy("shard_id")
+            .collect()
+        )
+        # shard k's first doc starts inside [k*B, (k+1)*B): the stream
+        # is chopped with no gaps
+        for r in per:
+            assert 700 * r["shard_id"] <= r["lo"] < 700 * (r["shard_id"] + 1)
+
+    def test_no_global_single_partition_window(self, spark, docs):
+        out = PK.pack_training_shards(docs, "doc_id", "n_tok", 700)
+        plan = plan_of(out)
+        # the doc-bearing window must be partitioned (__pid); the only
+        # unpartitioned window is the P-row offset cumsum.  A global
+        # "Exchange SinglePartition" feeding a Sort of the full input
+        # would betray the naive plan.
+        assert "windowspecdefinition(__pid" in plan or "__pid" in plan
+        # the full-input exchange is range or hash, never SinglePartition
+        first_scan = plan.index("Range") if "Range" in plan else 0
+        assert plan.count("Exchange SinglePartition") <= 1  # P-row offsets only
+
+    def test_rejects_nonpositive_budget(self, spark, docs):
+        with pytest.raises(ValueError):
+            PK.pack_training_shards(docs, "doc_id", "n_tok", 0)
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, fp string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "k long, fp string"
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in WT.snapshot_diff(old, new, "k", "fp").collect()
+        }
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_fingerprints_carried(self, spark):
+        old = spark.createDataFrame([(1, "x")], "k long, fp string")
+        new = spark.createDataFrame([(1, "y")], "k long, fp string")
+        row = WT.snapshot_diff(old, new, "k", "fp").collect()[0]
+        assert (row["fp_old"], row["fp_new"]) == ("x", "y")
+
+
+class TestUrlTemplates:
+    def test_collapses_and_thresholds(self, spark):
+        urls = [
+            (f"https://ex.com/cal/2024/{d:02d}/view",) for d in range(1, 13)
+        ] + [("https://ex.com/about",)]
+        df = spark.createDataFrame(urls, "url string")
+        out = WT.url_path_templates(df, min_urls=10).collect()
+        assert len(out) == 1
+        assert out[0]["template"] == "https://ex.com/cal/N/N/view"
+        assert out[0]["n_urls"] == 12
+        assert out[0]["example_url"] == "https://ex.com/cal/2024/01/view"
+
+    def test_hex_runs_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(f"https://ex.com/s/{h * 8}/p",) for h in "abcdef" * 2],
+            "url string",
+        )
+        out = WT.url_path_templates(df, min_urls=2).collect()
+        assert len(out) == 1 and out[0]["template"] == "https://ex.com/s/H/p"
+
+
+class TestDsir:
+    def test_target_like_docs_score_higher(self, spark):
+        rows = [(i, "the quick brown fox jumps over lazy dogs", "en")
+                for i in range(20)]
+        rows += [(100 + i, "zzz qqq xxx www yyy vvv kkk jjj", "xx")
+                 for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        target = docs.filter(F.col("lang") == "en")
+        out = {
+            r["doc_id"]: r["log_ratio"]
+            for r in WT.dsir_importance(docs, target, "doc_id", "text").collect()
+        }
+        en_avg = sum(out[i] for i in range(20)) / 20
+        xx_avg = sum(out[100 + i] for i in range(20)) / 20
+        assert en_avg > xx_avg
+
+    def test_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma {i}", "en" if i % 2 else "de")
+             for i in range(30)],
+            "doc_id long, text string, lang string",
+        )
+        tgt = docs.filter(F.col("lang") == "en")
+        a = sorted(map(tuple, WT.dsir_importance(docs, tgt, "doc_id", "text").collect()))
+        b = sorted(map(tuple, WT.dsir_importance(docs, tgt, "doc_id", "text").collect()))
+        assert a == b
+
+
+class TestSemanticDedup:
+    def test_keeps_min_id_per_dup_group(self, spark):
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),     # dup of 1, same cell -> dropped
+            (3, [0.0, 1.0], 0),     # orthogonal -> kept
+            (4, [1.0, 0.0], 1),     # dup vector but different cell -> kept
+            (5, [0.70710678, 0.70710678], 1),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        kept = sorted(
+            r["vec_id"]
+            for r in DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.9).collect()
+        )
+        assert kept == [1, 3, 4, 5]
+
+    def test_threshold_respected(self, spark):
+        # cos(v1, v2) = 0.8 exactly
+        rows = [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        at_low = DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.79).count()
+        at_high = DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.81).count()
+        assert at_low == 1 and at_high == 2
+
+    def test_boundary_is_inclusive_on_6dp_grid(self, spark):
+        rows = [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        # round(cos,6) == 0.8 >= 0.8 -> dominated
+        assert DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.8).count() == 1
