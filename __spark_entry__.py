@@ -1663,6 +1663,51 @@ def q_dsir_weights(spark, sf_dir):
     return WT.dsir_importance(docs, target, "doc_id", "text")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup gate: the new batch (doc_id ≥ 350) minhashes
+    only itself and equi-joins the committed corpus's persisted band-
+    signature store (doc_id < 350) — O(batch) work per ingest, never a
+    corpus re-scan.  Returns (new_id, committed_id) candidates; the
+    synthetic corpus's planted near-copies guarantee non-vacuity."""
+    docs = _load(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") >= 350)
+    committed = docs.filter(F.col("doc_id") < 350)
+    committed_sigs = DS.minhash_band_signatures(
+        committed, "doc_id", "text", n_bands=4, rows_per_band=1
+    )
+    return DS.minhash_cross_candidates(
+        new_docs, committed_sigs, "doc_id", "text", n_bands=4, rows_per_band=1
+    )
+
+
+def q_bloom_probe(spark, sf_dir):
+    """Distributed Bloom filter (URL-seen / dedup pre-filter): build a
+    sparse (word_idx, bits) filter over a member key set with one
+    bit_or aggregation, broadcast it, probe a superset — every bit of
+    the md5-derived hash positions is engine-portable, so the DuckDB
+    twin reproduces the exact filter including its false positives.
+    Output tags each probe with (in_bloom, is_member): the FP rows are
+    the honest sketch error, no false negatives (pinned by pytest)."""
+    docs = _load(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("key")
+    members = docs.filter(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 5 != 0)
+    ).select(key)
+    probes = docs.filter(F.col("doc_id") < 1000).select("doc_id", key)
+    bloom = SK.bloom_build(members, "key", m_bits=4096, k=3)
+    out = SK.bloom_probe(bloom, probes, "key", m_bits=4096, k=3)
+    return (
+        out.join(probes, "key")
+        .select(
+            "doc_id",
+            "in_bloom",
+            ((F.col("doc_id") < 400) & (F.col("doc_id") % 5 != 0)).alias(
+                "is_member"
+            ),
+        )
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): within each embedding cluster
     cell, drop vectors with a smaller-id neighbor at cosine ≥ 0.45;
@@ -1694,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "bloom_probe": q_bloom_probe,
+        "dedup_incremental": q_dedup_incremental,
         "phrase_search": q_phrase_search,
         "hll_user_days": q_hll_user_days,
         "weighted_sample": q_weighted_sample,
@@ -2190,6 +2237,69 @@ def oracle_sql() -> dict[str, str]:
                           o.embedding::DOUBLE[], e.embedding::DOUBLE[]
                       ), 6) >= 0.45
             )
+        """,
+        # dedup_incremental: same banding math as minhash_bands, but
+        # new-batch signatures probe the committed store cross-frame
+        "dedup_incremental": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band, min(md5(band::VARCHAR || '.0|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            )
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS committed_id
+            FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id >= 350 AND b.doc_id < 350
+        """,
+        # bloom_probe: the filter itself is recomputed bit-for-bit —
+        # hash windows are 8-hex-char slices of md5, words are 32-bit
+        # (max shift 31 keeps masks positive in BIGINT on both engines)
+        "bloom_probe": """
+            WITH members AS (
+                SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS key
+                FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 0
+            ),
+            mpos AS (
+                SELECT CAST('0x' || substr(md5(key), i * 8 - 7, 8) AS BIGINT)
+                       % 4096 AS pos
+                FROM members, LATERAL UNNEST([1, 2, 3]) AS t(i)
+            ),
+            bloom AS (
+                SELECT pos // 32 AS word_idx,
+                       bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                FROM mpos GROUP BY 1
+            ),
+            probes AS (
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR) AS key
+                FROM documents WHERE doc_id < 1000
+            ),
+            ppos AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(key), i * 8 - 7, 8) AS BIGINT)
+                       % 4096 AS pos
+                FROM probes, LATERAL UNNEST([1, 2, 3]) AS t(i)
+            ),
+            j AS (
+                SELECT doc_id,
+                       (COALESCE(b.bits, 0)
+                        & (1::BIGINT << CAST(pos % 32 AS INT)))
+                       = (1::BIGINT << CAST(pos % 32 AS INT)) AS set_
+                FROM ppos LEFT JOIN bloom b ON b.word_idx = pos // 32
+            )
+            SELECT doc_id, bool_and(set_) AS in_bloom,
+                   (doc_id < 400 AND doc_id % 5 <> 0) AS is_member
+            FROM j GROUP BY doc_id
         """,
         # positional-postings phrase search: tokenizer identical to the
         # BM25 SQL twin; positions via generate_subscripts (1-based —

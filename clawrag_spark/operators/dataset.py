@@ -1279,3 +1279,40 @@ def semantic_dedup(
     return emb.join(
         dup_ids.withColumnRenamed("__vid", id_col), id_col, "left_anti"
     ).select(F.col(id_col), F.col(cell_col))
+
+
+def minhash_cross_candidates(
+    new_docs: DataFrame,
+    committed_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Incremental near-dup candidates: a NEW batch against a COMMITTED
+    corpus's persisted band-signature store.
+
+    Production dedup never re-minhashes the whole corpus per batch: the
+    (id, band, sig) table from :func:`minhash_band_signatures` is a
+    persisted artifact appended once per committed batch, and each new
+    batch computes only its OWN signatures (O(batch), not O(corpus))
+    and equi-joins the store on (band, sig).  Returns
+    (new_id, committed_id) candidate pairs — verify with the same
+    gram-hash Jaccard pass as the batch path, then anti-join flagged
+    new docs out before commit (the streaming decontamination shape,
+    but for self-dup rather than benchmark overlap).
+
+    Scale: the join is an equi-join on the band signature — at 10^12
+    docs the store is bucketed by sig hash, so the probe shuffles only
+    the new batch's O(batch · n_bands) signature rows.
+    """
+    new_sigs = minhash_band_signatures(
+        new_docs, id_col, text_col, n_bands, rows_per_band
+    )
+    a = new_sigs.select(
+        F.col(id_col).alias("new_id"), "band", "sig"
+    )
+    b = committed_sigs.select(
+        F.col(id_col).alias("committed_id"), "band", "sig"
+    )
+    return a.join(b, ["band", "sig"]).select("new_id", "committed_id").distinct()

@@ -35,7 +35,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["HLL_ALPHA_LITERAL", "hll_distinct"]
+__all__ = ["HLL_ALPHA_LITERAL", "hll_distinct", "bloom_build", "bloom_probe"]
 
 
 def _alpha(m: int) -> float:
@@ -120,4 +120,84 @@ def hll_distinct(
         *group_cols,
         F.round(est, 4).alias("hll_estimate"),
         F.col("n_registers").cast("long").alias("n_registers"),
+    )
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """Array of k bit positions for a key: position_i = the i-th 8-hex-
+    char window of md5(key) read as an integer, mod m_bits.  Pure
+    expressions, and bit-identical in the DuckDB twin
+    (``CAST('0x' || substr(md5(key), i*8-7, 8) AS BIGINT) % m``).
+    md5 yields 32 hex chars, so k ≤ 4 independent 32-bit windows."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (md5 has 4 32-bit windows), got {k}")
+    h = F.md5(key)
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long")
+                % F.lit(m_bits)
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 2048, k: int = 3
+) -> DataFrame:
+    """Distributed Bloom filter build: returns the filter as SPARSE
+    (word_idx, bits) rows — at most ``m_bits/32`` rows total.
+
+    Each key sets k md5-derived bit positions; positions explode to
+    (word_idx = pos div 32, mask = 1 << (pos % 32)) rows and the filter
+    is one ``bit_or`` hash aggregation — map-side partials collapse
+    almost all traffic, so the shuffle carries O(m_bits/32) rows per
+    partition regardless of input cardinality.  This is the URL-seen /
+    dedup pre-filter shape: at 10^12 urls the filter is built per
+    url-hash bucket (one independent small filter per bucket, exactly
+    like the sink's bucketed layout) and probes broadcast against it.
+    """
+    pos = F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    # 32-bit words: the max shift is 31, so masks stay positive in
+    # BIGINT on every engine (a 1<<63 sign bit would force both sides
+    # into unsigned-compare gymnastics for zero benefit)
+    rows = df.select(pos).select(
+        F.expr("pos div 32").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
+    )
+    return rows.groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 2048,
+    k: int = 3,
+) -> DataFrame:
+    """Membership test: (key, in_bloom) — true iff ALL k positions are
+    set.  The filter side is tiny (≤ m_bits/32 rows) and broadcasts;
+    the probe side pays one explode + one per-key aggregation.  False
+    positives at the standard (1 − e^{−kn/m})^k rate; no false
+    negatives (pinned by pytest).
+    """
+    pos = F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    need = probes.select(F.col(key_col), pos).select(
+        F.col(key_col),
+        F.expr("pos div 32").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("mask"),
+    )
+    hit = (
+        need.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            F.col(key_col),
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias("set_"),
+        )
+    )
+    return hit.groupBy(key_col).agg(
+        F.min(F.col("set_").cast("int")).cast("boolean").alias("in_bloom")
     )

@@ -528,3 +528,42 @@ class TestProductQuantization:
         # exact re-rank path touches the float table only for the shortlist
         rr = pq_index_topk(spark, out, q, 5, rerank=200, emb=emb).collect()
         assert rr[0]["vec_id"] == 0 and abs(rr[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_cross_candidates_match_full_corpus_cross_pairs(spark, sf_dir):
+    """Incremental (batch-vs-store) candidates must equal the full
+    self-join's pairs restricted to (new, committed) — the invariant
+    that makes per-batch dedup sound: a doc's band signature depends
+    only on its own shingles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_docs = docs.filter(F.col("doc_id") >= 350)
+    committed = docs.filter(F.col("doc_id") < 350)
+    store = DS.minhash_band_signatures(committed, "doc_id", "text", 4, 1)
+    inc = {
+        (r["new_id"], r["committed_id"])
+        for r in DS.minhash_cross_candidates(
+            new_docs, store, "doc_id", "text", 4, 1
+        ).collect()
+    }
+    full = DS.minhash_candidate_pairs(docs, "doc_id", "text", 4, 1)
+    want = {
+        (r["doc_b"], r["doc_a"])
+        for r in full.filter(
+            (F.col("doc_b") >= 350) & (F.col("doc_a") < 350)
+        ).collect()
+    }
+    assert inc == want and len(inc) > 0
+
+
+def test_cross_candidates_is_equi_join(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = DS.minhash_band_signatures(
+        docs.filter(F.col("doc_id") < 350), "doc_id", "text", 4, 1
+    )
+    out = DS.minhash_cross_candidates(
+        docs.filter(F.col("doc_id") >= 350), store, "doc_id", "text", 4, 1
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -77,3 +77,55 @@ def test_b_validation():
         hll_distinct(None, ["g"], "v", b=3)
     with pytest.raises(ValueError, match="b must be"):
         hll_distinct(None, ["g"], "v", b=17)
+
+
+# ---------------------------------------------------------------- bloom
+
+from pyspark.sql import functions as F
+
+from clawrag_spark.operators.sketches import bloom_build, bloom_probe
+
+
+def _plan_of(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(300).selectExpr("concat('m', id) AS key")
+    bloom = bloom_build(members, "key", m_bits=4096, k=3)
+    out = bloom_probe(bloom, members, "key", m_bits=4096, k=3)
+    assert out.filter(~F.col("in_bloom")).count() == 0
+
+
+def test_bloom_fp_rate_in_theory_ballpark(spark):
+    members = spark.range(300).selectExpr("concat('m', id) AS key")
+    others = spark.range(2000).selectExpr("concat('x', id) AS key")
+    bloom = bloom_build(members, "key", m_bits=4096, k=3)
+    fp = bloom_probe(bloom, others, "key", m_bits=4096, k=3).filter(
+        F.col("in_bloom")
+    ).count()
+    # theory: (1 - e^{-kn/m})^k = (1 - e^{-0.2197})^3 ~= 0.0077
+    # over 2000 probes ~ 15 expected; accept a generous band
+    assert 1 <= fp <= 60
+
+
+def test_bloom_filter_is_sparse_and_bounded(spark):
+    members = spark.range(5000).selectExpr("concat('m', id) AS key")
+    bloom = bloom_build(members, "key", m_bits=1024, k=3).collect()
+    assert len(bloom) <= 1024 // 32
+    assert all(0 <= r["word_idx"] < 1024 // 32 for r in bloom)
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    members = spark.range(100).selectExpr("concat('m', id) AS key")
+    bloom = bloom_build(members, "key", m_bits=1024, k=3)
+    out = bloom_probe(bloom, members, "key", m_bits=1024, k=3)
+    assert "BroadcastHashJoin" in _plan_of(out)
+
+
+def test_bloom_k_validation(spark):
+    members = spark.range(10).selectExpr("concat('m', id) AS key")
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(members, "key", k=5)
