@@ -1663,6 +1663,71 @@ def q_dsir_weights(spark, sf_dir):
     return WT.dsir_importance(docs, target, "doc_id", "text")
 
 
+_BUDGET_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+_BUDGET_TOKENS = 1_000_000
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2019 §3.3): per
+    language, documents sort by LM perplexity and split into tertiles —
+    the quality tiers CCNet publishes and trains on.  Ordering ties
+    break on (rounded score, doc_id) so the ntile boundary is identical
+    cross-engine; the model/scoring reuses the lm_perplexity machinery
+    (broadcast vocabulary-bounded tables, 1-row-per-doc shuffle)."""
+    docs = _load(spark, sf_dir, "documents")
+    model = WT.train_char_lm(docs.filter(F.col("lang") == "en"), "text")
+    sc = WT.lm_score(docs, "doc_id", "text", model).select(
+        "doc_id", F.round("avg_neg_logp", 6).alias("score")
+    )
+    scored = sc.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ).alias("bucket"),
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Training-mix budget planner (LLaMA-style sampling table): per
+    language, available tokens vs the planned share of a fixed token
+    budget — epochs > 1 means the slice repeats, < 1 means it is
+    subsampled (feed the rate to stratified_sample).  One aggregation;
+    the plan is driver-math-free (weights are a literal CASE map)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    weight = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for k, v in _BUDGET_WEIGHTS.items() for x in (k, v)]
+        )[F.col("lang")],
+        F.lit(0.0),
+    )
+    agg = toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        F.round(weight * _BUDGET_TOKENS).cast("long").alias("planned_tokens"),
+        F.round(weight * _BUDGET_TOKENS / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup gate: the new batch (doc_id ≥ 350) minhashes
     only itself and equi-joins the committed corpus's persisted band-
@@ -1741,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bloom_probe": q_bloom_probe,
         "dedup_incremental": q_dedup_incremental,
+        "perplexity_buckets": q_perplexity_buckets,
+        "token_budget": q_token_budget,
         "phrase_search": q_phrase_search,
         "hll_user_days": q_hll_user_days,
         "weighted_sample": q_weighted_sample,
@@ -2237,6 +2304,67 @@ def oracle_sql() -> dict[str, str]:
                           o.embedding::DOUBLE[], e.embedding::DOUBLE[]
                       ), 6) >= 0.45
             )
+        """,
+        # perplexity_buckets: lm_perplexity's scoring CTE + ntile(3)
+        # per language; ties break on (rounded score, doc_id) so the
+        # tertile boundaries agree cross-engine
+        "perplexity_buckets": """
+            WITH lo AS (
+                SELECT doc_id, lang, lower(text) AS c FROM documents
+                WHERE length(lower(text)) >= 3
+            ),
+            g AS (
+                SELECT doc_id, lang, substr(c, i, 3) AS g
+                FROM lo, LATERAL UNNEST(generate_series(1, length(c) - 2)) AS t(i)
+            ),
+            tri AS (
+                SELECT g, count(*) AS c3 FROM g WHERE lang = 'en' GROUP BY g
+            ),
+            ctx AS (
+                SELECT substr(g, 1, 2) AS b, sum(c3) AS c2 FROM tri GROUP BY 1
+            ),
+            sc AS (
+                SELECT gg.doc_id,
+                       ln((coalesce(t.c3, 0) + 0.5) /
+                          (coalesce(x.c2, 0) + 0.5 * 64)) AS lp
+                FROM g gg
+                LEFT JOIN tri t USING (g)
+                LEFT JOIN ctx x ON substr(gg.g, 1, 2) = x.b
+            ),
+            per_doc AS (
+                SELECT doc_id, round(-avg(lp), 6) AS score
+                FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, p.score,
+                   (['head', 'middle', 'tail'])[
+                       ntile(3) OVER (PARTITION BY d.lang
+                                      ORDER BY p.score, d.doc_id)
+                   ] AS bucket
+            FROM per_doc p JOIN documents d USING (doc_id)
+        """,
+        "token_budget": f"""
+            WITH t AS (
+                SELECT lang,
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''
+                       ))::BIGINT AS n_tok
+                FROM documents
+            ),
+            agg AS (
+                SELECT lang, count(*)::BIGINT AS n_docs,
+                       sum(n_tok)::BIGINT AS n_tokens
+                FROM t GROUP BY lang
+            )
+            SELECT lang, n_docs, n_tokens,
+                   CAST(CASE lang
+                       WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                       WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1
+                       WHEN 'zh' THEN 0.1 ELSE 0.0 END AS DOUBLE) AS weight,
+                   CAST(round(weight * {_BUDGET_TOKENS}) AS BIGINT)
+                       AS planned_tokens,
+                   round(weight * {_BUDGET_TOKENS} / n_tokens, 6) AS epochs
+            FROM agg
         """,
         # dedup_incremental: same banding math as minhash_bands, but
         # new-batch signatures probe the committed store cross-frame
