@@ -400,3 +400,60 @@ class TestWebgraphPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan
         assert "EvalPython" not in plan
+
+
+class TestRound4NewOpPlans:
+    """Scale contracts for the round-4 training-data operators."""
+
+    def test_snapshot_diff_joins_fingerprints_only(self, spark):
+        plan = plan_of(entry_mod.q_snapshot_diff(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # the full-outer join must carry digests, never page text
+        join = plan[plan.index("SortMergeJoin"):] if "SortMergeJoin" in plan else plan
+        assert "text" not in join.split("\n")[0]
+
+    def test_url_templates_expression_only_single_agg(self, spark):
+        plan = plan_of(entry_mod.q_url_templates(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # one hash-agg exchange (partial+final), nothing else — formatted
+        # plans print each node twice (tree + detail), hence the regex
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_dsir_models_broadcast_no_python(self, spark):
+        plan = plan_of(entry_mod.q_dsir_weights(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_semantic_dedup_no_cartesian(self, spark):
+        plan = plan_of(entry_mod.q_semantic_dedup(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # pairs are scored inside the per-cell Arrow kernel
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_bloom_probe_broadcasts_filter_no_python(self, spark):
+        plan = plan_of(entry_mod.q_bloom_probe(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_dedup_incremental_equi_join_no_python(self, spark):
+        plan = plan_of(entry_mod.q_dedup_incremental(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_token_budget_no_python_single_agg_exchange(self, spark):
+        plan = plan_of(entry_mod.q_token_budget(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_pack_shards_no_global_single_partition_sort(self, spark):
+        df = entry_mod.q_pack_shards(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "EvalPython" not in plan
+        # the only SinglePartition exchange feeds the P-row offset
+        # window, never the full doc stream
+        assert plan.count("Exchange SinglePartition") <= 1
+        assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
