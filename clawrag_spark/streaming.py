@@ -511,3 +511,121 @@ def streaming_decontaminate(
         .start()
     )
     query.awaitTermination()
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+) -> None:
+    """Streaming MinHash near-dup gate against a GROWING signature
+    store: each micro-batch minhashes only ITSELF, probes the persisted
+    (url, band, sig) store for near-dups of already-accepted pages,
+    drops within-batch near-dups (keep the lexicographically smallest
+    url), then appends the survivors' signatures to the store.
+
+    This is the incremental-dedup production loop
+    (:func:`clawrag_spark.operators.dataset.minhash_cross_candidates`)
+    driven by Structured Streaming: per-ingest cost is O(batch) — the
+    committed corpus is touched only through the signature artifact,
+    never re-tokenized.  Exactly-once page processing comes from the
+    checkpoint; the store/accepted/rejected appends share the
+    at-least-once-side-effect caveat of every foreachBatch sink here
+    (a crash between writes can duplicate signature rows, which is
+    harmless — candidates are distinct'd — and duplicated accepted
+    rows compact away by url, the same story as ``incremental_curate``).
+
+    Sinks under ``out_dir``: ``accepted`` (surviving pages),
+    ``rejected`` (url + which prior url it near-dups), ``sig_store``
+    (the growing band-signature artifact), ``near_dedup_metrics``
+    (per-batch audit: rows in/accepted/rejected, store size probed).
+    """
+    from .operators import dataset as DS
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_neardup_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet").load(pages_dir)
+    )
+    store_path = os.path.join(out_dir, "sig_store")
+    accepted_path = os.path.join(out_dir, "accepted")
+    rejected_path = os.path.join(out_dir, "rejected")
+    metrics_path = os.path.join(out_dir, "near_dedup_metrics")
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_in = batch_df.count()
+        sigs = DS.minhash_band_signatures(
+            batch_df, "url", "text", n_bands, rows_per_band
+        ).persist()
+        sigs.count()  # materialize before the plan forks (cache race)
+        try:
+            store = spark.read.parquet(store_path)
+            n_store = store.select("url").distinct().count()
+        except Exception:  # first batch: no store yet
+            store = None
+            n_store = 0
+        # vs committed store: any shared band signature flags the new url
+        if store is not None:
+            vs_store = (
+                sigs.join(
+                    store.select(
+                        F.col("url").alias("dup_of"), "band", "sig"
+                    ),
+                    ["band", "sig"],
+                )
+                .groupBy("url")
+                .agg(F.min("dup_of").alias("dup_of"))
+            )
+        else:
+            vs_store = spark.createDataFrame([], "url string, dup_of string")
+        # within-batch: smaller url wins (same domination rule as
+        # semantic_dedup — deterministic, no transitive closure)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        in_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.url") > F.col("b.url")),
+            )
+            .select(F.col("a.url").alias("url"), F.col("b.url").alias("dup_of"))
+            .groupBy("url")
+            .agg(F.min("dup_of").alias("dup_of"))
+        )
+        rejected = (
+            vs_store.unionByName(in_batch)
+            .groupBy("url")
+            .agg(F.min("dup_of").alias("dup_of"))
+            .persist()
+        )
+        n_rej = rejected.count()
+        rejected.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(rejected_path)
+        survivors = batch_df.join(rejected.select("url"), "url", "left_anti")
+        survivors.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(accepted_path)
+        sigs.join(rejected.select("url"), "url", "left_anti").write.mode(
+            "append"
+        ).parquet(store_path)
+        spark.createDataFrame(
+            [(int(batch_id), n_in, n_in - n_rej, n_rej, n_store)],
+            "batch_id long, n_in long, n_accepted long, n_rejected long, "
+            "n_store_urls long",
+        ).write.mode("append").parquet(metrics_path)
+        rejected.unpersist()
+        sigs.unpersist()
+        batch_df.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

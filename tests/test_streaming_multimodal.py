@@ -807,3 +807,68 @@ class TestJpegCodec:
         )
         assert (row["format"], row["media_type"]) == ("jpeg", "image")
         assert (row["height"], row["width"]) == (21, 18)
+
+
+class TestStreamingNearDedup:
+    """Per-batch MinHash gate against the growing signature store:
+    batch 2's near-copies of batch 1 are rejected with the ACCEPTED
+    url they duplicate; fresh pages pass; the store grows by survivors
+    only."""
+
+    def test_store_grows_and_gates(self, spark, out_dir, tmp_path):
+        from datetime import datetime
+
+        from clawrag_spark.streaming import streaming_near_dedup
+
+        t0 = datetime(2025, 6, 1, 12, 0)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        other = ("completely different words about spark shuffles and "
+                 "parquet row groups and broadcast joins at scale")
+        pages_dir = str(tmp_path / "pages_nd")
+        os.makedirs(pages_dir)
+        _write_pages_txt(os.path.join(pages_dir, "b1.parquet"), [
+            ("https://a.ex/1", t0, base, "en"),
+            # within-batch near-copy: larger url loses to smaller
+            ("https://a.ex/2", t0, base + " exactly", "en"),
+            ("https://a.ex/3", t0, other, "en"),
+        ])
+        streaming_near_dedup(spark, pages_dir, out_dir)
+        acc = os.path.join(out_dir, "accepted")
+        rej = os.path.join(out_dir, "rejected")
+        assert {r["url"] for r in spark.read.parquet(acc).collect()} == {
+            "https://a.ex/1", "https://a.ex/3"
+        }
+        got_rej = {r["url"]: r["dup_of"] for r in spark.read.parquet(rej).collect()}
+        assert got_rej == {"https://a.ex/2": "https://a.ex/1"}
+
+        # batch 2: near-copy of an ACCEPTED batch-1 page -> rejected via
+        # the store; a fresh page passes
+        _write_pages_txt(os.path.join(pages_dir, "b2.parquet"), [
+            ("https://b.ex/1", t0, base + " again", "en"),
+            ("https://b.ex/2", t0, "entirely novel content nine brand "
+                                   "new tokens never seen anywhere", "en"),
+        ])
+        streaming_near_dedup(spark, pages_dir, out_dir)
+        got_rej = {r["url"]: r["dup_of"] for r in spark.read.parquet(rej).collect()}
+        assert got_rej["https://b.ex/1"] == "https://a.ex/1"
+        assert {r["url"] for r in spark.read.parquet(acc).collect()} == {
+            "https://a.ex/1", "https://a.ex/3", "https://b.ex/2"
+        }
+        # rejected urls' signatures never entered the store
+        store_urls = {
+            r["url"]
+            for r in spark.read.parquet(os.path.join(out_dir, "sig_store")).collect()
+        }
+        assert store_urls == {"https://a.ex/1", "https://a.ex/3", "https://b.ex/2"}
+        # metrics audit: batch 2 probed a 2-url store
+        m = {
+            r["batch_id"]: r
+            for r in spark.read.parquet(
+                os.path.join(out_dir, "near_dedup_metrics")
+            ).collect()
+        }
+        assert m[0]["n_store_urls"] == 0 and m[1]["n_store_urls"] == 2
+        # exactly-once: nothing new -> nothing appended
+        streaming_near_dedup(spark, pages_dir, out_dir)
+        assert spark.read.parquet(acc).count() == 3
