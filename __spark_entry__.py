@@ -529,6 +529,25 @@ def _jaccard_verified_pairs(docs):
     )
 
 
+# The corpus-wide verified-pair table is shared by q_ngram_jaccard and
+# the curation funnel.  Explicit (session, sf) memoization: relying on
+# CacheManager plan-canonicalization to dedup two independently built
+# plans is fragile (any analyzed-plan difference silently re-pays the
+# whole shingle+verify scan); a dict hit reuses the SAME persisted
+# frame by construction — the _BM25_CACHE pattern.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = _jaccard_verified_pairs(_load(spark, sf_dir, "documents")).persist()
+        pairs.count()  # materialize before any consumer forks the plan
+        _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup detection at scale: MinHash-band candidate
     generation (never all-pairs) → exact Jaccard verify on candidates only.
@@ -540,7 +559,7 @@ def q_ngram_jaccard(spark, sf_dir):
     and keeps near-dups (> 0.8) — the synthetic corpus plants ~3% of docs
     as near-copies, so this is non-vacuous at every sf.
     """
-    return _jaccard_verified_pairs(_load(spark, sf_dir, "documents"))
+    return _jaccard_pairs_cached(spark, sf_dir)
 
 
 def q_embedding_sign_buckets(spark, sf_dir):
@@ -1406,7 +1425,7 @@ def q_curation_funnel(spark, sf_dir):
     caches release as soon as their successor is warm.
 
     The dedup stage consumes the CORPUS-WIDE near-dup pair table
-    (`_jaccard_verified_pairs(docs)`) restricted to quality survivors,
+    (`_jaccard_pairs_cached`, session-memoized) restricted to quality survivors,
     not a recomputation over the filtered frame: a doc's MinHash band
     signature and its Jaccard against a partner depend only on the two
     docs' own shingles, never on the rest of the corpus, so
@@ -1425,7 +1444,7 @@ def q_curation_funnel(spark, sf_dir):
     def survivor_pairs(survivors):
         ids = survivors.select("doc_id")
         return (
-            _jaccard_verified_pairs(docs)
+            _jaccard_pairs_cached(spark, sf_dir)
             .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
             .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         )
