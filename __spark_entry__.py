@@ -1800,6 +1800,62 @@ def q_semantic_dedup(spark, sf_dir):
     return DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.45)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    the merge table from the corpus word-count table (one shuffle on
+    the word string, then Heaps'-law-small state per round; the merge
+    decision is a one-row argmax collect, never a data loop).  Iterative
+    → no SQL oracle (rows-only driver check); pytest pins the merge
+    sequence byte-for-byte against a pure-Python reference trainer.
+    Reference surface: token budgeting in chunking_service.py — this is
+    its missing fit() half."""
+    from clawrag_spark.operators import tokenizer as TK
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    merges = TK.fit_bpe(TK.word_counts(docs, "text"), n_merges=16)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges],
+        "rank int, left string, right string, merged string, pair_freq bigint",
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-in-the-loop curation (CCNet/GPT-3/LLaMA pattern): a hashed
+    bag-of-words logistic-regression classifier trained by full-batch
+    distributed GD on the Gopher gate's weak labels, then scored over
+    the corpus.  Model state is D=512 driver-side doubles rebroadcast
+    per round; gradients aggregate BY FEATURE (output bounded by D).
+    Iterative float training → rows-only driver check; pytest pins the
+    update rule against a pure-Python reference at 1e-9."""
+    from clawrag_spark.operators import tokenizer as TK
+    from clawrag_spark.operators import webtext as WT
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    labeled = docs.join(
+        WT.gopher_quality_gate(docs, "doc_id", "text", min_words=20).select(
+            "doc_id", F.col("keep").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    w = TK.fit_quality_classifier(
+        labeled, "doc_id", "text", "label", n_features=512, n_iters=8
+    )
+    return TK.score_quality(docs, "doc_id", "text", w).select(
+        "doc_id", "quality_pred"
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-doc OOV rate against the corpus top-100 vocabulary — the
+    vocab-coverage quality filter.  Top-V head is deterministic
+    (freq desc, word asc) and broadcasts into the token join; one
+    corpus shuffle on (doc, word).  Hard DuckDB oracle."""
+    from clawrag_spark.operators import tokenizer as TK
+
+    docs = _load(spark, sf_dir, "documents")
+    return TK.vocab_coverage(docs, "doc_id", "text", vocab_size=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end engine surface — run the batch pipeline
     (extraction → chunk+embed → persisted BM25 index) over the seeded
@@ -1818,6 +1874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
+        "vocab_coverage": q_vocab_coverage,
         "pack_shards": q_pack_shards,
         "snapshot_diff": q_snapshot_diff,
         "url_templates": q_url_templates,
@@ -2208,6 +2267,31 @@ def oracle_sql() -> dict[str, str]:
     hll_num = repr(SK._alpha(64) * 64 * 64 * float(1 << hll_cap))
     ws_den = repr(float((1 << 60) + 1))
     return {
+        # vocab_coverage: top-V vocab head is deterministic via the
+        # (freq DESC, word ASC) tie-break on both engines; docs with
+        # zero [a-z]+ tokens emit no row on either side
+        "vocab_coverage": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents
+            ),
+            vocab AS (
+                SELECT w AS vw
+                FROM words
+                GROUP BY w
+                ORDER BY count(*) DESC, w ASC
+                LIMIT 100
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_words,
+                   round(
+                       sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6
+                   ) AS oov_rate
+            FROM words LEFT JOIN vocab ON words.w = vocab.vw
+            GROUP BY doc_id
+        """,
         # pack_shards: the ORACLE is the naive single-window global
         # prefix sum the Spark side deliberately avoids (two-phase
         # range-partitioned prefix sum) — same values, different plan

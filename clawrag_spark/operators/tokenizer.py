@@ -1,0 +1,433 @@
+"""Tokenizer fitting and model-in-the-loop curation operators.
+
+The training-data pipeline ops that LEARN from the corpus instead of
+scanning it with fixed rules:
+
+- distributed BPE merge learning (Sennrich et al. 2016) over the
+  corpus word-count table — the tokenizer-fitting half that
+  ``bpe_token_counts``'s fixed pre-tokenizer only approximates,
+- BPE encoding with the learned merge ranks (token budgeting with the
+  *fitted* vocab),
+- a hashed bag-of-words logistic-regression quality classifier trained
+  by full-batch gradient descent on weak labels (the CCNet / GPT-3 /
+  LLaMA "fastText classifier distilled from heuristic labels" pattern:
+  here the Gopher gate provides the weak labels),
+- vocabulary coverage / OOV-rate against the corpus top-V vocabulary.
+
+Reference parity: the reference counts tokens per chunk for budgeting
+(`chunking_service.py` token accounting); it never FITS a tokenizer —
+these operators are the 100 TB-pipeline extension of that surface.
+
+Scale design (the part that must survive 10^12 documents):
+- BPE trains on the WORD-COUNT table, not the raw corpus — one shuffle
+  on the word string, then Heaps'-law-small state (~100M distinct words
+  at web scale, ~MBs at test scale) that every merge round reuses.
+  This is exactly how hosted tokenizer trainers work.
+- Each merge round is: one map-side-partial pair-count aggregation, a
+  ONE-ROW argmax collect (the merge decision is a scalar — collecting
+  it is not a driver-side loop over data), and one JVM-only
+  ``F.aggregate`` fold that rewrites symbol arrays.  No Python touches
+  a row inside the loop.
+- Iterative lineage is truncated with ``localCheckpoint`` every round
+  (same as ``connected_components``) — at scale the plan, not the
+  data, is what kills iterative Spark jobs.
+- The LR classifier keeps model state driver-side (D = 2**hash_bits
+  doubles, default 4096) and ships it back as a broadcast join each
+  round; the gradient is one explode + feature-keyed aggregation whose
+  output is bounded by D, never by corpus size.  Full-batch GD over
+  10^12 docs is one scan per iteration — production would sub-sample;
+  ``sample_mod`` exposes exactly that knob deterministically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# GPT-style pre-tokenizer classes: space-prefixed letter runs / digit
+# runs / punctuation runs.  Shared by training and encoding so the two
+# sides agree on word boundaries.
+PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word-frequency table: pre-tokenize (lower-cased GPT-ish
+    classes), explode, count.  One shuffle on the word string; output
+    is Heaps'-law small and is the only state BPE training touches."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(PRETOKEN_RE), 0
+    )
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_pair_expr(a: str, b: str) -> "F.Column":
+    """Fold that rewrites a symbol array, merging adjacent (a, b) →
+    a+b left-to-right non-overlapping — the standard BPE apply step,
+    as a single JVM-only ``F.aggregate``.  The accumulator IS the
+    rewritten array; comparing against its last element makes the
+    left-to-right non-overlap rule fall out naturally ("aaaa" with
+    pair (a,a) → [aa, aa], never [aa, a, a] or overlap)."""
+    merged = a + b
+    return F.aggregate(
+        F.col("sym"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def fit_bpe(words: DataFrame, n_merges: int, checkpoint_every: int = 8) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) table.
+
+    Returns the merge list in rank order:
+    ``[{rank, left, right, merged, pair_freq}, ...]``.
+
+    Tie-break is deterministic and engine-independent: highest summed
+    pair frequency, then lexicographically smallest (left, right) —
+    so the learned merge sequence is reproducible across partitionings
+    and matches the pure-Python reference in tests byte-for-byte.
+
+    Each round runs two jobs over the cached word table: the pair-count
+    argmax (map-side partial agg, ONE row collected) and nothing else —
+    the symbol rewrite is lazy and materializes inside the next round's
+    count.  ``localCheckpoint`` every ``checkpoint_every`` rounds keeps
+    the plan from doubling per iteration.
+    """
+    state = words.select(
+        F.col("freq"),
+        # split("") can emit empty-string fragments depending on the
+        # engine's regex edge-handling — filter them so symbols are
+        # exactly list(word), matching the pure-Python reference
+        F.filter(F.split(F.col("word"), ""), lambda x: x != "").alias("sym"),
+    ).persist()
+    state.count()
+    merges: list[dict] = []
+    prev: DataFrame | None = None
+    try:
+        for rank in range(n_merges):
+            pairs = (
+                state.select(
+                    "freq",
+                    F.arrays_zip(
+                        F.slice(F.col("sym"), 1, F.size("sym") - 1).alias("l"),
+                        F.slice(F.col("sym"), 2, F.size("sym") - 1).alias("r"),
+                    ).alias("pp"),
+                )
+                .select("freq", F.explode("pp").alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            # the collect above materialized `state`'s cache — only now
+            # is the previous round's cache safe to release (dropping it
+            # earlier would recompute the whole lineage on this scan)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not pairs or pairs[0]["pf"] <= 1:
+                break  # nothing left worth merging
+            best = pairs[0]
+            merges.append(
+                {
+                    "rank": rank,
+                    "left": best["l"],
+                    "right": best["r"],
+                    "merged": best["l"] + best["r"],
+                    "pair_freq": int(best["pf"]),
+                }
+            )
+            nxt = state.select(
+                "freq", _merge_pair_expr(best["l"], best["r"]).alias("sym")
+            )
+            if (rank + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=False)
+            prev, state = state, nxt.persist()
+    finally:
+        state.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return merges
+
+
+def fit_bpe_reference(word_freq: dict[str, int], n_merges: int) -> list[dict]:
+    """Pure-Python reference BPE trainer (the pytest parity oracle).
+    Same tie-break and stop rule as :func:`fit_bpe`; O(V·L) per round,
+    driver-only — correct by construction, usable only at test scale."""
+    state = [(list(w), f) for w, f in sorted(word_freq.items())]
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in state:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), pf = best
+        if pf <= 1:
+            break
+        merges.append(
+            {"rank": rank, "left": l, "right": r, "merged": l + r, "pair_freq": pf}
+        )
+        new_state = []
+        for sym, f in state:
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_state.append((out, f))
+        state = new_state
+    return merges
+
+
+def encode_bpe(
+    docs: DataFrame, id_col: str, text_col: str, merges: list[dict]
+) -> DataFrame:
+    """Tokenize with the LEARNED merges: rank-based greedy merging (the
+    standard encode algorithm — repeatedly apply the lowest-rank merge
+    present in the word).  Arrow-batched pandas UDF: encoding is the
+    one BPE step that is genuinely sequential per word, and the
+    rank-dict algorithm is what production tokenizers run; the merge
+    table is tiny and ships to executors inside the UDF closure.
+
+    Returns (id, n_tokens, n_chars) — the fitted-vocab token budget.
+    """
+    rank_of = {(m["left"], m["right"]): m["rank"] for m in merges}
+
+    import re
+
+    pat = re.compile(PRETOKEN_RE)
+
+    def _encode_word(word: str, cache: dict) -> int:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        sym = list(word)
+        while len(sym) > 1:
+            ranked = [
+                (rank_of.get((sym[i], sym[i + 1]), math.inf), i)
+                for i in range(len(sym) - 1)
+            ]
+            rk, i = min(ranked)
+            if rk is math.inf:
+                break
+            # merge ALL non-overlapping occurrences of this pair,
+            # left-to-right — matches _merge_pair_expr's fold
+            l, r = sym[i], sym[i + 1]
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            sym = out
+        cache[word] = len(sym)
+        return len(sym)
+
+    @F.pandas_udf(T.LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return texts.map(
+            lambda t: sum(_encode_word(w, cache) for w in pat.findall((t or "").lower()))
+        )
+
+    return docs.select(
+        F.col(id_col),
+        n_tokens(F.col(text_col)).alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+# ------------------------------------------ quality classifier (LR)
+
+
+def _hashed_features(
+    docs: DataFrame, id_col: str, text_col: str, n_features: int
+) -> DataFrame:
+    """(id, feature) rows: distinct hashed-word presence features.
+    ``F.hash`` is Murmur3 — stable across sessions and engines' sign
+    conventions are avoided with pmod.  Binary presence (not tf) keeps
+    the gradient a pure count aggregation."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]{2,}"), 0
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.explode(toks).alias("w"))
+        .select("__id", F.pmod(F.hash("w"), F.lit(n_features)).alias("feat"))
+        .distinct()
+    )
+
+
+def fit_quality_classifier(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    n_features: int = 4096,
+    n_iters: int = 15,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> list[float]:
+    """Full-batch logistic regression on hashed bag-of-words features,
+    trained against weak labels (e.g. the Gopher gate's ``keep``) —
+    the classifier-distillation step of CCNet/GPT-3-style curation.
+
+    Model state is D = ``n_features`` doubles held driver-side
+    (weights[D] + bias at index D); per iteration one corpus scan:
+    broadcast-join weights onto the cached (id, feat) explode, sum
+    margins per doc, compute the sigmoid error, aggregate the gradient
+    BY FEATURE (output bounded by D, collected as D rows).  Floating
+    sums are order-dependent, so parity tests use tolerances and the
+    driver query reports rounded probabilities.
+
+    Returns ``weights`` with the bias appended (length D+1).
+    """
+    spark = docs.sparkSession
+    feats = _hashed_features(docs, id_col, text_col, n_features).persist()
+    labels = docs.select(
+        F.col(id_col).alias("__id"), F.col(label_col).cast("double").alias("y")
+    ).persist()
+    n_docs = labels.count()
+    feats.count()
+    w = [0.0] * n_features
+    bias = 0.0
+    try:
+        for _ in range(n_iters):
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    [(i, wi) for i, wi in enumerate(w)], "feat int, w double"
+                )
+            )
+            margins = (
+                feats.join(wdf, "feat")
+                .groupBy("__id")
+                .agg(F.sum("w").alias("m"))
+            )
+            err = (
+                labels.join(margins, "__id", "left")
+                .select(
+                    "__id",
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(bias))))
+                        - F.col("y")
+                    ).alias("e"),
+                )
+            )
+            grad_rows = (
+                feats.join(err, "__id")
+                .groupBy("feat")
+                .agg(F.sum("e").alias("g"))
+                .collect()
+            )
+            gbias = err.agg(F.sum("e")).first()[0] or 0.0
+            g = [0.0] * n_features
+            for r in grad_rows:
+                g[r["feat"]] = r["g"]
+            w = [
+                wi - lr * (gi / n_docs + l2 * wi)
+                for wi, gi in zip(w, g)
+            ]
+            bias -= lr * gbias / n_docs
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return w + [bias]
+
+
+def score_quality(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    *,
+    n_features: int | None = None,
+) -> DataFrame:
+    """Score docs with a fitted classifier: broadcast-join the weight
+    table onto the hashed-feature explode, sum, sigmoid.  Returns
+    (id, quality_prob, quality_pred)."""
+    spark = docs.sparkSession
+    d = n_features if n_features is not None else len(weights) - 1
+    bias = weights[d]
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, wi) for i, wi in enumerate(weights[:d])], "feat int, w double"
+        )
+    )
+    margins = (
+        _hashed_features(docs, id_col, text_col, d)
+        .join(wdf, "feat")
+        .groupBy("__id")
+        .agg(F.sum("w").alias("m"))
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(bias)))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(margins.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.round(prob, 6).alias("quality_prob"),
+            (prob >= 0.5).cast("int").alias("quality_pred"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, id_col: str, text_col: str, vocab_size: int
+) -> DataFrame:
+    """Per-doc OOV rate against the corpus top-``vocab_size`` words —
+    the vocabulary-coverage filter (docs full of out-of-vocab junk are
+    low-quality or wrong-language).  Fully SQL-expressible: the top-V
+    vocab is a deterministic (freq desc, word asc) head that BROADCASTs
+    into a left join against the exploded tokens; one corpus-side
+    shuffle on (doc, word).
+
+    Returns (id, n_words, oov_rate) with oov_rate rounded to 6 dp for
+    cross-engine hashing.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0
+    )
+    words = docs.select(F.col(id_col).alias("__id"), F.explode(toks).alias("w"))
+    vocab = F.broadcast(
+        words.groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(vocab, "w", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
