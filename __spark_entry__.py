@@ -1856,6 +1856,66 @@ def q_vocab_coverage(spark, sf_dir):
     return TK.vocab_coverage(docs, "doc_id", "text", vocab_size=100)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: build a (4 × 64)-cell CMS over
+    the event user stream, then point-estimate the exact top-10 users
+    — the result carries its own one-sided-error audit (cms_est ≥
+    exact always; the tiny width forces visible collisions at test
+    scale).  The sketch is ≤256 integer rows regardless of stream
+    cardinality and merges by cell-wise sum — the per-bucket frequency
+    summary at 10^12 rows.  md5-window hashing makes the DuckDB twin
+    bit-identical."""
+    ev = _load(spark, sf_dir, "events")
+    sketch = SK.cms_build(ev, "user_id", depth=4, width=64)
+    top = (
+        ev.groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = SK.cms_estimate(sketch, top, "user_id", depth=4, width=64)
+    return top.join(est, "user_id").select("user_id", "exact_cnt", "cms_est")
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (shard topic tags): two map-side-
+    partial count shuffles + a 1-row broadcast corpus size + a per-doc
+    window over aggregated rows.  Scores round to 6 dp BEFORE ranking
+    so rank boundaries are engine-stable."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return X.tfidf_keywords(docs, "doc_id", "text", top_k=3)
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (the CCNet stage-zero): the fixture
+    corpus is ASCII, so the query deterministically prefixes each text
+    with decomposed accents (e +  ̈/ ́) and the compatibility ANGSTROM
+    SIGN — the operator must collapse them to composed form; DuckDB's
+    utf8proc ``nfc_normalize`` is the byte-identical twin (md5-keyed
+    result).  Arrow pandas UDF — Spark has no built-in normalizer."""
+    docs = _load(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Cafe"),
+            F.lit(chr(0x301)),   # combining acute: e + ́ -> composed
+            F.lit(" nai"),
+            F.lit(chr(0x308)),   # combining diaeresis
+            F.lit("ve "),
+            F.lit(chr(0x212B)),  # ANGSTROM SIGN -> U+00C5 under NFC
+            F.lit(": "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = WT.nfc_normalize(mixed, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("text_nfc").alias("nfc_md5"),
+        F.length("text").cast("long").alias("n_raw"),
+        F.length("text_nfc").cast("long").alias("n_nfc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the end-to-end engine surface — run the batch pipeline
     (extraction → chunk+embed → persisted BM25 index) over the seeded
@@ -1874,6 +1934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "tfidf_keywords": q_tfidf_keywords,
+        "nfc_normalize": q_nfc_normalize,
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         "vocab_coverage": q_vocab_coverage,
@@ -2267,6 +2330,81 @@ def oracle_sql() -> dict[str, str]:
     hll_num = repr(SK._alpha(64) * 64 * 64 * float(1 << hll_cap))
     ws_den = repr(float((1 << 60) + 1))
     return {
+        # cms_heavy_hitters: same md5-window arithmetic on both engines
+        # — integer cells, integer sums, so the sketch (including its
+        # collision overshoots) is bit-identical
+        "cms_heavy_hitters": """
+            WITH cells AS (
+                SELECT d.i AS row_i,
+                       (('0x' || substr(md5(user_id::VARCHAR), d.i*8+1, 8))::BIGINT
+                        % 64) AS col,
+                       count(*)::BIGINT AS cnt
+                FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS d(i)
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT user_id::VARCHAR AS user_id, count(*)::BIGINT AS exact_cnt
+                FROM events GROUP BY 1
+                ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+            ),
+            probes AS (
+                SELECT user_id, exact_cnt, d.i AS row_i,
+                       (('0x' || substr(md5(user_id), d.i*8+1, 8))::BIGINT
+                        % 64) AS col
+                FROM top CROSS JOIN (VALUES (0),(1),(2),(3)) AS d(i)
+            )
+            SELECT p.user_id, p.exact_cnt,
+                   min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+            FROM probes p
+            LEFT JOIN cells c ON p.row_i = c.row_i AND p.col = c.col
+            GROUP BY 1, 2
+        """,
+        # tfidf_keywords: scores round to 6 dp BEFORE ranking on both
+        # engines so the top-3 boundary cannot flip on ln() ulp noise
+        "tfidf_keywords": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS w
+                FROM documents WHERE doc_id < 200
+            ),
+            tf AS (
+                SELECT doc_id, w, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (
+                SELECT count(*)::BIGINT AS n_docs FROM documents WHERE doc_id < 200
+            ),
+            scored AS (
+                SELECT tf.doc_id, tf.w AS keyword, tf.tf,
+                       round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)), 6)
+                           AS score
+                FROM tf JOIN dfreq USING (w) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, keyword ASC
+                ) AS kw_rank
+                FROM scored
+            )
+            SELECT doc_id, keyword, tf, score, kw_rank
+            FROM ranked WHERE kw_rank <= 3
+        """,
+        # nfc_normalize: utf8proc (DuckDB) vs unicodedata (CPython) —
+        # both canonical composition, verified byte-identical; md5 keys
+        # the whole normalized text so any divergence hash-fails
+        "nfc_normalize": """
+            WITH mixed AS (
+                SELECT doc_id,
+                       'Cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+                       chr(8491) || ': ' || text AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(nfc_normalize(text)) AS nfc_md5,
+                   length(text)::BIGINT AS n_raw,
+                   length(nfc_normalize(text))::BIGINT AS n_nfc
+            FROM mixed
+        """,
         # vocab_coverage: top-V vocab head is deterministic via the
         # (freq DESC, word ASC) tie-break on both engines; docs with
         # zero [a-z]+ tokens emit no row on either side

@@ -35,7 +35,14 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["HLL_ALPHA_LITERAL", "hll_distinct", "bloom_build", "bloom_probe"]
+__all__ = [
+    "HLL_ALPHA_LITERAL",
+    "hll_distinct",
+    "bloom_build",
+    "bloom_probe",
+    "cms_build",
+    "cms_estimate",
+]
 
 
 def _alpha(m: int) -> float:
@@ -200,4 +207,81 @@ def bloom_probe(
     )
     return hit.groupBy(key_col).agg(
         F.min(F.col("set_").cast("int")).cast("boolean").alias("in_bloom")
+    )
+
+
+def _cms_cells(key: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` (row, col) cell structs for a key, one per
+    independent 32-bit md5 window (the same window trick as
+    :func:`_bloom_positions`): ``col_i = window_i mod width``.  Pure
+    expressions; the DuckDB twin is
+    ``('0x' || substr(md5(key), i*8+1, 8))::BIGINT % width``."""
+    if not 1 <= depth <= 4:
+        raise ValueError(f"depth must be in [1, 4] (md5 has 4 windows), got {depth}")
+    h = F.md5(key)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long")
+                    % F.lit(width)
+                ).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch build (Cormode & Muthukrishnan 2005): returns
+    the sketch as SPARSE ``(row_i, col, cnt)`` rows — at most
+    ``depth × width`` rows total, regardless of input cardinality.
+
+    Each input row increments ``depth`` cells; cells explode and the
+    sketch is one hash aggregation with map-side partial sums, so the
+    exchange carries O(depth × width) rows per partition.  Sketches
+    merge by cell-wise ``+`` (union two builds with a further sum),
+    which is what makes them the per-bucket / per-day frequency summary
+    at 10^12 rows: the exact (key, count) table shuffles one row per
+    distinct key, the sketch never exceeds a few KB.
+
+    Determinism: cells are md5-window arithmetic on integers and the
+    counts are integer sums — bit-identical across engines, runs, and
+    partitionings.
+    """
+    cell = F.explode(_cms_cells(F.col(key_col).cast("string"), depth, width))
+    return (
+        df.select(cell.alias("c"))
+        .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimate: ``(key, cms_est)`` with
+    ``cms_est = min over rows of sketch[row, h_row(key)]`` (absent cell
+    → 0).  The classic one-sided guarantee holds exactly: the estimate
+    never undercounts, and overshoots by more than ``2N/width`` with
+    probability ≤ 2^-depth.  The sketch side is tiny and broadcasts;
+    probes pay one explode + one per-key min aggregation.
+    """
+    cell = F.explode(_cms_cells(F.col(key_col).cast("string"), depth, width))
+    need = probes.select(F.col(key_col), cell.alias("c")).select(
+        F.col(key_col),
+        F.col("c.row_i").alias("row_i"),
+        F.col("c.col").alias("col"),
+    )
+    return (
+        need.join(F.broadcast(sketch), ["row_i", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

@@ -114,3 +114,56 @@ def quality_score_col(
     return F.when(n < MIN_TEXT_LENGTH, 0.0).otherwise(
         F.greatest(F.lit(0.0), F.least(F.lit(1.0), score))
     )
+
+
+def tfidf_keywords(docs, id_col: str, text_col: str, top_k: int = 3):
+    """Per-document top-``top_k`` keywords by TF-IDF — the classic
+    document-fingerprinting / topic-tagging projection a curation
+    pipeline runs to label shards.
+
+    Scale shape: one shuffle on (doc, word) for TF, one on word for DF
+    (both with map-side partial counts), the corpus size rides in as a
+    1-row broadcast cross join, and the top-k is a per-doc window over
+    the already-aggregated TF rows.  The DF table is Heaps'-law small
+    (vocabulary-sized) — at web scale it stays a hash join on the word
+    key, never a collect.
+
+    Determinism: score = tf · ln((N+1)/(df+1)) rounded to 6 dp BEFORE
+    ranking, so rank boundaries can't flip on sub-rounding float noise
+    across engines; ties break lexicographically on the word.
+
+    Returns ``(id, keyword, tf, score, kw_rank)``.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]{2,}"), 0)
+        ).alias("w"),
+    )
+    tf = words.groupBy("__id", "w").agg(F.count("*").alias("tf"))
+    # tf holds exactly one row per distinct (doc, word): counting rows
+    # per word IS the document frequency
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            F.col("w").alias("keyword"),
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("keyword"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(win))
+        .filter(F.col("kw_rank") <= top_k)
+        .withColumnRenamed("__id", id_col)
+    )

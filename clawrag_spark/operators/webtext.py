@@ -26,6 +26,8 @@ Design notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1047,3 +1049,32 @@ def dsir_importance(
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("lr"), 6).alias("log_ratio"),
     )
+
+
+def nfc_normalize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode NFC normalization — the first stage of every CCNet-style
+    curation run (decomposed accents, compatibility codepoints like
+    U+212B ANGSTROM SIGN, and mixed-form crawl text must collapse to
+    one canonical byte form BEFORE any hashing/dedup, or the same
+    visible text dedups into different buckets).
+
+    Spark has no built-in normalizer, so this is the sanctioned slow
+    path: an Arrow-batched pandas UDF over ``unicodedata.normalize``
+    — one projection, no shuffle, and the UDF is the only Python in
+    the plan.  DuckDB's ``nfc_normalize`` (utf8proc) is the oracle
+    twin; both implement Unicode canonical composition, so outputs are
+    byte-identical.
+
+    Returns the input with ``text_nfc`` appended.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return docs.withColumn("text_nfc", _nfc(F.col(text_col)))

@@ -129,3 +129,61 @@ def test_bloom_k_validation(spark):
     members = spark.range(10).selectExpr("concat('m', id) AS key")
     with pytest.raises(ValueError, match="k must be"):
         bloom_build(members, "key", k=5)
+
+
+# ------------------------------------------------ count-min sketch
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    from clawrag_spark.operators.sketches import cms_build, cms_estimate
+
+    # Zipf-ish stream: value v appears (50 - v) times
+    df = spark.range(50).selectExpr(
+        "explode(sequence(1, 50 - cast(id AS int))) AS _", "id AS v"
+    ).select("v")
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").count()
+             .withColumnRenamed("count", "c").collect()}
+    probes = df.select("v").distinct()
+
+    # narrow sketch: collisions guaranteed, but NEVER an undercount
+    sk = cms_build(df, "v", depth=4, width=16)
+    est = {r["v"]: r["cms_est"]
+           for r in cms_estimate(sk, probes, "v", depth=4, width=16).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # collisions visible
+
+    # wide sketch: 50 keys into 4x4096 cells — exact with high prob.
+    sk2 = cms_build(df, "v", depth=4, width=4096)
+    est2 = {r["v"]: r["cms_est"]
+            for r in cms_estimate(sk2, probes, "v", depth=4, width=4096).collect()}
+    assert est2 == exact
+
+
+def test_cms_sketch_is_bounded_and_merges_by_sum(spark):
+    from clawrag_spark.operators.sketches import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).selectExpr("cast(id % 37 AS string) AS k")
+    b = spark.range(500).selectExpr("cast(id % 11 AS string) AS k")
+    sa, sb = cms_build(a, "k"), cms_build(b, "k")
+    assert sa.count() <= 4 * 64
+    # cell-wise sum of two sketches == sketch of the union
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row_i", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(a.unionByName(b), "k")
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+
+
+def test_cms_depth_validation(spark):
+    from clawrag_spark.operators.sketches import cms_build
+
+    df = spark.range(3).selectExpr("cast(id AS string) AS k")
+    with pytest.raises(ValueError):
+        cms_build(df, "k", depth=5)

@@ -573,3 +573,65 @@ def test_weighted_sample_drops_nonpositive_and_validates(spark):
     assert sorted(r["doc_id"] for r in out) == [1, 5]
     with pytest.raises(ValueError, match="k must be"):
         W.weighted_sample(df, "doc_id", "w", 0)
+
+
+# ------------------------------------------------ NFC normalization
+
+
+def test_nfc_normalize_composes_and_matches_unicodedata(spark):
+    import unicodedata
+
+    from clawrag_spark.operators.webtext import nfc_normalize
+
+    rows = [
+        (0, "Cafe" + chr(0x301) + " au lait"),          # e + combining acute
+        (1, "nai" + chr(0x308) + "ve"),                  # i + combining diaeresis
+        (2, "10 " + chr(0x212B) + " wavelength"),        # ANGSTROM SIGN -> U+00C5
+        (3, "already composed: café"),              # NFC fixed point
+        (4, None),                                        # null passthrough
+        (5, ""),                                          # empty passthrough
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text_nfc"]
+        for r in nfc_normalize(docs, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        want = unicodedata.normalize("NFC", t) if t is not None else None
+        assert got[i] == want, i
+    # the decomposed forms actually shrank (composition happened)
+    assert len(got[0]) == len(rows[0][1]) - 1
+    assert got[2][3] == "Å"
+
+
+# ------------------------------------------------ TF-IDF keywords
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from clawrag_spark.operators.textops import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle shuffle shuffle common common"),
+            (1, "duck oracle oracle common common"),
+            (2, "zebra common common"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_keywords(docs, "doc_id", "text", top_k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for i, rs in per_doc.items():
+        rs.sort(key=lambda r: r["kw_rank"])
+        assert [r["kw_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+    # the corpus-ubiquitous word never wins rank 1: idf crushes it
+    assert per_doc[0][0]["keyword"] == "shuffle"
+    assert per_doc[1][0]["keyword"] == "oracle"
+    assert per_doc[2][0]["keyword"] == "zebra"
+    # scores are non-increasing within a doc
+    for rs in per_doc.values():
+        assert all(
+            rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1)
+        )
