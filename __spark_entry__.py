@@ -1801,14 +1801,17 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 def q_bpe_merges(spark, sf_dir):
-    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
-    the merge table from the corpus word-count table (one shuffle on
-    the word string, then Heaps'-law-small state per round; the merge
-    decision is a one-row argmax collect, never a data loop).  Iterative
-    → no SQL oracle (rows-only driver check); pytest pins the merge
-    sequence byte-for-byte against a pure-Python reference trainer.
-    Reference surface: token budgeting in chunking_service.py — this is
-    its missing fit() half."""
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), production shape:
+    the distributed step is the corpus → word-count shuffle; the merge
+    loop runs on the deterministic top-vocab_cap head of that table
+    (bounded collect — how SentencePiece/GPT-2 trainers consume their
+    capped word-count file).  A fully-distributed per-round variant
+    (`fit_bpe_rounds`) exists for heads that exceed driver memory and
+    is pinned equal in pytest.  Merge-rank output → no SQL oracle
+    (rows-only driver check); pytest pins the merge sequence
+    byte-for-byte against a pure-Python reference trainer.  Reference
+    surface: token budgeting in chunking_service.py — this is its
+    missing fit() half."""
     from clawrag_spark.operators import tokenizer as TK
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
@@ -1854,6 +1857,32 @@ def q_vocab_coverage(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     return TK.vocab_coverage(docs, "doc_id", "text", vocab_size=100)
+
+
+def q_train_val_split(spark, sf_dir):
+    """Leakage-safe train/val split: the salted-md5 split key is the
+    GROUP (source), so correlated docs never straddle the boundary.
+    Zero shuffle for the assignment; the report is one groupBy.  Hard
+    oracle — both engines compare the same md5 prefix against the same
+    hex threshold literal."""
+    docs = _load(spark, sf_dir, "documents")
+    out = WT.train_val_split(docs, "source", val_frac=0.3)
+    return out.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_groups"),
+    )
+
+
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA (tree-aggregated covariance: one scan, ONE
+    d²-row per partition via mapInPandas, driver-side eigh, JVM-only
+    zip_with·aggregate projection).  Eigendecomposition is a float
+    pipeline with no SQL twin → rows-only driver check; pytest pins the
+    fit against numpy full-batch PCA at 1e-6 and the projection
+    round-trip exactly."""
+    emb = _load(spark, sf_dir, "embeddings")
+    mean, comps, _evr = DS.fit_pca(emb, "embedding", k=4)
+    return DS.pca_project(emb, "vec_id", "embedding", mean, comps, decimals=4)
 
 
 def q_cms_heavy_hitters(spark, sf_dir):
@@ -1934,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "train_val_split": q_train_val_split,
+        "embedding_pca": q_embedding_pca,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "tfidf_keywords": q_tfidf_keywords,
         "nfc_normalize": q_nfc_normalize,
@@ -2330,6 +2361,21 @@ def oracle_sql() -> dict[str, str]:
     hll_num = repr(SK._alpha(64) * 64 * 64 * float(1 << hll_cap))
     ws_den = repr(float((1 << 60) + 1))
     return {
+        # train_val_split: same salted-md5 prefix vs the same 15-hex
+        # threshold literal (0.3 * 16^15) on both engines
+        "train_val_split": """
+            WITH assigned AS (
+                SELECT lang, source,
+                       CASE WHEN substr(md5('split|' || source), 1, 15)
+                                 < '4ccccccccccccc0'
+                            THEN 'val' ELSE 'train' END AS split
+                FROM documents
+            )
+            SELECT split, lang,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT source)::BIGINT AS n_groups
+            FROM assigned GROUP BY 1, 2
+        """,
         # cms_heavy_hitters: same md5-window arithmetic on both engines
         # — integer cells, integer sums, so the sketch (including its
         # collision overshoots) is bit-identical

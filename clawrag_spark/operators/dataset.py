@@ -1316,3 +1316,109 @@ def minhash_cross_candidates(
         F.col(id_col).alias("committed_id"), "band", "sig"
     )
     return a.join(b, ["band", "sig"]).select("new_id", "committed_id").distinct()
+
+
+def fit_pca(emb: DataFrame, vec_col: str, k: int = 8):
+    """Distributed PCA fit over an embedding column — the whitening /
+    dimensionality-reduction step before clustering (SemDeDup appendix)
+    or visualization, and the one linear-algebra shape the rest of the
+    ANN family doesn't cover.
+
+    Scale design (the tree-aggregation pattern): ONE corpus scan in
+    which each partition accumulates its own (n, Σx, XᵀX) with numpy
+    inside ``mapInPandas`` and emits exactly ONE d²-sized row — the
+    driver then sums P partial rows (P = #partitions) and finishes with
+    an O(d³) ``eigh`` on the d×d covariance.  Nothing corpus-sized ever
+    reaches the driver and the shuffle carries P rows total; at d=768
+    a partial row is ~4.7 MB, so even 10⁵ partitions stream through a
+    single collect comfortably — this is exactly how MLlib's
+    ``computeCovariance`` is shaped.
+
+    Eigenvector sign is pinned (largest-|coordinate| made positive) so
+    the fit is deterministic up to float-sum ordering; tests compare
+    against numpy's full-batch PCA within tolerance.
+
+    Returns ``(mean: list[float], components: list[list[float]],
+    explained_variance_ratio: list[float])`` with components in
+    descending-eigenvalue order.
+    """
+    import numpy as np
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("fit_pca: empty input")
+    d = len(first[0])
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _partials(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros((d, d))
+        for pdf in batches:
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if M.size:
+                n += M.shape[0]
+                s += M.sum(axis=0)
+                g += M.T @ M
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = emb.select(vec_col).mapInPandas(_partials, schema).collect()
+    n_total = sum(r["n"] for r in parts)
+    if n_total < 2:
+        raise ValueError("fit_pca: need at least 2 vectors")
+    s_total = np.zeros(d)
+    g_total = np.zeros((d, d))
+    for r in parts:
+        s_total += np.array(r["s"])
+        g_total += np.array(r["g"]).reshape(d, d)
+    mu = s_total / n_total
+    cov = (g_total - n_total * np.outer(mu, mu)) / (n_total - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v.tolist())
+    total_var = float(evals.sum())
+    evr = [float(evals[i]) / total_var for i in order]
+    return mu.tolist(), comps, evr
+
+
+def pca_project(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: list,
+    components: list,
+    decimals: int = 6,
+) -> DataFrame:
+    """Project embeddings onto fitted principal components — JVM-only
+    expressions (one zip_with·aggregate dot product per component, the
+    mean-dot folded in as a precomputed literal), so the scoring pass
+    is whole-stage-codegen with zero Python.  Returns
+    ``(id, pc1..pck)`` rounded to ``decimals``."""
+    import numpy as np
+
+    mu = np.array(mean)
+    cols = []
+    for i, comp in enumerate(components):
+        arr = F.array(*[F.lit(float(c)) for c in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        mu_dot = float(np.dot(mu, np.array(comp)))
+        cols.append(F.round(dot - F.lit(mu_dot), decimals).alias(f"pc{i + 1}"))
+    return emb.select(F.col(id_col), *cols)

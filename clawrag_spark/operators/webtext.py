@@ -41,6 +41,8 @@ __all__ = [
     "mask_pii",
     "stratified_sample",
     "weighted_sample",
+    "train_val_split",
+    "nfc_normalize",
     "decontaminate",
     "train_char_lm",
     "lm_score",
@@ -1078,3 +1080,30 @@ def nfc_normalize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
 
     return docs.withColumn("text_nfc", _nfc(F.col(text_col)))
+
+
+def train_val_split(
+    df: DataFrame, group_col: str, val_frac: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Leakage-safe train/validation split: the split key is the GROUP
+    (host, source, or a dedup-cluster representative), never the
+    document — correlated or near-duplicate pages inside one group can
+    therefore never straddle the boundary, which is the classic
+    eval-contamination bug of doc-level random splits.
+
+    Deterministic salted-md5 threshold (same machinery as
+    :func:`stratified_sample`): zero shuffle, no RNG state, stable
+    under re-runs/backfills, and identical on every engine — new
+    documents arriving for an existing group always land in that
+    group's split, so the boundary survives incremental ingests.
+
+    Appends a ``split`` column with values ``'train'`` / ``'val'``.
+    """
+    thr = _rate_threshold_hex(val_frac)
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col(group_col).cast("string"))), 1, 15
+    )
+    return df.withColumn(
+        "split",
+        F.when(key < F.lit(thr), F.lit("val")).otherwise(F.lit("train")),
+    )

@@ -34,9 +34,11 @@ def docs(spark):
 def test_fit_bpe_matches_reference_exactly(spark, docs):
     wc = TK.word_counts(docs, "text")
     freq = {r["word"]: r["freq"] for r in wc.collect()}
-    got = TK.fit_bpe(wc, n_merges=25)
+    got = TK.fit_bpe(wc, n_merges=25)  # capped-head production path
+    got_rounds = TK.fit_bpe_rounds(wc, n_merges=25)  # distributed loop
     want = TK.fit_bpe_reference(freq, n_merges=25)
     assert got == want
+    assert got_rounds == want
     assert len(got) >= 10  # non-vacuous: this corpus supports many merges
     # ranks are dense and ordered
     assert [m["rank"] for m in got] == list(range(len(got)))

@@ -635,3 +635,35 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
         assert all(
             rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1)
         )
+
+
+# ------------------------------------------------ leakage-safe split
+
+
+def test_train_val_split_is_group_atomic_and_deterministic(spark):
+    from clawrag_spark.operators.webtext import train_val_split
+
+    rows = [(i, f"host{i % 20}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = train_val_split(df, "source", val_frac=0.3).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    # every group lands WHOLLY in one split — the leakage-safety claim
+    assert all(len(s) == 1 for s in by_group.values())
+    splits = {g: next(iter(s)) for g, s in by_group.items()}
+    assert set(splits.values()) == {"train", "val"}
+    # deterministic across reruns and partitionings
+    again = {
+        r["source"]: r["split"]
+        for r in train_val_split(
+            df.repartition(7), "source", val_frac=0.3
+        ).collect()
+    }
+    assert all(again[g] == splits[g] for g in splits)
+    # a different salt draws a different boundary
+    other = {
+        r["source"]: r["split"]
+        for r in train_val_split(df, "source", 0.3, salt="salt2").collect()
+    }
+    assert any(other[g] != splits[g] for g in splits)
