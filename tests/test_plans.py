@@ -457,3 +457,51 @@ class TestRound4NewOpPlans:
         # window, never the full doc stream
         assert plan.count("Exchange SinglePartition") <= 1
         assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+    def test_cms_sketch_broadcasts_no_python_no_cartesian(self, spark):
+        plan = plan_of(entry_mod.q_cms_heavy_hitters(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # the <=256-row sketch must broadcast into the probe join
+        assert "BroadcastHashJoin" in plan
+
+    def test_tfidf_corpus_size_broadcasts_no_python(self, spark):
+        plan = plan_of(entry_mod.q_tfidf_keywords(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # the 1-row N rides in as a broadcast nested-loop cross join
+        # (the only sanctioned BNLJ use: a literally-1-row side)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_train_val_split_assignment_is_pure_projection(self, spark):
+        from clawrag_spark.operators.webtext import train_val_split
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(train_val_split(docs, "source", 0.3))
+        # zero shuffle, zero Python: the split is scan-side
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_pca_projection_is_jvm_only(self, spark):
+        from clawrag_spark.operators.dataset import pca_project
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        d = len(emb.select("embedding").first()[0])
+        comps = [[1.0 if i == j else 0.0 for i in range(d)] for j in range(3)]
+        plan = plan_of(
+            pca_project(emb, "vec_id", "embedding", [0.0] * d, comps)
+        )
+        # the scoring pass is JVM-only and scan-side: no Arrow/Python
+        # eval, no shuffle — fit_pca's mapInPandas is the ONLY Python
+        # stage (higher-order aggregate/zip_with run interpreted but
+        # in-JVM, outside codegen, which is fine)
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_nfc_normalize_single_arrow_stage_no_shuffle(self, spark):
+        plan = plan_of(entry_mod.q_nfc_normalize(spark, SF_DIR))
+        # exactly one Arrow-batched python stage (the normalizer — its
+        # output column is REUSED by md5 and length, never re-evaluated)
+        # and it runs scan-side with no exchange; count physical nodes,
+        # not string mentions (each node prints twice in formatted mode)
+        assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+        assert "Exchange" not in plan
