@@ -1859,6 +1859,26 @@ def q_vocab_coverage(spark, sf_dir):
     return TK.vocab_coverage(docs, "doc_id", "text", vocab_size=100)
 
 
+def q_kmeans_domains(spark, sf_dir):
+    """Corpus domain clustering: Lloyd's k-means (deterministic
+    xxhash64 seed init, broadcast-literal centroids, one job per round
+    with output bounded by k×d) + scan-side assignment, reported as
+    per-cluster sizes and label spread.  Iterative float trainer → no
+    SQL oracle (rows-only driver check); pytest pins the fit against a
+    numpy Lloyd's reference with identical init/tie-break."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = DS.kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=5)
+    return (
+        DS.kmeans_assign(emb, "vec_id", "embedding", cents)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+        )
+    )
+
+
 def q_train_val_split(spark, sf_dir):
     """Leakage-safe train/val split: the salted-md5 split key is the
     GROUP (source), so correlated docs never straddle the boundary.
@@ -1963,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "kmeans_domains": q_kmeans_domains,
         "train_val_split": q_train_val_split,
         "embedding_pca": q_embedding_pca,
         "cms_heavy_hitters": q_cms_heavy_hitters,

@@ -1422,3 +1422,102 @@ def pca_project(
         mu_dot = float(np.dot(mu, np.array(comp)))
         cols.append(F.round(dot - F.lit(mu_dot), decimals).alias(f"pc{i + 1}"))
     return emb.select(F.col(id_col), *cols)
+
+
+def _nearest_cell(vec_col: str, centroids: list) -> "F.Column":
+    """0-based index of the nearest centroid (squared-L2, first-min
+    tie-break) as a pure JVM expression: one zip_with·aggregate squared
+    distance per centroid, argmin via array_position(array_min)."""
+    dists = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), arr, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iters: int = 10,
+    train_sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column — the corpus
+    domain-clustering step (cluster-then-balance mixes, SemDeDup cells,
+    IVF codebook training proper).
+
+    Same distributed shape as the repo's other trainers (LR, PCA): the
+    model is k×d doubles held driver-side and shipped into each round
+    as literal expressions; one job per round computes assignments as
+    pure JVM expressions (zip_with·aggregate distances, argmin) and
+    re-estimates means with a posexplode → groupBy(cell, pos) avg whose
+    output is bounded by k×d rows, never corpus-sized.  Empty clusters
+    keep their previous centroid.
+
+    Init is deterministic and engine-stable: the k vectors with the
+    smallest ``(xxhash64(id), id)`` — arbitrary but reproducible, the
+    standard move when RNG state is banned.  ``train_sample_mod``
+    subsamples the fit exactly like :func:`ivf_centroids`.
+
+    Returns the k centroids in init order (stable cluster ids).
+    """
+    src = emb
+    if train_sample_mod is not None and train_sample_mod > 1:
+        src = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+    # project to the two needed columns and cache: every round re-scans
+    # this frame, and at corpus scale re-reading parquet per iteration
+    # is the classic iterative-ML mistake
+    src = src.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        seeds = (
+            src.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(
+                f"kmeans_fit: need >= {k} vectors, got {len(seeds)}"
+            )
+        cents = [[float(x) for x in r[vec_col]] for r in seeds]
+        for _ in range(n_iters):
+            assigned = src.select(
+                _nearest_cell(vec_col, cents).alias("__cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            rows = (
+                assigned.groupBy("__cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            nxt = [list(c) for c in cents]  # empty cluster -> keep centroid
+            for r in rows:
+                nxt[r["__cell"]][r["pos"]] = r["m"]
+            if nxt == cents:
+                break
+            cents = nxt
+    finally:
+        src.unpersist()
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame, id_col: str, vec_col: str, centroids: list
+) -> DataFrame:
+    """Assign every vector to its nearest fitted centroid — one
+    scan-side projection, zero shuffle, zero Python.  Returns
+    ``(id, cell)``."""
+    return emb.select(
+        F.col(id_col), _nearest_cell(vec_col, centroids).alias("cell")
+    )

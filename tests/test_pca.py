@@ -85,3 +85,74 @@ def test_fit_validations(spark):
     )
     with pytest.raises(ValueError):
         fit_pca(two, "embedding", k=5)
+
+
+# ------------------------------------------------ Lloyd's k-means
+
+
+def _numpy_lloyd(X, seeds, n_iters):
+    cents = seeds.copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)  # first-min tie-break, same as Spark
+        nxt = cents.copy()
+        for c in range(len(cents)):
+            m = X[cells == c]
+            if len(m):
+                nxt[c] = m.mean(axis=0)
+        if np.allclose(nxt, cents, atol=0):
+            break
+        cents = nxt
+    return cents, cells
+
+
+def test_kmeans_matches_numpy_lloyd_and_separates_blobs(spark):
+    from pyspark.sql import functions as F
+
+    from clawrag_spark.operators.dataset import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(3)
+    blobs = np.concatenate(
+        [rng.randn(80, 6) * 0.1 + center for center in
+         (np.zeros(6), np.full(6, 5.0), np.array([5, -5, 5, -5, 5, -5.0]))]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(blobs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).repartition(6)
+
+    got = kmeans_fit(emb, "vec_id", "embedding", k=3, n_iters=10)
+
+    # replicate the deterministic init: k smallest (xxhash64(id), id)
+    seed_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+        .limit(3)
+        .collect()
+    ]
+    seeds = blobs[seed_ids].astype(float)
+    want, want_cells = _numpy_lloyd(blobs, seeds, 10)
+    assert np.allclose(np.array(got), want, atol=1e-7)
+
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(emb, "vec_id", "embedding", got).collect()
+    }
+    # perfect blob separation: each true blob maps to exactly one cell
+    for b in range(3):
+        cells = {assigned[i] for i in range(b * 80, (b + 1) * 80)}
+        assert len(cells) == 1, b
+    assert len({next(iter({assigned[b * 80]})) for b in range(3)}) == 3
+    # and matches the numpy assignment labels
+    assert all(assigned[i] == want_cells[i] for i in range(len(blobs)))
+
+
+def test_kmeans_validates_k(spark):
+    from clawrag_spark.operators.dataset import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_fit(emb, "vec_id", "embedding", k=5)
