@@ -1212,6 +1212,55 @@ def q_line_signals(spark, sf_dir):
     )
 
 
+def q_host_quality(spark, sf_dir):
+    """Host-level filtering with a Wilson lower confidence bound on
+    the per-host quality pass rate (RefinedWeb-style): the A10 quality
+    score gates each document, then one partial-aggregated groupBy per
+    source carries two longs per host; small hosts with perfect rates
+    rank below big hosts with strong rates, as the bound intends."""
+    docs = _load(spark, sf_dir, "documents")
+    gated = docs.select(
+        F.col("source"),
+        (
+            F.round(X.quality_score_col(F.col("text"), F.col("lang")), 6)
+            >= F.lit(0.436)
+        ).alias("ok"),
+    )
+    return WT.host_quality_bounds(
+        gated, "source", "ok", z=1.96, min_docs=2
+    ).withColumnRenamed("host", "source")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """RefinedWeb-style intra-document line dedup: keep the first
+    occurrence of each trimmed line within a document, drop later
+    repeats — one zero-shuffle JVM projection.  Deterministic repeats
+    (one exact, one trim-equal) are injected FROM the documents table
+    so the removal branch is exercised at every sf and the oracle
+    replays the same construction; the hash check covers md5 of the
+    full rewritten text."""
+    docs = _load(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 21, 30),
+            F.substring("text", 1, 40),
+            F.lit("  "),
+            F.concat(F.lit(" "), F.substring("text", 21, 30), F.lit(" ")),
+            F.substring("text", 51, 25),
+        ).alias("text"),
+    )
+    res = WT.dedup_lines_in_doc(multi, "doc_id", "text")
+    return res.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "lines_kept",
+        "lines_removed",
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet-style corpus-level repeated-paragraph removal over the demo
     chunks: md5-keyed frequency shuffle + in-order reassembly (the 3%
@@ -1983,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "host_quality": q_host_quality,
+        "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,
         "train_val_split": q_train_val_split,
         "embedding_pca": q_embedding_pca,
@@ -4105,6 +4156,102 @@ def oracle_sql() -> dict[str, str]:
             FROM src
             LEFT JOIN tc USING (chunk_id)
             LEFT JOIN dc USING (chunk_id)
+        """,
+        # host_quality: the A10 quality CTE gates each doc, then the
+        # Wilson lower bound replays Spark's exact double-op order
+        # (z² written as 1.96*1.96 so both engines fold the same
+        # double); counts cast ::BIGINT per the HUGEINT rule.
+        "host_quality": """
+            WITH base AS (
+                SELECT source,
+                       coalesce(text, '') AS t,
+                       length(coalesce(text, '')) AS n,
+                       lang
+                FROM documents
+            ),
+            parts AS (
+                SELECT source, t, n,
+                       least(1.0, n / 5000.0) * 0.10
+                       + (CASE WHEN lang IS NOT NULL AND lang <> 'unknown' AND lang <> ''
+                               THEN 1.0 ELSE 0.0 END) * 0.20
+                       + 0.5 * 0.30 + 0.2 * 0.40 AS base_score,
+                       n - length(replace(t, '�', '')) AS repl,
+                       len(regexp_extract_all(t, '\\b\\w\\s\\w\\s\\w\\b')) AS spaced,
+                       len(list_filter(string_split(t, chr(10)),
+                                       x -> length(trim(x)) IN (1, 2))) AS short_lines,
+                       len(string_split(t, chr(10))) AS n_lines
+                FROM base
+            ),
+            q AS (
+                SELECT source,
+                       round(CASE WHEN n < 20 THEN 0.0
+                             ELSE greatest(0.0, least(1.0,
+                                  base_score
+                                  - (CASE WHEN repl > 5 THEN 0.1 * least(1.0, repl / 50.0) ELSE 0 END)
+                                  - (CASE WHEN spaced > 10 THEN 0.1 ELSE 0 END)
+                                  - (CASE WHEN short_lines > 20 AND short_lines::DOUBLE / n_lines > 0.1
+                                          THEN 0.1 ELSE 0 END)))
+                             END, 6) AS quality
+                FROM parts
+            ),
+            g AS (
+                SELECT source,
+                       count(*)::BIGINT AS n_docs,
+                       sum(CASE WHEN quality >= 0.436 THEN 1 ELSE 0 END)::BIGINT AS n_pass
+                FROM q GROUP BY source HAVING count(*) >= 2
+            )
+            SELECT source, n_docs, n_pass,
+                   round(n_pass / n_docs::DOUBLE, 6) AS pass_rate,
+                   round((
+                       (n_pass / n_docs::DOUBLE)
+                       + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * n_docs::DOUBLE)
+                       - 1.96 * sqrt((
+                             (n_pass / n_docs::DOUBLE) * (1.0 - n_pass / n_docs::DOUBLE)
+                             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * n_docs::DOUBLE)
+                         ) / n_docs::DOUBLE)
+                   ) / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n_docs::DOUBLE), 6) AS wilson_lb
+            FROM g
+        """,
+        # dedup_lines: replay the keep-first-occurrence rule with
+        # DuckDB's indexed list lambdas — list_position gives the
+        # 1-based first index of the trimmed line, exactly Spark's
+        # array_position; whitespace-only lines always survive.
+        "dedup_lines": """
+            WITH src AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           substring(text, 1, 40),
+                           substring(text, 21, 30),
+                           substring(text, 1, 40),
+                           '  ',
+                           ' ' || substring(text, 21, 30) || ' ',
+                           substring(text, 51, 25)) AS text
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS parts,
+                       list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)) AS t
+                FROM src
+            ),
+            k AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_filter(parts, (x, i) -> trim(x) = ''
+                               OR list_position(t, trim(x)) = i),
+                           chr(10)) AS clean_text,
+                       len(list_distinct(
+                           list_filter(t, x -> x <> ''))) AS lines_kept,
+                       len(list_filter(t, x -> x <> ''))
+                           - len(list_distinct(
+                               list_filter(t, x -> x <> ''))) AS lines_removed
+                FROM s
+            )
+            SELECT doc_id, md5(clean_text) AS clean_md5,
+                   lines_kept::BIGINT AS lines_kept,
+                   lines_removed::BIGINT AS lines_removed
+            FROM k
         """,
         "paragraph_dedup": f"""
             WITH c AS (

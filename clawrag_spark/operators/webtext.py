@@ -202,6 +202,58 @@ def line_repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFr
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence (RefinedWeb-style line-wise dedup — the intra-document
+    complement of the corpus-level :func:`paragraph_dedup`).
+
+    A line is a repeat when its trimmed form already appeared earlier
+    in the same document; whitespace-only lines are structural
+    separators and always survive.  Pure per-row array expressions —
+    zero shuffle, zero Python.  The first-occurrence probe is
+    ``array_position`` over the trimmed-line array, O(n_lines²) per
+    row; web documents' line counts are bounded (and the chunker caps
+    them further), so this stays cheap and never leaves the scan
+    projection.
+
+    The trimmed array is staged into its own projection before the
+    indexed filter references it (repo lambda-CSE rule — see
+    ``_char_trigrams``): inlining it under the lambda would re-run the
+    transform per element.
+
+    Returns ``(id, clean_text, lines_kept, lines_removed)``; the
+    counts cover non-empty lines only (kept = distinct non-empty
+    trimmed lines, removed = later repeats).
+
+    Reference parity: the reference cleans text per document in Python
+    during ingestion (services/text_processor.py); here the same pass
+    is one JVM projection.
+    """
+    parts = F.split(F.col(text_col), "\n")
+    staged = df.select(
+        F.col(id_col),
+        parts.alias("__parts"),
+        F.transform(parts, lambda x: F.trim(x)).alias("__trim"),
+    )
+    t = F.col("__trim")
+    kept = F.filter(
+        F.col("__parts"),
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position(t, F.trim(x)) == i + F.lit(1)),
+    )
+    nonempty = F.filter(t, lambda x: x != F.lit(""))
+    n_nonempty = F.size(nonempty)
+    n_distinct = F.size(F.array_distinct(nonempty))
+    return staged.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        n_distinct.cast("long").alias("lines_kept"),
+        (n_nonempty - n_distinct).cast("long").alias("lines_removed"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame, id_col: str, text_col: str, min_rep: int = 2
 ) -> DataFrame:
@@ -251,6 +303,56 @@ def paragraph_dedup(
             ),
             F.count(F.when(~F.col("rm"), 1)).alias("paras_kept"),
             F.count(F.when(F.col("rm"), 1)).alias("paras_removed"),
+        )
+    )
+
+
+def host_quality_bounds(
+    df: DataFrame,
+    host_col: str,
+    pass_col: str,
+    z: float = 1.96,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-host quality pass-rate with a Wilson-score lower confidence
+    bound — the RefinedWeb-style host-level filter that a raw pass
+    rate gets wrong for small hosts (3/3 passing is weaker evidence
+    than 80/100, but has the higher rate; the Wilson bound ranks them
+    correctly).
+
+    ``pass_col`` is a boolean per-document quality verdict (any gate:
+    Gopher, classifier, score threshold).  Returns one row per host
+    with ``(host, n_docs, n_pass, pass_rate, wilson_lb)``, rates
+    rounded to 6 dp, hosts with fewer than ``min_docs`` documents
+    dropped.  Rank / threshold on ``wilson_lb`` downstream.
+
+    Scale shape: one partial-aggregated groupBy on the host key — the
+    only shuffle, carrying two longs per host — then pure scalar math
+    on the aggregate row.  Zipf-hot hosts are exactly the salted-
+    aggregation case (operators/skew.py) if the combine ever skews.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be positive (got {z})")
+    agg = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(pass_col).cast("long")).alias("n_pass"),
+    )
+    n = F.col("n_docs").cast("double")
+    phat = F.col("n_pass") / n
+    z2 = float(z) * float(z)
+    center = phat + F.lit(z2) / (2.0 * n)
+    margin = F.lit(float(z)) * F.sqrt(
+        (phat * (1.0 - phat) + F.lit(z2) / (4.0 * n)) / n
+    )
+    denom = 1.0 + F.lit(z2) / n
+    return (
+        agg.filter(F.col("n_docs") >= min_docs)
+        .select(
+            "host",
+            "n_docs",
+            "n_pass",
+            F.round(phat, 6).alias("pass_rate"),
+            F.round((center - margin) / denom, 6).alias("wilson_lb"),
         )
     )
 

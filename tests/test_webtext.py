@@ -68,6 +68,69 @@ def test_line_repetition(spark):
     assert out[2]["dup_line_frac"] == 0.0
 
 
+def test_host_quality_wilson_bound(spark):
+    import math
+
+    rows = [("tiny", True)] * 3 + [("big", True)] * 80 + [("big", False)] * 20
+    rows += [("solo", True)]  # below min_docs, must drop
+    df = spark.createDataFrame(rows, ["host", "ok"])
+    out = {
+        r["host"]: r
+        for r in W.host_quality_bounds(
+            df, "host", "ok", z=1.96, min_docs=2
+        ).collect()
+    }
+    assert "solo" not in out
+    # perfect 3/3 has the higher raw rate but MUST rank below 80/100
+    # on the lower bound — the whole point of the Wilson correction
+    assert out["tiny"]["pass_rate"] == 1.0
+    assert out["big"]["pass_rate"] == pytest.approx(0.8)
+    assert out["big"]["wilson_lb"] > out["tiny"]["wilson_lb"]
+
+    def wilson(p, n, z=1.96):
+        return (
+            p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        ) / (1 + z * z / n)
+
+    assert out["big"]["wilson_lb"] == pytest.approx(wilson(0.8, 100), abs=1e-6)
+    assert out["tiny"]["wilson_lb"] == pytest.approx(wilson(1.0, 3), abs=1e-6)
+    with pytest.raises(ValueError):
+        W.host_quality_bounds(df, "host", "ok", z=0.0)
+
+
+def test_dedup_lines_in_doc_keeps_first_occurrence(spark):
+    text = "same\nother\nsame\n\n  same  \nunique\n\t\nother"
+    df = spark.createDataFrame([(1, text), (2, "one line")], ["id", "text"])
+    out = {r["id"]: r for r in _rows(W.dedup_lines_in_doc(df, "id", "text"))}
+    r = out[1]
+    # first "same" (raw form) and first "other" survive; the exact
+    # repeat, the trim-equal "  same  ", and the second "other" drop;
+    # whitespace-only lines are structural and always kept.  NOTE:
+    # "\t" trims to "\t" under space-only trim -> it is a distinct
+    # non-empty line, kept.
+    assert r["clean_text"] == "same\nother\n\nunique\n\t"
+    assert r["lines_kept"] == 4  # same, other, unique, "\t"
+    assert r["lines_removed"] == 3
+    assert out[2]["clean_text"] == "one line"
+    assert out[2]["lines_removed"] == 0
+
+
+def test_dedup_lines_in_doc_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nb\nc"), (2, "")], ["id", "text"]
+    )
+    once = W.dedup_lines_in_doc(df, "id", "text").select(
+        "id", F.col("clean_text").alias("text")
+    )
+    twice = {
+        r["id"]: r
+        for r in _rows(W.dedup_lines_in_doc(once, "id", "text"))
+    }
+    assert twice[1]["clean_text"] == "a\nb\nc"
+    assert twice[1]["lines_removed"] == 0
+    assert twice[2]["clean_text"] == ""
+
+
 # ----------------------------------------------------------- paragraphs
 
 
