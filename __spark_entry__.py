@@ -1910,13 +1910,19 @@ def q_vocab_coverage(spark, sf_dir):
 
 def q_kmeans_domains(spark, sf_dir):
     """Corpus domain clustering: Lloyd's k-means (deterministic
-    xxhash64 seed init, broadcast-literal centroids, one job per round
-    with output bounded by k×d) + scan-side assignment, reported as
-    per-cluster sizes and label spread.  Iterative float trainer → no
-    SQL oracle (rows-only driver check); pytest pins the fit against a
-    numpy Lloyd's reference with identical init/tie-break."""
+    xxhash64 seed init, closure-broadcast centroids, one zero-shuffle
+    mapInPandas job per round yielding ≤k partial sums per partition)
+    + scan-side assignment, reported as per-cluster sizes and label
+    spread.  Iterative float trainer → no SQL oracle (rows-only driver
+    check); pytest pins the fit against a numpy Lloyd's reference with
+    identical init/tie-break."""
     emb = _load(spark, sf_dir, "embeddings")
-    cents = DS.kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=5)
+    # sample-fit + full assign, the ivf_centroids recipe: the codebook
+    # trains on half the corpus (3 Lloyd rounds), every vector is
+    # assigned — the standard shape for codebook training at scale
+    cents = DS.kmeans_fit(
+        emb, "vec_id", "embedding", k=8, n_iters=3, train_sample_mod=2
+    )
     return (
         DS.kmeans_assign(emb, "vec_id", "embedding", cents)
         .join(emb.select("vec_id", "label"), "vec_id")
