@@ -1883,15 +1883,23 @@ def q_quality_classifier(spark, sf_dir):
     from clawrag_spark.operators import webtext as WT
 
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # persist the weak-label frame: the trainer's staging plan reads it
+    # twice (feature explode + label projection), and without the cache
+    # each read re-runs the Gopher gate (eager count per the repo's
+    # fork-then-cache rule)
     labeled = docs.join(
         WT.gopher_quality_gate(docs, "doc_id", "text", min_words=20).select(
             "doc_id", F.col("keep").cast("int").alias("label")
         ),
         "doc_id",
-    )
-    w = TK.fit_quality_classifier(
-        labeled, "doc_id", "text", "label", n_features=512, n_iters=8
-    )
+    ).persist()
+    labeled.count()
+    try:
+        w = TK.fit_quality_classifier(
+            labeled, "doc_id", "text", "label", n_features=512, n_iters=8
+        )
+    finally:
+        labeled.unpersist()
     return TK.score_quality(docs, "doc_id", "text", w).select(
         "doc_id", "quality_pred"
     )

@@ -1017,6 +1017,26 @@ def connected_components(
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
+    # eager materialization (repo fork-then-cache rule): round 1 reads
+    # `edges` from two subtrees of one job; a lazy persist can miss on
+    # both and evaluate the upstream pair plan twice.  The count also
+    # sizes the loop's width: every round pays task launches
+    # proportional to the edge frame's partition count, so a small
+    # candidate set must not iterate at full cluster width (measured
+    # 4 s/round on 510 edges at width 32 vs ~0.3 s at width 1), while
+    # web-scale edge sets keep every core.  ``coalesce`` is narrow —
+    # rounds read the cache through it without a second persist.
+    n_edges = edges.count()
+    width = max(
+        1,
+        min(
+            pairs.sparkSession.sparkContext.defaultParallelism,
+            -(-n_edges // 50_000),
+        ),
+    )
+    cached = edges
+    if width < edges.rdd.getNumPartitions():
+        edges = cached.coalesce(width)
     labels = (
         edges.select(F.col("a").alias("n")).distinct().withColumn("lbl", F.col("n"))
     )
@@ -1061,14 +1081,14 @@ def connected_components(
         # Exiting via max_iter with labels still moving means SPLIT
         # clusters downstream (multiple "representatives" of one dup
         # cluster) with no other signal — fail loudly instead.
-        edges.unpersist()
+        cached.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); with pointer jumping "
             f"this needs a component of length > ~2^{max_iter} — check "
             f"the pair generator before raising max_iter"
         )
-    edges.unpersist()
+    cached.unpersist()
     return labels.select("n", F.col("lbl").alias("cluster"))
 
 

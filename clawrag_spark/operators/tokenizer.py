@@ -326,73 +326,96 @@ def fit_quality_classifier(
     the classifier-distillation step of CCNet/GPT-3-style curation.
 
     Model state is D = ``n_features`` doubles held driver-side
-    (weights[D] + bias at index D); per iteration one corpus scan:
-    broadcast-join weights onto the cached (id, feat) explode (the bias
-    rides as a constant feature at index D), sum margins per doc,
-    compute the sigmoid error, aggregate the gradient BY FEATURE —
-    output bounded by D+1 rows, collected in ONE job per iteration.
-    Floating sums are order-dependent, so parity tests use tolerances
-    and the driver query reports rounded probabilities.
+    (weights[D] + bias at index D), broadcast into each round via the
+    task closure — the same distributed shape as ``kmeans_fit`` and
+    the PCA trainer: the per-doc feature lists are staged ONCE as
+    ``(feats array<int>, y)`` rows (one groupBy, cached), then each
+    round is ONE zero-shuffle ``mapInPandas`` job that computes
+    margins, sigmoid errors, and the full D+1 gradient PER PARTITION
+    (numpy segment sums — no per-row Python) and yields a single
+    partial-gradient vector per partition; the driver sums P vectors.
+    (The previous broadcast-join formulation paid two shuffles and a
+    weight-table rebroadcast per round — 9.2 s vs ~2 s at sf0.1 for
+    the same math.)  Floating sums are order-dependent, so parity
+    tests use tolerances and the driver query reports rounded
+    probabilities.
+
+    The staged frame's width tracks the training-set size (~2k docs
+    per partition, capped at the cluster's parallelism): every round
+    pays one task launch per partition, so a small weak-label sample
+    must not inherit a 32-wide layout (8 rounds x 32 no-op tasks
+    measured 3.6 s of pure overhead), while a 10^12-doc corpus still
+    spreads over every core.
 
     Returns ``weights`` with the bias appended (length D+1).
     """
+    import numpy as np
+    import pandas as pd
+
     spark = docs.sparkSession
-    labels = docs.select(
-        F.col(id_col).alias("__id"), F.col(label_col).cast("double").alias("y")
-    ).persist()
-    # the bias rides as a constant feature at index D: every doc gets
-    # one (id, D) row, so the per-iteration gradient aggregation covers
-    # weights AND bias in a single job (a separate bias-sum job doubled
-    # the iteration count for a scalar)
-    feats = (
-        _hashed_features(docs, id_col, text_col, n_features)
-        .unionByName(labels.select("__id", F.lit(n_features).alias("feat")))
+    D = n_features
+    n_docs = docs.count()
+    width = max(
+        1, min(spark.sparkContext.defaultParallelism, -(-n_docs // 2048))
+    )
+    # stage per-doc distinct-feature lists once; right join keeps docs
+    # with zero alphabetic tokens (they still train the bias)
+    staged = (
+        _hashed_features(docs, id_col, text_col, D)
+        .groupBy("__id")
+        .agg(F.collect_list("feat").alias("feats"))
+        .join(
+            docs.select(
+                F.col(id_col).alias("__id"),
+                F.col(label_col).cast("double").alias("y"),
+            ),
+            "__id",
+            "right",
+        )
+        .select(
+            F.coalesce("feats", F.array().cast("array<int>")).alias("feats"),
+            "y",
+        )
+        .repartition(width)
         .persist()
     )
-    n_docs = labels.count()
-    feats.count()
-    w = [0.0] * (n_features + 1)  # w[D] is the bias
+    staged.count()
+    w = np.zeros(D + 1, dtype=np.float64)  # w[D] is the bias
     try:
         for _ in range(n_iters):
-            wdf = F.broadcast(
-                spark.createDataFrame(
-                    [(i, wi) for i, wi in enumerate(w)], "feat int, w double"
-                )
-            )
-            margins = (
-                feats.join(wdf, "feat")
-                .groupBy("__id")
-                .agg(F.sum("w").alias("m"))
-            )
-            err = (
-                labels.join(margins, "__id", "left")
-                .select(
-                    "__id",
-                    (
-                        F.lit(1.0)
-                        / (F.lit(1.0) + F.exp(-F.coalesce(F.col("m"), F.lit(0.0))))
-                        - F.col("y")
-                    ).alias("e"),
-                )
-            )
-            grad_rows = (
-                feats.join(err, "__id")
-                .groupBy("feat")
-                .agg(F.sum("e").alias("g"))
-                .collect()
-            )
-            g = [0.0] * (n_features + 1)
-            for r in grad_rows:
-                g[r["feat"]] = r["g"]
-            w = [
-                # no l2 on the bias term (matches the reference trainer)
-                wi - lr * (gi / n_docs + (l2 * wi if i < n_features else 0.0))
-                for i, (wi, gi) in enumerate(zip(w, g))
-            ]
+            W = w  # capture this round's model in the closure
+
+            def _partials(batches, W=W):
+                g = np.zeros(D + 1, dtype=np.float64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    lens = np.fromiter(
+                        (len(f) for f in pdf["feats"]), dtype=np.int64
+                    )
+                    flat = np.fromiter(
+                        (f for row in pdf["feats"] for f in row),
+                        dtype=np.int64,
+                        count=int(lens.sum()),
+                    )
+                    seg = np.repeat(np.arange(len(pdf)), lens)
+                    m = (
+                        np.bincount(seg, weights=W[flat], minlength=len(pdf))
+                        + W[D]
+                    )
+                    e = 1.0 / (1.0 + np.exp(-m)) - pdf["y"].to_numpy()
+                    np.add.at(g, flat, e[seg])
+                    g[D] += e.sum()
+                yield pd.DataFrame({"g": [g.tolist()]})
+
+            parts = staged.mapInPandas(_partials, "g array<double>").collect()
+            g = np.sum([r["g"] for r in parts], axis=0)
+            # no l2 on the bias term (matches the reference trainer)
+            reg = np.concatenate([w[:D] * l2, [0.0]])
+            w = w - lr * (g / n_docs + reg)
     finally:
-        feats.unpersist()
-        labels.unpersist()
-    return w
+        staged.unpersist()
+    return [float(x) for x in w]
 
 
 def score_quality(
