@@ -1536,7 +1536,24 @@ def kmeans_fit(
     # would serialize every round onto one core), and cache: every
     # round re-scans this frame, and at corpus scale re-reading
     # parquet per iteration is the classic iterative-ML mistake
+    # width tracks the training-set size (~8k vectors per partition,
+    # capped at cluster parallelism): every Lloyd round pays one task
+    # launch per partition, so a small sample-fit must not iterate at
+    # full cluster width (same sizing rule as fit_quality_classifier
+    # and connected_components), while corpus-scale fits keep every
+    # core.  The count doubles as the eager cache materialization.
     staged = ensure_parallelism(src.select(F.col(vec_col))).persist()
+    n_vecs = staged.count()
+    width = max(
+        1,
+        min(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            -(-n_vecs // 8192),
+        ),
+    )
+    cached = staged
+    if width < staged.rdd.getNumPartitions():
+        staged = cached.coalesce(width)
     try:
         for _ in range(n_iters):
             C = cents  # capture this round's model in the closure
@@ -1579,7 +1596,7 @@ def kmeans_fit(
                 break
             cents = nxt
     finally:
-        staged.unpersist()
+        cached.unpersist()
     return [list(map(float, c)) for c in cents]
 
 
