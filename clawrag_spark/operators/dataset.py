@@ -146,15 +146,22 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band signature.
 
-    The self-join computes the signature subtree twice (no plan reuse
-    across aliases); pass a cached :func:`shingle_rows` frame so each
-    side rebuilds only the cheap aggregate, not the tokenize+explode.
+    The signature table (one row per doc x band — corpus-sized, never
+    shingle-sized) is persisted and materialized before the self-join:
+    Spark reuses no plan across self-join aliases, so without the cache
+    BOTH sides recompute the full signature aggregate (8 salted md5s
+    per shingle row — measured 3.6 s of the 3.9 s candidate step at
+    sf0.1).  The candidate result is eagerly checkpointed (it is tiny
+    by construction — banding exists to make it so) so the signature
+    cache can be released before returning; every caller materializes
+    candidates immediately anyway.
     """
     sigs = minhash_band_signatures(
         docs, id_col, text_col, n_bands, rows_per_band, shingles=shingles
-    )
+    ).persist()
+    sigs.count()
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -166,7 +173,10 @@ def minhash_candidate_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return cand
 
 
 # ------------------------------------------------------------- SimHash

@@ -276,6 +276,24 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("wsum")).alias("frac"))
         .persist()
     )
+    # eager materialization (fork-then-cache rule: every round reads
+    # frac) + the repo's iterative-width rule: k synchronous rounds
+    # each pay task launches per partition, so a host-level graph
+    # (thousands of nodes, not billions) must not iterate at full
+    # cluster width; web-scale edge sets still keep every core.
+    n_edges = frac.count()
+    width = max(
+        1,
+        min(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            -(-n_edges // 50_000),
+        ),
+    )
+    frac_cached, nodes_cached = frac, nodes
+    if width < frac.rdd.getNumPartitions():
+        frac = frac_cached.coalesce(width)
+    if width < nodes.rdd.getNumPartitions():
+        nodes = nodes_cached.coalesce(width)
     sources = wsum.select(F.col("src").alias("n"))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("rank"))
@@ -306,6 +324,11 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    nodes.unpersist()
-    frac.unpersist()
+    # materialize the final ranks BEFORE releasing the caches: the
+    # loop's checkpoints are lazy, so unpersisting first would make the
+    # caller's first action evaluate all k rounds with frac/nodes
+    # recomputed from scratch each round
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes_cached.unpersist()
+    frac_cached.unpersist()
     return ranks
