@@ -562,6 +562,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+def q_similarity_join(spark, sf_dir):
+    """All-pairs set-similarity join via prefix filtering (AllPairs /
+    PPJoin family) — the EXACT candidate-generation alternative to
+    MinHash-LSH: zero recall loss at Jaccard >= 4/5, candidates found
+    through each pair's RAREST shared shingle (global ascending-df token
+    order), verified by the hash-row count-aggregation intersection.
+    All threshold math is integer (4/5 rational), so the DuckDB oracle
+    is bit-identical — no float-boundary drift."""
+    docs = _load(spark, sf_dir, "documents")
+    return DS.prefix_filter_similarity_join(
+        docs, "doc_id", "text", threshold_num=4, threshold_den=5
+    )
+
+
 def q_embedding_sign_buckets(spark, sf_dir):
     """LSH-style sign-projection bucketing of embeddings (ANN scale path):
     bucket = sign bits of the first 8 dims; per-bucket population."""
@@ -2046,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
+        "similarity_join": q_similarity_join,
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,
@@ -3226,6 +3241,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sigs a JOIN sigs b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        # prefix-filter similarity join: same steps as the Spark plan —
+        # distinct 3-shingle sets, ascending-df global token order,
+        # prefix length |d| - ceil(4|d|/5) + 1 via integer division,
+        # prefix equi-join + 5*min>=4*max length filter, integer verify
+        # 5*inter >= 4*union.  row_number ties are impossible (shingles
+        # are distinct per doc, so (df, shingle) is a total order).
+        "similarity_join": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+            dfreq AS (SELECT shingle, count(*) AS tok_df FROM shingles GROUP BY shingle),
+            ranked AS (
+                SELECT s.doc_id, s.shingle, z.sz,
+                       row_number() OVER (
+                           PARTITION BY s.doc_id ORDER BY d.tok_df, s.shingle
+                       ) AS rn
+                FROM shingles s
+                JOIN dfreq d USING (shingle)
+                JOIN sz z USING (doc_id)
+            ),
+            pfx AS (
+                SELECT doc_id, shingle, sz FROM ranked
+                WHERE rn <= sz - ((4 * sz + 4) // 5) + 1
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.sz AS sz_a, b.sz AS sz_b
+                FROM pfx a JOIN pfx b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)
+            ),
+            inter AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS inter
+                FROM cand c
+                JOIN shingles x ON x.doc_id = c.doc_a
+                JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(i.inter::DOUBLE / (c.sz_a + c.sz_b - i.inter), 6) AS jaccard
+            FROM cand c JOIN inter i USING (doc_a, doc_b)
+            WHERE 5 * i.inter >= 4 * (c.sz_a + c.sz_b - i.inter)
         """,
         "ngram_jaccard": """
             WITH toks AS (

@@ -179,6 +179,108 @@ def minhash_candidate_pairs(
     return cand
 
 
+# ---------------------------------------- prefix-filter similarity join
+
+def prefix_filter_similarity_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs set-similarity join via prefix filtering — the EXACT
+    (zero-recall-loss) alternative to MinHash-LSH candidate generation
+    (AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    Guarantee: if two docs' 3-shingle sets have Jaccard >= t, then under
+    any global token order their (|d| - ceil(t*|d|) + 1)-length prefixes
+    share at least one token — so an equi-join on prefix tokens finds
+    EVERY qualifying pair, unlike banded MinHash whose recall is
+    1-(1-j^r)^b < 1.  Ordering tokens rarest-first (ascending document
+    frequency) makes the prefixes maximally selective: a pair is joined
+    through its rarest shared shingle, never through stopword-grade ones.
+
+    Threshold is a rational threshold_num/threshold_den so every
+    comparison is INTEGER math (`ceil(t*n)` = `(num*n + den-1) div den`,
+    verify `den*inter >= num*union`) — bit-identical across engines,
+    no float-boundary drift against the DuckDB oracle.
+
+    Scale shape (one pass each):
+    - distinct (doc, shingle) rows: scan-side explode,
+    - token document frequencies: one groupBy(shingle) shuffle
+      (map-side partial count),
+    - rarest-first rank: join df onto the rows (shuffle on shingle),
+      then one row_number window per doc,
+    - candidates: prefix-row self-equi-join on shingle + the length
+      filter den*min(|a|,|b|) >= num*max(|a|,|b|) — never all pairs;
+      prefixes are ~(1-t)*|d| tokens so the join input is a fifth of
+      the corpus at t=0.8,
+    - verify: the hash-row count-aggregation intersection (16-byte md5
+      rows through the shuffle, NEVER whole gram arrays per pair — the
+      same scale rule as ``_jaccard_verified_pairs``).
+
+    Pass a cached :func:`shingle_rows` frame via ``shingles`` to share
+    the tokenize+explode scan with other consumers.
+    """
+    if shingles is None:
+        shingles = shingle_rows(docs, id_col, text_col)
+    sets = shingles.select(F.col(id_col).alias("doc"), "shingle").distinct()
+    sizes = sets.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = sets.groupBy("shingle").agg(F.count("*").alias("tok_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("tok_df", "shingle")
+    ranked = (
+        sets.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .select(
+            "doc", "shingle", "sz", F.row_number().over(w).alias("rn")
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den - 1}) div {threshold_den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "shingle", "sz")
+    pa = prefix.select(
+        F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.lit(threshold_den) * F.least("sz_a", "sz_b")
+            >= F.lit(threshold_num) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    gh = sets.select("doc", F.md5("shingle").alias("gh"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(gh.select(F.col("doc").alias("doc_a"), "gh"), "doc_a")
+        .join(gh.select(F.col("doc").alias("doc_b"), "gh"), ["doc_b", "gh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .filter(F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / union_sz, 6).alias("jaccard"),
+        )
+    )
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash64_py(t: str | None) -> int:

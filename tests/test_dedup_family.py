@@ -171,6 +171,73 @@ def test_minhash_planted_pair_recall(spark):
     assert (0, 1) in pairs
 
 
+def test_prefix_filter_join_equals_brute_force(spark):
+    """The prefix-filter similarity join is EXACT: its output equals the
+    brute-force all-pairs Jaccard >= 4/5 set, both membership and the
+    jaccard values — the zero-recall-loss guarantee that distinguishes
+    it from banded MinHash (where recall is 1-(1-j^r)^b < 1)."""
+    docs = _mk_docs(n=120, seed=23)
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DS.prefix_filter_similarity_join(
+            sdf, "doc_id", "text", threshold_num=4, threshold_den=5
+        ).collect()
+    }
+
+    def shingle_set(text):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 5 * inter >= 4 * union:
+                want[(a, b)] = round(inter / union, 6)
+    assert len(want) >= 3, "fixture failed to plant >= 4/5-Jaccard pairs"
+    assert got == want
+
+
+def test_prefix_filter_join_prunes_candidates(spark):
+    """The length filter + rarest-first prefixes must prune: candidate
+    pairs reaching the verify stage stay well below all-pairs (the
+    operator's whole point at 100 TB)."""
+    docs = _mk_docs(n=120, seed=23)
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = DS.shingle_rows(sdf, "doc_id", "text")
+    sets = sh.select(F.col("doc_id").alias("doc"), "shingle").distinct()
+    sizes = sets.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = sets.groupBy("shingle").agg(F.count("*").alias("tok_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("tok_df", "shingle")
+    ranked = (
+        sets.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .select("doc", "shingle", "sz", F.row_number().over(w).alias("rn"))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + F.lit(1)
+    )
+    pa = prefix.select(F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a"))
+    pb = prefix.select(F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b"))
+    n_cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(5 * F.least("sz_a", "sz_b") >= 4 * F.greatest("sz_a", "sz_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    n_docs = sdf.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert n_cand < all_pairs / 4, (n_cand, all_pairs)
+
+
 def test_simhash_max_hamming_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_hamming"):
