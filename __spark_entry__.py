@@ -1671,6 +1671,47 @@ def q_url_latest(spark, sf_dir):
     return WT.latest_per_url(allp)
 
 
+#: suffix pool for q_registered_domains' synthesized hosts — exercises
+#: multi-label PSL entries (co.uk/ac.uk/com.au), a private-registry
+#: suffix (github.io), plain ICANN TLDs, and an UNLISTED TLD
+#: ('example') that must take the PSL implicit-"*" fallback.
+_REGDOM_SUFFIXES = [
+    "com", "co.uk", "github.io", "org", "com.au", "ac.uk", "io", "example",
+]
+
+
+def q_registered_domains(spark, sf_dir):
+    """eTLD+1 (public-suffix registered domain) rollup — the grouping
+    key every per-domain crawl statistic hangs off.  Hosts are
+    synthesized deterministically from doc_id (fixture style, like
+    robots_gate) so multi-label suffixes are actually exercised;
+    extraction is the zero-shuffle CASE-over-literal-IN expression in
+    ``webtext.registered_domain``, then one groupBy rollup."""
+    docs = _load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("sub"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _REGDOM_SUFFIXES]),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        ),
+    )
+    hosts = docs.select(host.alias("host"))
+    return (
+        hosts.select(
+            "host", WT.registered_domain(F.col("host")).alias("reg_domain")
+        )
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """Training-shard sequence packing ("concat-and-chunk"): every doc
     gets a position in a deterministic pseudorandom global order and
@@ -2061,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) new this round ----------------------------------------
         "similarity_join": q_similarity_join,
+        "registered_domains": q_registered_domains,
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,
@@ -4388,6 +4430,40 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                        '<IP>', 'g')) AS masked_md5
             FROM inj
+        """,
+        # registered_domains: same synthesized hosts, same anchored-
+        # regex tails and the same PSL snapshot (interpolated from
+        # webtext.PUBLIC_SUFFIX_SNAPSHOT so the two engines can never
+        # drift), same implicit-"*" fallback for unlisted TLDs.
+        "registered_domains": f"""
+            WITH hosts AS (
+                SELECT 'sub' || (doc_id % 3)::VARCHAR
+                       || '.site' || (doc_id % 11)::VARCHAR || '.'
+                       || (
+                           {_REGDOM_SUFFIXES!r}::VARCHAR[]
+                       )[(doc_id % 8 + 1)::INT] AS host
+                FROM documents
+            ),
+            rd AS (
+                SELECT host,
+                       CASE
+                           WHEN len(string_split(host, '.')) >= 3
+                                AND regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                                    IN ({", ".join(f"'{s}'" for s in WT.PUBLIC_SUFFIX_SNAPSHOT)})
+                               THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                           WHEN len(string_split(host, '.')) = 2
+                                AND regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                                    IN ({", ".join(f"'{s}'" for s in WT.PUBLIC_SUFFIX_SNAPSHOT)})
+                               THEN NULL
+                           WHEN len(string_split(host, '.')) >= 2
+                               THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                           ELSE NULL
+                       END AS reg_domain
+                FROM hosts
+            )
+            SELECT reg_domain, count(*) AS n_pages,
+                   count(DISTINCT host) AS n_hosts
+            FROM rd GROUP BY reg_domain
         """,
         "url_latest": f"""
             WITH raw AS (

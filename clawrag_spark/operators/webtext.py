@@ -732,6 +732,56 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(qs != "", F.concat(base, F.lit("?"), qs)).otherwise(base)
 
 
+#: Deterministic public-suffix snapshot (publicsuffix.org, abridged to
+#: the entries the corpus + tests exercise; the full list is a config
+#: swap).  Multi-label rules matter: the registrable domain under
+#: "a.co.uk" is "a.co.uk"-minus-nothing only if "co.uk" is a suffix —
+#: naive last-two-labels grouping would merge every .co.uk site into
+#: one "domain".  Unlisted TLDs fall back to the PSL's implicit "*"
+#: rule (the last label alone acts as the suffix).
+PUBLIC_SUFFIX_SNAPSHOT = (
+    "co.uk ac.uk gov.uk org.uk com.au net.au org.au co.jp or.jp ne.jp "
+    "com.br com.cn com.mx co.in co.za github.io gitlab.io blogspot.com "
+    "herokuapp.com pages.dev"
+).split()
+
+
+def registered_domain(
+    host: Column, suffixes: list[str] | None = None
+) -> Column:
+    """eTLD+1 (registrable domain) of a hostname — pure expressions.
+
+    Longest public-suffix match over an embedded snapshot, evaluated as
+    a CASE over the host's last-2/-3 label tails against literal IN
+    lists: zero joins, zero shuffles, safe inside the 10^12-row scan
+    (the PSL is ~10k rules in production — still an ``isin`` literal
+    set or a broadcast map, never a shuffle).  Tails come from anchored
+    regexes (``([^.]+\\.[^.]+)$``), identical RE2-portable semantics in
+    Spark and DuckDB.  A host EQUAL to a public suffix has no
+    registrable domain → NULL (PSL rule); unknown TLDs use the PSL's
+    implicit "*" fallback (last label = suffix, so eTLD+1 = last two
+    labels).
+    """
+    sufs = PUBLIC_SUFFIX_SNAPSHOT if suffixes is None else suffixes
+    s2 = [s for s in sufs if s.count(".") == 1]
+    s3 = [s for s in sufs if s.count(".") == 2]
+    h = F.lower(host)
+    n = F.size(F.split(h, "\\."))
+    t2 = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    t3 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    t4 = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
+    out = F.when((n >= 4) & t3.isin(s3), t4) if s3 else None
+    steps = [
+        ((n == 3) & t3.isin(s3), F.lit(None).cast("string")) if s3 else None,
+        ((n >= 3) & t2.isin(s2), t3) if s2 else None,
+        ((n == 2) & t2.isin(s2), F.lit(None).cast("string")) if s2 else None,
+        (n >= 2, t2),  # implicit "*" rule: last label is the suffix
+    ]
+    for cond, val in [s for s in steps if s is not None]:
+        out = out.when(cond, val) if out is not None else F.when(cond, val)
+    return out.otherwise(F.lit(None).cast("string"))
+
+
 def latest_per_url(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:
     """Keep the newest capture per canonical URL.
 

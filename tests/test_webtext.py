@@ -730,3 +730,29 @@ def test_train_val_split_is_group_atomic_and_deterministic(spark):
         for r in train_val_split(df, "source", 0.3, salt="salt2").collect()
     }
     assert any(other[g] != splits[g] for g in splits)
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("www.example.co.uk", "example.co.uk"),   # multi-label PSL entry
+        ("deep.sub.example.co.uk", "example.co.uk"),
+        ("user.github.io", "user.github.io"),     # private-registry suffix
+        ("a.b.user.github.io", "user.github.io"),
+        ("www.example.com", "example.com"),       # plain ICANN TLD
+        ("example.com", "example.com"),
+        ("co.uk", None),                          # host IS a public suffix
+        ("github.io", None),
+        ("site.unlistedtld", "site.unlistedtld"), # implicit "*" fallback
+        ("a.b.site.unlistedtld", "site.unlistedtld"),
+        ("WWW.Example.CO.UK", "example.co.uk"),   # case-normalized
+        ("localhost", None),                      # single label: no eTLD+1
+    ],
+)
+def test_registered_domain(spark, host, want):
+    got = (
+        spark.createDataFrame([(host,)], ["host"])
+        .select(W.registered_domain(F.col("host")).alias("rd"))
+        .collect()[0]["rd"]
+    )
+    assert got == want, (host, got, want)
