@@ -1522,6 +1522,39 @@ def q_curation_funnel(spark, sf_dir):
     return funnel_report(res, "lang")
 
 
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual image near-dup detection — multimodal × dedup: real
+    BMP decode → integer 8x8 average-hash → the SAME pigeonhole-banded
+    Hamming join the SimHash text path uses.  Fixture images are
+    synthesized deterministically (12 seeded bases × 4 variants:
+    identical-hash brightness shift, small local edits, unrelated), so
+    the pair set is stable; rows-only oracle (DuckDB cannot decode
+    pixels), pytest pins the pairs against brute-force Hamming."""
+    import numpy as np
+
+    from clawrag_spark import multimodal as MM
+
+    rows = []
+    for img_id in range(48):
+        b, v = img_id % 12, img_id // 12
+        rng = np.random.default_rng(1000 + b)
+        img = rng.integers(30, 200, size=(32, 32, 3)).astype(np.uint8)
+        if v == 1:  # uniform brightness shift: aHash-identical by design
+            img = (img.astype(np.int16) + 10).astype(np.uint8)
+        elif v == 2:  # small local edits
+            img = img.copy()
+            rng2 = np.random.default_rng(2000 + b)
+            for _ in range(3):
+                img[int(rng2.integers(0, 32)), int(rng2.integers(0, 32))] = 255
+        elif v == 3:  # unrelated image
+            img = np.random.default_rng(5000 + img_id).integers(
+                0, 256, size=(32, 32, 3)
+            ).astype(np.uint8)
+        rows.append((img_id, bytearray(MM.encode_bmp(img))))
+    media = spark.createDataFrame(rows, "img_id long, media binary")
+    return MM.image_near_dups(media, "img_id", max_hamming=6)
+
+
 def q_gopher_quality(spark, sf_dir):
     """The full Gopher §A1.1 document-quality rule set (Rae et al.
     2021) as one scan-side projection — word-count and mean-word-length
@@ -2103,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) new this round ----------------------------------------
         "similarity_join": q_similarity_join,
         "registered_domains": q_registered_domains,
+        "image_near_dups": q_image_near_dups,
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,

@@ -464,6 +464,70 @@ def extract_image_features(media_df: DataFrame, media_col: str = "media",
     return media_df.select(F.col(media_col).alias("media")).mapInPandas(run, schema)
 
 
+def ahash64_py(img: np.ndarray) -> int:
+    """64-bit perceptual average-hash of an HxWx3 uint8 image (the
+    aHash of the pHash family): integer BT.601 luma, nearest-neighbour
+    8x8 downsample, threshold each cell at the 8x8 mean.  Entirely
+    integer until the final mean — deterministic across platforms.
+    Returned SIGNED (two's complement) so it stores in a Spark long.
+
+    Invariant under uniform brightness shifts (luma+c moves the mean by
+    c, leaving every comparison unchanged) and robust to small local
+    edits — the properties LAION-style image dedup leans on.
+    """
+    ys = np.linspace(0, img.shape[0] - 1, 8).astype(int)
+    xs = np.linspace(0, img.shape[1] - 1, 8).astype(int)
+    small = img[np.ix_(ys, xs)].astype(np.int64)
+    luma = (299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]) // 1000
+    bits = (luma > luma.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_ahash(media_df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
+    """(id, ahash) via one Arrow-batched mapInPandas pass: batch decode
+    (real BMP/PPM/PNG/GIF/baseline-JPEG codecs) → integer aHash.  The
+    id column rides through the UDF so no re-join is needed."""
+    schema = T.StructType(
+        [
+            T.StructField("img_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def run(iterator):
+        for batch in iterator:
+            ids, hashes = [], []
+            for i, p in zip(batch["img_id"], batch["media"]):
+                ids.append(int(i))
+                hashes.append(ahash64_py(_decode_image(p or b"")))
+            yield pd.DataFrame({"img_id": ids, "ahash": pd.array(hashes, dtype="int64")})
+
+    return media_df.select(
+        F.col(id_col).cast("long").alias("img_id"), F.col(media_col).alias("media")
+    ).mapInPandas(run, schema)
+
+
+def image_near_dups(
+    media_df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: aHash fingerprints → the SAME
+    banded Hamming join SimHash text dedup uses
+    (``dataset.hamming_band_pairs``: pigeonhole-complete bands, one
+    self-equi-join, exact bit_count verify — never all pairs).  At
+    10^12 images the fingerprint pass is the only decode touch; the
+    join shuffles 8-byte hashes."""
+    from .operators.dataset import hamming_band_pairs
+
+    hashed = image_ahash(media_df, id_col, media_col)
+    return hamming_band_pairs(hashed, "img_id", "ahash", max_hamming)
+
+
 def frame_sample_plan(video_df: DataFrame, media_col: str, every_n: int = 30) -> DataFrame:
     """Frame-sampling *plan* for video payloads: emits (content_hash,
     frame_index) rows for every ``every_n``-th frame of a (fake) frame

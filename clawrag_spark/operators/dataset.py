@@ -350,17 +350,20 @@ def hamming64(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
-def simhash_near_dups(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_band_pairs(
+    hashed: DataFrame, id_col: str, hash_col: str, max_hamming: int
 ) -> DataFrame:
-    """SimHash near-dup pairs: fingerprint → band join → hamming verify.
+    """Pairs within Hamming ``max_hamming`` of a 64-bit fingerprint
+    column: band split → ONE self-equi-join → exact bit_count verify.
 
-    The band count is derived from the radius: completeness needs
-    ``n_bands > max_hamming`` (pigeonhole), so radius 3 → 4 bands,
-    radius 4-7 → 8 bands, radius 8-15 → 16 bands.
+    Generic over the fingerprint source — SimHash text prints and
+    perceptual image hashes share this exact shape.  The band count is
+    derived from the radius: completeness needs ``n_bands >
+    max_hamming`` (pigeonhole), so radius 3 → 4 bands, radius 4-7 → 8
+    bands, radius 8-15 → 16 bands.
 
     One shuffle: the n_bands band keys are posexploded into a long
-    (id, simhash, band, key) frame and self-equi-joined ONCE on
+    (id, hash, band, key) frame and self-equi-joined ONCE on
     (band, key) — round-2 shape was an n_bands-way union of per-band
     self-joins, ~n_bands× the necessary exchange volume.
     """
@@ -373,16 +376,13 @@ def simhash_near_dups(
     n_bands = next(b for b in (4, 8, 16, 32) if b > max_hamming)
     width = 64 // n_bands
     mask = (1 << width) - 1
-    hashed = ensure_parallelism(docs).select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
-    )
     bands = hashed.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                    F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(
                         F.lit(mask)
                     )
                     for b in range(n_bands)
@@ -398,10 +398,10 @@ def simhash_near_dups(
     # the second fingerprint evaluation, and buffering whole buckets as
     # arrays is also the worse shape at scale.
     a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bk"
+        F.col(id_col).alias("doc_a"), F.col("_h").alias("sh_a"), "band", "bk"
     )
     b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bk"
+        F.col(id_col).alias("doc_b"), F.col("_h").alias("sh_b"), "band", "bk"
     )
     return (
         a.join(b, ["band", "bk"])
@@ -414,6 +414,17 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint → band join → hamming verify
+    (the banding/join shape lives in :func:`hamming_band_pairs`)."""
+    hashed = ensure_parallelism(docs).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    )
+    return hamming_band_pairs(hashed, id_col, "simhash", max_hamming)
 
 
 # ------------------------------------------------------------------ ANN

@@ -872,3 +872,63 @@ class TestStreamingNearDedup:
         # exactly-once: nothing new -> nothing appended
         streaming_near_dedup(spark, pages_dir, out_dir)
         assert spark.read.parquet(acc).count() == 3
+
+
+class TestImageNearDup:
+    """aHash perceptual dedup: integer-exact invariances + banded-join
+    completeness vs brute-force Hamming."""
+
+    @staticmethod
+    def _imgs():
+        from clawrag_spark import multimodal as MM
+
+        rows = []
+        for img_id in range(36):
+            b, v = img_id % 12, img_id // 12
+            rng = np.random.default_rng(100 + b)
+            img = rng.integers(30, 200, size=(24, 24, 3)).astype(np.uint8)
+            if v == 1:
+                img = (img.astype(np.int16) + 25).astype(np.uint8)
+            elif v == 2:
+                img = np.random.default_rng(900 + img_id).integers(
+                    0, 256, size=(24, 24, 3)
+                ).astype(np.uint8)
+            rows.append((img_id, img, MM.encode_bmp(img)))
+        return rows
+
+    def test_ahash_brightness_invariant(self):
+        from clawrag_spark.multimodal import ahash64_py
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(30, 200, size=(40, 40, 3)).astype(np.uint8)
+        shifted = (img.astype(np.int16) + 40).astype(np.uint8)
+        assert ahash64_py(img) == ahash64_py(shifted)
+        # and NOT invariant to unrelated content
+        other = np.random.default_rng(8).integers(0, 256, size=(40, 40, 3)).astype(np.uint8)
+        assert ahash64_py(img) != ahash64_py(other)
+
+    def test_banded_pairs_match_brute_force(self, spark):
+        from clawrag_spark import multimodal as MM
+        from clawrag_spark.multimodal import ahash64_py
+
+        rows = self._imgs()
+        media = spark.createDataFrame(
+            [(i, bytearray(p)) for i, _, p in rows], "img_id long, media binary"
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in MM.image_near_dups(media, "img_id", max_hamming=6).collect()
+        }
+        hashes = {i: ahash64_py(img) for i, img, _ in rows}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        want = {
+            (a, b): ham(hashes[a], hashes[b])
+            for a in hashes
+            for b in hashes
+            if a < b and ham(hashes[a], hashes[b]) <= 6
+        }
+        assert len(want) >= 12, "fixture failed to plant near-dup images"
+        assert got == want
