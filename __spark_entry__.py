@@ -1522,6 +1522,15 @@ def q_curation_funnel(spark, sf_dir):
     return funnel_report(res, "lang")
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib incompressibility quality signal per document (RefinedWeb/
+    Gopher-family filter: templates compress low, prose mid, noise
+    high).  One Arrow mapInPandas pass; rows-only driver check (DuckDB
+    has no deflate) — pytest pins exact values against CPython zlib."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.compression_signals(docs, "doc_id", "text")
+
+
 def q_image_near_dups(spark, sf_dir):
     """Perceptual image near-dup detection — multimodal × dedup: real
     BMP decode → integer 8x8 average-hash → the SAME pigeonhole-banded
@@ -2137,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "registered_domains": q_registered_domains,
         "image_near_dups": q_image_near_dups,
+        "compression_ratio": q_compression_ratio,
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,

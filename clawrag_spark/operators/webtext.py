@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "ngram_repetition_signals",
@@ -454,6 +455,56 @@ def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ipv4"),
         F.md5(mask_pii(t)).alias("masked_md5"),
     )
+
+
+def compression_signals(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib-deflate compression ratio — the classic
+    incompressibility quality signal (used by RefinedWeb/Gopher-family
+    pipelines: boilerplate and repeated templates compress far below
+    natural prose; random noise barely compresses at all).
+
+    One Arrow-batched ``mapInPandas`` pass (compression is the one
+    signal SQL expressions can't produce); the id rides through the UDF
+    so no re-join.  Deterministic for a fixed zlib build — both the
+    Spark workers and pytest link the same CPython zlib, so tests pin
+    exact values; the driver check is rows-only (DuckDB has no deflate).
+    Ratio = deflate_len / raw_utf8_len, rounded 6.
+    """
+    import zlib
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("deflate_len", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(iterator):
+        for batch in iterator:
+            ids, raws, comps, ratios = [], [], [], []
+            for i, t in zip(batch["doc_id"], batch["text"]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(int(i))
+                raws.append(len(raw))
+                comps.append(len(comp))
+                ratios.append(round(len(comp) / max(len(raw), 1), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "raw_len": pd.array(raws, dtype="int64"),
+                    "deflate_len": pd.array(comps, dtype="int64"),
+                    "compression_ratio": ratios,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(run, schema)
 
 
 def mask_pii(text: Column) -> Column:

@@ -756,3 +756,38 @@ def test_registered_domain(spark, host, want):
         .collect()[0]["rd"]
     )
     assert got == want, (host, got, want)
+
+
+def test_compression_signals_exact_zlib(spark):
+    """The Spark stage must reproduce CPython zlib byte-for-byte (same
+    linked zlib in workers and driver) and order ratios the way the
+    filter relies on: template << prose << noise."""
+    import zlib
+
+    import hashlib
+
+    # noise = chained sha256 hex (high entropy, ~0.6 deflate ratio);
+    # prose = varied-token text (mid); template = pure repetition (low)
+    h, noise = b"seed", []
+    while len(noise) < 50:
+        h = hashlib.sha256(h).digest()
+        noise.append(h.hex())
+    docs = [
+        (0, "spam spam spam " * 200),                      # template
+        (1, " ".join(f"the w{(i * 37) % 997} and b{(i * 61) % 991}"
+                     for i in range(300))),                # varied prose
+        (2, "".join(noise)),                               # noise
+        (3, ""),                                           # empty guard
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in W.compression_signals(df, "doc_id", "text").collect()
+    }
+    for i, t in docs:
+        raw = t.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert got[i].raw_len == len(raw)
+        assert got[i].deflate_len == len(comp)
+        assert got[i].compression_ratio == round(len(comp) / max(len(raw), 1), 6)
+    assert got[0].compression_ratio < got[1].compression_ratio < got[2].compression_ratio
