@@ -1522,6 +1522,42 @@ def q_curation_funnel(spark, sf_dir):
     return funnel_report(res, "lang")
 
 
+def q_mojibake_repair(spark, sf_dir):
+    """ftfy-core mojibake repair: UTF-8-as-Latin-1 double-encoding
+    healed to a fixpoint.  Fixture rows corrupt seeded accented text
+    0/1/2 times (doc_id % 3), so single and DOUBLE mojibake plus
+    ascii no-ops are all exercised; rows-only driver check (no SQL
+    codec validation), pytest pins exact inverse repairs."""
+    bases = [
+        "café crème brûlée №{i}",
+        "naïve façade — übergroß {i}",
+        "señor piñata à demain {i}",
+        "plain ascii text {i}",
+    ]
+    rows = []
+    for i in range(60):
+        s = bases[i % 4].format(i=i)
+        for _ in range(i % 3):
+            s = s.encode("utf-8").decode("latin-1")
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = WT.repair_mojibake(df, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("text_repaired").alias("repaired_md5"),
+        "was_mojibake",
+        "n_repairs",
+    )
+
+
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease / FK grade / type-token ratio — the
+    educational-value readability filters, as one zero-shuffle
+    scan-side projection with engine-identical IEEE float order."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.readability_signals(docs, "doc_id", "text")
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib incompressibility quality signal per document (RefinedWeb/
     Gopher-family filter: templates compress low, prose mid, noise
@@ -2147,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domains": q_registered_domains,
         "image_near_dups": q_image_near_dups,
         "compression_ratio": q_compression_ratio,
+        "readability": q_readability,
+        "mojibake_repair": q_mojibake_repair,
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,
@@ -4474,6 +4512,36 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                        '<IP>', 'g')) AS masked_md5
             FROM inj
+        """,
+        # readability: identical regex counts (DuckDB counts matches via
+        # len(regexp_extract_all) — same non-overlapping semantics as
+        # Spark regexp_count), every float literal ::DOUBLE-cast so the
+        # formulas run the same left-to-right IEEE ops, counts clamped
+        # >= 1 on both sides.
+        "readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> ''))::BIGINT AS words,
+                       len(list_distinct(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')))::BIGINT AS distinct_words,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+                           AS sentences,
+                       greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT
+                           AS syllables
+                FROM documents
+            )
+            SELECT doc_id, words, sentences, syllables,
+                   round(206.835::DOUBLE
+                         - 1.015::DOUBLE * (words::DOUBLE / sentences::DOUBLE)
+                         - 84.6::DOUBLE * (syllables::DOUBLE / words::DOUBLE), 6)
+                       AS flesch_ease,
+                   round(0.39::DOUBLE * (words::DOUBLE / sentences::DOUBLE)
+                         + 11.8::DOUBLE * (syllables::DOUBLE / words::DOUBLE)
+                         - 15.59::DOUBLE, 6) AS fk_grade,
+                   round(distinct_words::DOUBLE / words::DOUBLE, 6) AS ttr
+            FROM c WHERE words > 0
         """,
         # registered_domains: same synthesized hosts, same anchored-
         # regex tails and the same PSL snapshot (interpolated from

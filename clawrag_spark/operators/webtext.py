@@ -457,6 +457,122 @@ def pii_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repair_mojibake(
+    df: DataFrame, id_col: str, text_col: str, max_rounds: int = 3
+) -> DataFrame:
+    """Repair UTF-8-bytes-decoded-as-Latin-1 mojibake ("CafÃ©" → "Café")
+    — the core fix of ftfy that CCNet/OSCAR-style pipelines run before
+    any other text stage.
+
+    A string is repaired when re-encoding it as Latin-1 yields bytes
+    that decode as STRICT UTF-8 to a different string — the signature
+    of a double-encoding accident; pure ASCII round-trips to itself and
+    is left alone, and genuine Latin-1/UTF-8 text fails one of the two
+    conversions and is left alone.  Applied to a fixpoint (≤
+    ``max_rounds``) so doubly-mojibaked text (two decode accidents)
+    also heals.  One Arrow ``mapInPandas`` pass — the check needs real
+    codec validation, which no SQL expression provides; rows-only
+    driver check, pytest pins exact repairs.
+
+    Output: (doc_id, text_repaired, was_mojibake, n_repairs).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_repaired", T.StringType()),
+            T.StructField("was_mojibake", T.BooleanType()),
+            T.StructField("n_repairs", T.IntegerType()),
+        ]
+    )
+
+    def fix_once(s: str) -> str | None:
+        try:
+            b = s.encode("latin-1")
+        except UnicodeEncodeError:
+            return None
+        try:
+            r = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        return r if r != s else None
+
+    def run(iterator):
+        for batch in iterator:
+            ids, outs, flags, rounds = [], [], [], []
+            for i, t in zip(batch["doc_id"], batch["text"]):
+                s, n = t or "", 0
+                while n < max_rounds:
+                    r = fix_once(s)
+                    if r is None:
+                        break
+                    s, n = r, n + 1
+                ids.append(int(i))
+                outs.append(s)
+                flags.append(n > 0)
+                rounds.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text_repaired": outs,
+                    "was_mojibake": flags,
+                    "n_repairs": pd.array(rounds, dtype="int32"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(run, schema)
+
+
+def readability_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch Reading Ease, Flesch-Kincaid grade, and type-token ratio
+    per document — the readability/lexical-diversity signals
+    educational-value corpus filters threshold on.
+
+    All counts are single-regex expressions (words = the shared
+    ``[^a-z0-9]+`` tokenizer, sentences = ``[.!?]+`` runs, syllables =
+    ``[aeiouy]+`` vowel groups, each clamped ≥ 1), so the whole stage
+    is one scan-side projection — zero shuffle, zero Python.  The
+    counts are staged into their own projection first, then the float
+    formulas evaluate left-to-right over DOUBLEs — the identical IEEE
+    op order as the DuckDB oracle (whose literals are ::DOUBLE-cast so
+    they don't parse as DECIMAL).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    counts = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_words"),
+        F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("sentences"),
+        F.greatest(
+            F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("syllables"),
+    ).filter(F.col("words") > 0)
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return counts.select(
+        F.col(id_col),
+        "words",
+        "sentences",
+        "syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6).alias(
+            "flesch_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6).alias(
+            "fk_grade"
+        ),
+        F.round(
+            F.col("distinct_words").cast("double") / F.col("words").cast("double"), 6
+        ).alias("ttr"),
+    )
+
+
 def compression_signals(
     df: DataFrame, id_col: str, text_col: str, level: int = 6
 ) -> DataFrame:

@@ -791,3 +791,30 @@ def test_compression_signals_exact_zlib(spark):
         assert got[i].deflate_len == len(comp)
         assert got[i].compression_ratio == round(len(comp) / max(len(raw), 1), 6)
     assert got[0].compression_ratio < got[1].compression_ratio < got[2].compression_ratio
+
+
+def test_repair_mojibake_exact_inverse(spark):
+    """Repair must exactly invert k rounds of utf8-encode/latin1-decode
+    corruption, heal DOUBLE mojibake, and leave clean text (ascii AND
+    genuine accented text) untouched."""
+    clean = "café crème brûlée — übergroß №7"
+    single = clean.encode("utf-8").decode("latin-1")
+    double = single.encode("utf-8").decode("latin-1")
+    rows = [
+        (0, clean),          # genuine accented text: must NOT change
+        (1, single),         # one decode accident
+        (2, double),         # two decode accidents
+        (3, "plain ascii"),  # ascii no-op
+        (4, ""),             # empty guard
+    ]
+    got = {
+        r.doc_id: r
+        for r in W.repair_mojibake(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    assert got[0].text_repaired == clean and not got[0].was_mojibake
+    assert got[1].text_repaired == clean and got[1].n_repairs == 1
+    assert got[2].text_repaired == clean and got[2].n_repairs == 2
+    assert got[3].text_repaired == "plain ascii" and not got[3].was_mojibake
+    assert got[4].text_repaired == "" and not got[4].was_mojibake
