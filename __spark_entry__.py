@@ -2004,6 +2004,38 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_unigram_seed(spark, sf_dir):
+    """Unigram-LM (SentencePiece) SEED step — the distributed half of
+    the trainer: every 1..8-char substring of every word, weighted by
+    corpus word frequency, one explode over the Heaps'-small word-count
+    table + one shuffle.  Hard DuckDB oracle (same pre-tokenizer regex,
+    same substring enumeration); top-200 head deterministic by
+    (freq desc, piece asc)."""
+    from clawrag_spark.operators import tokenizer as TK
+
+    docs = _load(spark, sf_dir, "documents")
+    seed = TK.unigram_seed_pieces(TK.word_counts(docs, "text"), max_piece_len=8)
+    return seed.orderBy(F.desc("freq"), F.asc("piece")).limit(200)
+
+
+def q_unigram_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, Viterbi-EM variant):
+    distributed word-count + substring-seed shuffles, then EM on the
+    bounded heads — the same hosted-trainer split as q_bpe_merges.
+    EM output → rows-only driver check; pytest pins Viterbi optimality
+    vs brute-force enumeration, EM determinism, and coverage."""
+    from clawrag_spark.operators import tokenizer as TK
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pieces = TK.fit_unigram(
+        TK.word_counts(docs, "text"), vocab_size=120, seed_size=400, n_iters=3
+    )
+    return spark.createDataFrame(
+        [(d["piece"], d["logprob"], d["count"]) for d in pieces],
+        "piece string, logprob double, count bigint",
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-in-the-loop curation (CCNet/GPT-3/LLaMA pattern): a hashed
     bag-of-words logistic-regression classifier trained by full-batch
@@ -2185,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "readability": q_readability,
         "mojibake_repair": q_mojibake_repair,
+        "unigram_seed": q_unigram_seed,
+        "unigram_pieces": q_unigram_pieces,
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,
@@ -3886,6 +3920,32 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d
             LEFT JOIN stats st USING (doc_id)
             LEFT JOIN agg a USING (doc_id)
+        """,
+        # unigram_seed: identical pre-tokenizer regex as bpe_token_counts,
+        # then every 1..8-char substring weighted by word freq — Spark's
+        # sequence(i, least(i+7, len)) == generate_series (both inclusive),
+        # substr 1-based in both engines.
+        "unigram_seed": """
+            WITH words AS (
+                SELECT word, count(*)::BIGINT AS freq FROM (
+                    SELECT unnest(regexp_extract_all(lower(text),
+                        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS word
+                    FROM documents
+                ) GROUP BY word
+            ),
+            subs AS (
+                SELECT p.piece, sum(w.freq)::BIGINT AS freq
+                FROM words w, LATERAL UNNEST(
+                    flatten(list_transform(
+                        generate_series(1, len(w.word)),
+                        i -> list_transform(
+                            generate_series(i, least(i + 7, len(w.word))),
+                            j -> substr(w.word, i, j - i + 1))))
+                ) AS p(piece)
+                GROUP BY p.piece
+            )
+            SELECT piece, freq FROM subs
+            ORDER BY freq DESC, piece ASC LIMIT 200
         """,
         "bpe_token_counts": """
             SELECT doc_id,

@@ -290,6 +290,195 @@ def encode_bpe(
     )
 
 
+# ----------------------------------------- unigram LM (SentencePiece)
+
+def unigram_seed_pieces(
+    words: DataFrame, max_piece_len: int = 8
+) -> DataFrame:
+    """Candidate-piece frequency table for unigram-LM training: every
+    substring (length 1..``max_piece_len``) of every word, weighted by
+    word frequency — the distributed half of SentencePiece's seed step.
+
+    One explode over the WORD-COUNT table (Heaps'-law small, never the
+    raw corpus) + one groupBy(piece) shuffle with map-side partial sums.
+    The nested transform stages the word into its own projection first
+    (the lambda-CSE rule: expressions referenced inside transform() are
+    re-evaluated per element).
+    """
+    staged = words.select(F.col("word").alias("w"), "freq").filter(
+        F.length("w") >= 1
+    )
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.transform(
+                F.sequence(i, F.least(i + F.lit(max_piece_len - 1), F.length("w"))),
+                lambda j: F.substr(F.col("w"), i, j - i + F.lit(1)),
+            ),
+        )
+    )
+    return (
+        staged.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def _viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> list[str] | None:
+    """Max-log-prob segmentation of ``word`` over the piece set.  DP
+    over end positions; deterministic tie-break: on equal score prefer
+    the LONGER last piece (smaller split point).  None if unreachable
+    (cannot happen once single chars are in the vocab)."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or best[j] == float("-inf"):
+                continue
+            score = best[j] + lp
+            # strictly-greater keeps the SMALLEST j (longest last piece)
+            # because j ascends
+            if score > best[i]:
+                best[i], back[i] = score, j
+    if best[n] == float("-inf"):
+        return None
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def fit_unigram_reference(
+    word_freq: dict[str, int],
+    seed_freq: dict[str, int],
+    vocab_size: int,
+    max_piece_len: int = 8,
+    n_iters: int = 4,
+) -> list[dict]:
+    """Pure-Python Viterbi-EM unigram-LM trainer (Kudo 2018, hard-EM
+    variant) — runs driver-side on the CAPPED word-count head plus the
+    substring seed table, the same production split as :func:`fit_bpe`
+    (the distributed work is producing those two bounded tables).
+
+    Each round: E-step = Viterbi-segment every word under the current
+    log-probs (counts weighted by word freq); M-step = re-estimate
+    probs from the counts; prune = keep single chars (coverage
+    guarantee) + the best multi-char pieces by (count desc, piece asc),
+    shrinking 25% per round toward ``vocab_size``.  Zero-count
+    survivors smooth at 0.5 so log-probs stay finite.  Fully
+    deterministic: same inputs → same pieces and probs on any platform
+    (pure integer counts + one final log).
+    """
+    chars = {w[i] for w in word_freq for i in range(len(w))}
+    ranked_seed = sorted(seed_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    pieces = {p for p, _ in ranked_seed} | chars
+    total = sum(seed_freq.get(p, 1) for p in pieces)
+    logp = {p: math.log(seed_freq.get(p, 1) / total) for p in pieces}
+    counts: dict[str, int] = {}
+    for it in range(n_iters):
+        counts = {}
+        for w, f in word_freq.items():
+            for p in _viterbi_segment(w, logp, max_piece_len) or []:
+                counts[p] = counts.get(p, 0) + f
+        keep = set(chars)
+        scored = sorted(
+            ((counts.get(p, 0), p) for p in pieces if len(p) > 1),
+            key=lambda t: (-t[0], t[1]),
+        )
+        n_multi = max(vocab_size - len(keep), 0)
+        if it < n_iters - 1:  # shrink 25%/round, never below the target
+            n_multi = max(n_multi, int(len(scored) * 3 // 4))
+        keep |= {p for c, p in scored[:n_multi] if c > 0}
+        pieces = keep
+        tot = sum(max(counts.get(p, 0), 1) for p in pieces)
+        logp = {p: math.log(max(counts.get(p, 0), 0.5) / tot) for p in pieces}
+    out = sorted(pieces, key=lambda p: (-counts.get(p, 0), p))
+    return [
+        {"piece": p, "logprob": round(logp[p], 6), "count": counts.get(p, 0)}
+        for p in out
+    ]
+
+
+def fit_unigram(
+    words: DataFrame,
+    vocab_size: int,
+    seed_size: int = 2000,
+    max_piece_len: int = 8,
+    n_iters: int = 4,
+    vocab_cap: int = 200_000,
+) -> list[dict]:
+    """Learn a unigram-LM piece vocabulary from a (word, freq) table.
+
+    Distributed steps: the corpus → word-count shuffle (done by
+    :func:`word_counts`) and the substring-seed aggregation
+    (:func:`unigram_seed_pieces`, one explode + one shuffle).  The EM
+    loop then runs on the top-``vocab_cap`` word head and the
+    top-``seed_size`` seed head — both bounded, deterministic
+    (freq desc, key asc), exactly the hosted-trainer split
+    :func:`fit_bpe` documents.
+    """
+    seed = (
+        unigram_seed_pieces(words, max_piece_len)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(seed_size)
+        .collect()
+    )
+    head = words.orderBy(F.desc("freq"), F.asc("word")).limit(vocab_cap).collect()
+    return fit_unigram_reference(
+        {r["word"]: int(r["freq"]) for r in head},
+        {r["piece"]: int(r["freq"]) for r in seed},
+        vocab_size,
+        max_piece_len=max_piece_len,
+        n_iters=n_iters,
+    )
+
+
+def encode_unigram(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: list[dict],
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Token budget under the FITTED unigram vocab: Viterbi-segment
+    each pre-token (same DP as training, same tie-break), Arrow-batched
+    with a per-batch word cache — the unigram twin of
+    :func:`encode_bpe`.  Returns (id, n_tokens, n_chars)."""
+    logp = {d["piece"]: d["logprob"] for d in pieces}
+
+    import re
+
+    pat = re.compile(PRETOKEN_RE)
+
+    @F.pandas_udf(T.LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            got = cache.get(w)
+            if got is None:
+                seg = _viterbi_segment(w, logp, max_piece_len)
+                got = len(seg) if seg is not None else len(w)
+                cache[w] = got
+            return got
+
+        return texts.map(
+            lambda t: sum(word_tokens(w) for w in pat.findall((t or "").lower()))
+        )
+
+    return docs.select(
+        F.col(id_col),
+        n_tokens(F.col(text_col)).alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
 # ------------------------------------------ quality classifier (LR)
 
 

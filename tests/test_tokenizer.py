@@ -184,3 +184,85 @@ def test_vocab_coverage_properties(spark, docs):
     }
     assert any(v > 0 for v in tight.values())
     assert all(0.0 <= v <= 1.0 for v in tight.values())
+
+
+# ------------------------------------------------------------- unigram
+
+
+def test_viterbi_is_optimal_vs_brute_force():
+    """The DP must return the max-log-prob segmentation for every word
+    over a random-ish piece set — checked against brute-force
+    enumeration of ALL segmentations."""
+    import itertools
+
+    logp = {
+        "a": -2.0, "b": -2.1, "c": -2.2, "ab": -1.5, "bc": -1.4,
+        "abc": -3.9, "abca": -4.0, "ca": -1.6,
+    }
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            seg = [word[pos[k]: pos[k + 1]] for k in range(len(pos) - 1)]
+            if any(p not in logp for p in seg):
+                continue
+            score = sum(logp[p] for p in seg)
+            # same tie-break as the DP: longer last piece wins on ties,
+            # applied right-to-left (larger final split point first)
+            key = (score,)
+            if best is None or key > best[0]:
+                best = (key, seg)
+        return best
+
+    for word in ["abc", "abca", "abcabc", "cab", "aabbcc", "abcbcab"]:
+        got = TK._viterbi_segment(word, logp, max_piece_len=4)
+        want = brute(word)
+        if want is None:
+            assert got is None
+            continue
+        got_score = sum(logp[p] for p in got)
+        assert got_score == pytest.approx(want[0][0], abs=1e-12), word
+
+
+def test_fit_unigram_deterministic_and_covering(spark, docs):
+    words = TK.word_counts(docs, "text")
+    p1 = TK.fit_unigram(words, vocab_size=60, seed_size=200, n_iters=3)
+    p2 = TK.fit_unigram(words, vocab_size=60, seed_size=200, n_iters=3)
+    assert p1 == p2, "EM must be bit-deterministic"
+    pieces = {d["piece"] for d in p1}
+    # coverage guarantee: every single char of the corpus pre-tokens
+    import re
+
+    chars = set()
+    for (t,) in docs.select("text").collect():
+        for w in re.findall(TK.PRETOKEN_RE, (t or "").lower()):
+            chars |= set(w)
+    assert chars <= pieces
+    # compression: multi-char pieces exist and logprobs are finite
+    assert any(len(p) > 1 for p in pieces)
+    assert all(math.isfinite(d["logprob"]) for d in p1)
+
+
+def test_encode_unigram_beats_chars_and_is_exact(spark, docs):
+    words = TK.word_counts(docs, "text")
+    pieces = TK.fit_unigram(words, vocab_size=80, seed_size=200, n_iters=3)
+    out = {
+        r["doc_id"]: r
+        for r in TK.encode_unigram(docs, "doc_id", "text", pieces).collect()
+    }
+    logp = {d["piece"]: d["logprob"] for d in pieces}
+    import re
+
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        want = sum(
+            len(TK._viterbi_segment(w, logp, 8) or w)
+            for w in re.findall(TK.PRETOKEN_RE, (text or "").lower())
+        )
+        assert out[doc_id]["n_tokens"] == want
+        # unigram tokens never exceed character count
+        n_chars_tok = sum(
+            len(w) for w in re.findall(TK.PRETOKEN_RE, (text or "").lower())
+        )
+        assert out[doc_id]["n_tokens"] <= n_chars_tok
