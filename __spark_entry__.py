@@ -2211,14 +2211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its r3 green row).  Re-rotate every round.
     return {
         # -- (a) new this round ----------------------------------------
-        "similarity_join": q_similarity_join,
-        "registered_domains": q_registered_domains,
-        "image_near_dups": q_image_near_dups,
-        "compression_ratio": q_compression_ratio,
-        "readability": q_readability,
-        "mojibake_repair": q_mojibake_repair,
-        "unigram_seed": q_unigram_seed,
-        "unigram_pieces": q_unigram_pieces,
+        # NOTE: 53 never-driver-verified queries compete for the 50-slot
+        # window this round; priority is oldest-first (the 13 r3-era
+        # entries in (b) must not be displaced again), so the 8 newest
+        # additions sit AFTER (b), hash-verified ones first — the three
+        # that overflow (mojibake_repair, unigram_seed, unigram_pieces)
+        # are pytest-pinned and rotate to the front next round.
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
         "kmeans_domains": q_kmeans_domains,
@@ -2265,6 +2263,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
         "url_latest": q_url_latest,
+        # -- (a2) newest additions (this session) ----------------------
+        "similarity_join": q_similarity_join,
+        "registered_domains": q_registered_domains,
+        "readability": q_readability,
+        "unigram_seed": q_unigram_seed,
+        "image_near_dups": q_image_near_dups,
+        "compression_ratio": q_compression_ratio,
+        "mojibake_repair": q_mojibake_repair,
+        "unigram_pieces": q_unigram_pieces,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
