@@ -1678,6 +1678,36 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_softdedup_weights(spark, sf_dir):
+    """SoftDeDup: duplication-aware sampling weights instead of hard
+    removal (weight = 1/|cluster| so each duplicate CLUSTER contributes
+    one document's worth of probability mass).  Same MinHash-band →
+    connected-components resolution as dedup_clusters, then one
+    cluster-size rollup joined back; singletons (docs in no pair) keep
+    weight 1.0 via the left join."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
+    cc = DS.connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    labeled = cc.join(sizes, "cluster").select(
+        F.col("n").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        "cluster_size",
+    )
+    return (
+        docs.select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate clusters: MinHash-band candidates
     resolved by iterative min-label propagation (3-4 shuffles, lineage
@@ -2267,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "registered_domains": q_registered_domains,
         "readability": q_readability,
+        "softdedup_weights": q_softdedup_weights,
         "unigram_seed": q_unigram_seed,
         "image_near_dups": q_image_near_dups,
         "compression_ratio": q_compression_ratio,
@@ -4323,6 +4354,59 @@ def oracle_sql() -> dict[str, str]:
                    avg(n_chars) AS mean_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        # softdedup_weights: the dedup_clusters recursive-CTE resolution
+        # + a cluster-size rollup; singletons re-enter via the left join
+        # with weight 1.0.
+        "softdedup_weights": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 120
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band, min(md5(band::VARCHAR || '.0|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ),
+            cc AS (
+                SELECT n, least(n, min(m)) AS cluster_id
+                FROM reach GROUP BY n
+            ),
+            sized AS (
+                SELECT c.n, c.cluster_id,
+                       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+                FROM cc c
+            )
+            SELECT d.doc_id,
+                   coalesce(s.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+                   round(1.0::DOUBLE / coalesce(s.cluster_size, 1)::DOUBLE, 6)
+                       AS weight
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+            LEFT JOIN sized s ON s.n = d.doc_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (
