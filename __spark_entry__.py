@@ -454,9 +454,13 @@ def q_minhash_bands(spark, sf_dir):
     return DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
 
 
-def _jaccard_verified_pairs(docs):
+def _jaccard_verified_pairs(docs, shingles=None):
     """MinHash-band candidates (r=2) → exact 3-gram Jaccard verify >0.8.
     Shared by q_ngram_jaccard and the curation funnel's dedup stage.
+
+    Accepts the session-cached shingle frame via ``shingles`` (see
+    ``_shingles_cached``) so the tokenize+explode scan is shared with
+    every other consumer in the session.
 
     The verify is HASH-ROW based, never array-based: grams explode to
     (doc, md5(gram)) rows, pre-filtered to docs that appear in any
@@ -477,8 +481,10 @@ def _jaccard_verified_pairs(docs):
     # whole query measured 25 s cold with lazy persists on cand/gh vs
     # ~5 s with one eager shingle cache.  Caches are session-scoped
     # like the funnel's stage caches.
-    sh = DS.shingle_rows(docs, "doc_id", "text").persist()
-    sh.count()  # materialize before anything forks the plan
+    if shingles is None:
+        shingles = DS.shingle_rows(docs, "doc_id", "text").persist()
+        shingles.count()  # materialize before anything forks the plan
+    sh = shingles
     # r=2 rows per band: candidate prob 1-(1-j²)⁴ — ≥98% recall at the
     # 0.8 verify threshold, but random low-Jaccard pairs (rampant in the
     # tiny-vocab corpus) collapse from ~42k candidates to a few hundred.
@@ -537,12 +543,33 @@ def _jaccard_verified_pairs(docs):
 # frame by construction — the _BM25_CACHE pattern.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: Session-scoped cache of the exploded (doc_id, shingle) frame — the
+#: single most expensive scan-side subtree in the dedup family, needed
+#: by the Jaccard pair build AND the prefix-filter similarity join.
+#: Same memoization rationale as _PAIRS_CACHE.
+_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SHINGLES_CACHE.get(key)
+    if sh is None:
+        sh = DS.shingle_rows(
+            _load(spark, sf_dir, "documents"), "doc_id", "text"
+        ).persist()
+        sh.count()  # materialize before any consumer forks the plan
+        _SHINGLES_CACHE[key] = sh
+    return sh
+
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     pairs = _PAIRS_CACHE.get(key)
     if pairs is None:
-        pairs = _jaccard_verified_pairs(_load(spark, sf_dir, "documents")).persist()
+        pairs = _jaccard_verified_pairs(
+            _load(spark, sf_dir, "documents"),
+            shingles=_shingles_cached(spark, sf_dir),
+        ).persist()
         pairs.count()  # materialize before any consumer forks the plan
         _PAIRS_CACHE[key] = pairs
     return pairs
@@ -572,7 +599,12 @@ def q_similarity_join(spark, sf_dir):
     is bit-identical — no float-boundary drift."""
     docs = _load(spark, sf_dir, "documents")
     return DS.prefix_filter_similarity_join(
-        docs, "doc_id", "text", threshold_num=4, threshold_den=5
+        docs,
+        "doc_id",
+        "text",
+        threshold_num=4,
+        threshold_den=5,
+        shingles=_shingles_cached(spark, sf_dir),
     )
 
 
@@ -1596,7 +1628,11 @@ def q_image_near_dups(spark, sf_dir):
                 0, 256, size=(32, 32, 3)
             ).astype(np.uint8)
         rows.append((img_id, bytearray(MM.encode_bmp(img))))
-    media = spark.createDataFrame(rows, "img_id long, media binary")
+    # coalesce the fixture frame: 48 rows across 32 partitions would pay
+    # 32 Arrow python-worker launches for 1-2 images each (measured
+    # 4.7 s of the query's 6.3 s); production media tables arrive
+    # already sized to their data
+    media = spark.createDataFrame(rows, "img_id long, media binary").coalesce(4)
     return MM.image_near_dups(media, "img_id", max_hamming=6)
 
 
@@ -3469,15 +3505,20 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sz z USING (doc_id)
             ),
             pfx AS (
-                SELECT doc_id, shingle, sz FROM ranked
+                SELECT doc_id, shingle, sz, rn FROM ranked
                 WHERE rn <= sz - ((4 * sz + 4) // 5) + 1
             ),
+            -- positional filter (exact): overlap via a witness at ranks
+            -- (rn_a, rn_b) is at most min(sz_a-rn_a, sz_b-rn_b)+1, and
+            -- Jaccard >= 4/5 needs overlap >= ceil(4*(sz_a+sz_b)/9)
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                                 a.sz AS sz_a, b.sz AS sz_b
                 FROM pfx a JOIN pfx b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 WHERE 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)
+                  AND least(a.sz - a.rn, b.sz - b.rn) + 1
+                      >= (4 * (a.sz + b.sz) + 8) // 9
             ),
             inter AS (
                 SELECT c.doc_a, c.doc_b, count(*) AS inter

@@ -169,6 +169,29 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     warm.select(
         "k", SF.row_number().over(_W.partitionBy("k").orderBy("h")).alias("rn")
     ).filter(SF.col("rn") == 1).count()
+    # binary-payload Arrow mapInPandas + the bit-op band-join shapes
+    # (posexplode of shifted/masked longs, bit_count verify): first use
+    # of each measured 4-5 s of one-time JIT/Arrow-writer setup that
+    # landed on image_near_dups' single timed run
+    bin_df = spark.range(64).select(
+        "id", SF.sha2(SF.col("id").cast("string"), 256).cast("binary").alias("media")
+    )
+    bin_df.mapInPandas(lambda it: it, bin_df.schema).count()
+    bands = spark.range(256).select(
+        "id",
+        SF.posexplode(
+            SF.array(
+                *[
+                    SF.shiftrightunsigned(SF.col("id") * 2654435761, b * 16)
+                    .bitwiseAND(SF.lit(65535))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bk"),
+    )
+    bands.alias("a").join(bands.alias("b"), ["band", "bk"]).select(
+        SF.bit_count(SF.col("a.id").bitwiseXOR(SF.col("b.id")))
+    ).count()
 
     # one-time index/artifact builds, timed SEPARATELY (round-2 verdict
     # #5): every BM25 query probes the session postings/doclen/idf index

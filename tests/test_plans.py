@@ -505,3 +505,58 @@ class TestRound4NewOpPlans:
         # not string mentions (each node prints twice in formatted mode)
         assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
         assert "Exchange" not in plan
+
+
+class TestSessionAdditionPlans:
+    """Plan contracts for the newest operators: the exact similarity
+    join stays equi-join-only, eTLD+1 extraction never joins, and the
+    readability projection is pure JVM expressions."""
+
+    def test_similarity_join_no_cartesian_no_python(self, spark):
+        plan = plan_of(entry_mod.q_similarity_join(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+
+    def test_similarity_join_verify_shuffles_hashes_not_arrays(self, spark):
+        # the verify-side exchanges must carry md5 gram hashes, never a
+        # gram ARRAY column (the 100 TB shuffle-volume rule the hash-row
+        # Jaccard verify established)
+        plan = plan_of(entry_mod.q_similarity_join(spark, SF_DIR))
+        for ex in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?Arguments.*", plan):
+            seg = ex.group(0)
+            if "gh#" in seg:
+                assert "array<" not in seg.lower()
+
+    def test_registered_domains_no_join_single_scan(self, spark):
+        plan = plan_of(entry_mod.q_registered_domains(spark, SF_DIR))
+        # literal INSET match, never a suffix-table join
+        assert "Join" not in plan
+        assert "EvalPython" not in plan
+        # formatted explain lists each scan twice (tree + details)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+    def test_readability_zero_shuffle_jvm_only(self, spark):
+        plan = plan_of(entry_mod.q_readability(spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        # '*' marks whole-stage-codegen nodes in formatted explain
+        assert "* Project" in plan
+
+    def test_image_near_dups_band_join_is_equi(self, spark):
+        plan = plan_of(entry_mod.q_image_near_dups(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_softdedup_weights_no_cartesian(self, spark):
+        plan = plan_of(entry_mod.q_softdedup_weights(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_unigram_seed_single_corpus_scan_two_shuffles(self, spark):
+        # word-count shuffle + piece shuffle (+ the top-k sort's own
+        # exchange): the seed step must stay O(words) — never re-scan
+        # the corpus per piece length
+        plan = plan_of(entry_mod.q_unigram_seed(spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "EvalPython" not in plan
