@@ -1426,3 +1426,138 @@ def train_val_split(
         "split",
         F.when(key < F.lit(thr), F.lit("val")).otherwise(F.lit("train")),
     )
+
+
+# ------------------------------------------------------------------ page
+# metadata extraction (head tags + JSON-LD), SURT keys, script signals
+
+
+def page_metadata(pages: DataFrame, html_col: str = "html_str") -> DataFrame:
+    """Structured head-metadata extraction from raw HTML — the fields a
+    web corpus keeps per page besides the main text: ``<title>``,
+    OpenGraph title/description, ``rel=canonical``, the first JSON-LD
+    ``@type``, and a robots-noindex flag.
+
+    Reference parity: ClawRag keeps per-document title/metadata from
+    Docling's conversion result (backend/src/services/
+    extraction_service.py) — on a web corpus those fields come from the
+    page head, which is what this implements.
+
+    All six fields are single ``regexp_extract`` / ``rlike``
+    projections over one scan — JVM-side, whole-stage-codegen'd, zero
+    Python, zero shuffle; at 10^12 pages this is scan-bound, exactly
+    what you want.  Patterns are RE2-safe (no backrefs/lookarounds) so
+    the DuckDB oracle can run the identical regex.  No-match → empty
+    string (both engines agree), cast to NULL only for jsonld_type
+    where absence is meaningful.
+    """
+    h = F.col(html_col)
+    extract = lambda pat: F.regexp_extract(h, pat, 1)  # noqa: E731
+    jsonld = extract(
+        r'<script type="application/ld\+json">[^<]*"@type"\s*:\s*"([^"]*)"'
+    )
+    return pages.withColumns(
+        {
+            "title": extract(r"<title>([^<]*)</title>"),
+            "og_title": extract(r'<meta property="og:title" content="([^"]*)"'),
+            "og_description": extract(
+                r'<meta property="og:description" content="([^"]*)"'
+            ),
+            "canonical_url": extract(r'<link rel="canonical" href="([^"]*)"'),
+            "jsonld_type": F.when(jsonld != "", jsonld),
+            "noindex": h.rlike(r'<meta name="robots" content="[^"]*noindex'),
+        }
+    )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key —
+    the CDX/web-archive index key: scheme dropped, host lowercased,
+    ``www.`` stripped, host labels REVERSED and comma-joined, then
+    ``)`` + path.  ``https://www.Host01.Example.com/a/b?q=1`` →
+    ``com,example,host01)/a/b?q=1``.
+
+    Why it matters at scale: SURT keys cluster one registered domain's
+    pages into contiguous key ranges, so range-partitioning an index by
+    SURT gives per-domain locality (domain scans touch few partitions)
+    — the property CDX servers rely on.  Pure expressions: one regexp
+    host/path split, split + reverse + array_join on the host labels.
+    """
+    no_scheme = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.lower(
+        F.regexp_replace(F.regexp_extract(no_scheme, r"^([^/]*)", 1), r":\d+$", "")
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(no_scheme, r"^[^/]*(/.*)?$", 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", "/").otherwise(path),
+    )
+
+
+def cdx_index(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """CDX-style capture index over a crawl snapshot: one row per
+    capture keyed by (surt, ts) with the payload digest and byte size —
+    what every Common-Crawl-scale archive materializes for replay and
+    URL-range lookups.
+
+    The digest is md5 over the hex encoding of the raw payload bytes
+    (content-addressed: exact-duplicate bodies under different urls
+    share a digest, which is how CDX-based dedup finds them; hashing
+    the hex form rather than the bytes keeps the digest computable on
+    engines whose md5 only accepts strings).  One projection over the
+    scan + one sort key; callers range-partition /
+    sortWithinPartitions on ``surt`` for the contiguous per-domain
+    layout.
+    """
+    return pages.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(ts_col).alias("ts"),
+        F.md5(F.lower(F.hex(F.col("html")))).alias("digest"),
+        F.length(F.col("html")).alias("n_bytes"),
+    )
+
+
+#: (script name, inclusive codepoint ranges) — the four scripts a
+#: language-mix report distinguishes first; ranges are the core blocks
+#: (not exhaustive Unicode script property, but identical on every
+#: engine because they're written out as literal ranges).
+_SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "a-zA-ZÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "぀-ヿ一-鿿가-힯"),
+    ("arabic", "؀-ۿ"),
+]
+
+
+def script_signals(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-script composition per document: integer character
+    counts for latin/cyrillic/cjk/arabic plus the dominant script —
+    the script-level companion to language-ID (langid.py tells you
+    *which* Latin-script language; this catches wrong-script text,
+    mixed-script spam, and mojibake that survives codec repair).
+
+    Each count is ``length(text) - length(regexp_replace(text,
+    '[ranges]', ''))`` — pure JVM expressions, one scan, no shuffle,
+    and integer-valued so the cross-engine compare is bit-exact (no
+    float fraction drift).  Dominant script = first maximum in fixed
+    order (latin, cyrillic, cjk, arabic), 'other' when all are zero.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, f"[{ranges}]", ""))).alias(
+            f"n_{name}"
+        )
+        for name, ranges in _SCRIPT_RANGES
+    }
+    out = docs.select(F.col(id_col), *counts.values())
+    best = F.greatest(*[F.col(f"n_{n}") for n, _ in _SCRIPT_RANGES])
+    dominant = F.lit("other")
+    for name, _ in reversed(_SCRIPT_RANGES):
+        dominant = F.when(
+            (F.col(f"n_{name}") == best) & (best > 0), F.lit(name)
+        ).otherwise(dominant)
+    return out.withColumn("dominant_script", dominant)
