@@ -2351,6 +2351,71 @@ def q_script_signals(spark, sf_dir):
     return WT.script_signals(fixture, "doc_id", "text")
 
 
+def q_url_spam(spark, sf_dir):
+    """URL-level spam filtering (RefinedWeb/UT1 stage order: URL rules
+    run BEFORE any fetch/extract touches the payload).  The fixture
+    builds five URL shapes per doc_id residue — digit-stuffed host,
+    hyphen-chain host, deep/long path, param-stuffed query, clean —
+    so every rule and the clean path all fire.  Signals are integer
+    counts (bit-exact compare); the flag is their OR, cast to int."""
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("https://a12345-shop.example.com/p/"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(
+            F.lit("https://x-y-z-w-v.example.com/q/"), d.cast("string")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://deep.example.com"),
+            F.repeat(F.lit("/segment000"), 12), F.lit("/"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(
+            F.lit("https://p.example.com/r?a=1&b=2&c=3&d=4&e=5&f="),
+            d.cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://clean.example.com/a/b-"), d.cast("string"),
+            F.lit("?x=1")))
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    out = WT.url_spam_signals(pages)
+    return out.select(
+        "doc_id", "host_digits", "host_hyphens", "path_len", "path_depth",
+        "n_params", F.col("url_spam").cast("int").alias("url_spam"),
+    )
+
+
+_BLOCKLIST_TERMS = ["slow", "junk", "spam", "merge"]
+
+
+def q_blocklist_gate(spark, sf_dir):
+    """Banned-wordlist gating (UT1-style safety filtering) as a
+    BROADCAST token equi-join — never a regex alternation over the
+    list (quadratic per char) and never a shuffle of the corpus by
+    token.  Returns per-doc occurrence and distinct-term hit counts;
+    zero-hit docs survive with 0s (left join against the doc spine).
+    The oracle tokenizes with the same [^a-z0-9]+ rule and an IN
+    list."""
+    docs = _load(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([(t,) for t in _BLOCKLIST_TERMS], ["term"])
+    return WT.blocklist_hits(docs, bl, "doc_id", "text")
+
+
+def q_table_rows(spark, sf_dir):
+    """HTML table extraction to structured rows over the raw crawl
+    pages: every ``<tr>`` of every complete html page becomes one
+    (url, row_idx, cells array) row — tabular web data serialized as
+    rows, not flattened prose.  Two nested RE2-safe regexp_extract_all
+    passes + posexplode, pure JVM, one scan; the oracle twins
+    posexplode with generate_subscripts/unnest positional alignment."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    magic, suffix = b"<!DOCTYPE html>", b"</html>"
+    complete = pages.filter(
+        (F.substring(F.col("html"), 1, len(magic)) == F.lit(magic))
+        & (F.substring(F.col("html"), -len(suffix), len(suffix)) == F.lit(suffix))
+    ).select("url", F.col("html").cast("string").alias("html_str"))
+    return WT.extract_tables(complete, "html_str")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs only the
     # FIRST 50 entries, so queries are listed least-recently-verified
@@ -2427,6 +2492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "cdx_index": q_cdx_index,
         "script_signals": q_script_signals,
+        "url_spam": q_url_spam,
+        "blocklist_gate": q_blocklist_gate,
+        "table_rows": q_table_rows,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3295,6 +3363,92 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(hex(html))) AS digest,
                    octet_length(html) AS n_bytes
             FROM h
+        """,
+        # url_spam: same residue-keyed URL construction, same integer
+        # signal expressions (unmatched optional path group → '' on
+        # both engines), same OR flag rule
+        "url_spam": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE doc_id % 6
+                           WHEN 0 THEN 'https://a12345-shop.example.com/p/' || doc_id
+                           WHEN 1 THEN 'https://x-y-z-w-v.example.com/q/' || doc_id
+                           WHEN 2 THEN 'https://deep.example.com' || repeat('/segment000', 12) || '/' || doc_id
+                           WHEN 3 THEN 'https://p.example.com/r?a=1&b=2&c=3&d=4&e=5&f=' || doc_id
+                           ELSE 'https://clean.example.com/a/b-' || doc_id || '?x=1'
+                       END AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id,
+                       regexp_extract(nos, '^([^/?]*)', 1) AS host,
+                       regexp_extract(nos, '^[^/?]*(/[^?]*)?', 1) AS path,
+                       CASE WHEN contains(nos, '?')
+                            THEN substr(nos, instr(nos, '?') + 1) ELSE '' END AS query
+                FROM (SELECT doc_id,
+                             regexp_replace(url, '^[a-z][a-z0-9+.-]*://', '') AS nos
+                      FROM pages)
+            ),
+            sig AS (
+                SELECT doc_id,
+                       length(host) - length(regexp_replace(host, '[0-9]', '', 'g')) AS host_digits,
+                       length(host) - length(regexp_replace(host, '-', '', 'g')) AS host_hyphens,
+                       length(path) AS path_len,
+                       length(path) - length(regexp_replace(path, '/', '', 'g')) AS path_depth,
+                       CASE WHEN query = '' THEN 0
+                            ELSE length(query) - length(regexp_replace(query, '&', '', 'g')) + 1
+                       END AS n_params
+                FROM parts
+            )
+            SELECT doc_id, host_digits, host_hyphens, path_len, path_depth, n_params,
+                   CASE WHEN host_digits > 3 OR host_hyphens > 3 OR path_len > 120
+                             OR path_depth > 6 OR n_params > 5
+                        THEN 1 ELSE 0 END AS url_spam
+            FROM sig
+        """,
+        # blocklist_gate: identical [^a-z0-9]+ tokenization, IN-list
+        # membership, zero-hit docs preserved via left join + coalesce
+        "blocklist_gate": """
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     LATERAL UNNEST(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''
+                     )) AS t(tok)
+            ),
+            hits AS (
+                SELECT doc_id,
+                       count(*) AS n_bad_tokens,
+                       count(DISTINCT tok) AS n_bad_distinct
+                FROM toks
+                WHERE tok IN ('slow', 'junk', 'spam', 'merge')
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_bad_tokens, 0) AS n_bad_tokens,
+                   coalesce(h.n_bad_distinct, 0) AS n_bad_distinct
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        # table_rows: same complete-page gate (printable-ASCII magic /
+        # suffix compare on the blob's VARCHAR form), same two nested
+        # non-greedy regexes; generate_subscripts - 1 twins posexplode
+        "table_rows": rf"""
+            WITH gated AS (
+                SELECT url, decode(html) AS h
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                WHERE starts_with(html::VARCHAR, '<!DOCTYPE html>')
+                  AND ends_with(html::VARCHAR, '</html>')
+            ),
+            rows_x AS (
+                SELECT url,
+                       generate_subscripts(regexp_extract_all(h, '<tr>(.*?)</tr>', 1), 1) - 1 AS row_idx,
+                       unnest(regexp_extract_all(h, '<tr>(.*?)</tr>', 1)) AS row_html
+                FROM gated
+            )
+            SELECT url, row_idx,
+                   regexp_extract_all(row_html, '<td>([^<]*)</td>', 1) AS cells
+            FROM rows_x
         """,
         # script_signals: same residue-keyed multiscript fixture, same
         # literal codepoint ranges, same first-maximum dominance rule —

@@ -1561,3 +1561,122 @@ def script_signals(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.col(f"n_{name}") == best) & (best > 0), F.lit(name)
         ).otherwise(dominant)
     return out.withColumn("dominant_script", dominant)
+
+
+# ------------------------------------------------------------------ URL
+# spam scoring, blocklist gating, HTML table extraction
+
+
+def url_spam_signals(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level spam signals (RefinedWeb/UT1-style URL filtering, the
+    stage that runs BEFORE fetching or extracting anything): digit and
+    hyphen counts in the host, path depth and length, query-parameter
+    count, and a composite ``url_spam`` flag.  All integer-valued
+    single-scan expressions — at crawl-frontier scale this must run on
+    the URL string alone, no payload touch, no shuffle.
+
+    Flag rule (deterministic, engine-portable): host with > 3 digits,
+    or > 3 hyphens, or path longer than 120 chars, or > 6 path
+    segments, or > 5 query params.
+    """
+    u = F.col(url_col)
+    no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_extract(no_scheme, r"^([^/?]*)", 1)
+    path = F.regexp_extract(no_scheme, r"^[^/?]*(/[^?]*)?", 1)
+    query = F.when(
+        no_scheme.contains("?"),
+        F.substr(no_scheme, F.instr(no_scheme, "?") + F.lit(1)),
+    ).otherwise(F.lit(""))
+    n = lambda c, pat: F.length(c) - F.length(F.regexp_replace(c, pat, ""))  # noqa: E731
+    out = pages.withColumns(
+        {
+            "host_digits": n(host, r"[0-9]"),
+            "host_hyphens": n(host, r"-"),
+            "path_len": F.length(path),
+            "path_depth": n(path, r"/"),
+            "n_params": F.when(query == "", F.lit(0)).otherwise(
+                n(query, r"&") + F.lit(1)
+            ),
+        }
+    )
+    return out.withColumn(
+        "url_spam",
+        (F.col("host_digits") > 3)
+        | (F.col("host_hyphens") > 3)
+        | (F.col("path_len") > 120)
+        | (F.col("path_depth") > 6)
+        | (F.col("n_params") > 5),
+    )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_col: str = "term",
+) -> DataFrame:
+    """Banned-term hit counting against a blocklist TABLE (UT1 /
+    safety-wordlist gating).  Returns one row per doc with
+    ``n_bad_tokens`` (token occurrences that appear in the list) and
+    ``n_bad_distinct`` (distinct banned terms present).
+
+    Scale shape: tokens explode scan-side, the blocklist joins as a
+    BROADCAST inner join (wordlists are KBs; never shuffle the corpus
+    by token), then one map-side-combinable groupBy on the doc id.
+    A regex-alternation over the list would be quadratic in list size
+    per char; the token equi-join is O(tokens) and stays JVM-side.
+    Docs with zero hits are preserved via the left join against the
+    doc spine (count 0, never dropped rows).
+    """
+    from .dataset import ensure_parallelism
+    from .retrieval import sql_tokens
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("tok")
+    )
+    hits = (
+        toks.join(
+            F.broadcast(blocklist.select(F.col(term_col).alias("tok")).distinct()),
+            "tok",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bad_tokens"),
+            F.countDistinct("tok").alias("n_bad_distinct"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .fillna(0, ["n_bad_tokens", "n_bad_distinct"])
+    )
+
+
+def extract_tables(pages: DataFrame, html_col: str = "html_str") -> DataFrame:
+    """HTML table extraction to rows: one output row per ``<tr>`` with
+    its ``<td>`` cell texts as an array — the structured-data sibling
+    of main-text extraction (tabular web data feeds training sets as
+    serialized rows, not flattened prose).
+
+    Two nested ``regexp_extract_all`` passes (RE2-safe non-greedy
+    ``<tr>(.*?)</tr>``, then ``<td>([^<]*)</td>`` within the row) with
+    ``posexplode`` so every row keeps its (table-order) index.  Pure
+    JVM expressions over one scan; rows with zero ``<td>`` cells (e.g.
+    header-only ``<th>`` rows) are kept with an empty array so row
+    indices stay dense and reconstruction stays lossless.
+    """
+    h = F.col(html_col)
+    rows = F.expr(
+        f"regexp_extract_all({html_col}, '<tr>(.*?)</tr>', 1)"
+    )
+    exploded = pages.select(
+        *[F.col(c) for c in pages.columns if c != html_col],
+        F.posexplode(rows).alias("row_idx", "row_html"),
+    )
+    return exploded.select(
+        *[c for c in exploded.columns if c != "row_html"],
+        F.expr("regexp_extract_all(row_html, '<td>([^<]*)</td>', 1)").alias(
+            "cells"
+        ),
+    )

@@ -149,3 +149,73 @@ def test_script_signals_tie_prefers_fixed_order(spark):
     r = WT.script_signals(df, "doc_id", "text").first()
     assert r["n_latin"] == r["n_cyrillic"] == 2
     assert r["dominant_script"] == "latin"
+
+
+# ---------------------------------------------------- URL spam signals
+
+
+def test_url_spam_clean_and_each_rule(spark):
+    rows = [
+        (1, "https://clean.example.com/a/b?x=1"),           # clean
+        (2, "https://shop12345.example.com/x"),             # host digits
+        (3, "https://a-b-c-d-e.example.com/x"),             # host hyphens
+        (4, "https://h.example.com/" + "s/" * 70),          # path length
+        (5, "https://h.example.com/a/b/c/d/e/f/g"),         # path depth
+        (6, "https://h.example.com/x?a=1&b=2&c=3&d=4&e=5&f=6"),  # params
+        (7, "https://noquery.example.com"),                 # no path/query
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r for r in WT.url_spam_signals(df).collect()}
+    assert got[1]["url_spam"] is False
+    for i in range(2, 7):
+        assert got[i]["url_spam"] is True, i
+    assert got[7]["url_spam"] is False
+    assert got[7]["n_params"] == 0 and got[7]["path_len"] == 0
+    assert got[6]["n_params"] == 6
+    assert got[5]["path_depth"] == 7
+
+
+# ---------------------------------------------------- blocklist gating
+
+
+def test_blocklist_hits_counts_and_zero_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam and more SPAM, spam!"), (2, "clean text here"), (3, "junk spam")],
+        ["doc_id", "text"],
+    )
+    bl = spark.createDataFrame([("spam",), ("junk",)], ["term"])
+    got = {r["doc_id"]: r for r in WT.blocklist_hits(docs, bl, "doc_id", "text").collect()}
+    assert got[1]["n_bad_tokens"] == 3 and got[1]["n_bad_distinct"] == 1
+    assert got[2]["n_bad_tokens"] == 0 and got[2]["n_bad_distinct"] == 0  # kept
+    assert got[3]["n_bad_tokens"] == 2 and got[3]["n_bad_distinct"] == 2
+
+
+def test_blocklist_join_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    bl = spark.createDataFrame([("a",)], ["term"])
+    plan = WT.blocklist_hits(docs, bl, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------- table extraction
+
+
+def test_extract_tables_rows_and_cells(spark):
+    html = (
+        "<html><body><table>"
+        "<tr><td>a</td><td>b</td></tr>"
+        "<tr><th>header only</th></tr>"
+        "<tr><td>c 1</td><td>d 2</td><td>e</td></tr>"
+        "</table></body></html>"
+    )
+    out = WT.extract_tables(_one(spark, url="u", html_str=html)).orderBy("row_idx")
+    rows = out.collect()
+    assert [r["row_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["cells"] == ["a", "b"]
+    assert rows[1]["cells"] == []          # th-only row kept, empty cells
+    assert rows[2]["cells"] == ["c 1", "d 2", "e"]
+
+
+def test_extract_tables_no_table_page(spark):
+    out = WT.extract_tables(_one(spark, url="u", html_str="<html><p>x</p></html>"))
+    assert out.count() == 0
