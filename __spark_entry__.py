@@ -2416,6 +2416,27 @@ def q_table_rows(spark, sf_dir):
     return WT.extract_tables(complete, "html_str")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) of the event log: one shuffle
+    on user, lag + running-sum windows, per-session aggregate rows.
+    Boundaries compare whole-second epochs on both engines, so session
+    membership is bit-identical; the aggregate is tie-order-stable."""
+    from clawrag_spark.operators.temporal import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30)
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Day-cohort retention triangle (cohort_day, day_k, n_active):
+    per-user first-seen day (bounded by |users|), distinct (user, day)
+    activity, one user-key join reusing the distinct's partitioning."""
+    from clawrag_spark.operators.temporal import retention_cohorts
+
+    ev = _load(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs only the
     # FIRST 50 entries, so queries are listed least-recently-verified
@@ -2495,6 +2516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
+        "sessionize": q_sessionize,
+        "retention_cohorts": q_retention_cohorts,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3449,6 +3472,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, row_idx,
                    regexp_extract_all(row_html, '<td>([^<]*)</td>', 1) AS cells
             FROM rows_x
+        """,
+        # sessionize: same lag/running-sum construction; the gap rule
+        # counts second boundaries (date_diff('second') ≡ Spark's
+        # truncating cast-to-long difference — never epoch()::BIGINT,
+        # whose double→int cast ROUNDS instead of truncating)
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_idx
+        """,
+        # retention_cohorts: per-user min day + distinct (user, day)
+        # activity joined back — identical day/offset arithmetic
+        "retention_cohorts": """
+            WITH cohorts AS (
+                SELECT user_id, min(ts::DATE) AS cohort_day
+                FROM events GROUP BY user_id
+            ),
+            activity AS (
+                SELECT DISTINCT user_id, ts::DATE AS day FROM events
+            )
+            SELECT c.cohort_day,
+                   (a.day - c.cohort_day) AS day_k,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM activity a JOIN cohorts c USING (user_id)
+            GROUP BY c.cohort_day, day_k
         """,
         # script_signals: same residue-keyed multiscript fixture, same
         # literal codepoint ranges, same first-maximum dominance rule —

@@ -134,3 +134,82 @@ def range_join_binned(
         .filter(F.col(time_col).between(F.col(start_col), F.col(end_col)))
         .drop("__bin")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one user belong
+    to one session while the inter-event gap stays ≤ ``gap_minutes``;
+    a longer silence starts a new session.  The canonical traffic /
+    crawl-log operator (per-visit analytics, bot-burst detection,
+    crawl-revisit accounting).
+
+    Scale shape: ONE shuffle on the user key, then two windows over the
+    same sort (lag → new-session flag, running sum → session index) —
+    never a self-join on time ranges, state is O(1) per row.  The gap
+    compare uses whole-second epoch truncation on both engines
+    (``cast long`` ≡ second-boundary ``date_diff``), so the session
+    boundaries are bit-identical cross-engine.  Returns per-session
+    rows (user, session_idx, session_start, session_end, n_events);
+    the aggregate is order-stable even under equal-timestamp ties
+    (ties always land in the same session regardless of tie order).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # parquet timestamps load as TIMESTAMP_NTZ, which has no direct
+    # long cast — hop through timestamp (session tz pinned to UTC, so
+    # the hop is the identity) to get truncated epoch seconds
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    new_sess = F.when(
+        prev.isNull() | (epoch(F.col(ts_col)) - epoch(prev) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    sess_idx = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("session_idx", sess_idx)
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Day-cohort retention: users grouped by their first-seen day,
+    counted as active on each later day offset — the (cohort_day,
+    day_k, n_active) triangle every engagement dashboard draws.
+
+    Two map-side-combinable aggregations and one broadcast-sized join:
+    per-user first day (output bounded by |users|), then distinct
+    (user, day) activity joined back to compute the day offset.  The
+    join key is the user id — the activity side is already shuffled by
+    user from the distinct, and the cohort side is the SAME partitioning
+    (AQE reuses it), so no extra corpus-wide shuffle materializes.
+    """
+    day = F.to_date(F.col(ts_col))
+    cohorts = (
+        events.select(F.col(user_col), day.alias("day"))
+        .groupBy(user_col)
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    activity = events.select(F.col(user_col), day.alias("day")).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_k"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "day_k")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )

@@ -116,3 +116,68 @@ def test_range_join_binned_matches_theta(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# ------------------------------------------------------- sessionize
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_sessionize_gap_boundary(spark):
+    from clawrag_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, "2025-01-01 10:00:00"),
+        (1, "2025-01-01 10:30:00"),   # exactly 1800 s → SAME session
+        (1, "2025-01-01 11:00:01"),   # 1801 s → NEW session
+        (2, "2025-01-01 10:00:00"),   # other user isolated
+    ]
+    out = sessionize(_ev(spark, rows), "user_id", "ts", gap_minutes=30)
+    got = {(r["user_id"], r["session_idx"]): r["n_events"] for r in out.collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_tie_timestamps_one_session(spark):
+    from clawrag_spark.operators.temporal import sessionize
+
+    rows = [(1, "2025-01-01 10:00:00")] * 3 + [(1, "2025-01-01 12:00:00")]
+    out = sessionize(_ev(spark, rows), "user_id", "ts").collect()
+    sizes = sorted(r["n_events"] for r in out)
+    assert sizes == [1, 3] and len(out) == 2
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    from clawrag_spark.operators.temporal import sessionize
+
+    out = sessionize(_ev(spark, [(1, "2025-01-01 10:00:00")]), "user_id", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both windows + the session aggregate reuse ONE user_id exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------- retention cohorts
+
+
+def test_retention_cohorts_triangle(spark):
+    from clawrag_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, "2025-01-01 09:00:00"),
+        (1, "2025-01-01 23:00:00"),   # same day → one activity row
+        (1, "2025-01-03 10:00:00"),   # day_k = 2
+        (2, "2025-01-01 12:00:00"),
+        (2, "2025-01-02 12:00:00"),   # day_k = 1
+        (3, "2025-01-02 08:00:00"),   # later cohort, day_k = 0
+    ]
+    out = retention_cohorts(_ev(spark, rows), "user_id", "ts")
+    got = {(str(r["cohort_day"]), r["day_k"]): r["n_active"] for r in out.collect()}
+    assert got == {
+        ("2025-01-01", 0): 2,
+        ("2025-01-01", 1): 1,
+        ("2025-01-01", 2): 1,
+        ("2025-01-02", 0): 1,
+    }
