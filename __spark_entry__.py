@@ -2437,6 +2437,44 @@ def q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(ev, "user_id", "ts")
 
 
+def q_extraction_report(spark, sf_dir):
+    """Extraction coverage/quality report by (mime, engine) over the
+    pipeline's committed ``extracted`` table — docs, emitted chars,
+    empty-text gate hits, distinct hosts.  This is the per-route ops
+    view of the extraction tier (which parser handled what, and with
+    what yield); the byte-identity of the underlying rows is pinned
+    separately by the pytest oracle suite.  One map-side-combinable
+    aggregation; the count-distinct is bounded by |hosts| per route."""
+    out = _ensure_pipeline_demo(spark)
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    return ext.groupBy("mime", "engine").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("text_length").alias("total_chars"),
+        F.sum(F.when(F.col("text_length") == 0, 1).otherwise(0)).alias("n_empty"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def q_lineage_rollup(spark, sf_dir):
+    """Run-level rollup of the per-partition lineage metrics the
+    pipeline commits next to its data (north-star requirement:
+    per-partition docs/sec + parse-failure counts).  Only the
+    DETERMINISTIC columns roll up into the hash compare (doc counts,
+    parse failures, text chars — never wall-clock timings); rate is
+    failures/docs rounded to 6."""
+    out = _ensure_pipeline_demo(spark)
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    return m.groupBy("run_id").agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_parse_failures").alias("n_parse_failures"),
+        F.sum("n_text_chars").alias("n_text_chars"),
+        F.round(
+            F.sum("n_parse_failures") / F.sum("n_docs"), 6
+        ).alias("failure_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs only the
     # FIRST 50 entries, so queries are listed least-recently-verified
@@ -2518,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
         "retention_cohorts": q_retention_cohorts,
+        "extraction_report": q_extraction_report,
+        "lineage_rollup": q_lineage_rollup,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3516,6 +3556,29 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT a.user_id) AS n_active
             FROM activity a JOIN cohorts c USING (user_id)
             GROUP BY c.cohort_day, day_k
+        """,
+        # extraction_report / lineage_rollup: the aggregation is what's
+        # verified here (the artifacts' byte identity is pinned by the
+        # pytest oracle suite); DuckDB recomputes from the same parquet
+        "extraction_report": rf"""
+            SELECT mime, engine,
+                   count(*) AS n_docs,
+                   sum(text_length) AS total_chars,
+                   sum(CASE WHEN text_length = 0 THEN 1 ELSE 0 END) AS n_empty,
+                   count(DISTINCT host) AS n_hosts
+            FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+            GROUP BY mime, engine
+        """,
+        "lineage_rollup": rf"""
+            SELECT run_id,
+                   count(*) AS n_partitions,
+                   sum(n_docs) AS n_docs,
+                   sum(n_parse_failures) AS n_parse_failures,
+                   sum(n_text_chars) AS n_text_chars,
+                   round(sum(n_parse_failures)::DOUBLE / sum(n_docs), 6)
+                       AS failure_rate
+            FROM read_parquet('{_DEMO_OUT}/metrics/*.parquet')
+            GROUP BY run_id
         """,
         # script_signals: same residue-keyed multiscript fixture, same
         # literal codepoint ranges, same first-maximum dominance rule —
