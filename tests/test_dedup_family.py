@@ -356,7 +356,9 @@ class TestConnectedComponents:
         out = {
             r["n"]: r["cluster"]
             for r in connected_components(
-                pairs, "doc_a", "doc_b", max_iter=15
+                # threshold 0 forces the distributed loop — the chain
+                # bound under test is the pointer-jumping one
+                pairs, "doc_a", "doc_b", max_iter=15, small_edge_threshold=0
             ).collect()
         }
         assert set(out.values()) == {0} and len(out) == 1000
@@ -370,7 +372,37 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(999)], ["doc_a", "doc_b"]
         ).coalesce(4)
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, "doc_a", "doc_b", max_iter=2)
+            connected_components(
+                pairs, "doc_a", "doc_b", max_iter=2, small_edge_threshold=0
+            )
+
+    def test_small_path_matches_distributed(self, spark):
+        """The driver union-find fast path must be bit-identical to the
+        distributed pointer-jumping loop — same (n, cluster) rows, same
+        min-label representative, same id type."""
+        from clawrag_spark.operators.dataset import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1), (20, 21)],
+            ["doc_a", "doc_b"],
+        )
+        small = connected_components(pairs, "doc_a", "doc_b")
+        dist = connected_components(
+            pairs, "doc_a", "doc_b", small_edge_threshold=0
+        )
+        assert small.schema == dist.schema
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, dist.collect())
+        )
+
+    def test_empty_pairs_empty_clusters(self, spark):
+        from clawrag_spark.operators.dataset import connected_components
+
+        pairs = spark.createDataFrame(
+            [], "doc_a long, doc_b long"
+        )
+        out = connected_components(pairs, "doc_a", "doc_b")
+        assert out.columns == ["n", "cluster"] and out.count() == 0
 
 
 class TestPairRestrictionIdentity:
