@@ -1879,6 +1879,31 @@ def q_pack_shards(spark, sf_dir):
     return PK.pack_training_shards(toks, "doc_id", "n_tokens", 2000)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-context sequence packing WITH boundary splitting: the
+    corpus token stream (plus one EOS slot per doc) concatenated in the
+    deterministic pseudorandom order and chopped every 256 tokens; one
+    row per (sequence, doc) span with within-sequence offsets — the
+    exact slice list a GPT-style dataloader materializes.  Same
+    two-phase distributed prefix sum as `pack_shards` (never a global
+    single-partition window) + a 1-2-row-per-doc sequence() explode;
+    the oracle is the naive global window + generate_series unnest."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return PK.pack_sequences(toks, "doc_id", "n_tokens", 256, eos_tokens=1)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot CDC: two deterministic snapshot views of the
     corpus (drops + content edits keyed off doc_id residues) diffed by
@@ -2558,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "extraction_report": q_extraction_report,
         "lineage_rollup": q_lineage_rollup,
+        "pack_sequences": q_pack_sequences,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3579,6 +3605,40 @@ def oracle_sql() -> dict[str, str]:
                        AS failure_rate
             FROM read_parquet('{_DEMO_OUT}/metrics/*.parquet')
             GROUP BY run_id
+        """,
+        # pack_sequences: oracle is the naive global-window prefix sum
+        # + generate_series unnest the Spark side deliberately avoids
+        # (two-phase prefix sum + sequence() explode) — same values
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''
+                       ))::BIGINT + 1 AS n,
+                       md5('pack|' || CAST(doc_id AS VARCHAR)) AS ok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n,
+                       COALESCE(SUM(n) OVER (ORDER BY ok
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)::BIGINT AS s
+                FROM t
+            ),
+            b AS (SELECT doc_id, s, s + n AS e FROM c),
+            x AS (
+                SELECT doc_id, s, e,
+                       UNNEST(generate_series(s // 256, (e - 1) // 256))
+                           AS seq_id
+                FROM b
+            )
+            SELECT seq_id, doc_id,
+                   GREATEST(s, seq_id * 256) - seq_id * 256 AS tok_start,
+                   LEAST(e, (seq_id + 1) * 256) - seq_id * 256 AS tok_end,
+                   LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256)
+                       AS n_span
+            FROM x
         """,
         # script_signals: same residue-keyed multiscript fixture, same
         # literal codepoint ranges, same first-maximum dominance rule —

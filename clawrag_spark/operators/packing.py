@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["shuffle_order_key", "pack_training_shards"]
+__all__ = ["shuffle_order_key", "pack_training_shards", "pack_sequences"]
 
 
 def shuffle_order_key(id_col: Column, salt: str = "pack") -> Column:
@@ -70,6 +70,22 @@ def pack_training_shards(
     """
     if shard_tokens <= 0:
         raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    return _exclusive_prefix_sum(
+        df, id_col, tokens_col, salt, num_partitions
+    ).withColumn("shard_id", F.expr(f"start_offset div {int(shard_tokens)}"))
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    salt: str = "pack",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, tokens, start_offset) in ``shuffle_order_key`` order via the
+    two-phase parallel prefix sum described in the module docstring —
+    the shared core of :func:`pack_training_shards` and
+    :func:`pack_sequences`."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(
@@ -118,12 +134,78 @@ def pack_training_shards(
         .withColumn("__off", F.coalesce(F.sum("__t").over(wp), F.lit(0)))
         .select("__pid", "__off")
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .select(
-            F.col(id_col),
-            F.col("__tok").alias(tokens_col),
-            (F.col("__loc") + F.col("__off")).alias("start_offset"),
-        )
-        .withColumn("shard_id", F.expr(f"start_offset div {int(shard_tokens)}"))
+    return local.join(F.broadcast(offsets), "__pid").select(
+        F.col(id_col),
+        F.col("__tok").alias(tokens_col),
+        (F.col("__loc") + F.col("__off")).alias("start_offset"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    ctx_tokens: int,
+    eos_tokens: int = 1,
+    salt: str = "pack",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk the corpus token stream into fixed-context
+    training sequences — the GPT-style dataloader layout where a
+    document CROSSES sequence boundaries and contributes a span to each
+    sequence it touches (unlike :func:`pack_training_shards`, which
+    assigns whole documents by their first token).
+
+    Every document occupies ``tokens + eos_tokens`` positions in the
+    deterministic pseudorandom global order (the EOS separator the
+    dataloaders append between documents); with ``start`` the exclusive
+    prefix sum and ``end = start + n``, the doc spans sequences
+    ``start div ctx .. (end-1) div ctx``.  One row per (sequence, doc)
+    span: ``tok_start``/``tok_end`` are the span's WITHIN-SEQUENCE
+    offsets (end exclusive), ``n_span`` its length, so a trainer can
+    materialize any sequence by slicing exactly the listed spans.
+
+    Scale shape: the two-phase distributed prefix sum (no global
+    window), then a per-row ``sequence()`` explode whose length is
+    ``1 + n div ctx`` — bounded by the doc/ctx ratio, ~1-2 rows per doc.
+    All arithmetic is BIGINT integer division: bit-identical on any
+    engine at 10^12-token offsets, no float boundaries.
+    """
+    if ctx_tokens <= 0:
+        raise ValueError(f"ctx_tokens must be positive, got {ctx_tokens}")
+    if eos_tokens < 0:
+        raise ValueError(f"eos_tokens must be >= 0, got {eos_tokens}")
+    ctx = int(ctx_tokens)
+    occupied = df.select(
+        F.col(id_col),
+        (F.col(tokens_col).cast("long") + F.lit(int(eos_tokens))).alias(
+            "__n"
+        ),
+    ).filter(F.col("__n") > 0)  # zero-width docs pack nowhere
+    pre = _exclusive_prefix_sum(
+        occupied, id_col, "__n", salt, num_partitions
+    ).select(
+        F.col(id_col),
+        F.col("__n"),
+        F.col("start_offset").alias("__s"),
+        (F.col("start_offset") + F.col("__n")).alias("__e"),
+    )
+    seq = pre.select(
+        F.col(id_col),
+        "__s",
+        "__e",
+        F.explode(
+            F.sequence(
+                F.expr(f"__s div {ctx}"), F.expr(f"(__e - 1) div {ctx}")
+            )
+        ).alias("seq_id"),
+    )
+    span_start = F.greatest(F.col("__s"), F.col("seq_id") * ctx)
+    span_end = F.least(F.col("__e"), (F.col("seq_id") + 1) * ctx)
+    return seq.select(
+        "seq_id",
+        F.col(id_col),
+        (span_start - F.col("seq_id") * ctx).alias("tok_start"),
+        (span_end - F.col("seq_id") * ctx).alias("tok_end"),
+        (span_end - span_start).alias("n_span"),
     )

@@ -93,6 +93,86 @@ class TestPackShards:
             PK.pack_training_shards(docs, "doc_id", "n_tok", 0)
 
 
+class TestPackSequences:
+    CTX = 97  # prime, so boundaries land everywhere in the doc stream
+
+    def test_spans_tile_sequences_exactly(self, spark, docs):
+        out = PK.pack_sequences(
+            docs, "doc_id", "n_tok", self.CTX, eos_tokens=1
+        ).persist()
+        total = docs.select(F.sum(F.col("n_tok") + 1)).collect()[0][0]
+        per = {
+            r["seq_id"]: r["filled"]
+            for r in out.groupBy("seq_id")
+            .agg(F.sum("n_span").alias("filled"))
+            .collect()
+        }
+        n_seq = -(-total // self.CTX)
+        # contiguous sequence ids, every one full except possibly the last
+        assert set(per) == set(range(n_seq))
+        for sid, filled in per.items():
+            if sid < n_seq - 1:
+                assert filled == self.CTX
+        assert per[n_seq - 1] == total - (n_seq - 1) * self.CTX
+        # within-sequence offsets stay inside [0, ctx] and are non-empty
+        bad = out.filter(
+            (F.col("tok_start") < 0)
+            | (F.col("tok_end") > self.CTX)
+            | (F.col("n_span") <= 0)
+            | (F.col("tok_end") - F.col("tok_start") != F.col("n_span"))
+        ).count()
+        assert bad == 0
+        out.unpersist()
+
+    def test_doc_spans_reassemble_doc(self, spark, docs):
+        out = PK.pack_sequences(docs, "doc_id", "n_tok", self.CTX, eos_tokens=1)
+        per_doc = {
+            r["doc_id"]: r["n"]
+            for r in out.groupBy("doc_id").agg(F.sum("n_span").alias("n")).collect()
+        }
+        for r in docs.collect():
+            assert per_doc[r["doc_id"]] == r["n_tok"] + 1
+
+    def test_split_spans_are_adjacent_sequences(self, spark, docs):
+        out = PK.pack_sequences(docs, "doc_id", "n_tok", self.CTX, eos_tokens=1)
+        rows = sorted(
+            ((r["doc_id"], r["seq_id"], r["tok_start"], r["tok_end"]) for r in out.collect()),
+        )
+        from itertools import groupby
+
+        for doc, grp in groupby(rows, key=lambda t: t[0]):
+            grp = list(grp)
+            seqs = [g[1] for g in grp]
+            assert seqs == list(range(seqs[0], seqs[0] + len(grp)))
+            # interior boundaries: span ends at ctx, next starts at 0
+            for a, b in zip(grp, grp[1:]):
+                assert a[3] == self.CTX and b[2] == 0
+
+    def test_partition_count_invariant(self, spark, docs):
+        a = PK.pack_sequences(
+            docs, "doc_id", "n_tok", self.CTX, num_partitions=3
+        ).collect()
+        b = PK.pack_sequences(
+            docs, "doc_id", "n_tok", self.CTX, num_partitions=17
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_agrees_with_shard_assignment_on_first_token(self, spark, docs):
+        """A doc's FIRST span lands in pack_training_shards' shard when
+        ctx == budget and eos == 0 — the two layouts share the prefix sum."""
+        shards = {
+            r["doc_id"]: r["shard_id"]
+            for r in PK.pack_training_shards(docs, "doc_id", "n_tok", 700).collect()
+        }
+        first = (
+            PK.pack_sequences(docs, "doc_id", "n_tok", 700, eos_tokens=0)
+            .groupBy("doc_id")
+            .agg(F.min("seq_id").alias("s0"))
+            .collect()
+        )
+        assert {r["doc_id"]: r["s0"] for r in first} == shards
+
+
 class TestSnapshotDiff:
     def test_statuses(self, spark):
         old = spark.createDataFrame(
