@@ -1258,6 +1258,17 @@ def q_line_signals(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (terminal-punctuation / min-words /
+    javascript line rules + lorem-ipsum / brace / min-kept page gates)
+    over the demo pipeline's committed extracted pages — the text
+    surface with real line structure.  Zero shuffle, pure per-row array
+    expressions; the oracle rebuilds text_clean byte-for-byte."""
+    out = _ensure_pipeline_demo(spark)
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    return WT.c4_line_clean(ext.select("url", "text"), "url", "text")
+
+
 def q_host_quality(spark, sf_dir):
     """Host-level filtering with a Wilson lower confidence bound on
     the per-host quality pass rate (RefinedWeb-style): the A10 quality
@@ -2584,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_report": q_extraction_report,
         "lineage_rollup": q_lineage_rollup,
         "pack_sequences": q_pack_sequences,
+        "c4_clean": q_c4_clean,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3605,6 +3617,34 @@ def oracle_sql() -> dict[str, str]:
                        AS failure_rate
             FROM read_parquet('{_DEMO_OUT}/metrics/*.parquet')
             GROUP BY run_id
+        """,
+        # c4_clean: every rule is a deterministic string predicate —
+        # the oracle rebuilds text_clean byte-for-byte from the same
+        # committed extracted parquet
+        "c4_clean": rf"""
+            WITH l AS (
+                SELECT url, text,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> regexp_matches(x, '[.!?"]\s*$')
+                                AND len(list_filter(
+                                        string_split_regex(x, '\s+'),
+                                        w -> w <> '')) >= 5
+                                AND NOT contains(lower(x), 'javascript')
+                       ) AS keptl
+                FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+            )
+            SELECT url,
+                   -- empty list: NULL here, '' from Spark's array_join
+                   COALESCE(array_to_string(keptl, chr(10)), '')
+                       AS text_clean,
+                   len(string_split(text, chr(10)))::BIGINT AS n_lines,
+                   len(keptl)::BIGINT AS n_kept_lines,
+                   (NOT contains(lower(text), 'lorem ipsum'))
+                       AND (NOT contains(text, '{{'))
+                       AND len(keptl) >= 3 AS kept
+            FROM l
         """,
         # pack_sequences: oracle is the naive global-window prefix sum
         # + generate_series unnest the Spark side deliberately avoids

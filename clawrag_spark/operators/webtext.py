@@ -203,6 +203,56 @@ def line_repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFr
     )
 
 
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    filters behind the C4 corpus): keep only lines that end in terminal
+    punctuation (``.!?"``), contain at least ``min_words`` words, and do
+    not mention "javascript"; then gate whole pages that contain
+    "lorem ipsum" or a curly brace, or retain fewer than
+    ``min_kept_lines`` lines.
+
+    Returns (id, text_clean, n_lines, n_kept_lines, kept): the rebuilt
+    text (kept lines, trimmed, joined by newline), line accounting, and
+    the page-level gate.  Pure per-row array expressions — zero shuffle,
+    scan-side at any corpus size; every rule is a deterministic string
+    predicate, so the DuckDB oracle reproduces the output byte-for-byte.
+    """
+
+    def line_ok(line):
+        words = F.filter(F.split(line, r"\s+"), lambda w: w != F.lit(""))
+        return (
+            line.rlike(r'[.!?"]\s*$')
+            & (F.size(words) >= min_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    # trim first so the punctuation anchor sees the real last char;
+    # one-arg lambdas per the transform-signature rule above
+    kept_lines = F.filter(
+        F.transform(lines, lambda x: F.trim(x)), lambda x: line_ok(x)
+    )
+    n_kept = F.size(kept_lines)
+    page_ok = (
+        ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+        & (n_kept >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        page_ok.alias("kept"),
+    )
+
+
 def dedup_lines_in_doc(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -818,3 +818,47 @@ def test_repair_mojibake_exact_inverse(spark):
     assert got[2].text_repaired == clean and got[2].n_repairs == 2
     assert got[3].text_repaired == "plain ascii" and not got[3].was_mojibake
     assert got[4].text_repaired == "" and not got[4].was_mojibake
+
+
+class TestC4LineClean:
+    GOOD = "the quick brown fox jumps over the lazy dog."
+
+    def run(self, spark, rows):
+        return {
+            r.doc_id: r
+            for r in W.c4_line_clean(
+                spark.createDataFrame(rows, ["doc_id", "text"]),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+
+    def test_line_rules(self, spark):
+        g = self.GOOD
+        got = self.run(spark, [
+            (0, f"{g}\n{g}\n{g}"),                       # all pass
+            (1, f"{g}\nno punctuation here at all\n{g}"),  # punct rule
+            (2, f"{g}\ntoo short.\n{g}"),                  # min-words rule
+            (3, f"{g}\nenable Javascript to view this.\n{g}"),  # js rule
+            (4, f"  {g}  \n{g}\n{g}"),                     # trimmed + punct seen
+        ])
+        assert got[0].text_clean == f"{g}\n{g}\n{g}" and got[0].kept
+        for d in (1, 2, 3):
+            assert got[d].text_clean == f"{g}\n{g}" and got[d].n_kept_lines == 2
+            assert not got[d].kept  # < 3 kept lines
+        assert got[4].n_kept_lines == 3 and got[4].text_clean.startswith(g)
+
+    def test_page_gates(self, spark):
+        g = self.GOOD
+        three = f"{g}\n{g}\n{g}"
+        got = self.run(spark, [
+            (0, three + "\nLorem Ipsum dolor sit amet filler text."),
+            (1, three + "\nvar x = {a: 1}; function render() sample."),
+            (2, three),
+            (3, ""),
+        ])
+        assert not got[0].kept          # lorem ipsum page gate
+        assert not got[1].kept          # curly-brace page gate
+        assert got[2].kept
+        assert not got[3].kept and got[3].text_clean == ""
+        assert got[3].n_kept_lines == 0
