@@ -589,6 +589,31 @@ def q_ngram_jaccard(spark, sf_dir):
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Corpus-wide duplicated-n-gram report (the memorization-risk
+    statistic of Lee et al. 2021 / Carlini et al. 2022: verbatim text
+    repeated across training documents is what models memorize): every
+    3-token shingle appearing in >= 2 distinct documents, ranked by
+    document reach then total occurrences, top 100 under a total
+    deterministic order (shingle as the final tiebreak).  Reuses the
+    session-cached shingle scan; one shingle-keyed aggregation with
+    map-side partial counts, then TakeOrderedAndProject — no global
+    sort of the full gram table."""
+    sh = _shingles_cached(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle"
+        )
+        .limit(100)
+    )
+
+
 def q_similarity_join(spark, sf_dir):
     """All-pairs set-similarity join via prefix filtering (AllPairs /
     PPJoin family) — the EXACT candidate-generation alternative to
@@ -2596,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_rollup": q_lineage_rollup,
         "pack_sequences": q_pack_sequences,
         "c4_clean": q_c4_clean,
+        "dup_ngrams": q_dup_ngrams,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3617,6 +3643,33 @@ def oracle_sql() -> dict[str, str]:
                        AS failure_rate
             FROM read_parquet('{_DEMO_OUT}/metrics/*.parquet')
             GROUP BY run_id
+        """,
+        # dup_ngrams: same 3-gram shingle construction as the minhash
+        # family (occurrences kept, no DISTINCT), total deterministic
+        # order so the LIMIT boundary is engine-identical
+        "dup_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                           AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3))
+                    AS g(i)
+                WHERE len(toks) >= 3
+            )
+            SELECT shingle,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM sh
+            GROUP BY shingle
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, n_occurrences DESC, shingle
+            LIMIT 100
         """,
         # c4_clean: every rule is a deterministic string predicate —
         # the oracle rebuilds text_clean byte-for-byte from the same
