@@ -1672,6 +1672,48 @@ def q_image_near_dups(spark, sf_dir):
     return MM.image_near_dups(media, "img_id", max_hamming=6)
 
 
+def q_image_phash_dups(spark, sf_dir):
+    """pHash (32x32 DCT low-frequency block) variant of the perceptual
+    near-dup join — robust to resize/blur/recompression where aHash
+    only survives brightness shifts.  Fixture: seeded smooth structured
+    images (gradient + blob) × variants (identical, 2x nearest-neighbour
+    upsample, mild noise, unrelated); same banded Hamming join.
+    Rows-only oracle (no pixel codecs in SQL); pytest pins pHash pairs
+    against brute-force Hamming."""
+    import numpy as np
+
+    from clawrag_spark import multimodal as MM
+
+    yy, xx = np.mgrid[0:48, 0:48]
+    rows = []
+    for img_id in range(32):
+        b, v = img_id % 8, img_id // 8
+        base = np.clip(
+            yy * (1.5 + 0.2 * b)
+            + xx
+            + 40.0 * np.exp(-((yy - 4 * b) ** 2 + (xx - 40 + b) ** 2) / 150.0),
+            0,
+            255,
+        ).astype(np.uint8)
+        img = base[..., None].repeat(3, axis=2)
+        if v == 1:  # re-hosted 2x upsample
+            img = img.repeat(2, axis=0).repeat(2, axis=1)
+        elif v == 2:  # mild additive noise
+            rng = np.random.default_rng(300 + b)
+            img = np.clip(
+                img.astype(np.int16) + rng.integers(-5, 6, size=img.shape),
+                0,
+                255,
+            ).astype(np.uint8)
+        elif v == 3:  # unrelated structured content
+            img = np.clip(255 - base.T * ((b % 3) + 1) / 2.0, 0, 255).astype(
+                np.uint8
+            )[..., None].repeat(3, axis=2)
+        rows.append((img_id, bytearray(MM.encode_png(img))))
+    media = spark.createDataFrame(rows, "img_id long, media binary").coalesce(4)
+    return MM.image_near_dups(media, "img_id", max_hamming=8, method="phash")
+
+
 def q_gopher_quality(spark, sf_dir):
     """The full Gopher §A1.1 document-quality rule set (Rae et al.
     2021) as one scan-side projection — word-count and mean-word-length
@@ -2622,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "c4_clean": q_c4_clean,
         "dup_ngrams": q_dup_ngrams,
+        "image_phash_dups": q_image_phash_dups,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,

@@ -486,14 +486,67 @@ def ahash64_py(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def image_ahash(media_df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
-    """(id, ahash) via one Arrow-batched mapInPandas pass: batch decode
-    (real BMP/PPM/PNG/GIF/baseline-JPEG codecs) → integer aHash.  The
-    id column rides through the UDF so no re-join is needed."""
+_DCT_BASES: dict[int, np.ndarray] = {}
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (cached per size): row k is
+    sqrt(2/n)·cos(π(2j+1)k/2n) with the k=0 row scaled by 1/sqrt(2).
+    ``D @ A @ D.T`` is then the 2-D DCT of A — plain float64 matmul,
+    no scipy dependency.  Shared by the pHash 32x32 transform and the
+    JPEG codec's 8x8 blocks."""
+    if n not in _DCT_BASES:
+        j = np.arange(n)
+        k = j.reshape(-1, 1)
+        d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+        d[0] /= np.sqrt(2.0)
+        _DCT_BASES[n] = d
+    return _DCT_BASES[n]
+
+
+def phash64_py(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the pHash proper, ImageHash
+    semantics): integer BT.601 luma, nearest-neighbour 32x32
+    downsample, 2-D DCT-II, keep the top-left 8x8 low-frequency block,
+    threshold every coefficient at the block's median.  Robust to
+    resizing/blur/recompression — the transforms web re-hosting applies
+    — where aHash only survives brightness shifts and small edits.
+    Returned SIGNED so it stores in a Spark long."""
+    ys = np.linspace(0, img.shape[0] - 1, 32).astype(int)
+    xs = np.linspace(0, img.shape[1] - 1, 32).astype(int)
+    small = img[np.ix_(ys, xs)].astype(np.int64)
+    luma = (
+        299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]
+    ) // 1000
+    d = _dct_basis(32)
+    low = (d @ luma.astype(np.float64) @ d.T)[:8, :8]
+    bits = (low > np.median(low)).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_HASH_FNS = {"ahash": ahash64_py, "phash": phash64_py}
+
+
+def image_hashes(
+    media_df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    method: str = "ahash",
+) -> DataFrame:
+    """(id, <method>) via one Arrow-batched mapInPandas pass: batch
+    decode (real BMP/PPM/PNG/GIF/baseline-JPEG codecs) → integer
+    perceptual hash.  The id column rides through the UDF so no
+    re-join is needed."""
+    if method not in _HASH_FNS:
+        raise ValueError(f"unknown hash method {method!r}")
+    fn = _HASH_FNS[method]
     schema = T.StructType(
         [
             T.StructField("img_id", T.LongType()),
-            T.StructField("ahash", T.LongType()),
+            T.StructField(method, T.LongType()),
         ]
     )
 
@@ -502,12 +555,19 @@ def image_ahash(media_df: DataFrame, id_col: str, media_col: str = "media") -> D
             ids, hashes = [], []
             for i, p in zip(batch["img_id"], batch["media"]):
                 ids.append(int(i))
-                hashes.append(ahash64_py(_decode_image(p or b"")))
-            yield pd.DataFrame({"img_id": ids, "ahash": pd.array(hashes, dtype="int64")})
+                hashes.append(fn(_decode_image(p or b"")))
+            yield pd.DataFrame(
+                {"img_id": ids, method: pd.array(hashes, dtype="int64")}
+            )
 
     return media_df.select(
         F.col(id_col).cast("long").alias("img_id"), F.col(media_col).alias("media")
     ).mapInPandas(run, schema)
+
+
+def image_ahash(media_df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
+    """(id, ahash): see :func:`image_hashes`."""
+    return image_hashes(media_df, id_col, media_col, method="ahash")
 
 
 def image_near_dups(
@@ -515,17 +575,18 @@ def image_near_dups(
     id_col: str,
     media_col: str = "media",
     max_hamming: int = 6,
+    method: str = "ahash",
 ) -> DataFrame:
-    """Perceptual image near-dup pairs: aHash fingerprints → the SAME
-    banded Hamming join SimHash text dedup uses
+    """Perceptual image near-dup pairs: aHash or pHash (DCT)
+    fingerprints → the SAME banded Hamming join SimHash text dedup uses
     (``dataset.hamming_band_pairs``: pigeonhole-complete bands, one
     self-equi-join, exact bit_count verify — never all pairs).  At
     10^12 images the fingerprint pass is the only decode touch; the
     join shuffles 8-byte hashes."""
     from .operators.dataset import hamming_band_pairs
 
-    hashed = image_ahash(media_df, id_col, media_col)
-    return hamming_band_pairs(hashed, "img_id", "ahash", max_hamming)
+    hashed = image_hashes(media_df, id_col, media_col, method=method)
+    return hamming_band_pairs(hashed, "img_id", method, max_hamming)
 
 
 def frame_sample_plan(video_df: DataFrame, media_col: str, every_n: int = 30) -> DataFrame:
@@ -896,10 +957,7 @@ _AC_CHROMA = (
 
 def _dct_matrix() -> np.ndarray:
     """8x8 orthonormal DCT-II matrix: dct(B) = D @ B @ D.T."""
-    k = np.arange(8)
-    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
-    D[0, :] *= 1 / np.sqrt(2)
-    return D
+    return _dct_basis(8)
 
 
 def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:

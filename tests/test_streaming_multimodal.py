@@ -932,3 +932,66 @@ class TestImageNearDup:
         }
         assert len(want) >= 12, "fixture failed to plant near-dup images"
         assert got == want
+
+    def test_phash_survives_resize_and_noise(self):
+        """pHash's low-frequency DCT block must be stable under the
+        transforms web re-hosting applies (resize, mild noise) and far
+        apart for unrelated content."""
+        from clawrag_spark.multimodal import phash64_py
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        rng = np.random.default_rng(42)
+        # smooth structured image (gradient + blob), not pure noise —
+        # pHash is a low-frequency signature
+        yy, xx = np.mgrid[0:64, 0:64]
+        base = (yy * 2 + xx + 30 * np.exp(-((yy - 20) ** 2 + (xx - 40) ** 2) / 200.0))
+        img = np.clip(base, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=2)
+        h = phash64_py(img)
+        # identical → 0
+        assert ham(h, phash64_py(img.copy())) == 0
+        # 2x nearest-neighbour upsample (re-hosted resize) → near
+        up = img.repeat(2, axis=0).repeat(2, axis=1)
+        assert ham(h, phash64_py(up)) <= 4
+        # mild additive noise → near
+        noisy = np.clip(
+            img.astype(np.int16) + rng.integers(-6, 7, size=img.shape), 0, 255
+        ).astype(np.uint8)
+        assert ham(h, phash64_py(noisy)) <= 8
+        # unrelated structured content → far
+        other = np.clip(255 - base.T, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=2)
+        assert ham(h, phash64_py(other)) >= 16
+
+    def test_phash_banded_pairs_match_brute_force(self, spark):
+        from clawrag_spark import multimodal as MM
+        from clawrag_spark.multimodal import phash64_py
+
+        rows = self._imgs()
+        media = spark.createDataFrame(
+            [(i, bytearray(p)) for i, _, p in rows], "img_id long, media binary"
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in MM.image_near_dups(
+                media, "img_id", max_hamming=10, method="phash"
+            ).collect()
+        }
+        hashes = {i: phash64_py(img) for i, img, _ in rows}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        want = {
+            (a, b): ham(hashes[a], hashes[b])
+            for a in hashes
+            for b in hashes
+            if a < b and ham(hashes[a], hashes[b]) <= 10
+        }
+        assert got == want
+
+    def test_unknown_method_rejected(self):
+        from clawrag_spark import multimodal as MM
+
+        with pytest.raises(ValueError):
+            MM.image_hashes(None, "img_id", method="dhash")
