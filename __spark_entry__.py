@@ -589,6 +589,67 @@ def q_ngram_jaccard(spark, sf_dir):
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+#: Session-scoped attribute-sidecar dirs (Dolma pattern: taggers run
+#: once per session, filter sweeps reuse the sidecars).
+_ATTR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _attributes_dir(spark, sf_dir) -> str:
+    import tempfile
+
+    from clawrag_spark.attributes import write_attributes
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ATTR_CACHE:
+        tmp = tempfile.mkdtemp(prefix="clawrag_attrs_")
+        docs = _load(spark, sf_dir, "documents")
+        write_attributes(
+            docs,
+            tmp,
+            {
+                "shape": {
+                    "n_tokens": F.size(
+                        F.filter(
+                            F.split(F.lower("text"), "[^a-z0-9]+"),
+                            lambda x: x != F.lit(""),
+                        )
+                    ).cast("long"),
+                    "n_chars": F.length("text").cast("long"),
+                },
+                "langid": {
+                    "lang": F.col("lang"),
+                    "is_en": (F.col("lang") == "en"),
+                },
+            },
+        )
+        _ATTR_CACHE[key] = tmp
+    return _ATTR_CACHE[key]
+
+
+def q_attribute_filter(spark, sf_dir):
+    """Dolma-style attribute sidecars: taggers write per-doc signals to
+    parquet sidecar tables (id-bucketed like every pipeline sink, all
+    taggers in ONE corpus scan), then filter sweeps join only the
+    attribute tables — the text column never rides a shuffle.  This
+    query builds the sidecars once per session, loads two taggers
+    back, filters on their joined attributes, and semi-joins the
+    survivors against the corpus.  The oracle recomputes the predicate
+    inline — validating the whole tagger → sidecar → filter chain."""
+    from clawrag_spark.attributes import filter_by_attributes, load_attributes
+
+    adir = _attributes_dir(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents")
+    attrs = load_attributes(spark, adir, ["langid", "shape"])
+    kept = filter_by_attributes(
+        docs,
+        attrs,
+        (F.col("n_tokens") >= 40)
+        & (F.col("n_tokens") <= 120)
+        & F.col("lang").isin("en", "de"),
+    )
+    return kept.select("doc_id", "source", "lang", "n_chars")
+
+
 def q_dup_ngrams(spark, sf_dir):
     """Corpus-wide duplicated-n-gram report (the memorization-risk
     statistic of Lee et al. 2021 / Carlini et al. 2022: verbatim text
@@ -2665,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "dup_ngrams": q_dup_ngrams,
         "image_phash_dups": q_image_phash_dups,
+        "attribute_filter": q_attribute_filter,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3686,6 +3748,17 @@ def oracle_sql() -> dict[str, str]:
                        AS failure_rate
             FROM read_parquet('{_DEMO_OUT}/metrics/*.parquet')
             GROUP BY run_id
+        """,
+        # attribute_filter: the oracle recomputes the tagger signals
+        # and predicate inline from the corpus — validating the whole
+        # tagger -> sidecar -> filter chain end to end
+        "attribute_filter": """
+            SELECT doc_id, source, lang, n_chars
+            FROM documents
+            WHERE len(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) BETWEEN 40 AND 120
+              AND lang IN ('en', 'de')
         """,
         # dup_ngrams: same 3-gram shingle construction as the minhash
         # family (occurrences kept, no DISTINCT), total deterministic

@@ -1,0 +1,118 @@
+"""Dolma-style attribute sidecars: tag once, filter cheaply.
+
+The pattern behind AI2's Dolma toolkit (and most production curation
+stacks): taggers write their per-document signals to SIDECAR tables
+keyed by document id, separate from the (immutable, expensive-to-scan)
+text.  Filter experiments then iterate over the small attribute tables
+— joining two longs per doc instead of re-reading 100 TB of text per
+threshold sweep.
+
+Scale shape:
+- every sidecar carries ``id_bucket = pmod(xxhash64(id), n_buckets)``
+  as a column, mirroring the pipeline sinks' bucket convention
+  (``pipeline.py``: plain parquet + bucket column; an Iceberg bucket
+  transform owns physical layout in prod) — co-bucketed sidecars join
+  the main table without a shuffle on a bucketed warehouse,
+- ALL taggers of one run execute in a single corpus scan (one cached
+  projection, per-tagger writes read the cache), because at 100 TB the
+  scan is the cost and a Dolma-style one-process-per-tagger layout
+  would pay it per tagger,
+- ``filter_by_attributes`` joins only the requested sidecars, so a
+  threshold sweep touches kilobytes per doc, never the text column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_attributes", "load_attributes", "filter_by_attributes"]
+
+_MANIFEST = "_attribute_manifest.json"
+
+
+def _bucketed(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "id_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_attributes(
+    docs: DataFrame,
+    out_dir: str,
+    taggers: dict[str, dict[str, Column]],
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> dict:
+    """Run every tagger in ONE corpus scan and write one parquet sidecar
+    per tagger under ``out_dir/attributes/<tagger>/``.
+
+    ``taggers`` maps tagger name → {attribute column name → Column
+    expression over the docs frame}.  Returns the manifest dict (also
+    written as JSON next to the sidecars): tagger → attribute names.
+    The combined projection is persisted so the text scan happens once;
+    each tagger's write reads the cache.
+    """
+    base = os.path.join(out_dir, "attributes")
+    os.makedirs(base, exist_ok=True)
+    all_cols = [F.col(id_col)]
+    for tname, attrs in taggers.items():
+        for aname, col in attrs.items():
+            all_cols.append(col.alias(f"{tname}__{aname}"))
+    combined = _bucketed(docs.select(*all_cols), id_col, n_buckets).persist()
+    combined.count()  # materialize: every tagger write reads warm cache
+    manifest = {}
+    for tname, attrs in taggers.items():
+        proj = combined.select(
+            id_col,
+            "id_bucket",
+            *[F.col(f"{tname}__{a}").alias(a) for a in attrs],
+        )
+        proj.write.mode("overwrite").parquet(os.path.join(base, tname))
+        manifest[tname] = sorted(attrs)
+    combined.unpersist()
+    with open(os.path.join(base, _MANIFEST), "w") as fh:
+        json.dump({"id_col": id_col, "taggers": manifest}, fh, indent=2)
+    return manifest
+
+
+def load_attributes(
+    spark: SparkSession, out_dir: str, taggers: list[str] | None = None
+) -> DataFrame:
+    """Join the requested sidecars (all by default) into one attribute
+    frame keyed by the manifest's id column.  Joins are id-equi-joins
+    between co-bucketed tables — shuffle-free on a bucketed warehouse."""
+    base = os.path.join(out_dir, "attributes")
+    with open(os.path.join(base, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    id_col = manifest["id_col"]
+    names = taggers if taggers is not None else sorted(manifest["taggers"])
+    out = None
+    for tname in names:
+        if tname not in manifest["taggers"]:
+            raise KeyError(f"unknown tagger {tname!r}; manifest has "
+                           f"{sorted(manifest['taggers'])}")
+        part = spark.read.parquet(os.path.join(base, tname))
+        if out is None:
+            out = part
+        else:
+            out = out.join(part.drop("id_bucket"), id_col)
+    return out
+
+
+def filter_by_attributes(
+    docs: DataFrame,
+    attrs: DataFrame,
+    predicate: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the docs whose attribute row satisfies ``predicate`` — the
+    filter-sweep step of the sidecar pattern.  The predicate evaluates
+    on the attribute table BEFORE the join, so only surviving ids reach
+    the text table (semi-join shape: the text column never rides the
+    shuffle)."""
+    keep = attrs.filter(predicate).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
