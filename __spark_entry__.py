@@ -650,6 +650,36 @@ def q_attribute_filter(spark, sf_dir):
     return kept.select("doc_id", "source", "lang", "n_chars")
 
 
+#: Boilerplate tail planted on every 7th document so duplicated
+#: three-sentence spans exist corpus-wide (the corpus's own near-dups
+#: are not sentence-aligned); shared by the Spark query and the oracle.
+_SPAN_PLANT = (
+    " Subscribe to our newsletter today. All rights reserved by the site."
+    " Cookies help us deliver services. Terms of use apply to content."
+    " Contact the webmaster for details. Copyright notice appears below."
+    " Thanks for visiting this page."
+)
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4's corpus-level dedup unit: any three-sentence span occurring
+    more than once keeps only its first (doc order, position)
+    occurrence; text rebuilt from surviving spans.  The fixture plants
+    a boilerplate tail on every 7th doc — sentence-aligned duplicated
+    spans, exactly the footer/cookie-notice text C4's span dedup was
+    built to strip.  One span-hash window shuffle + one rebuild agg."""
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_SPAN_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return WT.span3_dedup(planted, "doc_id", "text")
+
+
 def q_dup_ngrams(spark, sf_dir):
     """Corpus-wide duplicated-n-gram report (the memorization-risk
     statistic of Lee et al. 2021 / Carlini et al. 2022: verbatim text
@@ -2727,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "image_phash_dups": q_image_phash_dups,
         "attribute_filter": q_attribute_filter,
+        "span_dedup": q_span_dedup,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3760,6 +3791,61 @@ def oracle_sql() -> dict[str, str]:
                       x -> x <> '')) BETWEEN 40 AND 120
               AND lang IN ('en', 'de')
         """,
+        # span_dedup: same planted boilerplate tail, same [.!?]\s+
+        # sentence split (delimiter consumed identically), same
+        # keep-first rank over the span hash — text_dedup rebuilt
+        # byte-for-byte by string_agg ordered by span position
+        "span_dedup": ("""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || '"""
+            + _SPAN_PLANT.replace("'", "''")
+            + """'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            sents AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split_regex(text, '[.!?]\s+'),
+                               x -> trim(x)),
+                           x -> x <> '') AS s
+                FROM planted
+            ),
+            spans AS (
+                SELECT doc_id, g,
+                       array_to_string(s[3 * g + 1 : 3 * g + 3], ' ') AS span
+                FROM (
+                    SELECT doc_id, s,
+                           unnest(generate_series(
+                               0, ((len(s) + 2) // 3)::BIGINT - 1)) AS g
+                    FROM sents WHERE len(s) > 0
+                )
+            ),
+            ranked AS (
+                SELECT doc_id, g, span,
+                       row_number() OVER (
+                           PARTITION BY md5(span) ORDER BY doc_id, g
+                       ) AS rn
+                FROM spans
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       count(*) AS n_spans,
+                       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                       COALESCE(string_agg(
+                           CASE WHEN rn = 1 THEN span END, ' ' ORDER BY g),
+                           '') AS text_dedup
+                FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.n_spans, 0) AS n_spans,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.text_dedup, '') AS text_dedup
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """),
         # dup_ngrams: same 3-gram shingle construction as the minhash
         # family (occurrences kept, no DISTINCT), total deterministic
         # order so the LIMIT boundary is engine-identical

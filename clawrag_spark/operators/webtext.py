@@ -305,6 +305,91 @@ def dedup_lines_in_doc(
     )
 
 
+def span3_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_sents: int = 3
+) -> DataFrame:
+    """C4's corpus-level dedup unit (Raffel et al. 2020 §2.2): any
+    ``span_sents``-sentence span occurring more than once in the corpus
+    keeps only its FIRST occurrence (document order, then position);
+    every later occurrence is cut and the text rebuilt from surviving
+    spans.
+
+    Sentences come from the engine-portable split on ``[.!?]\\s+``
+    (C4's langdetect-based splitter is not reproducible cross-engine;
+    the delimiter is consumed identically on Spark and DuckDB so the
+    rebuilt text hashes bit-identically), grouped into NON-OVERLAPPING
+    ``span_sents``-sentence spans from sentence 0.
+
+    Returns (id, n_spans, n_kept, text_dedup).  Scale shape: one
+    window shuffle keyed by the 16-byte span hash (rank-1 keep-first),
+    one id-keyed rebuild aggregation — no all-pairs anything; span
+    frequency skew is bounded because every duplicated span keeps
+    exactly one survivor.
+    """
+    k = int(span_sents)
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]\s+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col), sents.alias("__sents"))
+    spans = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__sents") > 0,
+                F.expr(
+                    f"sequence(0, int((size(__sents) + {k - 1}) div {k}) - 1)"
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("g"),
+        F.col("__sents"),
+    ).select(
+        F.col(id_col),
+        "g",
+        F.concat_ws(
+            " ", F.slice(F.col("__sents"), F.col("g") * k + 1, k)
+        ).alias("span"),
+    )
+    w = Window.partitionBy(F.md5("span")).orderBy(id_col, "g")
+    ranked = spans.withColumn("__rn", F.row_number().over(w))
+    rebuilt = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("g"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    # docs whose text yields zero sentences still get a row
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame, id_col: str, text_col: str, min_rep: int = 2
 ) -> DataFrame:

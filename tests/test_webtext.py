@@ -862,3 +862,59 @@ class TestC4LineClean:
         assert got[2].kept
         assert not got[3].kept and got[3].text_clean == ""
         assert got[3].n_kept_lines == 0
+
+
+class TestSpan3Dedup:
+    def test_keep_first_and_rebuild(self, spark):
+        boiler = (
+            "All rights reserved today. Cookies help deliver services. "
+            "Terms of use apply here."
+        )
+        rows = [
+            (0, "Unique zero alpha sentence. " + boiler),
+            (1, "Unique one beta sentence. " + boiler),
+            (2, "Unique two gamma sentence only."),
+        ]
+        # sentence-align the boilerplate: one unique sentence before it
+        # means spans are [unique+b1...]... so plant with 2 fillers to
+        # align instead: use texts where boiler IS the second span
+        rows = [
+            (0, "U zero one. U zero two. U zero three. " + boiler),
+            (1, "U one one. U one two. U one three. " + boiler),
+            (2, "U two one. U two two. U two three."),
+        ]
+        got = {
+            r.doc_id: r
+            for r in W.span3_dedup(
+                spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+            ).collect()
+        }
+        # doc 0: both spans kept (first occurrence of the boiler span)
+        assert got[0].n_spans == 2 and got[0].n_kept == 2
+        assert "Cookies help deliver services" in got[0].text_dedup
+        # doc 1: boiler span is a later occurrence -> cut
+        assert got[1].n_spans == 2 and got[1].n_kept == 1
+        assert "Cookies" not in got[1].text_dedup
+        # the split consumes interior [.!?]+whitespace delimiters
+        assert got[1].text_dedup == "U one one U one two U one three"
+        # doc 2: single unique span kept
+        assert got[2].n_kept == 1
+
+    def test_zero_sentence_doc_gets_row(self, spark):
+        rows = [(0, ""), (1, "One real sentence here today.")]
+        got = {
+            r.doc_id: r
+            for r in W.span3_dedup(
+                spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+            ).collect()
+        }
+        assert got[0].n_spans == 0 and got[0].text_dedup == ""
+        assert got[1].n_kept == 1
+
+    def test_within_doc_duplicate_spans_cut(self, spark):
+        span = "Alpha beta gamma delta. Epsilon zeta eta theta. Iota kappa lambda mu."
+        rows = [(0, span + " " + span + " End filler sentence done.")]
+        got = W.span3_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()[0]
+        assert got.n_spans == 3 and got.n_kept == 2
