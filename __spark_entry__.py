@@ -661,6 +661,24 @@ _SPAN_PLANT = (
 )
 
 
+def q_threshold_sweep(spark, sf_dir):
+    """Filter-calibration sweep: survivors per (lang, min-token
+    threshold) for a 5-point grid in ONE corpus scan — each doc's
+    passed-threshold count aggregates to a tiny bucket histogram whose
+    suffix sums are the survivor counts (sweeping 100 thresholds costs
+    the same scan as one).  The oracle is the naive grid cross join."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("lang"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ).alias("n_tokens"),
+    )
+    return WT.threshold_sweep(toks, "lang", "n_tokens", [20, 40, 60, 80, 100])
+
+
 def q_span_dedup(spark, sf_dir):
     """C4's corpus-level dedup unit: any three-sentence span occurring
     more than once keeps only its first (doc order, position)
@@ -2758,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dups": q_image_phash_dups,
         "attribute_filter": q_attribute_filter,
         "span_dedup": q_span_dedup,
+        "threshold_sweep": q_threshold_sweep,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3790,6 +3809,23 @@ def oracle_sql() -> dict[str, str]:
                       string_split_regex(lower(text), '[^a-z0-9]+'),
                       x -> x <> '')) BETWEEN 40 AND 120
               AND lang IN ('en', 'de')
+        """,
+        # threshold_sweep: the oracle is the naive grid cross join the
+        # Spark side avoids (one scan + suffix sums of a bucket
+        # histogram); only combos with >=1 survivor appear on both sides
+        "threshold_sweep": """
+            WITH t AS (
+                SELECT lang AS strat,
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS n_tokens
+                FROM documents
+            ),
+            g AS (SELECT unnest([20, 40, 60, 80, 100]) AS threshold)
+            SELECT strat, threshold, count(*) AS n_survivors
+            FROM t CROSS JOIN g
+            WHERE n_tokens >= threshold
+            GROUP BY strat, threshold
         """,
         # span_dedup: same planted boilerplate tail, same [.!?]\s+
         # sentence split (delimiter consumed identically), same

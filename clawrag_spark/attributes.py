@@ -29,7 +29,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_attributes", "load_attributes", "filter_by_attributes"]
+__all__ = ["write_attributes", "update_attributes", "load_attributes", "filter_by_attributes"]
 
 _MANIFEST = "_attribute_manifest.json"
 
@@ -77,6 +77,51 @@ def write_attributes(
     with open(os.path.join(base, _MANIFEST), "w") as fh:
         json.dump({"id_col": id_col, "taggers": manifest}, fh, indent=2)
     return manifest
+
+
+def update_attributes(
+    docs: DataFrame,
+    out_dir: str,
+    taggers: dict[str, dict[str, Column]],
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> dict:
+    """Incremental tagging: run the taggers ONLY over docs whose id is
+    not yet in the sidecars and append the new rows — the
+    continuously-fed counterpart of :func:`write_attributes`, same
+    shape as the pipeline's doc-hash resume anti-join.  Tagger names
+    and attribute sets must match the committed manifest (attributes
+    are per-tagger columns; a schema change is a new tagger, not an
+    update).  Returns ``{"n_new": int}``.
+    """
+    base = os.path.join(out_dir, "attributes")
+    with open(os.path.join(base, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    want = {t: sorted(attrs) for t, attrs in taggers.items()}
+    if want != manifest["taggers"] or id_col != manifest["id_col"]:
+        raise ValueError(
+            f"tagger set {want} does not match committed manifest "
+            f"{manifest['taggers']} (id {manifest['id_col']})"
+        )
+    spark = docs.sparkSession
+    first = sorted(taggers)[0]
+    seen = spark.read.parquet(os.path.join(base, first)).select(id_col)
+    fresh = docs.join(seen, id_col, "left_anti")
+    all_cols = [F.col(id_col)]
+    for tname, attrs in taggers.items():
+        for aname, col in attrs.items():
+            all_cols.append(col.alias(f"{tname}__{aname}"))
+    combined = _bucketed(fresh.select(*all_cols), id_col, n_buckets).persist()
+    n_new = combined.count()
+    if n_new:
+        for tname, attrs in taggers.items():
+            combined.select(
+                id_col,
+                "id_bucket",
+                *[F.col(f"{tname}__{a}").alias(a) for a in attrs],
+            ).write.mode("append").parquet(os.path.join(base, tname))
+    combined.unpersist()
+    return {"n_new": int(n_new)}
 
 
 def load_attributes(

@@ -1110,6 +1110,50 @@ def latest_per_url(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_t
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def threshold_sweep(
+    df: DataFrame,
+    strat_col: str,
+    value_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Survivor counts for a whole threshold grid in ONE corpus scan —
+    the filter-calibration sweep every curation run does before picking
+    cutoffs.  The naive approach rescans the corpus per candidate
+    threshold; this computes each doc's passed-threshold count (a
+    per-row expression), aggregates once to a ≤ |strata|·(|T|+1)-row
+    bucket histogram, and reads every survivor count off the
+    histogram's suffix sums — so sweeping 100 thresholds costs the
+    same single scan as sweeping one.
+
+    Returns (strat, threshold, n_survivors) for every combination with
+    at least one survivor: ``n_survivors`` = docs in the stratum with
+    ``value_col >= threshold``.  ``thresholds`` must be ascending.
+    """
+    ts = [int(t) for t in thresholds]
+    if ts != sorted(ts) or len(set(ts)) != len(ts):
+        raise ValueError(f"thresholds must be strictly ascending, got {thresholds}")
+    spark = df.sparkSession
+    # bucket = how many thresholds the doc passes (0..|T|) — monotone,
+    # so survivors(T[j]) = sum of buckets > j
+    bucket = sum(
+        (F.col(value_col) >= t).cast("int") for t in ts
+    )
+    counts = (
+        df.select(F.col(strat_col).alias("strat"), bucket.alias("bucket"))
+        .groupBy("strat", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(ts)], "j int, threshold int"
+    )
+    # tiny-frame theta join: |strata|·(|T|+1) histogram rows × |T| grid
+    return (
+        counts.join(F.broadcast(grid), F.col("bucket") > F.col("j"))
+        .groupBy("strat", "threshold")
+        .agg(F.sum("n").alias("n_survivors"))
+    )
+
+
 def gopher_quality_gate(
     docs: DataFrame,
     id_col: str,

@@ -106,3 +106,42 @@ class TestAttributeSidecars:
             kept._jdf.queryExecution(), "formatted"
         )
         assert "LeftSemi" in plan
+
+    def test_incremental_update_tags_only_new_docs(self, spark, tmp_path):
+        from clawrag_spark.attributes import update_attributes
+
+        out = str(tmp_path / "inc")
+        taggers = {
+            "shape": {"n_chars": F.length("text").cast("long")},
+        }
+        first = spark.createDataFrame(
+            [(i, "x" * (i + 1)) for i in range(50)], "doc_id long, text string"
+        )
+        write_attributes(first, out, taggers)
+        grown = spark.createDataFrame(
+            [(i, "x" * (i + 1)) for i in range(70)], "doc_id long, text string"
+        )
+        res = update_attributes(grown, out, taggers)
+        assert res == {"n_new": 20}
+        attrs = load_attributes(spark, out)
+        rows = {r["doc_id"]: r["n_chars"] for r in attrs.collect()}
+        assert len(rows) == 70 and rows[65] == 66 and rows[3] == 4
+        # idempotent: nothing new on a rerun
+        assert update_attributes(grown, out, taggers) == {"n_new": 0}
+        assert load_attributes(spark, out).count() == 70
+
+    def test_incremental_update_rejects_schema_drift(self, spark, tmp_path):
+        from clawrag_spark.attributes import update_attributes
+
+        out = str(tmp_path / "drift")
+        write_attributes(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            out,
+            {"shape": {"n_chars": F.length("text").cast("long")}},
+        )
+        with pytest.raises(ValueError):
+            update_attributes(
+                spark.createDataFrame([(2, "b")], "doc_id long, text string"),
+                out,
+                {"shape": {"n_tokens": F.lit(1)}},
+            )
