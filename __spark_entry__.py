@@ -661,6 +661,22 @@ _SPAN_PLANT = (
 )
 
 
+def q_curriculum_rank(spark, sf_dir):
+    """Curriculum ordering: dense global rank of every document under
+    (quality proxy desc, id) — the staged-training sort — WITHOUT the
+    naive single-partition global sort: range partition on the order
+    expressions, per-partition row_number, P broadcast offsets (the
+    pack_shards prefix-sum shape with counts of 1).  The oracle IS the
+    naive global window."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    return PK.global_rank(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+    )
+
+
 def q_threshold_sweep(spark, sf_dir):
     """Filter-calibration sweep: survivors per (lang, min-token
     threshold) for a 5-point grid in ONE corpus scan — each doc's
@@ -2777,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_filter": q_attribute_filter,
         "span_dedup": q_span_dedup,
         "threshold_sweep": q_threshold_sweep,
+        "curriculum_rank": q_curriculum_rank,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3809,6 +3826,15 @@ def oracle_sql() -> dict[str, str]:
                       string_split_regex(lower(text), '[^a-z0-9]+'),
                       x -> x <> '')) BETWEEN 40 AND 120
               AND lang IN ('en', 'de')
+        """,
+        # curriculum_rank: the oracle is the naive one-partition global
+        # window sort the Spark side replaces with the two-phase
+        # range-partition + broadcast-offset plan
+        "curriculum_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT
+                       AS rank
+            FROM documents
         """,
         # threshold_sweep: the oracle is the naive grid cross join the
         # Spark side avoids (one scan + suffix sums of a bucket

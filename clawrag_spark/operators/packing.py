@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["shuffle_order_key", "pack_training_shards", "pack_sequences"]
+__all__ = [
+    "shuffle_order_key",
+    "pack_training_shards",
+    "pack_sequences",
+    "global_rank",
+]
 
 
 def shuffle_order_key(id_col: Column, salt: str = "pack") -> Column:
@@ -208,4 +213,52 @@ def pack_sequences(
         (span_start - F.col("seq_id") * ctx).alias("tok_start"),
         (span_end - F.col("seq_id") * ctx).alias("tok_end"),
         (span_end - span_start).alias("n_span"),
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global 1-based rank under a TOTAL order — the curriculum
+    primitive (order the corpus by quality/difficulty score for staged
+    training) without the naive plan's single-partition global sort.
+
+    ``order_cols`` are Column expressions (``F.col("score").desc()``,
+    tiebreakers included — the order must be total, or ranks of tied
+    rows are partition-dependent).  Same two-phase shape as the prefix
+    sums above: range-partition by the order expressions (contiguous
+    rank ranges per partition), per-partition ``row_number``, P
+    per-partition counts cumulated on the driver and broadcast back.
+    Wall-clock is one range shuffle; the naive
+    ``row_number() OVER (ORDER BY ...)`` — which IS the oracle — sorts
+    the full corpus through one task.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Pin the sampled range boundaries before the plan forks (the
+    # module's eager-persist rule): the counts job and the rank job
+    # must read the SAME partitioning.
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    parted.count()
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = parted.withColumn("__rn", F.row_number().over(w))
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.count("*").alias("__c"))
+        .withColumn("__off", F.coalesce(F.sum("__c").over(wp), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
     )

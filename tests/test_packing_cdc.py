@@ -278,3 +278,35 @@ class TestSemanticDedup:
         )
         # round(cos,6) == 0.8 >= 0.8 -> dominated
         assert DS.semantic_dedup(emb, "vec_id", "embedding", "label", 0.8).count() == 1
+
+
+class TestGlobalRank:
+    def test_matches_serial_rank_and_partition_invariant(self, spark, docs):
+        # total order: value desc, id asc; values collide across docs
+        want = {
+            d: r + 1
+            for r, (d, _) in enumerate(
+                sorted(
+                    ((r["doc_id"], r["n_tok"]) for r in docs.collect()),
+                    key=lambda t: (-t[1], t[0]),
+                )
+            )
+        }
+        for p in (3, 17):
+            got = {
+                r["doc_id"]: r["rank"]
+                for r in PK.global_rank(
+                    docs,
+                    [F.col("n_tok").desc(), F.col("doc_id")],
+                    num_partitions=p,
+                ).collect()
+            }
+            assert got == want
+
+    def test_no_single_partition_sort_of_input(self, spark, docs):
+        out = PK.global_rank(docs, [F.col("n_tok").desc(), F.col("doc_id")])
+        plan = plan_of(out)
+        # the doc-bearing window is partitioned by __pid; the only
+        # SinglePartition exchange is the P-row offset cumsum
+        assert plan.count("Exchange SinglePartition") <= 1
+        assert "rangepartitioning" in plan.lower()
