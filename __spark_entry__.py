@@ -661,6 +661,16 @@ _SPAN_PLANT = (
 )
 
 
+def q_domain_kl(spark, sf_dir):
+    """Per-source token-distribution KL divergence from the corpus —
+    the DoReMi/DSIR mixture diagnostic (which domains to reweight; a
+    spike flags boilerplate or a mis-tagged source).  One (domain,
+    token) aggregation; global rollup derived from it (vocab-bounded),
+    broadcast joins, ln summed then rounded to 6."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.domain_token_kl(docs, "source", "text")
+
+
 def q_curriculum_rank(spark, sf_dir):
     """Curriculum ordering: dense global rank of every document under
     (quality proxy desc, id) — the staged-training sort — WITHOUT the
@@ -2794,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "threshold_sweep": q_threshold_sweep,
         "curriculum_rank": q_curriculum_rank,
+        "domain_kl": q_domain_kl,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3826,6 +3837,34 @@ def oracle_sql() -> dict[str, str]:
                       string_split_regex(lower(text), '[^a-z0-9]+'),
                       x -> x <> '')) BETWEEN 40 AND 120
               AND lang IN ('en', 'de')
+        """,
+        # domain_kl: whitespace tokenizer (the _words twin), same
+        # p*ln(p/q) with q from the vocab-bounded global rollup; sum
+        # order differs but round(6) absorbs float association drift
+        "domain_kl": """
+            WITH toks AS (
+                SELECT source AS domain,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ),
+            per AS (
+                SELECT domain, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            dt AS (
+                SELECT domain, sum(c)::BIGINT AS dn,
+                       count(*)::BIGINT AS n_distinct
+                FROM per GROUP BY 1
+            ),
+            gl AS (SELECT tok, sum(c)::BIGINT AS g FROM per GROUP BY 1),
+            nn AS (SELECT sum(c)::BIGINT AS N FROM per)
+            SELECT domain, dn AS n_tokens, n_distinct AS n_distinct_tokens,
+                   round(sum((c / dn::DOUBLE)
+                             * ln((c / dn::DOUBLE) / (g / N::DOUBLE))), 6)
+                       AS kl_nats
+            FROM per JOIN gl USING (tok) JOIN dt USING (domain) CROSS JOIN nn
+            GROUP BY domain, dn, n_distinct
         """,
         # curriculum_rank: the oracle is the naive one-partition global
         # window sort the Spark side replaces with the two-phase

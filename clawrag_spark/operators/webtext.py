@@ -1110,6 +1110,61 @@ def latest_per_url(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_t
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def domain_token_kl(
+    df: DataFrame, domain_col: str, text_col: str
+) -> DataFrame:
+    """Per-domain token-distribution divergence from the corpus: KL(
+    domain ‖ corpus) over unigram frequencies — the mixture diagnostic
+    behind DoReMi/DSIR-style domain reweighting (a domain whose token
+    distribution sits far from the corpus mean is up/down-weighted
+    first, and a divergence spike flags scraped boilerplate or a
+    mis-tagged source).
+
+    Scale shape: one (domain, token)-keyed count aggregation (map-side
+    partials) over the exploded token stream, a token-keyed global
+    rollup DERIVED from those counts (vocab-bounded, not corpus-
+    bounded), one broadcast-sized join back, one domain rollup.  Only
+    tokens the domain actually contains contribute (p·ln(p/q) with
+    p>0, and q>0 always since global counts include the domain's own).
+
+    Returns (domain, n_tokens, n_distinct_tokens, kl_nats) with the
+    divergence rounded to 6 — float ln both engines compute identically
+    at that precision.
+    """
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(_words(F.col(text_col))).alias("tok"),
+    )
+    per = toks.groupBy("domain", "tok").agg(F.count("*").alias("c")).persist()
+    per.count()  # eager (fork rule): four subtrees below read this cache
+    dom_tot = per.groupBy("domain").agg(
+        F.sum("c").alias("dn"), F.count("*").alias("n_distinct")
+    )
+    glob = per.groupBy("tok").agg(F.sum("c").alias("g"))
+    corpus_n = per.select(F.sum("c").alias("N"))
+    out = (
+        per.join(F.broadcast(glob), "tok")
+        .join(F.broadcast(dom_tot), "domain")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "domain",
+            "dn",
+            "n_distinct",
+            (
+                (F.col("c") / F.col("dn"))
+                * F.log((F.col("c") / F.col("dn")) / (F.col("g") / F.col("N")))
+            ).alias("term"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.first("dn").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct_tokens"),
+            F.round(F.sum("term"), 6).alias("kl_nats"),
+        )
+    )
+    return out
+
+
 def threshold_sweep(
     df: DataFrame,
     strat_col: str,
