@@ -661,6 +661,37 @@ _SPAN_PLANT = (
 )
 
 
+def q_corpus_datasheet(spark, sf_dir):
+    """Dataset-card rollup (the 'datasheet' table a corpus release
+    ships): per (source, lang) doc counts, token mass, share of the
+    corpus token budget, and mean doc length.  One scan with map-side
+    partial aggs to a |sources|x|langs|-row frame; the share divides by
+    a broadcast scalar total, never re-scans."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    per = docs.select("source", "lang", toks.alias("n_toks"), "n_chars").groupBy(
+        "source", "lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    total = per.select(F.sum("n_tokens").alias("N"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("N"), 6).alias("token_share"),
+            "avg_chars",
+        )
+    )
+
+
 def q_domain_kl(spark, sf_dir):
     """Per-source token-distribution KL divergence from the corpus —
     the DoReMi/DSIR mixture diagnostic (which domains to reweight; a
@@ -2805,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "curriculum_rank": q_curriculum_rank,
         "domain_kl": q_domain_kl,
+        "corpus_datasheet": q_corpus_datasheet,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3837,6 +3869,24 @@ def oracle_sql() -> dict[str, str]:
                       string_split_regex(lower(text), '[^a-z0-9]+'),
                       x -> x <> '')) BETWEEN 40 AND 120
               AND lang IN ('en', 'de')
+        """,
+        # corpus_datasheet: same whitespace token mass, same scalar
+        # total; avg on the fixture's n_chars column
+        "corpus_datasheet": """
+            WITH per AS (
+                SELECT source, lang,
+                       count(*) AS n_docs,
+                       sum(len(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')))::BIGINT AS n_tokens,
+                       round(avg(n_chars), 2) AS avg_chars
+                FROM documents GROUP BY 1, 2
+            ),
+            nn AS (SELECT sum(n_tokens)::BIGINT AS N FROM per)
+            SELECT source, lang, n_docs, n_tokens,
+                   round(n_tokens / N::DOUBLE, 6) AS token_share,
+                   avg_chars
+            FROM per CROSS JOIN nn
         """,
         # domain_kl: whitespace tokenizer (the _words twin), same
         # p*ln(p/q) with q from the vocab-bounded global rollup; sum
