@@ -560,3 +560,51 @@ class TestSessionAdditionPlans:
         plan = plan_of(entry_mod.q_unigram_seed(spark, SF_DIR))
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
         assert "EvalPython" not in plan
+
+
+class TestRound4SessionPlans:
+    """Plan pins for the newest operators: the plans we want."""
+
+    def test_c4_clean_zero_shuffle_no_python(self, spark):
+        plan = plan_of(entry_mod.q_c4_clean(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # pure per-row array expressions over one scan: no exchange at all
+        assert "Exchange" not in plan
+
+    def test_threshold_sweep_single_scan_broadcast_grid(self, spark):
+        plan = plan_of(entry_mod.q_threshold_sweep(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # one corpus scan for the whole grid (each physical scan has
+        # exactly one Location line in the formatted plan)
+        assert plan.count("Location: InMemoryFileIndex") == 1
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_span_dedup_one_hash_window_no_python(self, spark):
+        plan = plan_of(entry_mod.q_span_dedup(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
+
+    def test_domain_kl_broadcast_rollups_no_python(self, spark):
+        plan = plan_of(entry_mod.q_domain_kl(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # global dist + totals join back via broadcast, never shuffled-merge
+        assert "BroadcastHashJoin" in plan
+
+    def test_dup_ngrams_topk_no_global_sort(self, spark):
+        plan = plan_of(entry_mod.q_dup_ngrams(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
+        assert "EvalPython" not in plan
+
+    def test_pack_sequences_no_single_partition_input_window(self, spark):
+        plan = plan_of(entry_mod.q_pack_sequences(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # only the P-row offset cumsum may be single-partition
+        assert plan.count("Exchange SinglePartition") <= 1
+
+    def test_attribute_filter_semi_join_no_text_probe(self, spark):
+        plan = plan_of(entry_mod.q_attribute_filter(spark, SF_DIR))
+        assert "LeftSemi" in plan
+        assert "EvalPython" not in plan
