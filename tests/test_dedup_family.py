@@ -666,3 +666,48 @@ def test_cross_candidates_is_equi_join(spark, sf_dir):
         out._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_small_path_matches_bfs_closure_randomized(spark):
+    """20 seeded random graphs: the union-find fast path must equal
+    an independent pure-Python transitive-closure reference."""
+    import random
+
+    from clawrag_spark.operators.dataset import connected_components
+
+    rng = random.Random(404)
+    for trial in range(20):
+        n = rng.randint(2, 60)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(1, 80))
+            }
+        )
+        # reference: BFS closure with min label
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, queue = {start}, [start]
+            while queue:
+                x = queue.pop()
+                for y in adj[x]:
+                    if y not in comp:
+                        comp.add(y)
+                        queue.append(y)
+            label = min(comp)
+            for x in comp:
+                want[x] = label
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["n"]: r["cluster"]
+            for r in connected_components(pairs, "doc_a", "doc_b").collect()
+        }
+        assert got == want, f"trial {trial} diverged"

@@ -310,3 +310,38 @@ class TestGlobalRank:
         # SinglePartition exchange is the P-row offset cumsum
         assert plan.count("Exchange SinglePartition") <= 1
         assert "rangepartitioning" in plan.lower()
+
+
+class TestPackSequencesRandomized:
+    def test_matches_serial_reference_randomized(self, spark):
+        """Seeded random token-count tables vs a serial Python
+        reference of the concat-and-chunk layout."""
+        import hashlib
+        import random
+
+        rng = random.Random(77)
+        for trial in range(5):
+            ctx = rng.choice([16, 53, 100])
+            eos = rng.choice([0, 1])
+            rows = [(i, rng.randint(0, 3 * ctx)) for i in range(rng.randint(1, 120))]
+            order = sorted(
+                rows, key=lambda r: hashlib.md5(f"pack|{r[0]}".encode()).hexdigest()
+            )
+            want, acc = set(), 0
+            for doc_id, tok in order:
+                n = tok + eos
+                if n <= 0:
+                    continue
+                s, e = acc, acc + n
+                acc = e
+                for seq in range(s // ctx, (e - 1) // ctx + 1):
+                    lo, hi = max(s, seq * ctx), min(e, (seq + 1) * ctx)
+                    want.add((seq, doc_id, lo - seq * ctx, hi - seq * ctx, hi - lo))
+            df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+            got = {
+                tuple(r)
+                for r in PK.pack_sequences(
+                    df, "doc_id", "n_tok", ctx, eos_tokens=eos
+                ).collect()
+            }
+            assert got == want, f"trial {trial} (ctx={ctx}, eos={eos}) diverged"
