@@ -1915,6 +1915,42 @@ _ROBOTS_FIXTURES = [
 ]
 
 
+#: Deterministic sitemap.xml fixtures (6 hosts × 5 entries) exercising
+#: whitespace-padded locs, optional lastmod/changefreq/priority tags,
+#: and multi-line XML; inlined as VALUES by the oracle.
+_SITEMAP_FIXTURES = []
+for _h in range(6):
+    _entries = []
+    for _i in range(5):
+        _loc = f"https://host{_h:03d}.example.com/page/{_i}"
+        _parts = [
+            f"<loc> {_loc} </loc>" if _i % 3 == 0 else f"<loc>{_loc}</loc>"
+        ]
+        if _i % 2 == 0:
+            _parts.append(f"<lastmod>2026-0{(_i % 9) + 1}-15</lastmod>")
+        if _i % 3 == 1:
+            _parts.append("<changefreq>daily</changefreq>")
+        if _i % 4 == 2:
+            _parts.append(f"<priority>0.{_i + 3}</priority>")
+        _entries.append("<url>" + "".join(_parts) + "</url>")
+    _SITEMAP_FIXTURES.append(
+        (
+            f"host{_h:03d}.example.com",
+            '<?xml version="1.0"?><urlset>' + "\n".join(_entries) + "</urlset>",
+        )
+    )
+del _h, _i, _loc, _parts, _entries
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap.xml parsing to crawl-frontier rows (the WANT side of the
+    robots/politeness family): non-greedy <url> block extraction +
+    per-block tag pulls, expression-only, zero shuffle.  Optional tags
+    are NULL; priority defaults to 0.5 per the protocol."""
+    sm = spark.createDataFrame(_SITEMAP_FIXTURES, ["host", "sitemap_xml"])
+    return WT.parse_sitemaps(sm)
+
+
 def q_robots_gate(spark, sf_dir):
     """robots.txt gating of a crawl frontier (RFC 9309 star groups):
     parse Allow/Disallow prefix rules with window-numbered groups,
@@ -2837,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_rank": q_curriculum_rank,
         "domain_kl": q_domain_kl,
         "corpus_datasheet": q_corpus_datasheet,
+        "sitemap_urls": q_sitemap_urls,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3870,6 +3907,36 @@ def oracle_sql() -> dict[str, str]:
                       x -> x <> '')) BETWEEN 40 AND 120
               AND lang IN ('en', 'de')
         """,
+        # sitemap_urls: fixture inlined as VALUES; same non-greedy
+        # block regex and tag pulls (RE2 and Java agree on these)
+        "sitemap_urls": (
+            """
+            WITH sm(host, sitemap_xml) AS (VALUES {values}),
+            b AS (
+                SELECT host,
+                       unnest(regexp_extract_all(
+                           sitemap_xml, '(?s)<url>(.*?)</url>', 1)) AS blk
+                FROM sm
+            )
+            SELECT host,
+                   regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1)
+                       AS loc,
+                   regexp_extract(
+                       blk, '<lastmod>\s*([^<]*?)\s*</lastmod>', 1)
+                       AS lastmod,
+                   regexp_extract(
+                       blk, '<changefreq>\s*([^<]*?)\s*</changefreq>', 1)
+                       AS changefreq,
+                   COALESCE(nullif(regexp_extract(
+                       blk, '<priority>\s*([^<]*?)\s*</priority>', 1),
+                       '')::DOUBLE, 0.5) AS priority
+            FROM b
+            WHERE regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1) <> ''
+            """.replace("{values}", ", ".join(
+                "('" + h + "', '" + x.replace(chr(39), chr(39) * 2) + "')"
+                for h, x in _SITEMAP_FIXTURES
+            ))
+        ),
         # corpus_datasheet: same whitespace token mass, same scalar
         # total; avg on the fixture's n_chars column
         "corpus_datasheet": """

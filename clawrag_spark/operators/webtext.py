@@ -1352,6 +1352,44 @@ def politeness_schedule(
     )
 
 
+def parse_sitemaps(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Sitemap.xml → one row per <url> entry: (host, loc, lastmod,
+    changefreq, priority) — the crawl-frontier seed that pairs with
+    ``parse_robots``/``politeness_schedule`` (robots says what MAY be
+    fetched, the sitemap says what the site WANTS fetched and how
+    stale it is).
+
+    Expression-only: non-greedy ``<url>…</url>`` block extraction, then
+    per-block tag pulls — zero Python, zero shuffle, one projection per
+    sitemap row; absent optional tags are '' (priority defaults to
+    0.5 per the protocol).  A 10^12-page crawl parses sitemaps as just
+    another scan-side column transform.
+    """
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1
+    )
+    tag = lambda b, t: F.regexp_extract(b, f"<{t}>\\s*([^<]*?)\\s*</{t}>", 1)
+    out = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(blocks).alias("__b"),
+    ).select(
+        "host",
+        tag(F.col("__b"), "loc").alias("loc"),
+        # absent optional tags stay '' (not NULL): frontier consumers
+        # treat unknown staleness as empty, and the row stays totally
+        # orderable for cross-engine value compares
+        tag(F.col("__b"), "lastmod").alias("lastmod"),
+        tag(F.col("__b"), "changefreq").alias("changefreq"),
+        F.coalesce(
+            F.nullif(tag(F.col("__b"), "priority"), F.lit("")).cast("double"),
+            F.lit(0.5),
+        ).alias("priority"),
+    )
+    return out.filter(F.col("loc") != "")
+
+
 def parse_robots(
     robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
