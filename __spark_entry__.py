@@ -1931,7 +1931,9 @@ for _h in range(6):
         if _i % 3 == 1:
             _parts.append("<changefreq>daily</changefreq>")
         if _i % 4 == 2:
-            _parts.append(f"<priority>0.{_i + 3}</priority>")
+            # 0.8: distinguishable from the protocol default 0.5, so a
+            # broken tag pull cannot pass as the fallback
+            _parts.append(f"<priority>0.{_i + 6}</priority>")
         _entries.append("<url>" + "".join(_parts) + "</url>")
     _SITEMAP_FIXTURES.append(
         (
@@ -3910,7 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         # sitemap_urls: fixture inlined as VALUES; same non-greedy
         # block regex and tag pulls (RE2 and Java agree on these)
         "sitemap_urls": (
-            """
+            r"""
             WITH sm(host, sitemap_xml) AS (VALUES {values}),
             b AS (
                 SELECT host,
@@ -3939,7 +3941,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # corpus_datasheet: same whitespace token mass, same scalar
         # total; avg on the fixture's n_chars column
-        "corpus_datasheet": """
+        "corpus_datasheet": r"""
             WITH per AS (
                 SELECT source, lang,
                        count(*) AS n_docs,
@@ -3958,7 +3960,7 @@ def oracle_sql() -> dict[str, str]:
         # domain_kl: whitespace tokenizer (the _words twin), same
         # p*ln(p/q) with q from the vocab-bounded global rollup; sum
         # order differs but round(6) absorbs float association drift
-        "domain_kl": """
+        "domain_kl": r"""
             WITH toks AS (
                 SELECT source AS domain,
                        unnest(list_filter(
@@ -4019,7 +4021,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 7 = 0
                             THEN text || '"""
             + _SPAN_PLANT.replace("'", "''")
-            + """'
+            + r"""'
                             ELSE text END AS text
                 FROM documents
             ),

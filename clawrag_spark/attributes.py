@@ -40,6 +40,30 @@ def _bucketed(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
     )
 
 
+def _combined_projection(
+    docs: DataFrame,
+    taggers: dict[str, dict[str, Column]],
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """One corpus scan computing every tagger's attributes, columns
+    namespaced ``tagger__attr`` — the single layout both the initial
+    write and incremental appends derive sidecars from."""
+    all_cols = [F.col(id_col)]
+    for tname, attrs in taggers.items():
+        for aname, col in attrs.items():
+            all_cols.append(col.alias(f"{tname}__{aname}"))
+    return _bucketed(docs.select(*all_cols), id_col, n_buckets)
+
+
+def _tagger_sidecar(combined: DataFrame, tname: str, attrs, id_col: str) -> DataFrame:
+    return combined.select(
+        id_col,
+        "id_bucket",
+        *[F.col(f"{tname}__{a}").alias(a) for a in attrs],
+    )
+
+
 def write_attributes(
     docs: DataFrame,
     out_dir: str,
@@ -58,20 +82,13 @@ def write_attributes(
     """
     base = os.path.join(out_dir, "attributes")
     os.makedirs(base, exist_ok=True)
-    all_cols = [F.col(id_col)]
-    for tname, attrs in taggers.items():
-        for aname, col in attrs.items():
-            all_cols.append(col.alias(f"{tname}__{aname}"))
-    combined = _bucketed(docs.select(*all_cols), id_col, n_buckets).persist()
+    combined = _combined_projection(docs, taggers, id_col, n_buckets).persist()
     combined.count()  # materialize: every tagger write reads warm cache
     manifest = {}
     for tname, attrs in taggers.items():
-        proj = combined.select(
-            id_col,
-            "id_bucket",
-            *[F.col(f"{tname}__{a}").alias(a) for a in attrs],
-        )
-        proj.write.mode("overwrite").parquet(os.path.join(base, tname))
+        _tagger_sidecar(combined, tname, attrs, id_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, tname))
         manifest[tname] = sorted(attrs)
     combined.unpersist()
     with open(os.path.join(base, _MANIFEST), "w") as fh:
@@ -104,24 +121,39 @@ def update_attributes(
             f"{manifest['taggers']} (id {manifest['id_col']})"
         )
     spark = docs.sparkSession
-    first = sorted(taggers)[0]
-    seen = spark.read.parquet(os.path.join(base, first)).select(id_col)
-    fresh = docs.join(seen, id_col, "left_anti")
-    all_cols = [F.col(id_col)]
-    for tname, attrs in taggers.items():
-        for aname, col in attrs.items():
-            all_cols.append(col.alias(f"{tname}__{aname}"))
-    combined = _bucketed(fresh.select(*all_cols), id_col, n_buckets).persist()
+    # Per-tagger resume: the appends below are not one atomic commit
+    # (plain parquet, one directory per tagger), so a crash between
+    # appends leaves sidecars at different frontiers.  Each tagger
+    # therefore anti-joins its OWN committed ids — a rerun appends only
+    # what that sidecar is missing, never duplicates, and the sidecars
+    # reconverge instead of silently diverging forever.
+    seen = {
+        t: spark.read.parquet(os.path.join(base, t)).select(id_col)
+        for t in taggers
+    }
+    # one scan over only the docs at least one sidecar is missing
+    need_any = None
+    for t in taggers:
+        missing = docs.select(id_col).join(seen[t], id_col, "left_anti")
+        need_any = missing if need_any is None else need_any.union(missing)
+    need_ids = need_any.distinct()
+    fresh = docs.join(need_ids, id_col, "left_semi")
+    combined = _combined_projection(fresh, taggers, id_col, n_buckets).persist()
     n_new = combined.count()
+    per_tagger: dict[str, int] = {}
     if n_new:
         for tname, attrs in taggers.items():
-            combined.select(
-                id_col,
-                "id_bucket",
-                *[F.col(f"{tname}__{a}").alias(a) for a in attrs],
-            ).write.mode("append").parquet(os.path.join(base, tname))
+            part = _tagger_sidecar(combined, tname, attrs, id_col).join(
+                seen[tname], id_col, "left_anti"
+            )
+            cnt = part.count()
+            per_tagger[tname] = int(cnt)
+            if cnt:
+                part.write.mode("append").parquet(os.path.join(base, tname))
+    else:
+        per_tagger = {t: 0 for t in taggers}
     combined.unpersist()
-    return {"n_new": int(n_new)}
+    return {"n_new": int(n_new), "per_tagger": per_tagger}
 
 
 def load_attributes(
@@ -135,6 +167,10 @@ def load_attributes(
         manifest = json.load(fh)
     id_col = manifest["id_col"]
     names = taggers if taggers is not None else sorted(manifest["taggers"])
+    if not names:
+        raise ValueError("no taggers to load (empty list)")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate tagger names in {names}")
     out = None
     for tname in names:
         if tname not in manifest["taggers"]:

@@ -1169,7 +1169,12 @@ def connected_components(
     the label is the smallest id in the component, a deterministic
     canonical representative.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # NULL endpoints cannot participate in clustering (an upstream
+    # outer join can produce them): dropped on BOTH paths, so the
+    # driver fast path and the distributed loop agree on every input
+    e = pairs.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()

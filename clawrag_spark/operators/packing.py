@@ -80,6 +80,67 @@ def pack_training_shards(
     ).withColumn("shard_id", F.expr(f"start_offset div {int(shard_tokens)}"))
 
 
+def _exclusive_prefix(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The shared two-phase scaffolding: the input plus ``__pfx`` — the
+    exclusive prefix sum of ``weight_col`` under the total order
+    ``order_cols``.  Core of :func:`pack_training_shards`,
+    :func:`pack_sequences` (weight = token counts, order = the shuffle
+    key) and :func:`global_rank` (weight = 1, order = caller's score).
+
+    Pins the sampled range boundaries before the plan forks:
+    RangePartitioner samples its bounds per-RDD, so the totals job and
+    the window job could otherwise each draw DIFFERENT partition splits
+    and the pid-keyed offsets would not describe the rows they are
+    added to.  Eager persist (the codebase's lazy-persist race rule)
+    makes both branches read the same materialized partitioning.  The
+    result is nonetheless partition-count-independent — the order is
+    total, so the global prefix sum is well-defined regardless of where
+    the sampled boundaries fall.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    parted.count()
+    # Partition-local prefix sum: each window group IS a range
+    # partition, so group sizes stay the range partitioner's balanced
+    # splits.
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn(
+        "__loc", F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    )
+    # Exclusive running total of the P per-partition sums: P rows (one
+    # per partition, not per document) through a single-partition window
+    # — metadata-sized by construction — then broadcast back.
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("__t"))
+        .withColumn("__off", F.coalesce(F.sum("__t").over(wp), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("__pfx", F.col("__loc") + F.col("__off"))
+        .drop("__pid", "__loc", "__off")
+    )
+
+
 def _exclusive_prefix_sum(
     df: DataFrame,
     id_col: str,
@@ -91,58 +152,18 @@ def _exclusive_prefix_sum(
     two-phase parallel prefix sum described in the module docstring —
     the shared core of :func:`pack_training_shards` and
     :func:`pack_sequences`."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-
     keyed = df.select(
         F.col(id_col),
         F.col(tokens_col).cast("long").alias("__tok"),
         shuffle_order_key(F.col(id_col), salt).alias("__ok"),
     )
-    # Pin the range boundaries before the plan forks: RangePartitioner
-    # samples its bounds per-RDD, so the totals job and the window job
-    # could otherwise each draw DIFFERENT partition splits and the
-    # pid-keyed offsets would not describe the rows they are added to.
-    # Eager persist (the codebase's lazy-persist race rule) makes both
-    # branches read the same materialized partitioning.  The final
-    # result is nonetheless partition-count-independent — __ok is
-    # unique, so the global prefix sum is well-defined regardless of
-    # where the sampled boundaries fall.
-    parted = (
-        keyed.repartitionByRange(num_partitions, "__ok")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    pref = _exclusive_prefix(
+        keyed, [F.col("__ok")], "__tok", num_partitions
     )
-    parted.count()
-    # Partition-local prefix sum.  partitionBy(__pid) re-shuffles only
-    # (id, tok, 16-byte key) rows, hash-on-pid — each window group IS a
-    # range partition, so group sizes stay the range partitioner's
-    # balanced splits (no skew: __ok is md5-uniform).
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy("__ok")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = parted.withColumn(
-        "__loc", F.coalesce(F.sum("__tok").over(w), F.lit(0))
-    )
-    # Exclusive running total of the P per-partition sums: P rows (one
-    # per partition, not per document) through a single-partition window
-    # — metadata-sized by construction — then broadcast back.
-    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        parted.groupBy("__pid")
-        .agg(F.sum("__tok").alias("__t"))
-        .withColumn("__off", F.coalesce(F.sum("__t").over(wp), F.lit(0)))
-        .select("__pid", "__off")
-    )
-    return local.join(F.broadcast(offsets), "__pid").select(
+    return pref.select(
         F.col(id_col),
         F.col("__tok").alias(tokens_col),
-        (F.col("__loc") + F.col("__off")).alias("start_offset"),
+        F.col("__pfx").alias("start_offset"),
     )
 
 
@@ -236,29 +257,15 @@ def global_rank(
     ``row_number() OVER (ORDER BY ...)`` — which IS the oracle — sorts
     the full corpus through one task.
     """
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # Pin the sampled range boundaries before the plan forks (the
-    # module's eager-persist rule): the counts job and the rank job
-    # must read the SAME partitioning.
-    parted = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    parted.count()
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = parted.withColumn("__rn", F.row_number().over(w))
-    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        parted.groupBy("__pid")
-        .agg(F.count("*").alias("__c"))
-        .withColumn("__off", F.coalesce(F.sum("__c").over(wp), F.lit(0)))
-        .select("__pid", "__off")
+    # rank = exclusive prefix count of 1s under the total order, + 1 —
+    # the same two-phase scaffolding as the token prefix sums
+    pref = _exclusive_prefix(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        order_cols,
+        "__one",
+        num_partitions,
     )
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, (F.col("__rn") + F.col("__off")).cast("long"))
-        .drop("__pid", "__rn", "__off")
+        pref.withColumn(rank_col, (F.col("__pfx") + 1).cast("long"))
+        .drop("__one", "__pfx")
     )

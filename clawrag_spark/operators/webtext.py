@@ -1123,7 +1123,9 @@ def domain_token_kl(
     Scale shape: one (domain, token)-keyed count aggregation (map-side
     partials) over the exploded token stream, a token-keyed global
     rollup DERIVED from those counts (vocab-bounded, not corpus-
-    bounded), one broadcast-sized join back, one domain rollup.  Only
+    bounded), one join back on the
+    token key (the global table is vocab-sized — never broadcast),
+    one domain rollup.  Only
     tokens the domain actually contains contribute (p·ln(p/q) with
     p>0, and q>0 always since global counts include the domain's own).
 
@@ -1143,7 +1145,9 @@ def domain_token_kl(
     glob = per.groupBy("tok").agg(F.sum("c").alias("g"))
     corpus_n = per.select(F.sum("c").alias("N"))
     out = (
-        per.join(F.broadcast(glob), "tok")
+        # glob is VOCAB-sized (every distinct token) — shuffled hash
+        # join on tok; only the |domains|-row and scalar frames broadcast
+        per.join(glob, "tok")
         .join(F.broadcast(dom_tot), "domain")
         .crossJoin(F.broadcast(corpus_n))
         .select(

@@ -122,12 +122,12 @@ class TestAttributeSidecars:
             [(i, "x" * (i + 1)) for i in range(70)], "doc_id long, text string"
         )
         res = update_attributes(grown, out, taggers)
-        assert res == {"n_new": 20}
+        assert res["n_new"] == 20 and res["per_tagger"] == {"shape": 20}
         attrs = load_attributes(spark, out)
         rows = {r["doc_id"]: r["n_chars"] for r in attrs.collect()}
         assert len(rows) == 70 and rows[65] == 66 and rows[3] == 4
         # idempotent: nothing new on a rerun
-        assert update_attributes(grown, out, taggers) == {"n_new": 0}
+        assert update_attributes(grown, out, taggers)["n_new"] == 0
         assert load_attributes(spark, out).count() == 70
 
     def test_incremental_update_rejects_schema_drift(self, spark, tmp_path):
@@ -145,3 +145,47 @@ class TestAttributeSidecars:
                 out,
                 {"shape": {"n_tokens": F.lit(1)}},
             )
+
+    def test_incremental_update_recovers_partial_append(self, spark, tmp_path):
+        """A crash between per-tagger appends must reconverge on rerun:
+        each sidecar anti-joins its OWN committed ids."""
+        import os
+        import shutil
+
+        from clawrag_spark.attributes import update_attributes
+
+        out = str(tmp_path / "partial")
+        taggers = {
+            "aa_shape": {"n_chars": F.length("text").cast("long")},
+            "zz_lang": {"first": F.substring("text", 1, 1)},
+        }
+        first = spark.createDataFrame(
+            [(i, "x" * (i + 1)) for i in range(20)], "doc_id long, text string"
+        )
+        write_attributes(first, out, taggers)
+        grown = spark.createDataFrame(
+            [(i, "x" * (i + 1)) for i in range(30)], "doc_id long, text string"
+        )
+        # simulate the crash: run a full update, then roll ONE sidecar
+        # back to its pre-update state (as if its append never ran)
+        snap = str(tmp_path / "snap")
+        shutil.copytree(os.path.join(out, "attributes", "zz_lang"), snap)
+        update_attributes(grown, out, taggers)
+        shutil.rmtree(os.path.join(out, "attributes", "zz_lang"))
+        shutil.copytree(snap, os.path.join(out, "attributes", "zz_lang"))
+        assert spark.read.parquet(
+            os.path.join(out, "attributes", "zz_lang")
+        ).count() == 20  # diverged frontier, the failure mode under test
+        # rerun completes ONLY the lagging sidecar, no duplicates anywhere
+        res = update_attributes(grown, out, taggers)
+        assert res["per_tagger"] == {"aa_shape": 0, "zz_lang": 10}
+        attrs = load_attributes(spark, out)
+        assert attrs.count() == 30
+        assert attrs.select("doc_id").distinct().count() == 30
+
+    def test_load_attributes_rejects_empty_and_duplicates(self, spark, sidecars):
+        out, _ = sidecars
+        with pytest.raises(ValueError):
+            load_attributes(spark, out, [])
+        with pytest.raises(ValueError):
+            load_attributes(spark, out, ["shape", "shape"])
