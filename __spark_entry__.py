@@ -1968,6 +1968,43 @@ def q_robots_gate(spark, sf_dir):
     return WT.robots_filter(pages, rules)
 
 
+def q_frontier_plan(spark, sf_dir):
+    """End-to-end crawl planning — the composition the crawl family
+    exists for: robots.txt gate (what MAY be fetched) → per-host
+    politeness schedule over the ALLOWED subset only (queue ranks
+    recomputed) → sitemap host priority (what the site WANTS fetched).
+    One broadcast rules gate, one host-partitioned window, one tiny
+    broadcast priority join; the oracle composes the same three CTE
+    chains."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet")).select(
+        "url", "warc_ts"
+    )
+    rules = WT.parse_robots(
+        spark.createDataFrame(_ROBOTS_FIXTURES, ["host", "robots_txt"])
+    )
+    gate = WT.robots_filter(pages.select("url"), rules)
+    allowed = pages.join(
+        gate.filter(F.col("allowed")).select("url"), "url", "left_semi"
+    )
+    sched = WT.politeness_schedule(allowed)
+    prio = (
+        WT.parse_sitemaps(
+            spark.createDataFrame(_SITEMAP_FIXTURES, ["host", "sitemap_xml"])
+        )
+        .groupBy("host")
+        .agg(F.round(F.avg("priority"), 6).alias("host_priority"))
+    )
+    return sched.join(F.broadcast(prio), "host", "left").select(
+        "url",
+        "host",
+        F.coalesce("host_priority", F.lit(0.5)).alias("host_priority"),
+        "ready_epoch",
+        "sched_epoch",
+        "wait_sec",
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs from the training sources that
     share any 8-token shingle with the 'src0' slice (the stand-in
@@ -2876,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_kl": q_domain_kl,
         "corpus_datasheet": q_corpus_datasheet,
         "sitemap_urls": q_sitemap_urls,
+        "frontier_plan": q_frontier_plan,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3230,6 +3268,67 @@ def oracle_sql() -> dict[str, str]:
     hll_cap = 55  # 60 - b + 1 for b=6
     hll_num = repr(SK._alpha(64) * 64 * 64 * float(1 << hll_cap))
     ws_den = repr(float((1 << 60) + 1))
+    # Shared CTE chains: robots parsing + longest-prefix match over the
+    # demo frontier (used by robots_gate AND frontier_plan), and the
+    # sitemap fixture as VALUES (used by sitemap_urls AND frontier_plan)
+    robots_cte = """
+            WITH robots(host, txt) AS (VALUES """ + ", ".join(
+        "('{}', {})".format(
+            h, " || chr(10) || ".join("'{}'".format(ln) for ln in t.split("\n"))
+        )
+        for h, t in _ROBOTS_FIXTURES
+    ) + f"""),
+            lines AS (
+                SELECT host,
+                       generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
+                       trim(regexp_replace(
+                           unnest(string_split(txt, chr(10))), '#.*$', '')) AS line
+                FROM robots
+            ),
+            parsed AS (
+                SELECT host, ln,
+                       lower(trim(split_part(line, ':', 1))) AS d,
+                       trim(substring(line, instr(line, ':') + 1)) AS v
+                FROM lines WHERE line <> '' AND instr(line, ':') > 0
+            ),
+            grouped AS (
+                SELECT host, d, v,
+                       sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY ln) AS grp
+                FROM parsed
+            ),
+            star AS (
+                SELECT DISTINCT host, grp FROM grouped
+                WHERE d = 'user-agent' AND v = '*'
+            ),
+            rules AS (
+                SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
+                       length(g.v) AS plen
+                FROM grouped g JOIN star USING (host, grp)
+                WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
+            ),
+            frontier AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(url, '^[a-z]+://[^/]*', '')
+                       END AS path
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            ),
+            m AS (
+                SELECT f.url, f.host,
+                       arg_max(struct_pack(allow := r.allow, prefix := r.prefix),
+                               coalesce(r.plen, -1) * 2
+                               + coalesce(r.allow::INT, 0)) AS best
+                FROM frontier f LEFT JOIN rules r
+                  ON f.host = r.host AND starts_with(f.path, r.prefix)
+                GROUP BY f.url, f.host
+            )"""
+    sitemap_values = ", ".join(
+        "('" + h + "', '" + x.replace(chr(39), chr(39) * 2) + "')"
+        for h, x in _SITEMAP_FIXTURES
+    )
     return {
         # train_val_split: same salted-md5 prefix vs the same 15-hex
         # threshold literal (0.3 * 16^15) on both engines
@@ -3934,10 +4033,7 @@ def oracle_sql() -> dict[str, str]:
                        '')::DOUBLE, 0.5) AS priority
             FROM b
             WHERE regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1) <> ''
-            """.replace("{values}", ", ".join(
-                "('" + h + "', '" + x.replace(chr(39), chr(39) * 2) + "')"
-                for h, x in _SITEMAP_FIXTURES
-            ))
+            """.replace("{values}", sitemap_values)
         ),
         # corpus_datasheet: same whitespace token mass, same scalar
         # total; avg on the fixture's n_chars column
@@ -4837,63 +4933,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, f.fp
             FROM sel, LATERAL UNNEST(fps) AS f(fp)
         """,
-        "robots_gate": """
-            WITH robots(host, txt) AS (VALUES """ + ", ".join(
-            "('{}', {})".format(
-                h, " || chr(10) || ".join("'{}'".format(ln) for ln in t.split("\n"))
-            )
-            for h, t in _ROBOTS_FIXTURES
-        ) + f"""),
-            lines AS (
-                SELECT host,
-                       generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
-                       trim(regexp_replace(
-                           unnest(string_split(txt, chr(10))), '#.*$', '')) AS line
-                FROM robots
-            ),
-            parsed AS (
-                SELECT host, ln,
-                       lower(trim(split_part(line, ':', 1))) AS d,
-                       trim(substring(line, instr(line, ':') + 1)) AS v
-                FROM lines WHERE line <> '' AND instr(line, ':') > 0
-            ),
-            grouped AS (
-                SELECT host, d, v,
-                       sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY host ORDER BY ln) AS grp
-                FROM parsed
-            ),
-            star AS (
-                SELECT DISTINCT host, grp FROM grouped
-                WHERE d = 'user-agent' AND v = '*'
-            ),
-            rules AS (
-                SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
-                       length(g.v) AS plen
-                FROM grouped g JOIN star USING (host, grp)
-                WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
-            ),
-            frontier AS (
-                SELECT url,
-                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-                       CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
-                            THEN '/'
-                            ELSE regexp_replace(url, '^[a-z]+://[^/]*', '')
-                       END AS path
-                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
-            ),
-            m AS (
-                SELECT f.url, f.host,
-                       arg_max(struct_pack(allow := r.allow, prefix := r.prefix),
-                               coalesce(r.plen, -1) * 2
-                               + coalesce(r.allow::INT, 0)) AS best
-                FROM frontier f LEFT JOIN rules r
-                  ON f.host = r.host AND starts_with(f.path, r.prefix)
-                GROUP BY f.url, f.host
-            )
+        "robots_gate": robots_cte + """
             SELECT url, host, coalesce(best.allow, true) AS allowed,
                    best.prefix AS matched_prefix
             FROM m
+        """,
+        # frontier_plan: robots gate -> politeness recurrence over the
+        # ALLOWED subset only (rn recomputed) -> host sitemap priority
+        "frontier_plan": robots_cte + """,
+            allowed AS (
+                SELECT m.url, m.host FROM m WHERE coalesce(best.allow, true)
+            ),
+            ap AS (
+                SELECT a.url, a.host, p.warc_ts,
+                       epoch(p.warc_ts) AS ready_epoch
+                FROM allowed a
+                JOIN read_parquet('""" + _DEMO_DIR + """/pages.parquet') p
+                  USING (url)
+            ),
+            staged AS (
+                SELECT url, host, ready_epoch,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY warc_ts, url) AS rn
+                FROM ap
+            ),
+            sched AS (
+                SELECT url, host, ready_epoch,
+                       rn * 5.0 + max(ready_epoch - rn * 5.0)
+                           OVER (PARTITION BY host
+                                 ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING) AS s
+                FROM staged
+            ),
+            sm(host, sitemap_xml) AS (VALUES """ + sitemap_values + r"""),
+            smrows AS (
+                SELECT host,
+                       unnest(regexp_extract_all(
+                           sitemap_xml, '(?s)<url>(.*?)</url>', 1)) AS blk
+                FROM sm
+            ),
+            prio AS (
+                SELECT host,
+                       round(avg(COALESCE(nullif(regexp_extract(
+                           blk, '<priority>\s*([^<]*?)\s*</priority>', 1),
+                           '')::DOUBLE, 0.5)), 6) AS host_priority
+                FROM smrows
+                WHERE regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1) <> ''
+                GROUP BY host
+            )
+            SELECT s.url, s.host,
+                   COALESCE(p.host_priority, 0.5) AS host_priority,
+                   round(s.ready_epoch, 6) AS ready_epoch,
+                   round(s.s, 6) AS sched_epoch,
+                   round(s.s - s.ready_epoch, 6) AS wait_sec
+            FROM sched s LEFT JOIN prio p USING (host)
         """,
         "gopher_quality": """
             WITH w AS (
