@@ -1756,6 +1756,34 @@ def q_curation_funnel(spark, sf_dir):
     return funnel_report(res, "lang")
 
 
+def q_drop_reasons(spark, sf_dir):
+    """Per-document funnel provenance — WHICH stage dropped each doc
+    ('quality' / 'near_dedup' / 'training_mix' / '' kept), the
+    postmortem view the survivor-count report can't answer.  Same gate
+    expressions and survivor populations as `curation_funnel` (labels
+    compose: counting '' per lang reproduces the final report row);
+    reuses the session-cached corpus pair table for the dedup stage."""
+    from clawrag_spark.curation import label_drop_reasons
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def survivor_pairs(survivors):
+        ids = survivors.select("doc_id")
+        return (
+            _jaccard_pairs_cached(spark, sf_dir)
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        )
+
+    return label_drop_reasons(
+        docs, "doc_id", "text", "lang",
+        min_chars=100, max_top_bigram_frac=0.12, chars_col="n_chars",
+        pair_fn=survivor_pairs,
+        mix_rates=_MIX_RATES, mix_default_rate=_MIX_DEFAULT,
+        mix_salt=_MIX_SALT,
+    )
+
+
 def q_mojibake_repair(spark, sf_dir):
     """ftfy-core mojibake repair: UTF-8-as-Latin-1 double-encoding
     healed to a fixpoint.  Fixture rows corrupt seeded accented text
@@ -2914,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "sitemap_urls": q_sitemap_urls,
         "frontier_plan": q_frontier_plan,
+        "drop_reasons": q_drop_reasons,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -3329,6 +3358,112 @@ def oracle_sql() -> dict[str, str]:
         "('" + h + "', '" + x.replace(chr(39), chr(39) * 2) + "')"
         for h, x in _SITEMAP_FIXTURES
     )
+    # Shared curation-funnel CTE chain (quality -> banded+verified
+    # near-dup CC -> stratified mix), consumed by curation_funnel's
+    # stage report AND drop_reasons' per-doc labels
+    funnel_cte = f"""
+            WITH RECURSIVE d0 AS (
+                SELECT doc_id, lang, n_chars, text FROM documents
+            ),
+            w AS (
+                SELECT doc_id, length(text) AS tlen,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS words
+                FROM d0
+            ),
+            bq AS (
+                SELECT doc_id, tlen, unnest(words) AS word,
+                       generate_subscripts(words, 1) AS ord
+                FROM w
+            ),
+            prs AS (
+                SELECT doc_id, tlen, word || ' ' ||
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+                FROM bq
+            ),
+            cntb AS (
+                SELECT doc_id, tlen, bg, count(*) AS c FROM prs
+                WHERE bg IS NOT NULL GROUP BY doc_id, tlen, bg
+            ),
+            topb AS (
+                SELECT doc_id, c * length(bg) / tlen AS frac,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, bg ASC) AS rn
+                FROM cntb
+            ),
+            qual AS (
+                SELECT d0.* FROM d0
+                LEFT JOIN (SELECT doc_id, frac FROM topb WHERE rn = 1) t
+                  USING (doc_id)
+                WHERE n_chars >= 100 AND coalesce(t.frac, 0) <= 0.12
+            ),
+            toksq AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM qual
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toksq, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(band::VARCHAR || '.0|' || shingle))
+                       || min(md5(band::VARCHAR || '.1|' || shingle)) AS sig
+                FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            gr AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                       )) AS grams
+                FROM toksq
+            ),
+            pairs AS (
+                SELECT c.doc_a, c.doc_b
+                FROM cand c
+                JOIN gr a ON a.doc_id = c.doc_a
+                JOIN gr b ON b.doc_id = c.doc_b
+                WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(list_concat(a.grams, b.grams))), 6) > 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ),
+            cc AS (SELECT n, least(n, min(m)) AS cluster FROM reach GROUP BY n),
+            dedup AS (
+                SELECT * FROM qual
+                WHERE doc_id NOT IN (SELECT n FROM cc WHERE n <> cluster)
+            ),
+            mix AS (
+                SELECT * FROM dedup
+                WHERE substr(md5('{_MIX_SALT}|' || doc_id), 1, 15) <
+                      CASE lang
+                          WHEN 'en' THEN '{WT._rate_threshold_hex(_MIX_RATES["en"])}'
+                          WHEN 'de' THEN '{WT._rate_threshold_hex(_MIX_RATES["de"])}'
+                          WHEN 'fr' THEN '{WT._rate_threshold_hex(_MIX_RATES["fr"])}'
+                          WHEN 'es' THEN '{WT._rate_threshold_hex(_MIX_RATES["es"])}'
+                          ELSE '{WT._rate_threshold_hex(_MIX_DEFAULT)}'
+                      END
+            )
+"""
     return {
         # train_val_split: same salted-md5 prefix vs the same 15-hex
         # threshold literal (0.3 * 16^15) on both engines
@@ -5395,108 +5530,21 @@ def oracle_sql() -> dict[str, str]:
                   ('host003.example.com', 'host007.example.com')
             GROUP BY 1
         """,
-        "curation_funnel": f"""
-            WITH RECURSIVE d0 AS (
-                SELECT doc_id, lang, n_chars, text FROM documents
-            ),
-            w AS (
-                SELECT doc_id, length(text) AS tlen,
-                       list_filter(string_split_regex(lower(text), '\\s+'),
-                                   x -> x <> '') AS words
-                FROM d0
-            ),
-            bq AS (
-                SELECT doc_id, tlen, unnest(words) AS word,
-                       generate_subscripts(words, 1) AS ord
-                FROM w
-            ),
-            prs AS (
-                SELECT doc_id, tlen, word || ' ' ||
-                       lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
-                FROM bq
-            ),
-            cntb AS (
-                SELECT doc_id, tlen, bg, count(*) AS c FROM prs
-                WHERE bg IS NOT NULL GROUP BY doc_id, tlen, bg
-            ),
-            topb AS (
-                SELECT doc_id, c * length(bg) / tlen AS frac,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY c DESC, bg ASC) AS rn
-                FROM cntb
-            ),
-            qual AS (
-                SELECT d0.* FROM d0
-                LEFT JOIN (SELECT doc_id, frac FROM topb WHERE rn = 1) t
-                  USING (doc_id)
-                WHERE n_chars >= 100 AND coalesce(t.frac, 0) <= 0.12
-            ),
-            toksq AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                   x -> x <> '') AS toks
-                FROM qual
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
-                FROM toksq, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
-                WHERE len(toks) >= 3
-            ),
-            sigs AS (
-                SELECT doc_id, band,
-                       min(md5(band::VARCHAR || '.0|' || shingle))
-                       || min(md5(band::VARCHAR || '.1|' || shingle)) AS sig
-                FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
-                GROUP BY doc_id, band
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sigs a JOIN sigs b
-                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            ),
-            gr AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           generate_series(0, greatest(len(toks) - 3, 0)),
-                           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
-                       )) AS grams
-                FROM toksq
-            ),
-            pairs AS (
-                SELECT c.doc_a, c.doc_b
-                FROM cand c
-                JOIN gr a ON a.doc_id = c.doc_a
-                JOIN gr b ON b.doc_id = c.doc_b
-                WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
-                      / len(list_distinct(list_concat(a.grams, b.grams))), 6) > 0.8
-            ),
-            edges AS (
-                SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION
-                SELECT doc_b AS a, doc_a AS b FROM pairs
-            ),
-            reach(n, m) AS (
-                SELECT a, b FROM edges
-                UNION
-                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-            ),
-            cc AS (SELECT n, least(n, min(m)) AS cluster FROM reach GROUP BY n),
-            dedup AS (
-                SELECT * FROM qual
-                WHERE doc_id NOT IN (SELECT n FROM cc WHERE n <> cluster)
-            ),
-            mix AS (
-                SELECT * FROM dedup
-                WHERE substr(md5('{_MIX_SALT}|' || doc_id), 1, 15) <
-                      CASE lang
-                          WHEN 'en' THEN '{WT._rate_threshold_hex(_MIX_RATES["en"])}'
-                          WHEN 'de' THEN '{WT._rate_threshold_hex(_MIX_RATES["de"])}'
-                          WHEN 'fr' THEN '{WT._rate_threshold_hex(_MIX_RATES["fr"])}'
-                          WHEN 'es' THEN '{WT._rate_threshold_hex(_MIX_RATES["es"])}'
-                          ELSE '{WT._rate_threshold_hex(_MIX_DEFAULT)}'
-                      END
-            )
+        # drop_reasons: same shared funnel chain, per-doc first-failing
+        # stage instead of the per-stage counts
+        "drop_reasons": funnel_cte + """
+            SELECT d0.doc_id, d0.lang,
+                   CASE WHEN d0.doc_id NOT IN (SELECT doc_id FROM qual)
+                            THEN 'quality'
+                        WHEN d0.doc_id IN (SELECT n FROM cc WHERE n <> cluster)
+                            THEN 'near_dedup'
+                        WHEN d0.doc_id NOT IN (SELECT doc_id FROM mix)
+                            THEN 'training_mix'
+                        ELSE '' END AS drop_stage,
+                   d0.doc_id IN (SELECT doc_id FROM mix) AS kept
+            FROM d0
+        """,
+        "curation_funnel": funnel_cte + """
             SELECT 0::BIGINT AS stage_idx, 'input' AS stage, lang,
                    count(*) AS n_docs FROM d0 GROUP BY lang
             UNION ALL

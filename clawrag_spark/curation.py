@@ -156,3 +156,73 @@ def funnel_report(res, lang_col: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def label_drop_reasons(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    min_chars: int = 100,
+    max_top_bigram_frac: float = 0.12,
+    pair_fn=None,
+    mix_rates: dict[str, float] | None = None,
+    mix_default_rate: float = 0.0,
+    mix_salt: str = "mix",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per-document funnel provenance: WHICH stage dropped each doc —
+    the debugging view :func:`curate_corpus` (which returns survivor
+    counts) doesn't give.  "Why did my document disappear?" is the
+    first question every curation-run postmortem asks; this answers it
+    in one labeled pass with the exact same gate expressions, so
+    label==''  ⇔  the doc survives ``curate_corpus`` with the same
+    arguments.
+
+    Returns (id, lang, drop_stage, kept): ``drop_stage`` is the FIRST
+    stage that rejects the doc ('quality', 'near_dedup',
+    'training_mix') or '' when kept.  Stages are evaluated on the same
+    survivor populations as the funnel (near-dup clusters on quality
+    survivors only), so the labels compose: counting '' per lang
+    reproduces the funnel's final-stage report row.
+    """
+    from .operators.webtext import stratified_keep_expr
+
+    length_expr = (
+        F.length(F.col(text_col)) if chars_col is None else F.col(chars_col)
+    )
+    qual_flag = (length_expr >= min_chars) & (
+        WT.top_ngram_char_frac(F.col(text_col)) <= max_top_bigram_frac
+    )
+    labeled = docs.select(
+        F.col(id_col), F.col(lang_col), qual_flag.alias("__qual")
+    )
+    if pair_fn is not None:
+        qual = docs.filter(qual_flag)
+        cc = DS.connected_components(pair_fn(qual), "doc_a", "doc_b")
+        drops = cc.filter(F.col("n") != F.col("cluster")).select(
+            F.col("n").alias(id_col), F.lit(True).alias("__dup")
+        )
+        labeled = labeled.join(drops, id_col, "left")
+    else:
+        labeled = labeled.withColumn("__dup", F.lit(None).cast("boolean"))
+    mix_keep = (
+        stratified_keep_expr(
+            lang_col, mix_rates, id_col, mix_salt, mix_default_rate
+        )
+        if mix_rates is not None
+        else F.lit(True)
+    )
+    stage = (
+        F.when(~F.col("__qual"), "quality")
+        .when(F.coalesce(F.col("__dup"), F.lit(False)), "near_dedup")
+        .when(~mix_keep, "training_mix")
+        .otherwise("")
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col(lang_col),
+        stage.alias("drop_stage"),
+        (stage == "").alias("kept"),
+    )

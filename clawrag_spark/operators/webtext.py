@@ -932,6 +932,21 @@ def stratified_sample(
     assembling a training mix at 10^12 documents: the decision is local
     to the row, so it composes with any upstream filter at scan speed.
     """
+    return df.filter(
+        stratified_keep_expr(stratum_col, rates, id_col, salt, default_rate)
+    )
+
+
+def stratified_keep_expr(
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> Column:
+    """The keep predicate behind :func:`stratified_sample`, exposed so
+    labeling passes (e.g. ``curation.label_drop_reasons``) can evaluate
+    the mix decision as a column without filtering."""
     pairs: list[Column] = []
     for k, v in sorted(rates.items()):
         pairs.extend([F.lit(k), F.lit(_rate_threshold_hex(v))])
@@ -942,7 +957,7 @@ def stratified_sample(
     key = F.substring(
         F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
     )
-    return df.filter(key < thr)
+    return key < thr
 
 
 def weighted_sample(
