@@ -918,3 +918,48 @@ class TestSpan3Dedup:
             spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
         ).collect()[0]
         assert got.n_spans == 3 and got.n_kept == 2
+
+
+def test_drop_reasons_compose_back_to_funnel(spark):
+    """label=='' must be exactly the curate_corpus survivor set with
+    the same arguments, and drop_stage must name the FIRST failing
+    gate."""
+    from clawrag_spark.curation import curate_corpus, label_drop_reasons
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 53 + j * (2 * i + 3)) % 997}" for j in range(40)), "en")
+         for i in range(24)]
+        + [
+            (90, " ".join(f"w{(7 * 53 + j * 17) % 997}" for j in range(40)), "en"),
+            (91, " ".join(f"w{(7 * 53 + j * 17) % 997}" for j in range(40)), "en"),
+            (98, "short", "en"),                                  # quality
+            (99, " ".join(f"v{j}" for j in range(40)), "zz"),     # mix (rate 0)
+        ],
+        ["doc_id", "text", "lang"],
+    )
+
+    def pair_fn(survivors):
+        import __spark_entry__ as e
+
+        return e._jaccard_verified_pairs(survivors)
+
+    kwargs = dict(
+        min_chars=50, max_top_bigram_frac=0.9,
+        pair_fn=pair_fn, mix_rates={"en": 1.0}, mix_default_rate=0.0,
+    )
+    labels = {
+        r["doc_id"]: r["drop_stage"]
+        for r in label_drop_reasons(docs, "doc_id", "text", "lang", **kwargs).collect()
+    }
+    survivors = {
+        r["doc_id"]
+        for r in curate_corpus(docs, "doc_id", "text", "lang", **kwargs)[
+            "curated"
+        ].select("doc_id").collect()
+    }
+    assert {d for d, s in labels.items() if s == ""} == survivors
+    assert labels[98] == "quality"
+    assert labels[99] == "training_mix"
+    # 90/91 verbatim-duplicate doc 7 (same j*17 stride): the min-id
+    # representative (7) survives, both copies are labeled near_dedup
+    assert labels[7] == "" and labels[90] == labels[91] == "near_dedup"
