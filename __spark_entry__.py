@@ -1996,6 +1996,43 @@ def q_robots_gate(spark, sf_dir):
     return WT.robots_filter(pages, rules)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication estimated from KMV sketches ALONE (the
+    theta-sketch workflow): per-source k-minimum-values sketch over
+    content hashes, then pairwise Jaccard from the merged k-smallest —
+    how a 100 TB pipeline sizes cross-snapshot dedup BEFORE paying for
+    the full near-dup join.  Two k-string summaries per comparison, no
+    raw-data join; deterministic md5 end to end, so the oracle is
+    bit-identical."""
+    docs = _load(spark, sf_dir, "documents")
+    # three deterministic snapshot views with REAL overlap (a re-crawl
+    # that lost every 3rd page, and one that also edited every 5th):
+    # true Jaccards are ~2/3 and ~8/15 — non-vacuous estimates
+    snaps = (
+        docs.select(F.lit("snap_full").alias("snap"), "doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 != 0).select(
+                F.lit("snap_lost3").alias("snap"), "doc_id", "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 != 0)
+            .select(
+                F.lit("snap_edit5").alias("snap"),
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" edited")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+    )
+    sk = SK.kmv_sketch(snaps, "snap", "text", k=64)
+    return SK.kmv_jaccard(sk, sk, k=64).filter(F.col("grp_a") < F.col("grp_b"))
+
+
 def q_frontier_plan(spark, sf_dir):
     """End-to-end crawl planning — the composition the crawl family
     exists for: robots.txt gate (what MAY be fetched) → per-host
@@ -2943,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "frontier_plan": q_frontier_plan,
         "drop_reasons": q_drop_reasons,
+        "source_overlap": q_source_overlap,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -5072,6 +5110,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, host, coalesce(best.allow, true) AS allowed,
                    best.prefix AS matched_prefix
             FROM m
+        """,
+        # source_overlap: same md5 keys, list_sort/slice/intersect —
+        # the KMV estimator is deterministic so values are bit-identical
+        "source_overlap": """
+            WITH snaps AS (
+                SELECT 'snap_full' AS snap, doc_id, text FROM documents
+                UNION ALL
+                SELECT 'snap_lost3', doc_id, text FROM documents
+                WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT 'snap_edit5', doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' edited'
+                            ELSE text END
+                FROM documents WHERE doc_id % 3 <> 0
+            ),
+            per AS (
+                SELECT DISTINCT snap AS grp, md5(text) AS h FROM snaps
+            ),
+            sk AS (
+                SELECT grp, (list_sort(list(h)))[1:64] AS hashes
+                FROM per GROUP BY grp
+            ),
+            p AS (
+                SELECT a.grp AS grp_a, b.grp AS grp_b,
+                       a.hashes AS ha, b.hashes AS hb
+                FROM sk a, sk b WHERE a.grp < b.grp
+            ),
+            c AS (
+                SELECT grp_a, grp_b,
+                       (list_sort(list_distinct(list_concat(ha, hb))))[1:64]
+                           AS uk,
+                       list_intersect(ha, hb) AS ib
+                FROM p
+            )
+            SELECT grp_a, grp_b,
+                   len(uk) AS union_k,
+                   len(list_intersect(uk, ib)) AS inter_k,
+                   round(len(list_intersect(uk, ib))
+                         / greatest(len(uk), 1), 6) AS jaccard_est
+            FROM c
         """,
         # frontier_plan: robots gate -> politeness recurrence over the
         # ALLOWED subset only (rn recomputed) -> host sitemap priority

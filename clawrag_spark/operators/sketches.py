@@ -36,6 +36,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "kmv_sketch",
+    "kmv_estimate_distinct",
+    "kmv_jaccard",
     "HLL_ALPHA_LITERAL",
     "hll_distinct",
     "bloom_build",
@@ -284,4 +287,95 @@ def cms_estimate(
         need.join(F.broadcast(sketch), ["row_i", "col"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# ------------------------------------------------- KMV (K-minimum values)
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest md5 hashes of the
+    group's distinct keys (Bar-Yossef et al. 2002 / the DataSketches
+    theta family).  Unlike HLL, a KMV sketch supports SET OPERATIONS —
+    the k smallest of a union is computable from two sketches alone —
+    which is what makes cross-snapshot overlap estimation possible
+    without touching the raw data twice.
+
+    Returns (group, hashes array<string> ascending, n_keys_seen).
+    Scale shape: distinct → one (group, hash) shuffle (16-byte rows),
+    then ``slice(array_sort(collect_set(...)))`` per group — the
+    sketch is a fixed k-string summary per group no matter the
+    cardinality.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.col(key_col).cast("string"))
+    per = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+    )
+    return per.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hashes"),
+        F.count("*").alias("n_keys_seen"),
+    )
+
+
+def _hash_frac(hex_col: Column) -> Column:
+    """First 15 hex chars → fraction of the hash space in [0, 1)."""
+    return F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("double") / float(
+        16**15
+    )
+
+
+def kmv_estimate_distinct(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group: (k-1)/h_k with h_k the k-th
+    smallest hash as a fraction of the hash space; groups with fewer
+    than k keys are exact (the sketch holds every hash)."""
+    n = F.size("hashes")
+    kth = _hash_frac(F.element_at("hashes", n))
+    est = F.when(n < k, n.cast("double")).otherwise((F.lit(k - 1)) / kth)
+    return sketch.select(
+        "grp", F.round(est, 2).alias("est_distinct"), "n_keys_seen"
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Cross-group overlap from sketches ALONE: for each (group_a,
+    group_b) pair, merge the two hash arrays, take the k smallest of
+    the union, and estimate Jaccard as |both ∩ union_k| / |union_k|
+    (the standard KMV intersection estimator).  At 10^12 docs this
+    estimates cross-snapshot duplication from two k-string summaries —
+    no join against raw data, no shuffle beyond the tiny sketch rows.
+
+    Inputs are ``kmv_sketch`` outputs; the pair table is
+    |groups_a|×|groups_b| — sketch-sized, broadcast-friendly.
+    """
+    aa = a.select(
+        F.col("grp").alias("grp_a"), F.col("hashes").alias("ha")
+    )
+    bb = b.select(
+        F.col("grp").alias("grp_b"), F.col("hashes").alias("hb")
+    )
+    both = F.array_intersect(F.col("ha"), F.col("hb"))
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("ha"), F.col("hb"))), 1, k
+    )
+    inter_in_k = F.size(F.array_intersect(union_k, both))
+    return (
+        aa.crossJoin(bb)
+        .select(
+            "grp_a",
+            "grp_b",
+            F.size(union_k).alias("union_k"),
+            inter_in_k.alias("inter_k"),
+            F.round(
+                inter_in_k / F.greatest(F.size(union_k), F.lit(1)), 6
+            ).alias("jaccard_est"),
+        )
     )

@@ -187,3 +187,55 @@ def test_cms_depth_validation(spark):
     df = spark.range(3).selectExpr("cast(id AS string) AS k")
     with pytest.raises(ValueError):
         cms_build(df, "k", depth=5)
+
+
+class TestKmv:
+    def test_jaccard_estimate_within_sampling_error(self, spark):
+        from clawrag_spark.operators import sketches as SK
+
+        # two groups sharing exactly 600 of 1000/800 keys: J = 0.5
+        rows = (
+            [("a", f"k{i}") for i in range(1000)]
+            + [("b", f"k{i}") for i in range(400, 1200)]
+        )
+        df = spark.createDataFrame(rows, "grp string, key string")
+        sk = SK.kmv_sketch(df, "grp", "key", k=128)
+        est = {
+            (r["grp_a"], r["grp_b"]): r["jaccard_est"]
+            for r in SK.kmv_jaccard(sk, sk, k=128).collect()
+        }
+        true_j = 600 / 1200
+        # k=128 → std err ≈ sqrt(J(1-J)/k) ≈ 0.044; allow 4 sigma
+        assert abs(est[("a", "b")] - true_j) < 0.18
+        assert est[("a", "a")] == 1.0
+
+    def test_distinct_estimate_and_small_group_exact(self, spark):
+        from clawrag_spark.operators import sketches as SK
+
+        rows = [("big", f"k{i % 5000}") for i in range(20000)] + [
+            ("small", f"s{i}") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "grp string, key string")
+        est = {
+            r["grp"]: (r["est_distinct"], r["n_keys_seen"])
+            for r in SK.kmv_estimate_distinct(
+                SK.kmv_sketch(df, "grp", "key", k=256), k=256
+            ).collect()
+        }
+        # k=256 → relative error ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(est["big"][0] - 5000) / 5000 < 0.25
+        assert est["big"][1] == 5000
+        # below-k groups are exact
+        assert est["small"] == (40.0, 40)
+
+    def test_sketch_is_fixed_size_and_sorted(self, spark):
+        from clawrag_spark.operators import sketches as SK
+
+        df = spark.createDataFrame(
+            [("g", f"k{i}") for i in range(5000)], "grp string, key string"
+        )
+        row = SK.kmv_sketch(df, "grp", "key", k=32).collect()[0]
+        assert len(row["hashes"]) == 32
+        assert row["hashes"] == sorted(row["hashes"])
+        with pytest.raises(ValueError):
+            SK.kmv_sketch(df, "grp", "key", k=0)
