@@ -608,3 +608,17 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_attribute_filter(spark, SF_DIR))
         assert "LeftSemi" in plan
         assert "EvalPython" not in plan
+
+    def test_frontier_plan_broadcast_gate_single_host_window(self, spark):
+        plan = plan_of(entry_mod.q_frontier_plan(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # rules + priority joins broadcast; schedule is one host window
+        assert "BroadcastHashJoin" in plan
+
+    def test_source_overlap_sketch_sized_join(self, spark):
+        plan = plan_of(entry_mod.q_source_overlap(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # the pair join is over 3 sketch rows: nested-loop is intended
+        # but only with a broadcast side, never a shuffled cartesian
+        assert "CartesianProduct" not in plan
