@@ -190,3 +190,88 @@ def write_warc(path: str, pages: list[dict], gzip_members: bool = False) -> str:
     with open(path, "wb") as fh:
         fh.write(b"".join(chunks))
     return path
+
+
+# ------------------------------------------------------------------ WET
+# WET ("WARC Encapsulated Text") is the Common Crawl interchange format
+# for EXTRACTED text: the same WARC record grammar, but `conversion`
+# records whose body is the plain text of the page.  An extraction
+# pipeline's deliverable at web scale IS a WET corpus — this pair makes
+# the engine a producer as well as a consumer.
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampNTZType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _wet_record(url: str, ts, text: str) -> bytes:
+    body = text.encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + body + _CRLF + _CRLF
+
+
+def export_wet(df: DataFrame, out_dir: str) -> None:
+    """Distributed WET export: every partition writes ONE
+    ``part-<pid>.warc.wet`` file of `conversion` records — the custom-
+    format sink pattern (foreachPartition + local file handle), since
+    WET's CRLF record grammar is not a parquet/text row format.  Input
+    needs (url, warc_ts, text) columns; record order inside a file is
+    the partition's row order, so repartition/sort upstream for a
+    deterministic layout.  At 10^12 docs each task streams its own
+    file — no driver collect, no single-writer bottleneck."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        first = True
+        fh = None
+        try:
+            for row in rows:
+                if first:
+                    from pyspark import TaskContext
+
+                    pid = TaskContext.get().partitionId()
+                    fh = open(
+                        _os.path.join(out_dir, f"part-{pid:05d}.warc.wet"),
+                        "wb",
+                    )
+                    first = False
+                fh.write(_wet_record(row["url"], row["warc_ts"], row["text"]))
+        finally:
+            if fh is not None:
+                fh.close()
+
+    df.select("url", "warc_ts", "text").foreachPartition(write_part)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET files → (url, warc_ts, text): the conversion-record twin of
+    :func:`read_warc`, one task per file, Arrow-batched."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "text")}
+            for blob in batch["content"]:
+                for rec in _parse_warc_records(_maybe_gunzip(bytes(blob))):
+                    if rec["type"] != "conversion":
+                        continue
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(_parse_ts(rec["date"]))
+                    rows["text"].append(rec["body"].decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+    return blobs.mapInPandas(parse, WET_SCHEMA)

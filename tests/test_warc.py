@@ -75,3 +75,53 @@ def test_warc_feeds_the_pipeline(spark, tmp_path):
     assert m["n_processed"] == 2
     got = {r["url"] for r in spark.read.parquet(out + "/extracted").collect()}
     assert got == {"https://a.ex/1", "https://a.ex/2"}
+
+
+def test_wet_round_trip_and_record_grammar(spark, tmp_path):
+    """export_wet -> read_wet is lossless, and the bytes follow the
+    WARC/1.0 conversion-record grammar (Content-Length exact, CRLF
+    terminators) so external WET consumers can read the files."""
+    import datetime
+
+    from clawrag_spark.warc import export_wet, read_wet
+
+    rows = [
+        (f"https://h{i % 3}.ex/p/{i}",
+         datetime.datetime(2026, 3, 1, 12, 0, i),
+         f"extracted text {i}\nsecond line with ünïcode €{i}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, text string"
+    ).repartition(4)
+    out = str(tmp_path / "wet")
+    export_wet(df, out)
+
+    import glob
+    files = sorted(glob.glob(out + "/part-*.warc.wet"))
+    assert 1 <= len(files) <= 4
+    blob = open(files[0], "rb").read()
+    assert blob.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: conversion\r\n" in blob
+    # Content-Length is the exact utf-8 body length of the first record
+    import re
+    m = re.search(rb"Content-Length: (\d+)\r\n\r\n", blob)
+    body_start = m.end()
+    n = int(m.group(1))
+    assert blob[body_start + n: body_start + n + 4] == b"\r\n\r\n"
+
+    back = read_wet(spark, out + "/*.warc.wet")
+    got = {(r["url"], r["warc_ts"], r["text"]) for r in back.collect()}
+    assert got == set(rows)
+
+
+def test_wet_export_empty_partitions_write_nothing(spark, tmp_path):
+    from clawrag_spark.warc import export_wet
+
+    df = spark.createDataFrame(
+        [], "url string, warc_ts timestamp_ntz, text string"
+    ).repartition(4)
+    out = str(tmp_path / "wet_empty")
+    export_wet(df, out)
+    import glob
+    assert glob.glob(out + "/part-*") == []
