@@ -2479,6 +2479,44 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-evaluation fertility report: pieces-per-word and
+    chars-per-piece by language for the corpus-fitted BPE — the
+    standard metric for deciding whether a tokenizer serves every
+    language in the mix (high fertility = a language pays more context
+    budget per word).  Train on the en slice, measure everywhere: the
+    per-lang contrast is the point.  Rows-only driver check (the merge
+    loop has no SQL twin); the encode path is pinned byte-for-byte in
+    pytest."""
+    from clawrag_spark.operators import tokenizer as TK
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = TK.fit_bpe(
+        TK.word_counts(docs.filter(F.col("lang") == "en"), "text"),
+        n_merges=24,
+    )
+    enc = TK.encode_bpe(docs, "doc_id", "text", merges)
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_words"),
+    )
+    return (
+        enc.join(words, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_pieces"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+    )
+
+
 def q_unigram_seed(spark, sf_dir):
     """Unigram-LM (SentencePiece) SEED step — the distributed half of
     the trainer: every 1..8-char substring of every word, weighted by
@@ -2981,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_plan": q_frontier_plan,
         "drop_reasons": q_drop_reasons,
         "source_overlap": q_source_overlap,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
