@@ -1936,10 +1936,13 @@ def q_crawl_schedule(spark, sf_dir):
 #: comments stripped, hosts without robots allowed.
 _ROBOTS_FIXTURES = [
     ("host001.example.com",
-     "User-agent: *\nDisallow: /\nAllow: /s  # longest match wins"),
-    ("host002.example.com", "user-AGENT: *\ndisallow: /s"),
+     "User-agent: *\nCrawl-delay: 12\nDisallow: /\nAllow: /s  # longest match wins"),
+    ("host002.example.com",
+     "user-AGENT: *\ndisallow: /s\ncrawl-DELAY: 2.5"),
     ("host004.example.com", "User-agent: *\nDisallow: /x\nDisallow:"),
-    ("host005.example.com", "User-agent: bad-bot\nDisallow: /"),
+    ("host005.example.com",
+     # star-group delay absent: bad-bot's Crawl-delay must NOT apply
+     "User-agent: bad-bot\nCrawl-delay: 99\nDisallow: /"),
 ]
 
 
@@ -1979,6 +1982,30 @@ def q_sitemap_urls(spark, sf_dir):
     are NULL; priority defaults to 0.5 per the protocol."""
     sm = spark.createDataFrame(_SITEMAP_FIXTURES, ["host", "sitemap_xml"])
     return WT.parse_sitemaps(sm)
+
+
+def q_crawl_delay_schedule(spark, sf_dir):
+    """Robots Crawl-delay directives driving the politeness schedule:
+    per-host delays parsed from the star groups (max wins, non-star
+    groups ignored, malformed values dropped), hosts without a
+    directive at the 5 s default.  The delay is constant within each
+    host partition, so the single-window schedule recurrence applies
+    unchanged; the delays frame is directive-sized and broadcasts."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet")).select(
+        "url", "warc_ts"
+    )
+    robots = spark.createDataFrame(_ROBOTS_FIXTURES, ["host", "robots_txt"])
+    delays = WT.parse_crawl_delays(robots)
+    sched = WT.politeness_schedule(pages, delays=delays)
+    return sched.join(F.broadcast(delays), "host", "left").select(
+        "url",
+        "host",
+        F.round(F.coalesce("crawl_delay", F.lit(5.0)), 6).alias("delay_sec"),
+        "ready_epoch",
+        "sched_epoch",
+        "wait_sec",
+    )
 
 
 def q_robots_gate(spark, sf_dir):
@@ -3020,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_reasons": q_drop_reasons,
         "source_overlap": q_source_overlap,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "crawl_delay_schedule": q_crawl_delay_schedule,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
@@ -5189,6 +5217,48 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(uk, ib))
                          / greatest(len(uk), 1), 6) AS jaccard_est
             FROM c
+        """,
+        # crawl_delay_schedule: shared robots CTE chain; Crawl-delay
+        # from the star groups (TRY_CAST drops malformed, max wins),
+        # default 5.0, same window recurrence with the per-host d
+        "crawl_delay_schedule": robots_cte + """,
+            delays AS (
+                SELECT g.host, max(TRY_CAST(g.v AS DOUBLE)) AS crawl_delay
+                FROM grouped g JOIN star USING (host, grp)
+                WHERE g.d = 'crawl-delay'
+                  AND TRY_CAST(g.v AS DOUBLE) IS NOT NULL
+                GROUP BY g.host
+            ),
+            pg AS (
+                SELECT url, warc_ts,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       epoch(warc_ts) AS ready_epoch
+                FROM read_parquet('""" + _DEMO_DIR + """/pages.parquet')
+            ),
+            pd AS (
+                SELECT p.*, COALESCE(d.crawl_delay, 5.0) AS dd
+                FROM pg p LEFT JOIN delays d USING (host)
+            ),
+            staged AS (
+                SELECT url, host, ready_epoch, dd,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY warc_ts, url) AS rn
+                FROM pd
+            ),
+            sched AS (
+                SELECT url, host, ready_epoch, dd,
+                       rn * dd + max(ready_epoch - rn * dd)
+                           OVER (PARTITION BY host
+                                 ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING) AS s
+                FROM staged
+            )
+            SELECT url, host,
+                   round(dd, 6) AS delay_sec,
+                   round(ready_epoch, 6) AS ready_epoch,
+                   round(s, 6) AS sched_epoch,
+                   round(s - ready_epoch, 6) AS wait_sec
+            FROM sched
         """,
         # frontier_plan: robots gate -> politeness recurrence over the
         # ALLOWED subset only (rn recomputed) -> host sitemap priority

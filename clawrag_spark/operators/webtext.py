@@ -1331,6 +1331,7 @@ def politeness_schedule(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     min_delay_sec: float = 5.0,
+    delays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host crawl politeness scheduling: the earliest fetch time for
     every url given at most one request per ``min_delay_sec`` per host
@@ -1355,13 +1356,24 @@ def politeness_schedule(
         # NTZ → TIMESTAMP (session tz is pinned UTC) → double seconds;
         # a direct NTZ→double cast is rejected by Spark 4
         F.col(ts_col).cast("timestamp").cast("double").alias("ready_epoch"),
-    ).withColumn("rn", F.row_number().over(w))
-    adj = (F.col("ready_epoch") - F.col("rn") * F.lit(min_delay_sec)).alias("adj")
+    )
+    if delays is not None:
+        # per-host Crawl-delay (parse_crawl_delays): d is constant
+        # within each host partition, so the same window recurrence
+        # rewrite applies unchanged — the delays frame is directive-
+        # sized and broadcasts
+        staged = staged.join(F.broadcast(delays), "host", "left").withColumn(
+            "__d", F.coalesce(F.col("crawl_delay"), F.lit(min_delay_sec))
+        )
+    else:
+        staged = staged.withColumn("__d", F.lit(min_delay_sec))
+    staged = staged.withColumn("rn", F.row_number().over(w))
+    adj = (F.col("ready_epoch") - F.col("rn") * F.col("__d")).alias("adj")
     staged = staged.withColumn("adj", adj)
     run_max = F.max("adj").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sched = F.col("rn") * F.lit(min_delay_sec) + run_max
+    sched = F.col("rn") * F.col("__d") + run_max
     return staged.select(
         F.col(url_col),
         "host",
@@ -1423,6 +1435,23 @@ def parse_robots(
     line).  Empty-value Disallow ("allow everything") contributes no
     rule, per the RFC.
     """
+    grouped = _robots_star_directives(robots, host_col, text_col)
+    return grouped.filter(
+        F.col("d").isin("allow", "disallow") & (F.col("v") != "")
+    ).select(
+        "host",
+        (F.col("d") == "allow").alias("allow"),
+        F.col("v").alias("prefix"),
+        F.length("v").alias("plen"),
+    )
+
+
+def _robots_star_directives(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, d, v) directive rows from the ``User-agent: *`` groups —
+    the shared line grammar behind :func:`parse_robots` (Allow/
+    Disallow) and :func:`parse_crawl_delays` (Crawl-delay)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
@@ -1446,15 +1475,23 @@ def parse_robots(
         .select("host", "grp")
         .distinct()
     )
+    return grouped.join(star_groups, ["host", "grp"])
+
+
+def parse_crawl_delays(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, crawl_delay) from the star groups' ``Crawl-delay``
+    directives (the de-facto extension every large crawler honours).
+    Multiple values per host take the MAXIMUM — the conservative
+    (politest) reading; malformed numbers are ignored."""
+    g = _robots_star_directives(robots, host_col, text_col)
     return (
-        grouped.filter(F.col("d").isin("allow", "disallow") & (F.col("v") != ""))
-        .join(star_groups, ["host", "grp"])
-        .select(
-            "host",
-            (F.col("d") == "allow").alias("allow"),
-            F.col("v").alias("prefix"),
-            F.length("v").alias("plen"),
-        )
+        g.filter(F.col("d") == "crawl-delay")
+        .select("host", F.col("v").cast("double").alias("cd"))
+        .filter(F.col("cd").isNotNull())
+        .groupBy("host")
+        .agg(F.max("cd").alias("crawl_delay"))
     )
 
 
