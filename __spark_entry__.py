@@ -1624,6 +1624,25 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def q_hits_hosts(spark, sf_dir):
+    """HITS hub/authority over the extracted host link graph (k=5) —
+    PageRank's complement for crawl seeding: authorities are worth
+    extracting, hubs are worth expanding the frontier from.  Fixed
+    synchronous rounds, per-round L2 norm via a 1-row broadcast (never
+    a driver round-trip).  Rows-only driver check (k unrolled L2 norms
+    have no tractable SQL twin); pytest pins k=20 against a dense
+    numpy power iteration at 1e-9."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    out = WG.hits(edges, k=5)
+    return out.select(
+        F.col("n").alias("host"),
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_host_template_strip(spark, sf_dir):
     """Host-level template-line removal (RefinedWeb/CCNet heuristic:
     a line in >= 50% AND >= 2 of a host's pages is boilerplate).  The
@@ -3048,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "tokenizer_fertility": q_tokenizer_fertility,
         "crawl_delay_schedule": q_crawl_delay_schedule,
+        "hits_hosts": q_hits_hosts,
         # -- (c) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,

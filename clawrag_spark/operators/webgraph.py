@@ -332,3 +332,87 @@ def pagerank(
     nodes_cached.unpersist()
     frac_cached.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    k: int = 10,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) — PageRank's
+    complement for crawl seeding: authorities are the pages worth
+    EXTRACTING, hubs are the pages worth EXPANDING the frontier from.
+
+    Exactly ``k`` synchronous rounds of auth'(n) = Σ_{(m,n)} hub(m),
+    hub'(m) = Σ_{(m,n)} auth'(n), each L2-normalized through a 1-row
+    broadcast crossJoin (the norm never round-trips the driver).
+    Fixed k keeps the result engine-reproducible, the same contract as
+    :func:`pagerank`; lineage is truncated per round with lazy
+    ``localCheckpoint`` and small graphs iterate at reduced width (the
+    repo's iterative-width rule).
+
+    Returns (n, authority, hub).
+    """
+    if k < 1:
+        raise ValueError(f"hits needs k >= 1, got {k}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    n_edges = e.count()
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    width = max(
+        1,
+        min(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            -(-n_edges // 50_000),
+        ),
+    )
+    e_cached, nodes_cached = e, nodes
+    if width < e.rdd.getNumPartitions():
+        e = e_cached.coalesce(width)
+    if width < nodes.rdd.getNumPartitions():
+        nodes = nodes_cached.coalesce(width)
+
+    def _normalized(frame: DataFrame, col: str) -> DataFrame:
+        norm = frame.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm")
+        )
+        return frame.crossJoin(F.broadcast(norm)).select(
+            "n",
+            F.when(F.col("__norm") > 0, F.col(col) / F.col("__norm"))
+            .otherwise(0.0)
+            .alias(col),
+        )
+
+    scores = nodes.select("n", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    for _ in range(k):
+        auth = (
+            e.join(scores.select(F.col("n").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _normalized(
+            nodes.join(auth.select(F.col("dst").alias("n"), "auth"), "n", "left")
+            .select("n", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth",
+        )
+        hub = (
+            e.join(auth.select(F.col("n").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _normalized(
+            nodes.join(hub.select(F.col("src").alias("n"), "hub"), "n", "left")
+            .select("n", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+        scores = auth.join(hub, "n").localCheckpoint(eager=False)
+    scores = scores.localCheckpoint(eager=True)
+    e_cached.unpersist()
+    nodes_cached.unpersist()
+    return scores.select("n", F.col("auth").alias("authority"), "hub")

@@ -218,3 +218,44 @@ def test_anchor_stats_counts_and_drops_empty(spark):
         for r in WG.anchor_stats(resolved).collect()
     }
     assert got == {("b.com", "home"): 2, ("c.com", "docs"): 1}
+
+
+def test_hits_matches_numpy_reference(spark):
+    """k synchronous L2-normalized rounds must match a dense numpy
+    power iteration on the same adjacency."""
+    import numpy as np
+
+    from clawrag_spark.operators.webgraph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"),
+        ("c", "e"), ("d", "e"), ("e", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {
+        r["n"]: (r["authority"], r["hub"])
+        for r in hits(df, k=20).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    auth = np.ones(len(nodes))
+    hub = np.ones(len(nodes))
+    for _ in range(20):
+        auth = A.T @ hub
+        auth /= np.linalg.norm(auth) or 1.0
+        hub = A @ auth
+        hub /= np.linalg.norm(hub) or 1.0
+    for n in nodes:
+        assert abs(got[n][0] - auth[idx[n]]) < 1e-9
+        assert abs(got[n][1] - hub[idx[n]]) < 1e-9
+    # c receives from 3 hubs: the top authority; a links to two strong
+    # authorities: among the top hubs
+    assert max(got, key=lambda n: got[n][0]) == "c"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hits(df, k=0)
