@@ -2976,23 +2976,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not r3, (d) verified r3 (rotate to the back; the overflow keeps
     # its r3 green row).  Re-rotate every round.
     return {
-        # -- (a) new this round ----------------------------------------
-        # NOTE: 53 never-driver-verified queries compete for the 50-slot
-        # window this round; priority is oldest-first (the 13 r3-era
-        # entries in (b) must not be displaced again), so the 8 newest
-        # additions sit AFTER (b), hash-verified ones first — the three
-        # that overflow (mojibake_repair, unigram_seed, unigram_pieces)
-        # are pytest-pinned and rotate to the front next round.
+        # -- (1) DRIVER WINDOW: 50 oracle-bearing queries that have
+        # never received a driver CORRECTNESS row (81 never-verified
+        # queries compete for the 50 slots; oracle-bearing ones win the
+        # window because they get the full rows+schema+hash check,
+        # rows-only ones only the weaker rows check) -------------------
         "host_quality": q_host_quality,
         "dedup_lines": q_dedup_lines,
-        "kmeans_domains": q_kmeans_domains,
         "train_val_split": q_train_val_split,
-        "embedding_pca": q_embedding_pca,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "tfidf_keywords": q_tfidf_keywords,
         "nfc_normalize": q_nfc_normalize,
-        "bpe_merges": q_bpe_merges,
-        "quality_classifier": q_quality_classifier,
         "vocab_coverage": q_vocab_coverage,
         "pack_shards": q_pack_shards,
         "snapshot_diff": q_snapshot_diff,
@@ -3015,7 +3009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "crawl_schedule": q_crawl_schedule,
         "robots_gate": q_robots_gate,
-        # -- (b) added r3, never driver-verified ----------------------
         "shared_passages": q_shared_passages,
         "ngram_repetition": q_ngram_repetition,
         "training_mix": q_training_mix,
@@ -3029,22 +3022,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "pii_scrub": q_pii_scrub,
         "url_latest": q_url_latest,
-        # -- (a2) newest additions (this session) ----------------------
         "similarity_join": q_similarity_join,
         "registered_domains": q_registered_domains,
         "readability": q_readability,
         "softdedup_weights": q_softdedup_weights,
         "unigram_seed": q_unigram_seed,
-        "image_near_dups": q_image_near_dups,
-        "compression_ratio": q_compression_ratio,
-        "mojibake_repair": q_mojibake_repair,
-        "unigram_pieces": q_unigram_pieces,
-        # -- (a3) newest additions (outside this round's 50-window;
-        # pytest-oracle-pinned now, rotate to the front next round) ----
         "page_metadata": q_page_metadata,
         "cdx_index": q_cdx_index,
         "script_signals": q_script_signals,
         "url_spam": q_url_spam,
+        # -- (2) oracle-bearing never-verified overflow — front of the
+        # round-5 window --------------------------------------------
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -3054,7 +3042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "c4_clean": q_c4_clean,
         "dup_ngrams": q_dup_ngrams,
-        "image_phash_dups": q_image_phash_dups,
         "attribute_filter": q_attribute_filter,
         "span_dedup": q_span_dedup,
         "threshold_sweep": q_threshold_sweep,
@@ -3065,10 +3052,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_plan": q_frontier_plan,
         "drop_reasons": q_drop_reasons,
         "source_overlap": q_source_overlap,
-        "tokenizer_fertility": q_tokenizer_fertility,
         "crawl_delay_schedule": q_crawl_delay_schedule,
+        # -- (3) rows-only by design (no SQL-expressible oracle),
+        # never driver-verified; pytest-pinned ------------------------
+        "kmeans_domains": q_kmeans_domains,
+        "embedding_pca": q_embedding_pca,
+        "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
+        "image_near_dups": q_image_near_dups,
+        "compression_ratio": q_compression_ratio,
+        "mojibake_repair": q_mojibake_repair,
+        "unigram_pieces": q_unigram_pieces,
+        "image_phash_dups": q_image_phash_dups,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "hits_hosts": q_hits_hosts,
-        # -- (c) verified r2, outside the r3 window --------------------
+        # -- (4) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
         "relevance_filtered": q_relevance_filtered,
@@ -3076,7 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_scan": q_profile_scan,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
-        # -- (d) verified r3, rotated back -----------------------------
+        # -- (5) verified r3, rotated back -----------------------------
         "hybrid_pipeline_topk": q_hybrid_pipeline_topk,
         "embedding_quantize": q_embedding_quantize,
         "ngram_jaccard": q_ngram_jaccard,
