@@ -702,6 +702,42 @@ def q_domain_kl(spark, sf_dir):
     return WT.domain_token_kl(docs, "source", "text")
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Per-URL change-rate estimation -> recrawl schedule (Cho &
+    Garcia-Molina 2003's +0.5-corrected Poisson estimator) from fetch
+    history: one lag window over 32-byte fingerprints, a per-URL
+    aggregate on the same key (AQE collapses the exchange pair), pure
+    ln/CASE math.  The event log plays the fetch history (user -> url,
+    event_type -> content fingerprint); same-timestamp fetches collapse
+    deterministically via min(fp) BEFORE the window so the lag order is
+    engine-unambiguous."""
+    ev = _load(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.concat(F.lit("https://u"), F.col("user_id")).alias("url"),
+        F.col("ts"),
+    ).agg(F.min("event_type").alias("fp"))
+    return WT.recrawl_priority(hist, "url", "ts", "fp")
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled multilingual sampling weights (XLM-R section
+    3.1, alpha=0.3): q_l proportional to p_l^alpha over per-language
+    char mass.  One map-side-partial aggregation to |langs| rows + a
+    1-row broadcast of the two normalizers."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.temperature_mix(docs, "lang", "n_chars", alpha=0.3)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Per-language Zipf-law fit: OLS slope (and r^2) of ln freq on ln
+    rank over the top-500 terms, ties rank-broken by the term itself so
+    the fit is engine-deterministic.  One (lang, term) count shuffle,
+    one row_number window, one |langs|-row algebraic aggregate
+    (covar_pop/var_pop/corr)."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.zipf_fit(docs, "lang", "text", top_n=500)
+
+
 def q_curriculum_rank(spark, sf_dir):
     """Curriculum ordering: dense global rank of every document under
     (quality proxy desc, id) — the staged-training sort — WITHOUT the
@@ -3033,6 +3069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         # -- (2) oracle-bearing never-verified overflow — front of the
         # round-5 window --------------------------------------------
+        "recrawl_priority": q_recrawl_priority,
+        "temperature_mix": q_temperature_mix,
+        "zipf_fit": q_zipf_fit,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -4314,6 +4353,109 @@ def oracle_sql() -> dict[str, str]:
         # domain_kl: whitespace tokenizer (the _words twin), same
         # p*ln(p/q) with q from the vocab-bounded global rollup; sum
         # order differs but round(6) absorbs float association drift
+        # recrawl_priority: same (url, ts)-collapsed history, same lag
+        # window, same +0.5-corrected Poisson rate expression shape
+        "recrawl_priority": """
+            WITH hist AS (
+                SELECT 'https://u' || user_id::VARCHAR AS url, ts,
+                       min(event_type) AS fp
+                FROM events GROUP BY 1, 2
+            ),
+            marked AS (
+                SELECT url, ts,
+                       CASE WHEN lag(fp) OVER w IS NOT NULL
+                             AND fp <> lag(fp) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM hist WINDOW w AS (PARTITION BY url ORDER BY ts)
+            ),
+            agg AS (
+                SELECT url, count(*) AS n_fetches,
+                       sum(chg)::BIGINT AS n_changes,
+                       date_diff('second', min(ts), max(ts)) AS span_sec
+                FROM marked GROUP BY url
+                HAVING count(*) >= 2
+                   AND date_diff('second', min(ts), max(ts)) > 0
+            ),
+            rated AS (
+                SELECT url, n_fetches, n_changes,
+                       span_sec / 86400.0::DOUBLE AS span_days_raw,
+                       -ln(((n_fetches - 1)::DOUBLE - n_changes
+                            + 0.5::DOUBLE)
+                           / ((n_fetches - 1)::DOUBLE + 0.5::DOUBLE))
+                         / (span_sec::DOUBLE / (n_fetches - 1)::DOUBLE)
+                         * 86400.0::DOUBLE AS rate_day
+                FROM agg
+            )
+            SELECT url, n_fetches, n_changes,
+                   round(span_days_raw, 6) AS span_days,
+                   round(rate_day, 6) AS change_rate_per_day,
+                   round(CASE WHEN rate_day > 0
+                              THEN least(365.0::DOUBLE,
+                                         greatest(1.0::DOUBLE,
+                                                  1.0::DOUBLE / rate_day))
+                              ELSE 365.0::DOUBLE END, 6)
+                       AS revisit_days
+            FROM rated
+        """,
+        # temperature_mix: identical normalizer expression shape
+        # (q = p^a / (sum(size^a) * N^-a)) so the IEEE ops match
+        "temperature_mix": """
+            WITH per AS (
+                SELECT lang, count(*) AS n_docs,
+                       sum(n_chars)::BIGINT AS total_size
+                FROM documents GROUP BY lang
+            ),
+            tot AS (
+                SELECT sum(total_size)::DOUBLE AS N,
+                       sum(pow(total_size::DOUBLE, 0.3::DOUBLE)) AS unnorm
+                FROM per
+            )
+            SELECT lang, n_docs, total_size,
+                   round(p, 6) AS p_raw,
+                   round(q, 6) AS q_temp,
+                   round(q / p, 6) AS upsample_factor
+            FROM (
+                SELECT lang, n_docs, total_size,
+                       total_size::DOUBLE / N AS p,
+                       pow(total_size::DOUBLE / N, 0.3::DOUBLE)
+                         / (unnorm * pow(N, -0.3::DOUBLE)) AS q
+                FROM per, tot
+            )
+        """,
+        # zipf_fit: rank ties broken by the term on both engines; the
+        # fit is algebraic (covar_pop/var_pop/corr) over ln rank/freq
+        "zipf_fit": r"""
+            WITH toks AS (
+                SELECT lang AS grp,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ),
+            counts AS (
+                SELECT grp, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT grp, c,
+                       row_number() OVER (PARTITION BY grp
+                                          ORDER BY c DESC, tok ASC) AS rnk
+                FROM counts
+            )
+            SELECT grp AS lang, count(*) AS n_terms,
+                   round(CASE WHEN var_pop(ln(rnk::DOUBLE)) > 0
+                              THEN covar_pop(ln(rnk::DOUBLE), ln(c::DOUBLE))
+                                   / var_pop(ln(rnk::DOUBLE)) END, 6)
+                       AS zipf_slope,
+                   round(CASE WHEN var_pop(ln(rnk::DOUBLE)) > 0
+                               AND var_pop(ln(c::DOUBLE)) > 0
+                              THEN pow(covar_pop(ln(rnk::DOUBLE),
+                                                 ln(c::DOUBLE)), 2.0::DOUBLE)
+                                   / (var_pop(ln(rnk::DOUBLE))
+                                      * var_pop(ln(c::DOUBLE))) END, 6)
+                       AS r2
+            FROM ranked WHERE rnk <= 500
+            GROUP BY grp HAVING count(*) >= 10
+        """,
         "domain_kl": r"""
             WITH toks AS (
                 SELECT source AS domain,

@@ -50,6 +50,9 @@ __all__ = [
     "canonicalize_url",
     "latest_per_url",
     "snapshot_diff",
+    "recrawl_priority",
+    "temperature_mix",
+    "zipf_fit",
     "url_path_templates",
     "dsir_importance",
     "gopher_quality_gate",
@@ -2007,4 +2010,200 @@ def extract_tables(pages: DataFrame, html_col: str = "html_str") -> DataFrame:
         F.expr("regexp_extract_all(row_html, '<td>([^<]*)</td>', 1)").alias(
             "cells"
         ),
+    )
+
+
+def recrawl_priority(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    fp_col: str = "fp",
+    min_revisit_days: float = 1.0,
+    max_revisit_days: float = 365.0,
+) -> DataFrame:
+    """Per-URL change-rate estimation from fetch history → recrawl
+    schedule (Cho & Garcia-Molina 2003's improved Poisson estimator):
+    the crawl-scheduling answer to "how often should we come back?",
+    closing the loop the snapshot family opens (``snapshot_diff`` says
+    WHAT changed, this says WHEN to look again).
+
+    From (url, fetch_ts, content_fp) rows, per URL:
+
+    - ``n_changes`` = fetches whose fingerprint differs from the
+      previous fetch (one ``lag`` window over the fetch sequence —
+      content bodies never shuffle, only 32-byte digests),
+    - the Poisson change rate with the +0.5 bias correction::
+
+          rate = -ln((n_intervals - n_changes + 0.5) /
+                     (n_intervals + 0.5)) / avg_interval_sec
+
+      (the naive X/n estimator under-counts multiple changes between
+      fetches; the log form is consistent as intervals shrink),
+    - ``revisit_days`` = 1/rate clamped to [min, max] — proportional
+      revisiting, the uniform-freshness allocation.
+
+    URLs with a single fetch (no interval evidence) are dropped: a
+    frontier treats them by recency policy, not by rate estimate.
+
+    Scale shape: one shuffle on the URL key for the lag window, then a
+    per-URL aggregate on the SAME key — AQE collapses the pair into one
+    exchange, and in the pipeline's url-hash-bucketed layout the window
+    is storage-partitioned and shuffle-free.  All math is CASE/ln
+    expressions, engine-portable for the SQL oracle.
+
+    Returns (url, n_fetches, n_changes, span_days, change_rate_per_day,
+    revisit_days).
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    marked = history.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("__ts"),
+        (
+            F.lag(F.col(fp_col)).over(w).isNotNull()
+            & (F.col(fp_col) != F.lag(F.col(fp_col)).over(w))
+        )
+        .cast("int")
+        .alias("__chg"),
+    )
+    agg = (
+        marked.groupBy("url")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum("__chg").cast("long").alias("n_changes"),
+            (
+                F.unix_timestamp(F.max("__ts")) - F.unix_timestamp(F.min("__ts"))
+            ).alias("__span_sec"),
+        )
+        .filter(F.col("n_fetches") >= 2)
+        .filter(F.col("__span_sec") > 0)
+    )
+    n_int = (F.col("n_fetches") - 1).cast("double")
+    avg_interval = F.col("__span_sec").cast("double") / n_int
+    rate_sec = -F.log(
+        (n_int - F.col("n_changes") + F.lit(0.5)) / (n_int + F.lit(0.5))
+    ) / avg_interval
+    rate_day = rate_sec * F.lit(86400.0)
+    return agg.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.round(F.col("__span_sec") / F.lit(86400.0), 6).alias("span_days"),
+        F.round(rate_day, 6).alias("change_rate_per_day"),
+        F.round(
+            # CASE short-circuits: a never-observed-to-change URL has
+            # rate exactly 0 (the estimator's ln(1)) and gets the max
+            # interval, never a division by zero (ANSI mode throws)
+            F.when(
+                rate_day > 0,
+                F.least(
+                    F.lit(float(max_revisit_days)),
+                    F.greatest(
+                        F.lit(float(min_revisit_days)), F.lit(1.0) / rate_day
+                    ),
+                ),
+            ).otherwise(F.lit(float(max_revisit_days))),
+            6,
+        ).alias("revisit_days"),
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mBERT §3.1 rule): the sampling probability of language ``l`` is
+
+        q_l = p_l^alpha / Σ_m p_m^alpha,   p_l = size_l / Σ size
+
+    ``alpha`` < 1 flattens the natural distribution — low-resource
+    languages are upsampled, the head is downsampled — without ever
+    inverting the order; ``alpha=1`` reproduces the raw mix, ``alpha=0``
+    is uniform.  ``upsample_factor`` = q_l/p_l is the per-language
+    repetition rate a sampler applies.
+
+    Scale shape: one map-side-partial aggregation to |languages| rows,
+    then a 1-row broadcast crossJoin for the two normalizers — the
+    scalars never round-trip the driver.  Returns (lang, n_docs,
+    total_size, p_raw, q_temp, upsample_factor), floats rounded to 6.
+    """
+    per = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(size_col)).cast("long").alias("total_size"),
+    )
+    tot = per.agg(
+        F.sum("total_size").cast("double").alias("__N"),
+        F.sum(F.pow(F.col("total_size").cast("double"), F.lit(float(alpha))))
+        .alias("__unnorm_raw"),
+    )
+    # q_l needs Σ p_m^alpha = Σ (size_m/N)^alpha = N^-alpha · Σ size_m^alpha;
+    # both scalars ride the same 1-row broadcast
+    p = F.col("total_size").cast("double") / F.col("__N")
+    qnorm = F.col("__unnorm_raw") * F.pow(F.col("__N"), F.lit(-float(alpha)))
+    q = F.pow(p, F.lit(float(alpha))) / qnorm
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total_size",
+        F.round(p, 6).alias("p_raw"),
+        F.round(q, 6).alias("q_temp"),
+        F.round(q / p, 6).alias("upsample_factor"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 1000,
+    min_terms: int = 10,
+) -> DataFrame:
+    """Per-group Zipf-law fit: OLS slope of ln(frequency) on ln(rank)
+    over the group's ``top_n`` terms — the corpus-health diagnostic
+    (natural language sits near slope −1; template/boilerplate floods
+    flatten the head, OCR noise fattens the tail) every release
+    datasheet plots.
+
+    Rank ties are broken by the term itself (count DESC, term ASC) so
+    rank assignment — and therefore the fit — is engine-deterministic.
+    slope = covar_pop(x,y)/var_pop(x) and r² = corr² are algebraic
+    aggregates, so the whole fit is: one (group, term) count shuffle
+    (map-side partials), one row_number window on the group key, one
+    final |groups|-row aggregate.  Nothing but (group, term, count)
+    triples ever shuffles.
+
+    Returns (group, n_terms, zipf_slope, r2), floats rounded to 6.
+    """
+    counts = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(_words(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_n
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    # variance guards: ANSI mode makes corr/ratio aggregates THROW on a
+    # zero denominator (a group whose term counts are all equal), and
+    # the guard must fire even for groups min_terms later drops — the
+    # aggregate evaluates before the filter.  NULL mirrors SQL-standard
+    # corr-on-constant semantics, so the oracle twin is a plain CASE.
+    vx, vy, cxy = F.var_pop(x), F.var_pop(y), F.covar_pop(x, y)
+    return (
+        ranked.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.when(vx > 0, cxy / vx), 6).alias("zipf_slope"),
+            F.round(
+                F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy)), 6
+            ).alias("r2"),
+        )
+        .filter(F.col("n_terms") >= min_terms)
     )

@@ -963,3 +963,82 @@ def test_drop_reasons_compose_back_to_funnel(spark):
     # 90/91 verbatim-duplicate doc 7 (same j*17 stride): the min-id
     # representative (7) survives, both copies are labeled near_dedup
     assert labels[7] == "" and labels[90] == labels[91] == "near_dedup"
+
+
+def test_recrawl_priority_semantics(spark):
+    """Known-history pins: an always-changing URL gets the max rate and
+    the min revisit interval; a never-changing one gets the estimator's
+    +0.5 floor rate; single-fetch URLs are dropped; rate is monotone in
+    the number of observed changes at equal cadence."""
+    from datetime import datetime, timedelta
+    from clawrag_spark.operators.webtext import recrawl_priority
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # u_all: changes every fetch; u_none: never; u_half: 2 of 4 intervals
+    for i in range(5):
+        rows.append(("u_all", t0 + timedelta(days=i), f"fp{i}"))
+        rows.append(("u_none", t0 + timedelta(days=i), "fp"))
+        rows.append(("u_half", t0 + timedelta(days=i), f"fp{i // 2}"))
+    rows.append(("u_single", t0, "fp"))
+    hist = spark.createDataFrame(rows, ["url", "fetch_ts", "fp"])
+    out = {r["url"]: r.asDict() for r in recrawl_priority(hist).collect()}
+
+    assert "u_single" not in out
+    assert out["u_all"]["n_changes"] == 4 and out["u_all"]["n_fetches"] == 5
+    assert out["u_none"]["n_changes"] == 0
+    assert (
+        out["u_all"]["change_rate_per_day"]
+        > out["u_half"]["change_rate_per_day"]
+        > out["u_none"]["change_rate_per_day"]
+        == 0.0  # ln(1): never observed changing -> rate exactly 0
+    )
+    # daily changes: rate = ln(9)/day, reciprocal 0.455 d clamps to the
+    # 1-day politeness floor
+    import math
+    assert abs(out["u_all"]["change_rate_per_day"] - math.log(9.0)) < 1e-6
+    assert out["u_all"]["revisit_days"] == 1.0
+    assert out["u_none"]["revisit_days"] == 365.0  # max-interval clamp
+
+
+def test_temperature_mix_alpha_limits(spark):
+    """alpha=1 reproduces the raw mix, alpha=0 is uniform, and at
+    alpha=0.3 q is a proper distribution that upsamples the tail."""
+    from clawrag_spark.operators.webtext import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else ("de" if i < 99 else "yo"), 100)
+         for i in range(100)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    raw = {r["lang"]: r for r in temperature_mix(docs, alpha=1.0).collect()}
+    assert abs(raw["en"]["q_temp"] - raw["en"]["p_raw"]) < 1e-9
+    flat = {r["lang"]: r for r in temperature_mix(docs, alpha=0.0).collect()}
+    assert abs(flat["yo"]["q_temp"] - 1.0 / 3) < 1e-6
+    t = {r["lang"]: r for r in temperature_mix(docs, alpha=0.3).collect()}
+    assert abs(sum(r["q_temp"] for r in t.values()) - 1.0) < 1e-5
+    assert t["yo"]["upsample_factor"] > 1.0 > t["en"]["upsample_factor"]
+    # flattening never inverts the order
+    assert t["en"]["q_temp"] > t["de"]["q_temp"] > t["yo"]["q_temp"]
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    """A corpus synthesized with freq(rank) = round(C / rank) must fit
+    slope ~ -1; a uniform-frequency corpus fits slope ~ 0."""
+    from clawrag_spark.operators.webtext import zipf_fit
+
+    zipf_doc = " ".join(
+        " ".join(f"z{r:03d}" for _ in range(round(3000 / r)))
+        for r in range(1, 101)
+    )
+    flat_doc = " ".join(f"f{r:03d}" for r in range(100) for _ in range(7))
+    docs = spark.createDataFrame(
+        [(0, "zipf", zipf_doc), (1, "flat", flat_doc)],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["lang"]: r for r in zipf_fit(docs, "lang", "text").collect()}
+    assert out["zipf"]["n_terms"] == 100
+    assert abs(out["zipf"]["zipf_slope"] + 1.0) < 0.02
+    assert out["zipf"]["r2"] > 0.999
+    assert abs(out["flat"]["zipf_slope"]) < 1e-6
+    assert out["flat"]["r2"] is None  # constant-frequency: no fit
