@@ -1660,6 +1660,33 @@ def q_pagerank_hosts(spark, sf_dir):
     )
 
 
+#: trusted seed hosts for q_trustrank_hosts (curated-whitelist stand-in);
+#: host000 (the Zipf-dominant host) is deliberately NOT a seed, so the
+#: query demonstrates trust flowing along links rather than raw degree.
+_TRUST_SEEDS = ("host001.example.com", "host004.example.com")
+
+
+def q_trustrank_hosts(spark, sf_dir):
+    """TrustRank (Gyongyi et al., VLDB 2004) over the extracted host
+    link graph: PageRank with teleport restricted to a curated trusted
+    seed set (k=3, d=0.85) — the link-spam demotion score crawl
+    frontiers pair with PageRank (rank high + trust ~0 = spam mass).
+    Same per-iteration plan as q_pagerank_hosts (one contrib shuffle +
+    a broadcast 1-row dangling mass, dangling redistributed to SEEDS);
+    the oracle unrolls the same three synchronous iterations with the
+    seed teleport vector."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    seeds = spark.createDataFrame(
+        [(h,) for h in _TRUST_SEEDS], "host string"
+    )
+    tr = WG.pagerank(edges, weight="n_links", k=3, damping=0.85, seeds=seeds)
+    return tr.select(
+        F.col("n").alias("host"), F.round("rank", 6).alias("trust")
+    )
+
+
 def q_hits_hosts(spark, sf_dir):
     """HITS hub/authority over the extracted host link graph (k=5) —
     PageRank's complement for crawl seeding: authorities are worth
@@ -3072,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "temperature_mix": q_temperature_mix,
         "zipf_fit": q_zipf_fit,
+        "trustrank_hosts": q_trustrank_hosts,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -3449,6 +3477,69 @@ def _pagerank_oracle(k: int = 3, damping: float = 0.85) -> str:
         r0 AS (SELECT n, 1.0::DOUBLE / nn.c AS rank FROM nodes, nn)
         {it}
         SELECT n AS host, round(rank, 6) AS "rank" FROM {prev}
+    """
+
+
+def _trustrank_oracle(k: int = 3, damping: float = 0.85) -> str:
+    """Unrolled k-iteration TrustRank twin of ``webgraph.pagerank``
+    with ``seeds``: identical iteration algebra but teleport (and
+    dangling redistribution) restricted to the seed vector ``s``.
+    Every float literal ::DOUBLE for IEEE parity (see
+    ``_pagerank_oracle``)."""
+    seed_values = ", ".join(f"'{h}'" for h in _TRUST_SEEDS)
+    it = ""
+    prev = "r0"
+    for i in range(1, k + 1):
+        it += f""",
+        c{i} AS (
+            SELECT f.dst AS n, sum(f.frac * r.rank) AS c
+            FROM frac f JOIN {prev} r ON f.src = r.n
+            GROUP BY 1
+        ),
+        d{i} AS (
+            SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm
+            FROM {prev} WHERE n NOT IN (SELECT src FROM wsum)
+        ),
+        r{i} AS (
+            SELECT sv.n,
+                   (1.0::DOUBLE - {damping}::DOUBLE) * sv.s
+                   + {damping}::DOUBLE
+                     * (coalesce(c{i}.c, 0.0::DOUBLE) + d{i}.dm * sv.s)
+                       AS rank
+            FROM sv LEFT JOIN c{i} ON sv.n = c{i}.n, d{i}
+        )"""
+        prev = f"r{i}"
+    return f"""
+        WITH {_webgraph_edges_cte()},
+        nodes AS (
+            SELECT DISTINCT n FROM (
+                SELECT src_host AS n FROM edges
+                UNION ALL SELECT dst_host FROM edges
+            )
+        ),
+        seeds AS (SELECT unnest([{seed_values}]) AS n),
+        ns AS (
+            SELECT count(*)::DOUBLE AS c FROM seeds
+            WHERE n IN (SELECT n FROM nodes)
+        ),
+        sv AS (
+            SELECT nodes.n,
+                   CASE WHEN nodes.n IN (SELECT n FROM seeds)
+                        THEN 1.0::DOUBLE / ns.c ELSE 0.0::DOUBLE END AS s
+            FROM nodes, ns
+        ),
+        wsum AS (
+            SELECT src_host AS src, sum(n_links::DOUBLE) AS ws
+            FROM edges GROUP BY 1
+        ),
+        frac AS (
+            SELECT e.src_host AS src, e.dst_host AS dst,
+                   e.n_links::DOUBLE / w.ws AS frac
+            FROM edges e JOIN wsum w ON e.src_host = w.src
+        ),
+        r0 AS (SELECT n, s AS rank FROM sv)
+        {it}
+        SELECT n AS host, round(rank, 6) AS trust FROM {prev}
     """
 
 
@@ -4078,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM edges
         """,
         "pagerank_hosts": _pagerank_oracle(k=3, damping=0.85),
+        "trustrank_hosts": _trustrank_oracle(k=3, damping=0.85),
         # page_metadata: identical deterministic head construction, then
         # the same RE2-safe regexes (no-match → '' on both engines;
         # jsonld nullif'd to NULL exactly as the Spark side does)

@@ -241,23 +241,33 @@ def pagerank(
     weight: str | None = None,
     k: int = 10,
     damping: float = 0.85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """Weighted PageRank with uniform dangling-mass redistribution.
+    """Weighted PageRank with uniform dangling-mass redistribution —
+    or, with ``seeds``, TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): teleport restricted to a trusted seed set.
 
-    rank'(n) = (1-d)/N + d * (Σ_{(m,n)∈E} rank(m)·w(m,n)/wsum(m)
-                              + dangling/N)
+    rank'(n) = (1-d)·s(n) + d * (Σ_{(m,n)∈E} rank(m)·w(m,n)/wsum(m)
+                                 + dangling·s(n))
 
-    where ``dangling`` is the total rank held by nodes with no
-    out-edges.  Exactly ``k`` synchronous iterations (fixed k keeps
-    the result engine-reproducible — a tolerance stop would make the
-    output depend on float summation order).
+    where ``s`` is the teleport vector — uniform 1/N without seeds,
+    1/|S∩nodes| on seed nodes and 0 elsewhere with them — and
+    ``dangling`` is the total rank held by nodes with no out-edges.
+    Trust flows only along links reachable from the seeds, so spam
+    hosts that trade links among themselves score ~0 no matter how
+    dense their farm is; the rank/trust RATIO is the classic
+    link-spam-mass signal.  Exactly ``k`` synchronous iterations
+    (fixed k keeps the result engine-reproducible — a tolerance stop
+    would make the output depend on float summation order).
 
     Plan per iteration: one shuffle (contrib groupBy dst), a left join
     back onto the node set, and a 1-row crossJoin broadcast carrying
     the dangling mass — the scalar never round-trips the driver.
     ``frac`` (edge weight / source out-weight) is computed and
     persisted ONCE; ``localCheckpoint(eager=False)`` truncates lineage
-    each round so the plan stays O(1) across iterations.
+    each round so the plan stays O(1) across iterations.  The seed
+    table (curated, thousands of rows at most) broadcasts into the
+    node set once, up front.
     """
     if k < 1:
         raise ValueError(f"pagerank needs k >= 1, got {k}")
@@ -295,8 +305,33 @@ def pagerank(
     if width < nodes.rdd.getNumPartitions():
         nodes = nodes_cached.coalesce(width)
     sources = wsum.select(F.col("src").alias("n"))
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("rank"))
+    if seeds is None:
+        # uniform teleport — expression shapes kept EXACTLY as the
+        # pagerank oracle unrolls them (base precomputed in Python,
+        # dangling divided by N: x/N and x*(1/N) differ in IEEE)
+        nodes_s = nodes
+        base_expr = F.lit((1.0 - damping) / n_nodes)
+        dangling_expr = F.col("dm") / F.lit(float(n_nodes))
+        init_rank = F.lit(1.0 / n_nodes)
+    else:
+        seed_set = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
+        n_seeds = seed_set.join(nodes, "n", "left_semi").count()
+        if n_seeds == 0:
+            raise ValueError("pagerank seeds: no seed appears in the graph")
+        # trust vector s joins the (curated, broadcast-size) seed list
+        # into the node set ONCE; every iteration reads the column
+        nodes_s = nodes.join(
+            F.broadcast(seed_set.withColumn("__seed", F.lit(1))), "n", "left"
+        ).select(
+            "n",
+            F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        base_expr = F.lit(1.0 - damping) * F.col("s")
+        dangling_expr = F.col("dm") * F.col("s")
+        init_rank = F.col("s")
+    ranks = nodes_s.select("n", init_rank.alias("rank"))
     for _ in range(k):
         contrib = (
             frac.join(
@@ -309,17 +344,14 @@ def pagerank(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            nodes.join(contrib.select(F.col("dst").alias("n"), "c"), "n", "left")
+            nodes_s.join(contrib.select(F.col("dst").alias("n"), "c"), "n", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "n",
                 (
-                    F.lit(base)
+                    base_expr
                     + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n_nodes))
-                    )
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling_expr)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)

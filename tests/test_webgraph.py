@@ -259,3 +259,53 @@ def test_hits_matches_numpy_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hits(df, k=0)
+
+
+def test_trustrank_spam_farm_scores_zero(spark):
+    """Seeded pagerank = TrustRank: a link farm unreachable from the
+    seeds gets exactly zero trust no matter how densely it interlinks,
+    seed-reachable nodes get positive trust, and the scores match a
+    dense numpy power iteration."""
+    import numpy as np
+    from clawrag_spark.operators.webgraph import pagerank
+
+    good = [("s", "a"), ("a", "b"), ("b", "s"), ("a", "c")]
+    farm = [("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"), ("y", "z")]
+    edges = spark.createDataFrame(
+        good + farm, ["src_host", "dst_host"]
+    ).withColumn("n_links", F.lit(1))
+    seeds = spark.createDataFrame([("s",)], "host string")
+    k, d = 7, 0.85
+    got = {
+        r["n"]: r["rank"]
+        for r in pagerank(
+            edges, weight="n_links", k=k, damping=d, seeds=seeds
+        ).collect()
+    }
+
+    nodes = sorted({x for e in good + farm for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    P = np.zeros((len(nodes), len(nodes)))
+    for s_, t in good + farm:
+        P[idx[s_], idx[t]] = 1.0
+    out_deg = P.sum(axis=1)
+    svec = np.zeros(len(nodes))
+    svec[idx["s"]] = 1.0
+    r = svec.copy()
+    for _ in range(k):
+        contrib = np.zeros(len(nodes))
+        dangling = 0.0
+        for i in range(len(nodes)):
+            if out_deg[i]:
+                contrib += r[i] * P[i] / out_deg[i]
+            else:
+                dangling += r[i]
+        r = (1 - d) * svec + d * (contrib + dangling * svec)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, n
+    assert got["x"] == got["y"] == got["z"] == 0.0
+    assert min(got["s"], got["a"], got["b"], got["c"]) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pagerank(edges, seeds=spark.createDataFrame([("nope",)], "h string"))
