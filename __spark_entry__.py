@@ -835,6 +835,41 @@ def q_similarity_join(spark, sf_dir):
     )
 
 
+def q_quote_containment(spark, sf_dir):
+    """Asymmetric containment join (C(a,b) = |a∩b|/|a| >= 9/10): the
+    quotation/subset near-dup relation Jaccard misses (a doc quoted
+    wholesale inside a longer one).  The query plants token-prefix
+    quote docs (every doc_id % 37 == 0 contributes its first half,
+    id + 1e6) so the relation is non-vacuous at every sf, then runs the
+    containment-adapted prefix filter: a's rarest-prefix rows against
+    b's FULL shingle rows (LSH can't generate these candidates — band
+    recall decays with the size ratio), hash-row verify, all-integer
+    thresholds.  The oracle is the NAIVE all-pairs computation, so a
+    hash match proves the prefix filter lost nothing."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    quotes = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                F.lit(1),
+                F.greatest(F.lit(3), (F.size(toks) / 2).cast("int")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return DS.containment_join(
+        docs.unionByName(quotes),
+        "doc_id",
+        "text",
+        threshold_num=9,
+        threshold_den=10,
+    )
+
+
 def q_embedding_sign_buckets(spark, sf_dir):
     """LSH-style sign-projection bucketing of embeddings (ANN scale path):
     bucket = sign bits of the first 8 dims; per-bucket population."""
@@ -3100,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "zipf_fit": q_zipf_fit,
         "trustrank_hosts": q_trustrank_hosts,
+        "quote_containment": q_quote_containment,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -5114,6 +5150,57 @@ def oracle_sql() -> dict[str, str]:
         # prefix equi-join + 5*min>=4*max length filter, integer verify
         # 5*inter >= 4*union.  row_number ties are impossible (shingles
         # are distinct per doc, so (df, shingle) is a total order).
+        # quote_containment: the oracle is the NAIVE all-pairs
+        # containment computation — matching it proves the Spark side's
+        # containment-adapted prefix filter has zero recall loss
+        "quote_containment": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            tk0 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM base
+            ),
+            quotes AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(
+                           list_slice(tk, 1, greatest(3, len(tk) // 2)),
+                           ' ') AS text
+                FROM tk0 WHERE doc_id % 37 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM base
+                UNION ALL SELECT doc_id, text FROM quotes
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM corpus
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                           AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3))
+                     AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, za.sz AS sz_a, zb.sz AS sz_b, i.inter,
+                   round(i.inter / za.sz, 6) AS containment
+            FROM inter i
+            JOIN sz za ON za.doc_id = i.doc_a
+            JOIN sz zb ON zb.doc_id = i.doc_b
+            WHERE 10 * i.inter >= 9 * za.sz
+        """,
         "similarity_join": """
             WITH toks AS (
                 SELECT doc_id,

@@ -315,6 +315,109 @@ def prefix_filter_similarity_join(
 
 # ------------------------------------------------------------- SimHash
 
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact set-CONTAINMENT join: ordered pairs (a, b) with
+    C(a, b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| >= t — the
+    asymmetric near-dup relation Jaccard misses (a short doc quoted
+    wholesale inside a long one has Jaccard ~ |a|/|b| but containment
+    ~ 1; SlimPajama-style pipelines drop the contained copy, and
+    MinHash-LSH cannot generate these candidates because banding
+    recall decays with the SIZE RATIO, not the overlap).
+
+    Prefix filtering adapted to containment (zero recall loss): if
+    C(a,b) >= t then a must share a shingle with b inside a's first
+    |a| - ceil(t·|a|) + 1 rarest-first shingles — so the candidate
+    join is a's PREFIX rows against b's FULL shingle rows, never
+    all-pairs.  The b side carries no prefix (containment puts no
+    lower bound on b's extra mass); the only symmetric prune is
+    |b| >= t·|a| (b must have room for the required intersection).
+    All thresholds are integer math (den·inter >= num·|a|) —
+    bit-identical across engines; the DuckDB oracle is the NAIVE
+    all-pairs computation, so an oracle match PROVES the prefix
+    filter lost nothing.
+
+    Scale shape: the same one-pass frames as
+    :func:`prefix_filter_similarity_join` (distinct rows, sizes,
+    document frequencies, rarest-first rank), then prefix(a) ⋈ full(b)
+    on the shingle key — prefix tokens are each doc's rarest, so the
+    fan-out per row is the LOW tail of the df distribution — and the
+    hash-row count-aggregation verify (16-byte md5 rows through the
+    shuffle, never gram arrays per pair).
+
+    Returns ordered (doc_a, doc_b, sz_a, sz_b, inter, containment):
+    doc_a is the contained (smaller) side; exact duplicates appear in
+    both directions, as in the naive definition.
+    """
+    if shingles is None:
+        shingles = shingle_rows(docs, id_col, text_col)
+    sets = (
+        shingles.select(F.col(id_col).alias("doc"), "shingle").distinct().persist()
+    )
+    sets.count()  # fork rule: sizes, dfreq, prefix, and both verify sides
+    sizes = sets.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = sets.groupBy("shingle").agg(F.count("*").alias("tok_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("tok_df", "shingle")
+    ranked = (
+        sets.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .select("doc", "shingle", "sz", F.row_number().over(w).alias("rn"))
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den - 1}) div {threshold_den}")
+        + F.lit(1)
+    )
+    pa = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    full_b = sets.join(sizes, "doc").select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pa.join(full_b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(
+            F.lit(threshold_den) * F.col("sz_b")
+            >= F.lit(threshold_num) * F.col("sz_a")
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    gh = sets.select("doc", F.md5("shingle").alias("gh"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(gh.select(F.col("doc").alias("doc_a"), "gh"), "doc_a")
+        .join(gh.select(F.col("doc").alias("doc_b"), "gh"), ["doc_b", "gh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("sz_a")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            "inter",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        )
+    )
+
+
 def simhash64_py(t: str | None) -> int:
     """Reference scalar SimHash (shared oracle for tests): md5(token) →
     64-bit value; every token *occurrence* contributes ±1 per bit;

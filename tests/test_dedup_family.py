@@ -711,3 +711,63 @@ def test_small_path_matches_bfs_closure_randomized(spark):
             for r in connected_components(pairs, "doc_a", "doc_b").collect()
         }
         assert got == want, f"trial {trial} diverged"
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: Jaccard ~ |a|/|b|
+    (below any sane threshold) but containment = 1.0.  The Jaccard
+    prefix join must miss the pair, the containment join must return
+    exactly the ordered (quote -> parent) pair, and brute force agrees."""
+    from pyspark.sql import functions as F
+    from clawrag_spark.operators.dataset import (
+        containment_join,
+        prefix_filter_similarity_join,
+    )
+
+    parent = " ".join(f"tok{i:03d}" for i in range(100))
+    quote = " ".join(f"tok{i:03d}" for i in range(20))
+    other = " ".join(f"oth{i:03d}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, parent), (2, quote), (3, other)], ["doc_id", "text"]
+    )
+    jac = prefix_filter_similarity_join(
+        docs, "doc_id", "text", threshold_num=4, threshold_den=5
+    ).collect()
+    assert jac == []
+    got = containment_join(
+        docs, "doc_id", "text", threshold_num=9, threshold_den=10
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 20 tokens -> 18 shingles, all inside the parent's 98
+    assert (r["doc_a"], r["doc_b"]) == (2, 1)
+    assert (r["sz_a"], r["sz_b"], r["inter"]) == (18, 98, 18)
+    assert r["containment"] == 1.0
+
+
+def test_containment_threshold_is_integer_exact(spark):
+    """den*inter >= num*sz_a at the exact boundary: 9/10 with
+    sz_a = 10, inter = 9 passes; inter = 8 fails — no float drift."""
+    from clawrag_spark.operators.dataset import containment_join
+
+    # doc 2 = 12-token prefix of doc 1 (10 shingles), with the last
+    # token(s) mutated to control the intersection exactly
+    base = [f"w{i:02d}" for i in range(30)]
+    quote_pass = base[:11] + ["zzz"]          # shingles: 10, shared 9
+    quote_fail = base[:10] + ["zzz", "yyy"]   # shingles: 10, shared 8
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(quote_pass)),
+            (3, " ".join(quote_fail)),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["inter"]
+        for r in containment_join(
+            docs, "doc_id", "text", threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] == 9
+    assert (3, 1) not in got
