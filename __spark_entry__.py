@@ -2407,6 +2407,31 @@ def q_pack_shards(spark, sf_dir):
     return PK.pack_training_shards(toks, "doc_id", "n_tokens", 2000)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Release-integrity manifest over the packed training shards:
+    per-shard doc/token counts, starting global offset, and an
+    XOR-of-60-bit-md5 content checksum binding each doc to its id and
+    layout position — commutative (map-side combinable, any partition
+    order verifies) yet sensitive to any permutation/drop/edit of the
+    layout.  One id-keyed equi-join + one groupBy(shard_id) of
+    algebraic aggregates."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = PK.pack_training_shards(toks, "doc_id", "n_tokens", 2000)
+    return PK.shard_manifest(packed, docs, "doc_id", "text")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Fixed-context sequence packing WITH boundary splitting: the
     corpus token stream (plus one EOS slot per doc) concatenated in the
@@ -3136,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "trustrank_hosts": q_trustrank_hosts,
         "quote_containment": q_quote_containment,
+        "shard_manifest": q_shard_manifest,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -3893,6 +3919,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, start_offset,
                    (start_offset // 2000)::BIGINT AS shard_id
             FROM s
+        """,
+        # shard_manifest: same global-window prefix-sum layout as the
+        # pack_shards oracle, rolled up with the same 60-bit xor digest
+        "shard_manifest": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''
+                       ))::BIGINT AS n_tokens,
+                       md5('pack|' || CAST(doc_id AS VARCHAR)) AS ok
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, text, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY ok
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS start_offset
+                FROM t
+            )
+            SELECT (start_offset // 2000)::BIGINT AS shard_id,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   min(start_offset) AS start_offset,
+                   bit_xor(('0x' || substr(
+                       md5(start_offset::VARCHAR || '|'
+                           || doc_id::VARCHAR || ':' || text),
+                       1, 15))::BIGINT) AS content_xor
+            FROM s GROUP BY 1
         """,
         "snapshot_diff": """
             WITH o AS (

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "shuffle_order_key",
     "pack_training_shards",
+    "shard_manifest",
     "pack_sequences",
     "global_rank",
 ]
@@ -268,4 +269,64 @@ def global_rank(
     return (
         pref.withColumn(rank_col, (F.col("__pfx") + 1).cast("long"))
         .drop("__one", "__pfx")
+    )
+
+
+def shard_manifest(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Release-integrity manifest over packed training shards: the
+    per-shard table a corpus release ships next to the data files so a
+    consumer can verify a shard without re-reading the whole release
+    (n docs, token mass, starting global offset, and a content
+    checksum binding every document to its id AND its layout
+    position).
+
+    The checksum is the XOR of per-document 60-bit md5 digests of
+    ``start_offset | id : text`` — XOR is commutative (the aggregate
+    is order-independent and map-side combinable) while the offset
+    inside the hash makes the VALUE order-sensitive in exactly the
+    right way: any permutation, drop, duplication, or edit of the
+    packed layout changes the checksum, but the verifier can stream
+    the shard in any partition order.
+
+    Scale shape: one equi-join of the packed layout onto the content
+    on the shared id key (both sides naturally keyed by it), then one
+    groupBy(shard_id) with algebraic aggregates — the map-side partial
+    xor/sums mean only per-(partition, shard) partials shuffle, 8-byte
+    checksums rather than text.
+    """
+    layout = packed.select(
+        F.col(id_col), F.col(tokens_col), "start_offset", "shard_id"
+    )
+    joined = layout.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("start_offset").cast("string"),
+                    F.lit("|"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col(text_col),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        joined.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+            F.min("start_offset").alias("start_offset"),
+            F.bit_xor(digest).alias("content_xor"),
+        )
     )

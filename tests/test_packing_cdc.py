@@ -345,3 +345,69 @@ class TestPackSequencesRandomized:
                 ).collect()
             }
             assert got == want, f"trial {trial} (ctx={ctx}, eos={eos}) diverged"
+
+
+def test_shard_manifest_tamper_detection(spark):
+    """The xor checksum is partition-order independent but layout
+    sensitive: repartitioning changes nothing; swapping two docs'
+    offsets, editing a text, or dropping a doc changes the shard's
+    checksum."""
+    from pyspark.sql import functions as F
+    from clawrag_spark.operators.packing import (
+        pack_training_shards,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * 5) for i in range(40)], ["doc_id", "text"]
+    )
+    toks = docs.select(
+        "doc_id", F.lit(15).cast("long").alias("n_tokens")
+    )
+    packed = pack_training_shards(toks, "doc_id", "n_tokens", 100).persist()
+    base = {
+        r["shard_id"]: r.asDict()
+        for r in shard_manifest(packed, docs, "doc_id", "text").collect()
+    }
+    assert sum(m["n_docs"] for m in base.values()) == 40
+    assert all(m["n_tokens"] == m["n_docs"] * 15 for m in base.values())
+
+    # partition order must not matter
+    scrambled = {
+        r["shard_id"]: r["content_xor"]
+        for r in shard_manifest(
+            packed.repartition(7), docs.repartition(3), "doc_id", "text"
+        ).collect()
+    }
+    assert scrambled == {k: m["content_xor"] for k, m in base.items()}
+
+    # swapping two documents' offsets within a shard must change it
+    rows = packed.collect()
+    same_shard = [r for r in rows if r["shard_id"] == rows[0]["shard_id"]][:2]
+    a, b = same_shard[0]["doc_id"], same_shard[1]["doc_id"]
+    off = {r["doc_id"]: r["start_offset"] for r in rows}
+    swapped = packed.withColumn(
+        "start_offset",
+        F.when(F.col("doc_id") == a, F.lit(off[b]))
+        .when(F.col("doc_id") == b, F.lit(off[a]))
+        .otherwise(F.col("start_offset")),
+    )
+    tampered = {
+        r["shard_id"]: r["content_xor"]
+        for r in shard_manifest(swapped, docs, "doc_id", "text").collect()
+    }
+    sid = same_shard[0]["shard_id"]
+    assert tampered[sid] != base[sid]["content_xor"]
+    assert all(tampered[k] == base[k]["content_xor"] for k in base if k != sid)
+
+    # editing one text flips exactly that doc's shard
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == a, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    ed = {
+        r["shard_id"]: r["content_xor"]
+        for r in shard_manifest(packed, edited, "doc_id", "text").collect()
+    }
+    assert ed[sid] != base[sid]["content_xor"]
+    packed.unpersist()
