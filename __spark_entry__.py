@@ -861,12 +861,19 @@ def q_quote_containment(spark, sf_dir):
             " ",
         ).alias("text"),
     )
+    # shingles(docs ∪ quotes) = shingles(docs) ∪ shingles(quotes): the
+    # base side comes from the session cache shared with the Jaccard /
+    # similarity-join family; only the 1/37 quote slice re-shingles
+    shingles = _shingles_cached(spark, sf_dir).unionByName(
+        DS.shingle_rows(quotes, "doc_id", "text")
+    )
     return DS.containment_join(
         docs.unionByName(quotes),
         "doc_id",
         "text",
         threshold_num=9,
         threshold_den=10,
+        shingles=shingles,
     )
 
 
