@@ -877,6 +877,27 @@ def q_quote_containment(spark, sf_dir):
     )
 
 
+def q_postings_gaps(spark, sf_dir):
+    """Inverted-index capacity planning: varint-coded docid-gap cost
+    per document-frequency magnitude (rare terms pay ~full docid bits
+    per posting, stopword-grade terms compress toward 1 byte as sorted
+    gaps shrink).  bit_length via base-2 string length — exact integer
+    math, never floor(log2) float edges.  One distinct (term, docid)
+    shuffle + a lag window on the same key."""
+    docs = _load(spark, sf_dir, "documents")
+    return R.postings_gap_stats(docs, "doc_id", "text")
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation mining: top-100 adjacent-bigram PMI (Church & Hanks
+    1990) with a min-count floor — the multi-word-vocab statistic.
+    Bigrams form in-row (zero shuffle), counts shuffle with map-side
+    partials, N/B ride one broadcast row, and the top-k is
+    TakeOrderedAndProject on (rounded pmi DESC, w1, w2)."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.pmi_collocations(docs, "text", min_count=5, top_k=100)
+
+
 def q_embedding_sign_buckets(spark, sf_dir):
     """LSH-style sign-projection bucketing of embeddings (ANN scale path):
     bucket = sign bits of the first 8 dims; per-bucket population."""
@@ -3169,6 +3190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_hosts": q_trustrank_hosts,
         "quote_containment": q_quote_containment,
         "shard_manifest": q_shard_manifest,
+        "postings_gaps": q_postings_gaps,
+        "pmi_collocations": q_pmi_collocations,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -3956,6 +3979,64 @@ def oracle_sql() -> dict[str, str]:
                            || doc_id::VARCHAR || ':' || text),
                        1, 15))::BIGINT) AS content_xor
             FROM s GROUP BY 1
+        """,
+        "postings_gaps": """
+            WITH postings AS (
+                SELECT DISTINCT t.term, doc_id AS docid
+                FROM documents,
+                     LATERAL UNNEST(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS t(term)
+            ),
+            gaps AS (
+                SELECT term,
+                       docid - coalesce(lag(docid) OVER (
+                           PARTITION BY term ORDER BY docid), -1) AS gap
+                FROM postings
+            ),
+            per_term AS (
+                SELECT term, count(*) AS df,
+                       sum((len(to_base(gap, 2)) + 6) // 7)::BIGINT AS bytes
+                FROM gaps GROUP BY term
+            )
+            SELECT len(df::VARCHAR) - 1 AS df_magnitude,
+                   count(*) AS n_terms,
+                   sum(df)::BIGINT AS n_postings,
+                   sum(bytes)::BIGINT AS est_bytes,
+                   round(sum(bytes) / sum(df), 6) AS avg_bytes_per_posting
+            FROM per_term GROUP BY 1
+        """,
+        "pmi_collocations": r"""
+            WITH w0 AS (
+                SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            uni AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY w
+            ),
+            bi AS (
+                SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+                FROM w0, LATERAL UNNEST(generate_series(0, len(ws) - 2))
+                     AS g(i)
+                WHERE len(ws) >= 2
+            ),
+            cab AS (
+                SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ),
+            tot AS (
+                SELECT (SELECT sum(c)::DOUBLE FROM uni) AS N,
+                       (SELECT sum(greatest(len(ws) - 1, 0))::DOUBLE
+                        FROM w0) AS B
+            )
+            SELECT w1, w2, c_ab AS n_pair,
+                   round(ln((c_ab / B)
+                            / ((a.c / N) * (b.c / N))), 6) AS pmi
+            FROM cab JOIN uni a ON cab.w1 = a.w
+                     JOIN uni b ON cab.w2 = b.w, tot
+            ORDER BY pmi DESC, w1, w2 LIMIT 100
         """,
         "snapshot_diff": """
             WITH o AS (

@@ -394,3 +394,60 @@ def phrase_match(
     return occ.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
+
+
+def postings_gap_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index size planning: delta-gap statistics of the docid
+    postings under variable-byte coding, rolled up by document-frequency
+    magnitude — the capacity table an index deployment is sized from
+    (rare terms cost ~|df|·⌈bits(docid)/7⌉ bytes, stopword-grade terms
+    compress to ~1 byte/posting because sorted-docid gaps shrink as df
+    grows; the rollup shows exactly that curve).
+
+    Per term: postings sorted by docid, gap_i = docid_i − docid_{i−1}
+    (first gap = docid + 1, the 0-based-id convention), varint bytes =
+    (bit_length(gap) + 6) div 7.  bit_length is computed EXACTLY as
+    the length of the base-2 string (``conv``/``to_base``) — never
+    ``floor(log2)``, whose float representation can round the wrong
+    way at exact powers of two and silently disagree across engines.
+    The df magnitude bucket is ``len(str(df)) − 1``, the same
+    all-integer rule.
+
+    Scale shape: one distinct (term, docid) shuffle, one lag window on
+    the SAME term key (no second exchange), map-side-partial rollups.
+    Returns (df_magnitude, n_terms, n_postings, est_bytes,
+    avg_bytes_per_posting).
+    """
+    postings = (
+        docs.select(
+            F.explode(sql_tokens(F.col(text_col))).alias("term"),
+            F.col(id_col).alias("docid"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("docid")
+    gaps = postings.select(
+        "term",
+        (
+            F.col("docid") - F.coalesce(F.lag("docid").over(w), F.lit(-1))
+        ).alias("gap"),
+    )
+    per_term = gaps.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum(
+            F.expr("(length(conv(cast(gap as string), 10, 2)) + 6) div 7")
+        ).alias("bytes"),
+    )
+    return (
+        per_term.groupBy(
+            (F.length(F.col("df").cast("string")) - 1).alias("df_magnitude")
+        )
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("bytes").alias("est_bytes"),
+            F.round(F.sum("bytes") / F.sum("df"), 6).alias(
+                "avg_bytes_per_posting"
+            ),
+        )
+    )

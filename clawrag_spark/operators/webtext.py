@@ -53,6 +53,7 @@ __all__ = [
     "recrawl_priority",
     "temperature_mix",
     "zipf_fit",
+    "pmi_collocations",
     "url_path_templates",
     "dsir_importance",
     "gopher_quality_gate",
@@ -2206,4 +2207,81 @@ def zipf_fit(
             ).alias("r2"),
         )
         .filter(F.col("n_terms") >= min_terms)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent-bigram PMI (Church & Hanks
+    1990) — the corpus statistic behind multi-word vocab entries and
+    phrase-aware tokenizer merges (a bigram whose PMI is high is a
+    lexical unit; one whose PMI is ~0 is a chance pairing).
+
+        pmi(a, b) = ln( (c_ab / B) / ((c_a / N) · (c_b / N)) )
+
+    with N total tokens, B total bigrams (never crossing a document
+    boundary), and a ``min_count`` floor on c_ab (PMI's known
+    pathology is unstable scores for rare pairs).
+
+    Scale shape: bigrams come from one in-row array transform (zero
+    shuffle to FORM them), then one (w1, w2) count shuffle with
+    map-side partials; unigram counts join back on the vocab-sized
+    keys; N and B ride a single 1-row broadcast.  The final top-k is
+    ordered (pmi DESC, w1, w2) — deterministic tie-breaks — and
+    Spark executes it as TakeOrderedAndProject, never a global sort.
+
+    Returns (w1, w2, n_pair, pmi) with pmi rounded to 6.
+    """
+    words = _words(F.col(text_col))
+    toks = docs.select(words.alias("ws")).persist()
+    toks.count()  # fork rule: unigram and bigram subtrees both read it
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        # sequence(0, size-2) on a <2-token doc would DESCEND (Spark
+        # infers step -1) into invalid element_at indices — gate first
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i + 1).alias("w1"),
+                        F.element_at(F.col("ws"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("N")
+    ).crossJoin(
+        toks.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").cast("double").alias("B"))
+    )
+    # toks stays cached for the session (the returned plan reads it
+    # lazily — same lifecycle as the shingle/funnel caches)
+    pmi = F.log(
+        (F.col("c_ab") / F.col("B"))
+        / ((F.col("ca") / F.col("N")) * (F.col("cb") / F.col("N")))
+    )
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", F.col("c_ab").alias("n_pair"), F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
     )

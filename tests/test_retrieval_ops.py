@@ -168,3 +168,38 @@ def test_phrase_match_three_terms_and_validation(spark):
     assert out == {1: 1}
     with pytest.raises(ValueError, match="phrase needs"):
         phrase_match(post, "doc_id", "solo")
+
+
+def test_postings_gap_stats_exact_varint_math(spark):
+    """Hand-computed gaps on a controlled posting list: term 'a' in
+    docs {0, 1, 200} -> gaps (1, 1, 199) -> varint bytes (1, 1, 2);
+    term 'b' in doc {16383} -> gap 16384 -> 15 bits -> 3 bytes."""
+    from clawrag_spark.operators.retrieval import postings_gap_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (200, "a"), (16383, "b")],
+        ["doc_id", "text"],
+    )
+    rows = {r["df_magnitude"]: r.asDict() for r in
+            postings_gap_stats(docs, "doc_id", "text").collect()}
+    # df=3 -> magnitude 0; df=1 -> magnitude 0: both land in bucket 0
+    assert list(rows) == [0]
+    m = rows[0]
+    assert m["n_terms"] == 2 and m["n_postings"] == 4
+    assert m["est_bytes"] == (1 + 1 + 2) + 3
+    assert m["avg_bytes_per_posting"] == round(7 / 4, 6)
+
+
+def test_postings_gap_compression_curve(spark):
+    """The economics the rollup exists to show: a dense (stopword-like)
+    term costs fewer bytes per posting than sparse terms, because
+    sorted-docid gaps shrink as df grows."""
+    from clawrag_spark.operators.retrieval import postings_gap_stats
+
+    rows = [(i, "dense" + (" rare" if i % 157 == 0 else "")) for i in range(3000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["df_magnitude"]: r for r in
+           postings_gap_stats(docs, "doc_id", "text").collect()}
+    dense_mag, rare_mag = 3, 1  # df 3000 vs df 20
+    assert out[dense_mag]["avg_bytes_per_posting"] < out[rare_mag]["avg_bytes_per_posting"]
+    assert out[dense_mag]["avg_bytes_per_posting"] == 1.0  # gap 1 everywhere

@@ -1042,3 +1042,30 @@ def test_zipf_fit_recovers_exponent(spark):
     assert out["zipf"]["r2"] > 0.999
     assert abs(out["flat"]["zipf_slope"]) < 1e-6
     assert out["flat"]["r2"] is None  # constant-frequency: no fit
+
+
+def test_pmi_collocations_finds_the_fixed_phrase(spark):
+    """A corpus where 'new york' always co-occur while every other
+    adjacent pair is noise: the fixed phrase tops the PMI ranking and
+    its value matches the closed form ln(c_ab * N^2 / (B * c_a * c_b))."""
+    import math
+    from clawrag_spark.operators.webtext import pmi_collocations
+
+    # noise words appear ONCE each corpus-wide, so every noise bigram
+    # has c_ab = 1 and dies at the min_count floor; only the planted
+    # phrase survives
+    docs = []
+    for d in range(30):
+        pre = " ".join(f"a{d:02d}{j}" for j in range(10))
+        post = " ".join(f"b{d:02d}{j}" for j in range(10))
+        docs.append((d, f"{pre} new york {post}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pmi_collocations(df, "text", min_count=5, top_k=10).collect()
+    assert len(out) == 1
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    assert out[0]["n_pair"] == 30
+    N = 30 * 22.0
+    B = 30 * 21.0
+    want = math.log((30 / B) / ((30 / N) * (30 / N)))
+    assert abs(out[0]["pmi"] - round(want, 6)) < 1e-6
+
