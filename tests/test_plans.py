@@ -622,3 +622,42 @@ class TestRound4SessionPlans:
         # the pair join is over 3 sketch rows: nested-loop is intended
         # but only with a broadcast side, never a shuffled cartesian
         assert "CartesianProduct" not in plan
+
+    def test_recrawl_priority_single_exchange_pair_no_python(self, spark):
+        plan = plan_of(entry_mod.q_recrawl_priority(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # lag window + per-URL aggregate share the url key: AQE keeps
+        # the exchange count at the (ts-collapse + window) pair, never
+        # one per operator
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_zipf_and_temperature_mix_stay_jvm(self, spark):
+        for q in (entry_mod.q_zipf_fit, entry_mod.q_temperature_mix):
+            plan = plan_of(q(spark, SF_DIR))
+            assert "EvalPython" not in plan
+            assert "CartesianProduct" not in plan
+
+    def test_quote_containment_no_cartesian_no_python(self, spark):
+        plan = plan_of(entry_mod.q_quote_containment(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+
+    def test_pmi_topk_no_global_sort(self, spark):
+        plan = plan_of(entry_mod.q_pmi_collocations(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
+        assert "EvalPython" not in plan
+        # N/B totals ride a broadcast, never a shuffled cartesian
+        assert "CartesianProduct" not in plan
+
+    def test_postings_gaps_window_reuses_term_partitioning(self, spark):
+        plan = plan_of(entry_mod.q_postings_gaps(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # distinct (term,docid) + term window + per-term agg: the term
+        # key is shared, so at most distinct + window exchanges appear
+        # before the final magnitude rollup
+        assert plan.count("Exchange hashpartitioning") <= 3
+
+    def test_shard_manifest_no_python_no_cartesian(self, spark):
+        plan = plan_of(entry_mod.q_shard_manifest(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
