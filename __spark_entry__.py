@@ -1750,6 +1750,19 @@ def q_trustrank_hosts(spark, sf_dir):
     )
 
 
+def q_link_reciprocity(spark, sf_dir):
+    """Per-host link reciprocity over the extracted host graph — the
+    nepotistic-link spam signal (hosts trading links reciprocate;
+    organic authority doesn't).  One distinct over host pairs + ONE
+    reversed-pair self equi-join + a per-host rollup; shuffles carry
+    host-string pairs only.  Pairs with trustrank_hosts: high
+    reciprocity + low trust = link farm."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    return WG.link_reciprocity(edges)
+
+
 def q_hits_hosts(spark, sf_dir):
     """HITS hub/authority over the extracted host link graph (k=5) —
     PageRank's complement for crawl seeding: authorities are worth
@@ -3192,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "postings_gaps": q_postings_gaps,
         "pmi_collocations": q_pmi_collocations,
+        "link_reciprocity": q_link_reciprocity,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -4350,6 +4364,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_hosts": _pagerank_oracle(k=3, damping=0.85),
         "trustrank_hosts": _trustrank_oracle(k=3, damping=0.85),
+        "link_reciprocity": f"""
+            WITH {_webgraph_edges_cte()},
+            e AS (
+                SELECT DISTINCT src_host AS a, dst_host AS b FROM edges
+                WHERE src_host <> dst_host
+            )
+            SELECT e.a AS host,
+                   count(*) AS n_out_hosts,
+                   sum(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_reciprocated,
+                   round(sum(CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 6) AS reciprocity
+            FROM e LEFT JOIN e r ON e.a = r.b AND e.b = r.a
+            GROUP BY e.a
+        """,
         # page_metadata: identical deterministic head construction, then
         # the same RE2-safe regexes (no-match → '' on both engines;
         # jsonld nullif'd to NULL exactly as the Spark side does)

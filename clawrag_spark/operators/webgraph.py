@@ -448,3 +448,53 @@ def hits(
     e_cached.unpersist()
     nodes_cached.unpersist()
     return scores.select("n", F.col("auth").alias("authority"), "hub")
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """Per-host link reciprocity — the nepotistic-link signal
+    (Fetterly/Gyöngyi link-spam heuristics): hosts whose out-links are
+    mostly reciprocated are trading links (webrings, link farms),
+    while organically popular hosts receive far more than they return.
+    Pairs with TrustRank: high in-degree + high reciprocity + low
+    trust = spam mass.
+
+    For each host: distinct out-neighbors, how many of them link
+    back, and the reciprocated fraction.  Self-loops are excluded
+    (intra-host links are navigation, not endorsement).
+
+    Scale shape: one distinct over host pairs, then ONE self
+    equi-join on the reversed pair key (the reversed side is the same
+    frame re-aliased — same partitioning, AQE reuses the exchange),
+    one groupBy(src).  Host-pair rows are two strings + nothing: the
+    shuffle carries no page-level data.
+
+    Returns (host, n_out_hosts, n_reciprocated, reciprocity) with the
+    fraction rounded to 6.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    marked = e.join(
+        rev.withColumn("__back", F.lit(1)), ["a", "b"], "left"
+    )
+    return (
+        marked.groupBy(F.col("a").alias("host"))
+        .agg(
+            F.count("*").alias("n_out_hosts"),
+            F.sum(F.coalesce(F.col("__back"), F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocated"),
+            F.round(
+                F.sum(F.coalesce(F.col("__back"), F.lit(0)))
+                / F.count("*"),
+                6,
+            ).alias("reciprocity"),
+        )
+    )

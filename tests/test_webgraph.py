@@ -309,3 +309,21 @@ def test_trustrank_spam_farm_scores_zero(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pagerank(edges, seeds=spark.createDataFrame([("nope",)], "h string"))
+
+
+def test_link_reciprocity_semantics(spark):
+    """a<->b reciprocate, a->c does not, self-loops are ignored, and
+    duplicate weighted edges don't double-count."""
+    from clawrag_spark.operators.webgraph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "a"), ("a", "b")],
+        ["src_host", "dst_host"],
+    )
+    got = {r["host"]: r.asDict() for r in link_reciprocity(edges).collect()}
+    assert got["a"]["n_out_hosts"] == 2          # b, c (self-loop dropped)
+    assert got["a"]["n_reciprocated"] == 1       # only b links back
+    assert got["a"]["reciprocity"] == 0.5
+    assert got["b"] == {"host": "b", "n_out_hosts": 1,
+                        "n_reciprocated": 1, "reciprocity": 1.0}
+    assert "c" not in got                        # c has no out-links
