@@ -898,6 +898,17 @@ def q_pmi_collocations(spark, sf_dir):
     return WT.pmi_collocations(docs, "text", min_count=5, top_k=100)
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve + OLS fit, distributed: a
+    global token position per doc via the packing prefix-sum core
+    (never a single-partition window), each word reduced to its FIRST
+    global position, and V(n) for every n = 2^j at once from a <=64-row
+    bit_length histogram (bit_length(fp) <= j <=> fp < 2^j).  Exact
+    integer sample points (base-2 string lengths, never floor(log2))."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.heaps_fit(docs, "doc_id", "text", min_exp=6)
+
+
 def q_embedding_sign_buckets(spark, sf_dir):
     """LSH-style sign-projection bucketing of embeddings (ANN scale path):
     bucket = sign bits of the first 8 dims; per-bucket population."""
@@ -3206,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_gaps": q_postings_gaps,
         "pmi_collocations": q_pmi_collocations,
         "link_reciprocity": q_link_reciprocity,
+        "heaps_fit": q_heaps_fit,
         "blocklist_gate": q_blocklist_gate,
         "table_rows": q_table_rows,
         "sessionize": q_sessionize,
@@ -4051,6 +4063,69 @@ def oracle_sql() -> dict[str, str]:
             FROM cab JOIN uni a ON cab.w1 = a.w
                      JOIN uni b ON cab.w2 = b.w, tot
             ORDER BY pmi DESC, w1, w2 LIMIT 100
+        """,
+        # heaps_fit: the oracle is the naive global-window formulation
+        # the Spark side's two-phase prefix sum + histogram replaces
+        "heaps_fit": r"""
+            WITH sized AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws,
+                       md5('heaps|' || doc_id::VARCHAR) AS ok
+                FROM documents
+            ),
+            off AS (
+                SELECT doc_id, ws,
+                       COALESCE(SUM(len(ws)) OVER (
+                           ORDER BY ok
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT
+                           AS start_offset
+                FROM sized
+            ),
+            fid AS (
+                SELECT doc_id, w, min(i - 1) AS dpos
+                FROM (SELECT doc_id, unnest(ws) AS w,
+                             generate_subscripts(ws, 1) AS i
+                      FROM off)
+                GROUP BY doc_id, w
+            ),
+            fg AS (
+                SELECT w, min(o.start_offset + f.dpos) AS fp
+                FROM fid f JOIN off o USING (doc_id)
+                GROUP BY w
+            ),
+            hist AS (
+                SELECT len(to_base(fp, 2)) AS m, count(*) AS cnt
+                FROM fg GROUP BY 1
+            ),
+            n AS (SELECT sum(len(ws))::BIGINT AS N FROM sized),
+            samples AS (
+                SELECT unnest(generate_series(
+                    6, len(to_base(N, 2)) - 1)) AS j
+                FROM n
+            ),
+            curve AS (
+                SELECT j, sum(cnt)::BIGINT AS vocab
+                FROM samples, hist WHERE m <= j GROUP BY j
+            ),
+            pts AS (
+                SELECT (1::BIGINT << j) AS sample_tokens, vocab FROM curve
+            ),
+            fit AS (
+                SELECT CASE WHEN var_pop(ln(sample_tokens::DOUBLE)) > 0
+                            THEN covar_pop(ln(sample_tokens::DOUBLE),
+                                           ln(vocab::DOUBLE))
+                                 / var_pop(ln(sample_tokens::DOUBLE))
+                       END AS b,
+                       avg(ln(vocab::DOUBLE)) AS my,
+                       avg(ln(sample_tokens::DOUBLE)) AS mx
+                FROM pts
+            )
+            SELECT sample_tokens, vocab,
+                   round(b, 6) AS heaps_beta,
+                   round(exp(my - b * mx), 6) AS heaps_k
+            FROM pts, fit
         """,
         "snapshot_diff": """
             WITH o AS (

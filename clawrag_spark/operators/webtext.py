@@ -54,6 +54,7 @@ __all__ = [
     "temperature_mix",
     "zipf_fit",
     "pmi_collocations",
+    "heaps_fit",
     "url_path_templates",
     "dsir_importance",
     "gopher_quality_gate",
@@ -2284,4 +2285,98 @@ def pmi_collocations(
         .select("w1", "w2", F.col("c_ab").alias("n_pair"), F.round(pmi, 6).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_exp: int = 6,
+    salt: str = "heaps",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve and fit, V(n) ≈ K·n^β — the
+    release-datasheet diagnostic for corpus OPEN-ENDEDNESS (natural
+    text grows vocabulary at β ≈ 0.4-0.6; template floods flatten β
+    toward 0, OCR/mojibake noise pushes it toward 1) and the sizing
+    input for tokenizer vocab and hash-feature widths.
+
+    The naive computation — "count distinct words in every prefix" —
+    is inherently sequential.  The distributed formulation: give every
+    token a GLOBAL position (deterministic md5 document order via the
+    packing module's two-phase prefix sum — never a single-partition
+    window), reduce each word to its FIRST global position, and then
+    V(n) = #{words: first_pos < n} for every sample point n = 2^j at
+    once, as a cumulative sum over a ≤64-row bit_length histogram
+    (bit_length(first_pos) ≤ j  ⟺  first_pos < 2^j).  One corpus
+    (doc, word) shuffle + one word-keyed min — the curve costs two
+    aggregations regardless of how many sample points it carries.
+
+    bit_length and the top sample exponent come from base-2 string
+    lengths — exact integer math, never floor(log2) float edges.  The
+    OLS fit (β = covar/var of ln V on ln n, K = exp(ȳ − β·x̄)) runs
+    over the sample rows and is broadcast back onto them.
+
+    Returns (sample_tokens, vocab, heaps_beta, heaps_k) — one row per
+    sample point, fit columns repeated (rounded to 6); β/K are NULL
+    when fewer than two sample points exist.
+    """
+    from .packing import _exclusive_prefix_sum
+
+    words_arr = _words(F.col(text_col))
+    sized = docs.select(
+        F.col(id_col), words_arr.alias("ws"), F.size(words_arr).alias("nt")
+    )
+    offsets = _exclusive_prefix_sum(
+        sized.select(id_col, "nt"), id_col, "nt", salt
+    )
+    first_in_doc = (
+        sized.select(F.col(id_col), F.posexplode("ws").alias("pos", "w"))
+        .groupBy(id_col, "w")
+        .agg(F.min("pos").alias("dpos"))
+    )
+    first_global = (
+        first_in_doc.join(offsets, id_col)
+        .select("w", (F.col("start_offset") + F.col("dpos")).alias("gp"))
+        .groupBy("w")
+        .agg(F.min("gp").alias("fp"))
+    )
+    # ≤64-row histogram over bit_length(first_pos); conv('0') = '0' has
+    # length 1, matching bit_length(1) — both mean "inside every sample"
+    hist = first_global.groupBy(
+        F.length(F.conv(F.col("fp").cast("string"), 10, 2)).alias("m")
+    ).agg(F.count("*").alias("cnt"))
+    # sample exponents j = min_exp .. bit_length(N) - 1 (so 2^j ≤ N),
+    # derived from the SAME offsets frame — no extra corpus scan
+    samples = offsets.agg(F.sum("nt").cast("long").alias("N")).select(
+        F.explode(
+            F.sequence(
+                F.lit(min_exp),
+                F.length(F.conv(F.col("N").cast("string"), 10, 2)) - 1,
+            )
+        ).alias("j")
+    )
+    curve = (
+        samples.crossJoin(F.broadcast(hist))  # both ≤64 rows
+        .filter(F.col("m") <= F.col("j"))
+        .groupBy("j")
+        .agg(F.sum("cnt").cast("long").alias("vocab"))
+        .select(
+            F.expr("shiftleft(cast(1 as bigint), j)").alias("sample_tokens"),
+            "vocab",
+        )
+    )
+    x = F.log(F.col("sample_tokens").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    vx = F.var_pop(x)
+    beta = F.when(vx > 0, F.covar_pop(x, y) / vx)
+    fit = curve.agg(
+        beta.alias("b"),
+        (F.avg(y) - beta * F.avg(x)).alias("lnk"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "sample_tokens",
+        "vocab",
+        F.round(F.col("b"), 6).alias("heaps_beta"),
+        F.round(F.exp(F.col("lnk")), 6).alias("heaps_k"),
     )

@@ -661,3 +661,15 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_shard_manifest(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_link_reciprocity_single_pair_join_no_python(self, spark):
+        plan = plan_of(entry_mod.q_link_reciprocity(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_heaps_fit_no_single_partition_corpus_window(self, spark):
+        plan = plan_of(entry_mod.q_heaps_fit(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # the two-phase prefix sum allows one P-row single-partition
+        # exchange (partition offsets); the corpus itself never funnels
+        assert plan.count("Exchange SinglePartition") <= 2

@@ -1069,3 +1069,42 @@ def test_pmi_collocations_finds_the_fixed_phrase(spark):
     want = math.log((30 / B) / ((30 / N) * (30 / N)))
     assert abs(out[0]["pmi"] - round(want, 6)) < 1e-6
 
+
+
+def test_heaps_fit_recovers_known_exponent(spark):
+    """A corpus manufactured to have V(n) = ceil(n^0.5) EXACTLY (token
+    t_i introduces word w_{ceil(sqrt(i))}) must fit beta ~ 0.5, and the
+    curve values must equal the serial single-pass computation."""
+    import math
+    from clawrag_spark.operators.webtext import heaps_fit
+
+    # build the global token stream serially, then split into docs of
+    # 100 tokens — heaps_fit must reproduce the same stream order, so
+    # doc ids are chosen in the operator's own md5 shuffle order
+    n_tokens, doc_len = 20000, 100
+    n_docs = n_tokens // doc_len
+    import hashlib
+    order = sorted(
+        range(n_docs),
+        key=lambda d: hashlib.md5(f"heaps|{d}".encode()).hexdigest(),
+    )
+    stream = [f"w{math.isqrt(i) + (0 if math.isqrt(i)**2 == i else 1):04d}"
+              for i in range(1, n_tokens + 1)]
+    docs = []
+    for rank, d in enumerate(order):
+        toks = stream[rank * doc_len:(rank + 1) * doc_len]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = heaps_fit(df, "doc_id", "text", min_exp=6).collect()
+    got = {r["sample_tokens"]: r["vocab"] for r in rows}
+    # serial truth: V(n) = #distinct among first n tokens
+    seen, serial = set(), {}
+    for i, w in enumerate(stream, start=1):
+        seen.add(w)
+        serial[i] = len(seen)
+    for n, v in got.items():
+        assert v == serial[n], (n, v, serial[n])
+    beta = rows[0]["heaps_beta"]
+    assert abs(beta - 0.5) < 0.02
+    # K should be near 1 for V(n) ~ n^0.5
+    assert 0.8 < rows[0]["heaps_k"] < 1.3
