@@ -80,6 +80,15 @@ def compact_parquet_dir(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    # the rewrite replaced every file — per-run manifest file lists for
+    # this table are now stale; drop them explicitly (readers also
+    # existence-check as a safety net) so reads fall back to the full
+    # directory until new runs re-establish lists
+    from . import zonemaps
+
+    zonemaps.invalidate_file_lists(
+        os.path.dirname(path.rstrip("/")), [os.path.basename(path.rstrip("/"))]
+    )
     files_after, bytes_after = dir_stats(path)
     return {
         "compacted": True,
@@ -183,6 +192,12 @@ def expire_runs(
         os.rename(tmp, path)
         shutil.rmtree(bak, ignore_errors=True)
         rewritten.append(sub)
+
+    # the rewrites replaced the kept runs' files too — invalidate every
+    # manifest's file lists for the rewritten tables (zone-map contract)
+    from . import zonemaps
+
+    zonemaps.invalidate_file_lists(out_dir, rewritten)
 
     # 3. drop the expired manifests
     for rid in old:

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import zonemaps
 from .core import oracle
 from .udfs import CHUNK_FLAT_SCHEMA, make_chunk_embed_arrow
 
@@ -447,28 +448,65 @@ def completed_run_ids(out_dir: str, as_of_run: str | None = None) -> list[str]:
     return ids
 
 
-def read_extracted(spark: SparkSession, out_dir: str, as_of_run: str | None = None):
+def _read_committed(spark, out_dir, table, as_of_run, where):
+    """Shared committed-view read with manifest-level file pruning.
+
+    The manifests' per-run file lists (zonemaps.py) let the committed
+    view read ONLY the committed files — orphans from crashed runs are
+    never opened, time travel reads exactly the snapshot's files, and a
+    ``where`` on a stat column drops files whose [min, max] cannot
+    match.  Falls back to the full-dir read whenever the lists cannot
+    prove completeness; the run_id gate and the real ``where`` filter
+    are re-applied on the frame either way, so pruning can only cost
+    speed, never change results."""
+    done = completed_run_ids(out_dir, as_of_run=as_of_run)
+    plan = zonemaps.plan_scan(out_dir, table, done, predicates=where)
+    df = None
+    if plan.paths:
+        try:
+            df = spark.read.parquet(*plan.paths)
+        except Exception:
+            df = None  # raced a rewrite — fall back below
+    if df is None:
+        # fallback: pre-feature manifests, rewritten table, or an
+        # all-pruned/empty selection (full lazy read keeps the schema;
+        # parquet row-group stats still prune at scan time)
+        df = _read_parquet_or_none(spark, os.path.join(out_dir, table))
+        if df is None:
+            return None
+    df = df.filter(F.col("run_id").isin(done))
+    if where:
+        df = df.filter(zonemaps.where_expr(where))
+    return df
+
+
+def read_extracted(
+    spark: SparkSession,
+    out_dir: str,
+    as_of_run: str | None = None,
+    where: list[tuple] | None = None,
+):
     """The committed view of the extracted table: rows whose run has a
     manifest.  Orphan rows from a crashed run (appended but never
     chunked/manifested) are invisible here and get reprocessed by the
     next run's resume anti-join.  ``as_of_run`` time-travels to the
     table state as of that snapshot (runs are append-only, so the state
-    is exactly the union of runs committed up to it)."""
-    ext = _read_parquet_or_none(spark, os.path.join(out_dir, "extracted"))
-    if ext is None:
-        return None
-    done = completed_run_ids(out_dir, as_of_run=as_of_run)
-    return ext.filter(F.col("run_id").isin(done))
+    is exactly the union of runs committed up to it).  ``where`` is a
+    list of ``(column, op, literal)`` conjuncts (op in ==/</<=/>/>=):
+    applied as a real filter AND used to prune whole files against the
+    manifest zone maps before any file is opened."""
+    return _read_committed(spark, out_dir, "extracted", as_of_run, where)
 
 
-def read_chunks(spark: SparkSession, out_dir: str, as_of_run: str | None = None):
+def read_chunks(
+    spark: SparkSession,
+    out_dir: str,
+    as_of_run: str | None = None,
+    where: list[tuple] | None = None,
+):
     """Committed view of the chunks table (same manifest gating + time
-    travel)."""
-    ch = _read_parquet_or_none(spark, os.path.join(out_dir, "chunks"))
-    if ch is None:
-        return None
-    done = completed_run_ids(out_dir, as_of_run=as_of_run)
-    return ch.filter(F.col("run_id").isin(done))
+    travel + zone-map file pruning as ``read_extracted``)."""
+    return _read_committed(spark, out_dir, "chunks", as_of_run, where)
 
 
 # ------------------------------------------------------ BM25 index sink
@@ -772,9 +810,18 @@ def run_pipeline(
     # locally; parquet row-group stats on url_bucket still prune reads,
     # and the production Iceberg table uses bucket(N, url_hash) layout
     # via its partition transform at write time.
+    pre_extract_files = zonemaps.snapshot_files(extracted_path)
     (extracted
      .write.mode("append")
      .parquet(extracted_path))
+    # footer-only stats for the files THIS run appended (Iceberg
+    # collects the same bounds at write time); lands in the manifest so
+    # reads prune at the metadata layer (zonemaps.py)
+    extracted_file_stats = zonemaps.collect_file_stats(
+        extracted_path,
+        zonemaps.snapshot_files(extracted_path) - pre_extract_files,
+        "extracted",
+    )
     _tick('extract_write')
 
     # ---- dedup audit (reads back only the tiny columns it needs) ----
@@ -790,6 +837,8 @@ def run_pipeline(
             "chunk_size": chunk_size, "chunk_overlap": chunk_overlap,
             "embed_dim": embed_dim, "n_buckets": n_buckets, "n_salts": n_salts,
             "policy": policy,
+            "committed_at": time.time(),
+            "files": {"extracted": extracted_file_stats, "chunks": []},
         }
         os.makedirs(manifest_path, exist_ok=True)
         with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:
@@ -864,7 +913,13 @@ def run_pipeline(
                 "run_id",
             )
         )
+    pre_chunk_files = zonemaps.snapshot_files(chunks_path)
     chunks.write.mode("append").parquet(chunks_path)
+    chunks_file_stats = zonemaps.collect_file_stats(
+        chunks_path,
+        zonemaps.snapshot_files(chunks_path) - pre_chunk_files,
+        "chunks",
+    )
     _tick('chunk_write')
 
     # stage the index delta + snapshot now, but defer the pointer swap
@@ -957,6 +1012,14 @@ def run_pipeline(
         # run ids are content-derived hex, so filename order is NOT
         # commit order — this is
         "committed_at": time.time(),
+        # Iceberg-style manifest file lists + per-file column bounds:
+        # the committed view reads exactly these files (orphans from
+        # crashed runs never open) and ``where`` predicates prune whole
+        # files against the bounds before Spark lists anything
+        "files": {
+            "extracted": extracted_file_stats,
+            "chunks": chunks_file_stats,
+        },
     }
     os.makedirs(manifest_path, exist_ok=True)
     with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:

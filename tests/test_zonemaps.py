@@ -1,0 +1,196 @@
+"""Manifest file lists + zone-map pruning (clawrag_spark/zonemaps.py).
+
+The contract under test: pruning is an optimization layered UNDER an
+always-applied real filter — every pruned read must return exactly the
+rows of the unpruned read, while demonstrably opening fewer files
+(``df.inputFiles()``), and every invalidation path (pre-feature
+manifest, compaction rewrite, orphan files) must fall back to the full
+read without changing results.
+"""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from clawrag_spark import zonemaps
+from clawrag_spark.pipeline import (
+    completed_run_ids,
+    read_chunks,
+    read_extracted,
+    run_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def two_run_out(spark, tmp_path_factory):
+    """Two committed runs over disjoint page slices + one orphan file."""
+    from clawrag_spark.corpus import write_pages_parquet
+
+    tmp = tmp_path_factory.mktemp("zonemap_pages")
+    p1 = os.path.join(str(tmp), "a.parquet")
+    p2 = os.path.join(str(tmp), "b.parquet")
+    write_pages_parquet(p1, 120, seed=1)
+    write_pages_parquet(p2, 120, seed=2)
+    out = str(tmp_path_factory.mktemp("zonemap_out"))
+    m1 = run_pipeline(spark, spark.read.parquet(p1), out, run_id="runone")
+    m2 = run_pipeline(spark, spark.read.parquet(p2), out, run_id="runtwo")
+
+    # orphan: a crashed third run appended extracted+chunks rows but
+    # died before its manifest — simulated by copying a committed file
+    # under a new name and rewriting run_id via parquet
+    for table in ("extracted", "chunks"):
+        tdir = os.path.join(out, table)
+        src = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))[0]
+        t = pq.read_table(os.path.join(tdir, src))
+        if t.num_rows:
+            n = t.num_rows
+            t = t.set_column(
+                t.schema.get_field_index("run_id"),
+                "run_id",
+                pa.array(["orphanrun"] * n, pa.string()),
+            )
+            pq.write_table(t, os.path.join(tdir, "part-orphan.parquet"))
+    return out, m1, m2
+
+
+class TestManifestFileLists:
+    def test_manifest_carries_file_stats(self, two_run_out):
+        out, m1, _ = two_run_out
+        files = m1["files"]
+        assert files["extracted"] and files["chunks"]
+        for entry in files["extracted"]:
+            st = entry["stats"]
+            # run_id is constant per file: exact bounds
+            assert st["run_id"]["min"] == st["run_id"]["max"] == "runone"
+            assert entry["rows"] > 0 and entry["bytes"] > 0
+            assert 0 <= st["url_bucket"]["min"] <= st["url_bucket"]["max"]
+
+    def test_committed_read_skips_orphan_files(self, spark, two_run_out):
+        out, _, _ = two_run_out
+        df = read_chunks(spark, out)
+        opened = {os.path.basename(p) for p in df.inputFiles()}
+        assert "part-orphan.parquet" not in opened
+        # and the rows are exactly the committed rows
+        full = (
+            spark.read.parquet(os.path.join(out, "chunks"))
+            .filter(F.col("run_id").isin(["runone", "runtwo"]))
+        )
+        assert df.count() == full.count()
+
+    def test_time_travel_reads_only_snapshot_files(self, spark, two_run_out):
+        out, m1, _ = two_run_out
+        df = read_extracted(spark, out, as_of_run="runone")
+        opened = {os.path.basename(p) for p in df.inputFiles()}
+        listed = {e["path"] for e in m1["files"]["extracted"]}
+        assert opened == listed
+        assert df.select("run_id").distinct().collect()[0][0] == "runone"
+
+    def test_where_prunes_files_and_matches_unpruned(self, spark, two_run_out):
+        out, _, _ = two_run_out
+        preds = [("run_id", "==", "runtwo")]
+        pruned = read_extracted(spark, out, where=preds)
+        baseline = read_extracted(spark, out).filter(F.col("run_id") == "runtwo")
+        assert sorted(r["url"] for r in pruned.select("url").collect()) == sorted(
+            r["url"] for r in baseline.select("url").collect()
+        )
+        done = completed_run_ids(out)
+        plan = zonemaps.plan_scan(out, "extracted", done, preds)
+        assert plan.paths is not None
+        assert 0 < plan.files_kept < plan.files_committed
+        assert len(pruned.inputFiles()) == plan.files_kept
+
+    def test_range_predicate_on_url_bucket(self, spark, two_run_out):
+        out, _, _ = two_run_out
+        preds = [("url_bucket", "<=", 3)]
+        pruned = read_chunks(spark, out, where=preds)
+        baseline = read_chunks(spark, out).filter(F.col("url_bucket") <= 3)
+        assert pruned.count() == baseline.count()
+        # bucket spans every file (repartition by url) — pruning keeps
+        # all files, but the filter still applies
+        assert pruned.filter(F.col("url_bucket") > 3).count() == 0
+
+
+class TestFallbacks:
+    def test_legacy_manifest_falls_back_full_read(self, spark, two_run_out, tmp_path):
+        out, _, _ = two_run_out
+        legacy = str(tmp_path / "legacy")
+        shutil.copytree(out, legacy)
+        mpath = os.path.join(legacy, "manifest", "run_runone.json")
+        with open(mpath) as fh:
+            m = json.load(fh)
+        del m["files"]
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+        plan = zonemaps.plan_scan(legacy, "chunks", completed_run_ids(legacy))
+        assert plan.paths is None and "no file list" in plan.fallback_reason
+        df = read_chunks(spark, legacy)
+        ref = read_chunks(spark, out)
+        assert df.count() == ref.count()
+
+    def test_missing_listed_file_falls_back(self, spark, two_run_out, tmp_path):
+        out, _, _ = two_run_out
+        broken = str(tmp_path / "broken")
+        shutil.copytree(out, broken)
+        mpath = os.path.join(broken, "manifest", "run_runone.json")
+        with open(mpath) as fh:
+            m = json.load(fh)
+        m["files"]["chunks"][0]["path"] = "part-gone.parquet"
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+        plan = zonemaps.plan_scan(broken, "chunks", completed_run_ids(broken))
+        assert plan.paths is None and "missing file" in plan.fallback_reason
+        assert read_chunks(spark, broken).count() == read_chunks(spark, out).count()
+
+    def test_compaction_invalidates_lists_and_preserves_rows(
+        self, spark, two_run_out, tmp_path
+    ):
+        from clawrag_spark.maintenance import compact_parquet_dir
+
+        out, _, _ = two_run_out
+        comp = str(tmp_path / "comp")
+        shutil.copytree(out, comp)
+        before = read_chunks(spark, comp).count()
+        res = compact_parquet_dir(
+            spark, os.path.join(comp, "chunks"), target_file_bytes=1 << 30
+        )
+        assert res["compacted"]
+        with open(os.path.join(comp, "manifest", "run_runone.json")) as fh:
+            m = json.load(fh)
+        assert "chunks" not in m["files"]  # invalidated
+        assert "extracted" in m["files"]  # untouched table keeps its list
+        plan = zonemaps.plan_scan(comp, "chunks", completed_run_ids(comp))
+        assert plan.paths is None
+        assert read_chunks(spark, comp).count() == before
+
+    def test_all_pruned_selection_returns_empty(self, spark, two_run_out):
+        out, _, _ = two_run_out
+        df = read_extracted(spark, out, where=[("run_id", "==", "nosuchrun")])
+        assert df.count() == 0
+
+
+class TestPredicateSemantics:
+    def test_interval_tests(self):
+        entry = {"stats": {"x": {"min": 10, "max": 20}}}
+        assert zonemaps._file_can_match(entry, [("x", "==", 15)])
+        assert not zonemaps._file_can_match(entry, [("x", "==", 9)])
+        assert not zonemaps._file_can_match(entry, [("x", "<", 10)])
+        assert zonemaps._file_can_match(entry, [("x", "<", 11)])
+        assert zonemaps._file_can_match(entry, [("x", "<=", 10)])
+        assert not zonemaps._file_can_match(entry, [("x", ">", 20)])
+        assert zonemaps._file_can_match(entry, [("x", ">=", 20)])
+        # null / missing bounds are never prunable
+        assert zonemaps._file_can_match(
+            {"stats": {"x": {"min": None, "max": None}}}, [("x", "==", 9)]
+        )
+        assert zonemaps._file_can_match({"stats": {}}, [("x", "==", 9)])
+        # incomparable literal: conservative keep
+        assert zonemaps._file_can_match(entry, [("x", "==", "a-string")])
+
+    def test_where_expr_rejects_bad_op(self):
+        with pytest.raises(ValueError):
+            zonemaps.where_expr([("x", "!=", 1)])
