@@ -1920,3 +1920,72 @@ def kmeans_assign(
     return emb.select(
         F.col(id_col), _nearest_cell(vec_col, centroids).alias("cell")
     )
+
+
+# ------------------------------------------------ LSH parameter planning
+
+
+def lsh_parameter_plan(
+    spark, n_perms: int = 128, threshold: float = 0.8, n_grid: int = 200
+) -> DataFrame:
+    """Candidate-generation planning for MinHash-LSH: score every
+    (bands b, rows r) split of an ``n_perms`` signature budget against
+    a target Jaccard ``threshold``.
+
+    For a pair with true similarity s, LSH proposes it with
+    P(s) = 1 − (1 − s^r)^b.  The planner integrates, by midpoint rule
+    over ``n_grid`` cells, the false-positive area ∫₀ᵗ P(s) ds (pairs
+    below threshold that still collide → wasted verify work) and the
+    false-negative area ∫ₜ¹ (1 − P(s)) ds (true pairs missed → recall
+    loss), and reports both plus their sum.  ``s50 = (1/b)^(1/r)`` is
+    the curve's midpoint.  At 10^12 documents the verify stage costs
+    (candidate pairs) × (gram-intersection work): picking (b, r) off
+    this table is the difference between a verify join that fits the
+    cluster and one that doesn't — tuning belongs in the plan, not in
+    production reruns.
+
+    Everything is one tiny crossJoin (divisor pairs × grid cells, ≤ a
+    few thousand rows) of pure JVM float math; round(6) pins the sums
+    cross-engine.
+    """
+    splits = [
+        (n_perms // r, r)
+        for r in range(1, n_perms + 1)
+        if n_perms % r == 0
+    ]
+    grid = spark.range(1, n_grid + 1).select(
+        ((2 * F.col("id") - 1) / F.lit(2 * n_grid)).alias("s")
+    )
+    plans = spark.createDataFrame(splits, ["bands", "rows_per_band"])
+    p_collide = 1 - F.pow(
+        1 - F.pow(F.col("s"), F.col("rows_per_band")), F.col("bands")
+    )
+    cell = F.lit(1.0 / n_grid)
+    scored = (
+        plans.crossJoin(grid)
+        .select(
+            "bands",
+            "rows_per_band",
+            F.when(F.col("s") < F.lit(threshold), p_collide * cell)
+            .otherwise(F.lit(0.0))
+            .alias("fp_cell"),
+            F.when(F.col("s") >= F.lit(threshold), (1 - p_collide) * cell)
+            .otherwise(F.lit(0.0))
+            .alias("fn_cell"),
+        )
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(F.sum("fp_cell"), 6).alias("fp_area"),
+            F.round(F.sum("fn_cell"), 6).alias("fn_area"),
+            F.round(F.sum(F.col("fp_cell") + F.col("fn_cell")), 6).alias(
+                "total_error"
+            ),
+        )
+    )
+    s50 = F.round(
+        F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 6
+    )
+    return scored.select(
+        "bands", "rows_per_band", s50.alias("s50"),
+        "fp_area", "fn_area", "total_error",
+    )

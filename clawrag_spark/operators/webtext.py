@@ -2380,3 +2380,246 @@ def heaps_fit(
         F.round(F.col("b"), 6).alias("heaps_beta"),
         F.round(F.exp(F.col("lnk")), 6).alias("heaps_k"),
     )
+
+
+# --------------------------------------------- feed / bitext / soft-404
+
+
+def parse_feeds(
+    feeds: DataFrame, host_col: str = "host", xml_col: str = "feed_xml"
+) -> DataFrame:
+    """RSS 2.0 / Atom feed bodies → one crawl-frontier row per entry:
+    (host, fmt, link, title, published).
+
+    The discovery twin of ``parse_sitemaps``: sitemaps enumerate the
+    whole site, feeds surface the NEW urls — a freshness-driven crawler
+    polls feeds between sitemap passes (reference parity: the folder
+    scanner's incremental re-scan, ``folder_scanner.py``, plays this
+    role for local corpora).
+
+    Expression-only, zero shuffle: non-greedy ``<item>``/``<entry>``
+    block extraction, then per-block tag pulls.  RSS links are element
+    text (``<link>url</link>``); Atom links are an href attribute
+    (``<link href="url"/>``) — both grammars are anchored non-greedy
+    regexes that RE2/Java/DuckDB agree on.  Missing optional tags stay
+    '' so rows remain totally orderable cross-engine.
+    """
+    tag = lambda b, t: F.regexp_extract(b, f"(?s)<{t}[^>]*>\\s*([^<]*?)\\s*</{t}>", 1)
+    rss_blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<item>(.*?)</item>"), 1
+    )
+    atom_blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<entry>(.*?)</entry>"), 1
+    )
+    rss = feeds.select(
+        F.col(host_col).alias("host"), F.explode(rss_blocks).alias("__b")
+    ).select(
+        "host",
+        F.lit("rss").alias("fmt"),
+        tag(F.col("__b"), "link").alias("link"),
+        tag(F.col("__b"), "title").alias("title"),
+        tag(F.col("__b"), "pubDate").alias("published"),
+    )
+    atom = feeds.select(
+        F.col(host_col).alias("host"), F.explode(atom_blocks).alias("__b")
+    ).select(
+        "host",
+        F.lit("atom").alias("fmt"),
+        F.regexp_extract(
+            F.col("__b"), r'<link[^>]*\bhref="([^"]*)"', 1
+        ).alias("link"),
+        tag(F.col("__b"), "title").alias("title"),
+        tag(F.col("__b"), "updated").alias("published"),
+    )
+    return rss.unionByName(atom).filter(F.col("link") != "")
+
+
+_BITEXT_LANGS = ("en", "fr", "de", "es", "it", "pt", "ru", "ja", "zh", "nl")
+
+
+def bitext_url_candidates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Parallel-page candidates from URL structure (the WikiMatrix /
+    ParaCrawl first stage): two urls on the SAME host whose paths
+    differ only in a language marker are candidate translations.
+
+    Recognized markers, expression-only on both engines:
+
+    - a whole path segment that is a known 2-letter code immediately
+      after the host (``https://h/en/about`` ↔ ``https://h/fr/about``),
+    - a ``lang=xx`` query parameter (``?lang=en`` ↔ ``?lang=fr``).
+
+    The join key is the url with the marker replaced by ``*`` — an
+    equi-join on (host, template), never a similarity scan.  Template
+    groups are tiny (#languages a site actually serves), so the shuffle
+    is uniform; at 10^12 pages this is one map-side projection + one
+    hash join, and the downstream content-verify stage (embedding or
+    lexical alignment) runs only on these candidates.  Emits one row
+    per unordered pair with lang_a < lang_b.
+    """
+    langs = "|".join(_BITEXT_LANGS)
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^https?://([^/?#]+)", 1)
+    seg_lang = F.regexp_extract(u, rf"^https?://[^/?#]+/({langs})(?:[/?#]|$)", 1)
+    qry_lang = F.regexp_extract(u, rf"[?&]lang=({langs})(?:&|#|$)", 1)
+    lang = F.when(seg_lang != "", seg_lang).otherwise(qry_lang)
+    # tail captured and re-emitted instead of a lookahead: RE2 (the
+    # DuckDB oracle) has no lookahead, and the grammar must be shared
+    template = F.when(
+        seg_lang != "",
+        F.regexp_replace(
+            u, rf"^(https?://[^/?#]+/)({langs})([/?#].*|$)", r"$1*$3"
+        ),
+    ).otherwise(
+        F.regexp_replace(u, rf"([?&]lang=)({langs})(&.*|#.*|$)", r"$1*$3")
+    )
+    keyed = (
+        pages.select(
+            u.alias("url"), host.alias("host"), lang.alias("lang"),
+            template.alias("template"),
+        )
+        .filter(F.col("lang") != "")
+        .dropDuplicates(["url"])
+    )
+    a = keyed.select(
+        "host", "template",
+        F.col("url").alias("url_a"), F.col("lang").alias("lang_a"),
+    )
+    b = keyed.select(
+        "host", "template",
+        F.col("url").alias("url_b"), F.col("lang").alias("lang_b"),
+    )
+    return a.join(b, ["host", "template"]).filter(
+        F.col("lang_a") < F.col("lang_b")
+    ).select("host", "template", "lang_a", "url_a", "lang_b", "url_b")
+
+
+def soft404_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but are error
+    pages — crawl corpora are full of them and they poison training
+    mixes with millions of near-identical "not found" bodies.
+
+    Integer/boolean signals from the text alone (scan-side, zero
+    shuffle, engine-portable):
+
+    - ``err_phrase``: a canonical error phrase appears ("page not
+      found", "404", "no longer available", "does not exist"),
+    - ``n_chars``: error bodies are short,
+    - ``is_soft404``: phrase AND under the length gate — the flag a
+      funnel consumes.
+    """
+    t = F.lower(F.col(text_col))
+    phrase = (
+        t.contains("page not found")
+        | t.contains("404")
+        | t.contains("no longer available")
+        | t.contains("does not exist")
+    )
+    n = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        phrase.cast("int").alias("err_phrase"),
+        n.alias("n_chars"),
+        (phrase & (n < F.lit(600))).cast("int").alias("is_soft404"),
+    )
+
+
+# ----------------------------------------------- validated PII (Luhn)
+
+
+def luhn_validated_cards(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Credit-card PII detection with Luhn checksum validation.
+
+    A bare 13-19-digit regex over web text is mostly false positives
+    (order ids, timestamps, EANs); production scrubbers (e.g. the
+    Dolma/BigCode PII pipelines) accept a candidate only if the Luhn
+    check digit verifies.  Returns one row per candidate with its
+    validity — the masker then rewrites only validated spans.
+
+    All JVM-side: candidates via ``regexp_extract_all`` (digit runs
+    with optional space/dash separators), checksum via a staged
+    digit-array fold (``transform`` + ``aggregate``) — doubling every
+    second digit from the right, subtracting 9 above 9, sum % 10 == 0.
+    One projection + one explode, zero Python, zero shuffle.
+    """
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?:^|[^0-9])((?:\d[ -]?){12,18}\d)(?:[^0-9]|$)"), 1
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(cands).alias("raw")
+    )
+    digits_str = F.regexp_replace(F.col("raw"), r"[ -]", "")
+    # stage the cleaned digit string first (lambda-CSE rule: aggregates
+    # and their inputs never nest inside another lambda's scope)
+    staged = exploded.select(
+        "doc_id", "raw", digits_str.alias("digits")
+    ).filter(F.length("digits").between(13, 19))
+    n = F.length("digits")
+    # position i (1-based) from the LEFT; from the right it's n - i + 1:
+    # double when (n - i) is odd ⇒ (n - i) % 2 == 1
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            ((n - i) % 2) == 1,
+            F.when(
+                F.substring(F.col("digits"), i, 1).cast("int") * 2 > 9,
+                F.substring(F.col("digits"), i, 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(F.col("digits"), i, 1).cast("int") * 2),
+        ).otherwise(F.substring(F.col("digits"), i, 1).cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return staged.select(
+        "doc_id",
+        "digits",
+        F.length("digits").alias("n_digits"),
+        (total % 10 == 0).alias("luhn_valid"),
+    )
+
+
+# ------------------------------------------- homoglyph normalization
+
+
+# the high-frequency Unicode confusables that map onto ascii letters —
+# the set spam/cloaking actually uses (Cyrillic + Greek lookalikes).
+# Source: Unicode TR39 confusables, ascii-target subset.
+_CONFUSABLE_SRC = "аеорсухіјѕАВЕКМНОРСТХаοесхρνΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+_CONFUSABLE_DST = "aeopcyxijsABEKMHOPCTXaoecxpvABEZHIKMNOPTYX"
+
+
+def homoglyph_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Homoglyph (confusable-character) normalization + spoof signal.
+
+    Spam and cloaked pages swap ascii letters for Cyrillic/Greek
+    lookalikes to evade keyword filters and dedup ("vіаgrа"); the
+    normalized text restores the ascii form so every downstream hash,
+    n-gram, and blocklist sees through the trick.  ``n_confusables``
+    (how many characters the mapping changed) is itself a strong spam
+    signal: legitimate Russian/Greek text is MOSTLY non-ascii, so a doc
+    where confusables appear embedded in otherwise-ascii words scores
+    high on ``mixed_word_hits`` — words containing BOTH an ascii letter
+    and a confusable, which natural single-script text never produces.
+
+    ``translate`` on both engines (character-for-character, UTF-8
+    aware), one projection, zero shuffle.
+    """
+    t = F.col(text_col)
+    norm = F.translate(t, _CONFUSABLE_SRC, _CONFUSABLE_DST)
+    mixed = F.size(
+        F.filter(
+            F.split(t, r"\s+"),
+            lambda w: w.rlike("[A-Za-z]")
+            & w.rlike(f"[{_CONFUSABLE_SRC}]"),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("text_norm"),
+        (F.length(t) - F.length(F.regexp_replace(t, f"[{_CONFUSABLE_SRC}]", ""))
+         ).alias("n_confusables"),
+        mixed.alias("mixed_word_hits"),
+    )

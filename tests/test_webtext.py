@@ -1108,3 +1108,111 @@ def test_heaps_fit_recovers_known_exponent(spark):
     assert abs(beta - 0.5) < 0.02
     # K should be near 1 for V(n) ~ n^0.5
     assert 0.8 < rows[0]["heaps_k"] < 1.3
+
+
+# ------------------------------------------- feeds / bitext / soft-404
+
+
+def test_parse_feeds_rss_and_atom(spark):
+    feeds = spark.createDataFrame(
+        [
+            ("h1", "<rss><channel><title>Chan</title>"
+                   "<item><title> A </title><link> https://h1/a </link>"
+                   "<pubDate>d1</pubDate></item>"
+                   "<item><title>no link</title></item></channel></rss>"),
+            ("h2", '<feed><entry><title>E</title>'
+                   '<link href="https://h2/e" rel="alternate"/>'
+                   "<updated>d2</updated></entry></feed>"),
+        ],
+        ["host", "feed_xml"],
+    )
+    rows = {(r["host"], r["fmt"]): r for r in _rows(W.parse_feeds(feeds))}
+    assert rows[("h1", "rss")]["link"] == "https://h1/a"  # padding stripped
+    assert rows[("h1", "rss")]["title"] == "A"
+    assert rows[("h2", "atom")]["link"] == "https://h2/e"
+    assert rows[("h2", "atom")]["published"] == "d2"
+    # the link-less RSS item is dropped; channel <title> never leaks
+    assert len(rows) == 2
+
+
+def test_bitext_pairs_exact(spark):
+    urls = [
+        "https://s/en/about", "https://s/fr/about", "https://s/de/about",
+        "https://s/end/about",            # not a language segment
+        "https://t/en/about",             # other host, same template
+        "https://s/doc?lang=en&i=1", "https://s/doc?lang=fr&i=1",
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        (r["lang_a"], r["lang_b"], r["template"])
+        for r in _rows(W.bitext_url_candidates(pages))
+    }
+    assert got == {
+        ("de", "en", "https://s/*/about"),
+        ("de", "fr", "https://s/*/about"),
+        ("en", "fr", "https://s/*/about"),
+        ("en", "fr", "https://s/doc?lang=*&i=1"),
+    }
+
+
+def test_soft404_gate(spark):
+    docs = spark.createDataFrame(
+        [(1, "Page not found."), (2, "page not found " + "x" * 700),
+         (3, "all good here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in _rows(W.soft404_signals(docs))}
+    assert rows[1]["is_soft404"] == 1
+    assert rows[2]["err_phrase"] == 1 and rows[2]["is_soft404"] == 0
+    assert rows[3]["err_phrase"] == 0
+
+
+def test_luhn_known_cards(spark):
+    docs = spark.createDataFrame(
+        [(1, "visa 4111 1111 1111 1111"), (2, "bad 4111111111111112"),
+         (3, "mc 5500-0000-0000-0004"), (4, "amex 378282246310005"),
+         (5, "no digits at all"), (6, "short 123456789012")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in _rows(W.luhn_validated_cards(docs))}
+    assert rows[1]["luhn_valid"] is True and rows[1]["digits"] == "4111111111111111"
+    assert rows[2]["luhn_valid"] is False
+    assert rows[3]["luhn_valid"] is True
+    assert rows[4]["luhn_valid"] is True and rows[4]["n_digits"] == 15
+    assert 5 not in rows and 6 not in rows  # no candidate at all
+
+
+def test_homoglyph_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "buy vіаgrа now"),   # Cyrillic і, а
+         (2, "привет"),  # привет — pure Russian
+         (3, "plain ascii")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in _rows(W.homoglyph_signals(docs))}
+    assert rows[1]["text_norm"] == "buy viagra now"
+    assert rows[1]["n_confusables"] == 3
+    assert rows[1]["mixed_word_hits"] == 1
+    # natural single-script text: confusables counted, zero mixed words
+    assert rows[2]["n_confusables"] > 0 and rows[2]["mixed_word_hits"] == 0
+    assert rows[3]["n_confusables"] == 0 and rows[3]["text_norm"] == "plain ascii"
+
+
+def test_lsh_plan_properties(spark):
+    from clawrag_spark.operators.dataset import lsh_parameter_plan
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in _rows(lsh_parameter_plan(spark, n_perms=128, threshold=0.8))
+    }
+    assert len(rows) == 8  # divisors of 128
+    # degenerate splits are terrible: b=128,r=1 collides on everything
+    # (huge FP), b=1,r=128 collides on nothing below s=1 (huge FN)
+    assert rows[(128, 1)]["fp_area"] > 0.5
+    assert rows[(1, 128)]["fn_area"] > 0.15
+    best = min(rows.values(), key=lambda r: r["total_error"])
+    # the optimum's curve midpoint sits near the target threshold
+    assert abs(best["s50"] - 0.8) < 0.15
+    for r in rows.values():
+        assert 0 <= r["fp_area"] and 0 <= r["fn_area"]
+        assert abs(r["total_error"] - round(r["fp_area"] + r["fn_area"], 6)) < 2e-6
