@@ -244,3 +244,80 @@ def expire_runs(
         "tables_rewritten": rewritten,
         "bm25_merged": bm25_merged,
     }
+
+
+def remove_orphan_files(
+    out_dir: str,
+    tables: tuple = ("extracted", "chunks"),
+    min_age_sec: float = 86400.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data files no committed manifest references (Iceberg
+    ``remove_orphan_files`` parity, enabled by the manifests' file
+    lists).
+
+    Orphans accumulate from crashed runs: the extracted/chunks appends
+    landed but the manifest never committed, so the committed view
+    (``read_extracted``/``read_chunks``) already ignores the rows — the
+    bytes just sit there forever.  At 10^12 documents a few crashed
+    backfills are real money.
+
+    Safety rails, in order:
+
+    - a table is vacuumed ONLY when every committed manifest carries a
+      file list for it (a pre-feature or post-expiration base manifest
+      means the reference set is unknowable → table skipped, reported),
+    - ``min_age_sec`` grace period (Iceberg's 3-day default scaled
+      down): a CONCURRENT in-flight run's fresh files are not yet
+      manifested and must not be deleted — age is the same guard
+      Iceberg uses, because the writer's identity is unknowable from
+      the filesystem,
+    - ``dry_run`` reports without deleting.
+    """
+    import time as _time
+
+    from .pipeline import completed_run_ids
+
+    manifest_dir = os.path.join(out_dir, "manifest")
+    done = completed_run_ids(out_dir)
+    now = _time.time()
+    report: dict = {"tables": {}, "deleted": 0, "bytes_reclaimed": 0}
+    import json as _json
+
+    manifests = []
+    for rid in done:
+        with open(os.path.join(manifest_dir, f"run_{rid}.json")) as fh:
+            manifests.append(_json.load(fh))
+    for table in tables:
+        tdir = os.path.join(out_dir, table)
+        if not os.path.isdir(tdir):
+            report["tables"][table] = {"skipped": "missing"}
+            continue
+        lists = [(m.get("files") or {}).get(table) for m in manifests]
+        if any(entry is None for entry in lists):
+            report["tables"][table] = {"skipped": "incomplete_file_lists"}
+            continue
+        referenced = {e["path"] for fl in lists for e in fl}
+        removed, freed, young = [], 0, 0
+        for name in sorted(os.listdir(tdir)):
+            if not name.endswith(".parquet") or name in referenced:
+                continue
+            path = os.path.join(tdir, name)
+            if now - os.path.getmtime(path) < min_age_sec:
+                young += 1
+                continue
+            size = os.path.getsize(path)
+            if not dry_run:
+                os.remove(path)
+            removed.append(name)
+            freed += size
+        report["tables"][table] = {
+            "orphans_removed": len(removed),
+            "bytes": freed,
+            "skipped_young": young,
+            "referenced": len(referenced),
+        }
+        report["deleted"] += len(removed)
+        report["bytes_reclaimed"] += freed
+    report["dry_run"] = dry_run
+    return report

@@ -194,3 +194,53 @@ class TestPredicateSemantics:
     def test_where_expr_rejects_bad_op(self):
         with pytest.raises(ValueError):
             zonemaps.where_expr([("x", "!=", 1)])
+
+
+class TestOrphanVacuum:
+    def test_vacuum_removes_only_aged_orphans(self, spark, two_run_out, tmp_path):
+        from clawrag_spark.maintenance import remove_orphan_files
+
+        out, _, _ = two_run_out
+        vac = str(tmp_path / "vac")
+        shutil.copytree(out, vac)
+        before = read_chunks(spark, vac).count()
+        # grace period: fresh orphans survive
+        rep = remove_orphan_files(vac, min_age_sec=3600)
+        assert rep["deleted"] == 0
+        assert rep["tables"]["chunks"]["skipped_young"] == 1
+        assert os.path.exists(os.path.join(vac, "chunks", "part-orphan.parquet"))
+        # aged out: orphans (one per table) deleted, committed rows intact
+        rep = remove_orphan_files(vac, min_age_sec=0)
+        assert rep["deleted"] == 2 and rep["bytes_reclaimed"] > 0
+        assert not os.path.exists(os.path.join(vac, "chunks", "part-orphan.parquet"))
+        assert not os.path.exists(os.path.join(vac, "extracted", "part-orphan.parquet"))
+        assert read_chunks(spark, vac).count() == before
+        # second pass: nothing left
+        assert remove_orphan_files(vac, min_age_sec=0)["deleted"] == 0
+
+    def test_vacuum_dry_run_touches_nothing(self, spark, two_run_out, tmp_path):
+        from clawrag_spark.maintenance import remove_orphan_files
+
+        out, _, _ = two_run_out
+        vac = str(tmp_path / "dry")
+        shutil.copytree(out, vac)
+        rep = remove_orphan_files(vac, min_age_sec=0, dry_run=True)
+        assert rep["deleted"] == 2 and rep["dry_run"]
+        assert os.path.exists(os.path.join(vac, "chunks", "part-orphan.parquet"))
+
+    def test_vacuum_refuses_incomplete_file_lists(self, spark, two_run_out, tmp_path):
+        from clawrag_spark.maintenance import remove_orphan_files
+
+        out, _, _ = two_run_out
+        vac = str(tmp_path / "nolist")
+        shutil.copytree(out, vac)
+        mpath = os.path.join(vac, "manifest", "run_runone.json")
+        with open(mpath) as fh:
+            m = json.load(fh)
+        del m["files"]
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+        rep = remove_orphan_files(vac, min_age_sec=0)
+        assert rep["deleted"] == 0
+        assert rep["tables"]["chunks"]["skipped"] == "incomplete_file_lists"
+        assert os.path.exists(os.path.join(vac, "chunks", "part-orphan.parquet"))
