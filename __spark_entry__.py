@@ -3298,6 +3298,23 @@ def q_homoglyph(spark, sf_dir):
     return WT.homoglyph_signals(docs.unionByName(planted))
 
 
+def q_dedup_best_rep(spark, sf_dir):
+    """Quality-aware dedup representatives (RefinedWeb-style keep-best):
+    the same banded near-dup clusters as dedup_clusters, but the kept
+    doc is the cluster's argmax(word count) with id tie-break — one
+    window shuffle on cluster_id after the CC rounds; singletons are
+    their own representative via the doc-spine left join."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
+    quality = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    return DS.dedup_representatives(docs, pairs, "doc_id", quality)
+
+
 def q_lsh_plan(spark, sf_dir):
     """MinHash-LSH (bands, rows) planning table for a 128-perm budget
     at threshold 0.8: midpoint-rule FP/FN areas of the collision curve
@@ -3377,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": q_pii_luhn,
         "homoglyph": q_homoglyph,
         "lsh_plan": q_lsh_plan,
+        "dedup_best_rep": q_dedup_best_rep,
         "recrawl_priority": q_recrawl_priority,
         "temperature_mix": q_temperature_mix,
         "zipf_fit": q_zipf_fit,
@@ -4004,6 +4022,45 @@ def oracle_sql() -> dict[str, str]:
                       END
             )
 """
+    # Shared near-dup CC chain (docs<120 -> minhash bands -> pairs ->
+    # recursive closure), consumed by dedup_clusters AND dedup_best_rep
+    dedup_cc_cte = """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 120
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band, min(md5(band::VARCHAR || '.0|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ),
+            clusters AS (
+                SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+                FROM reach GROUP BY n
+            )"""
     return {
         # train_val_split: same salted-md5 prefix vs the same 15-hex
         # threshold literal (0.3 * 16^15) on both engines
@@ -6579,41 +6636,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
             LEFT JOIN sized s ON s.n = d.doc_id
         """,
-        "dedup_clusters": """
-            WITH RECURSIVE toks AS (
+        "dedup_clusters": dedup_cc_cte + """
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        # dedup_best_rep: shared CC chain + singleton spine join + the
+        # same (quality DESC, id ASC) window as the Spark operator
+        "dedup_best_rep": dedup_cc_cte + """,
+            q AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                   x -> x <> '') AS toks
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS quality
                 FROM documents WHERE doc_id < 120
             ),
-            shingles AS (
-                SELECT DISTINCT doc_id,
-                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
-                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
-                WHERE len(toks) >= 3
-            ),
-            sigs AS (
-                SELECT doc_id, band, min(md5(band::VARCHAR || '.0|' || shingle)) AS sig
-                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
-                GROUP BY doc_id, band
-            ),
-            pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sigs a JOIN sigs b
-                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            ),
-            edges AS (
-                SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION
-                SELECT doc_b AS a, doc_a AS b FROM pairs
-            ),
-            reach(n, m) AS (
-                SELECT a, b FROM edges
-                UNION
-                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            labeled AS (
+                SELECT q.doc_id, q.quality,
+                       coalesce(c.cluster_id, q.doc_id) AS cluster_id
+                FROM q LEFT JOIN clusters c USING (doc_id)
             )
-            SELECT n AS doc_id, least(n, min(m)) AS cluster_id
-            FROM reach GROUP BY n
+            SELECT doc_id, cluster_id, quality,
+                   first_value(doc_id) OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS rep_id,
+                   (doc_id = first_value(doc_id) OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING))::INT AS is_rep
+            FROM labeled
         """,
         "lm_perplexity": """
             WITH lo AS (

@@ -1989,3 +1989,53 @@ def lsh_parameter_plan(
         "bands", "rows_per_band", s50.alias("s50"),
         "fp_area", "fn_area", "total_error",
     )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster representatives: keep the BEST
+    document of each near-dup cluster, not the arbitrary min-id one.
+
+    RefinedWeb/FineWeb-style pipelines pick the representative by a
+    quality signal (longest, highest LM score, best format) because
+    near-dup clusters mix clean originals with boilerplate-wrapped and
+    truncated copies — min-id keeps a random member, this keeps the one
+    you'd want in the training mix.
+
+    Shape: ``connected_components`` over the candidate pairs (the
+    banded generators upstream), a left join back to the doc spine
+    (singletons become their own cluster), then ONE window per cluster
+    ordered by (quality DESC, id ASC) — a single shuffle on cluster_id
+    after the CC rounds.  ``quality_col`` is any deterministic Column
+    (word count, LM score, …); ties break to the smaller id so the
+    choice is total cross-engine.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src, dst)
+    labeled = (
+        docs.select(F.col(id_col), quality_col.alias("quality"))
+        .join(cc, F.col(id_col) == F.col("n"), "left")
+        .select(
+            id_col,
+            "quality",
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        "quality",
+        F.first(id_col).over(w).alias("rep_id"),
+    ).withColumn("is_rep", (F.col(id_col) == F.col("rep_id")).cast("int"))

@@ -771,3 +771,23 @@ def test_containment_threshold_is_integer_exact(spark):
     }
     assert (2, 1) in got and got[(2, 1)] == 9
     assert (3, 1) not in got
+
+
+def test_dedup_representatives_keep_best(spark):
+    from pyspark.sql import functions as F
+
+    from clawrag_spark.operators.dataset import dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 2), (9, 7)],  # 9 is a singleton
+        ["doc_id", "n_words"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+    rows = {r["doc_id"]: r for r in dedup_representatives(
+        docs, pairs, "doc_id", F.col("n_words")).collect()}
+    # cluster {1,2,3,4}: best quality 9 is tied between 2 and 3 -> min id 2
+    for d in (1, 2, 3, 4):
+        assert rows[d]["rep_id"] == 2
+    assert rows[2]["is_rep"] == 1 and rows[3]["is_rep"] == 0
+    # singleton is its own representative
+    assert rows[9]["rep_id"] == 9 and rows[9]["is_rep"] == 1
