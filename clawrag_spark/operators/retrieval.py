@@ -451,3 +451,83 @@ def postings_gap_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
             ),
         )
     )
+
+
+def build_impact_index(
+    index: dict[str, DataFrame],
+    id_col: str,
+    bits: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> dict[str, DataFrame]:
+    """Impact-ordered postings (Anh & Moffat): move BM25 scoring from
+    query time to INDEX time.
+
+    Every per-posting BM25 contribution is computable when the index is
+    built (tf, dl, df are all known), so each posting stores a
+    ``bits``-bit quantized impact code instead of a raw tf.  The
+    queries-per-day side of a 10^12-doc deployment then:
+
+    - reads 1-2 bytes per posting instead of floats,
+    - never joins ``doclen`` or ``idf`` at query time — scoring is one
+      filter + one sum over the codes,
+    - can prune with ``term_max`` (the per-term impact upper bound):
+      a WAND/block-max scheduler skips any doc whose remaining-terms
+      bound cannot reach the current top-k threshold, and at the Spark
+      layer whole term partitions prune the same way.
+
+    Quantization: code = floor(round(contrib · (2^bits−1) / max, 6)
+    + 0.5) — round-half-up written as floor(x + 0.5) because the
+    engines disagree on round()'s half rule; the round(…, 6) inside
+    pins float drift first.  Ranking by summed codes approximates exact
+    BM25 order (recall pinned in pytest); the max contribution maps to
+    the top code by construction.
+    """
+    tf, dl, avgdl = F.col("tf"), F.col("dl"), F.col("avgdl")
+    contrib = (
+        index["postings"]
+        .join(F.broadcast(index["idf"].select("term", "idf", "avgdl")), "term")
+        .join(index["doclen"], id_col)
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("idf") * (tf * (k1 + 1))
+                / (tf + k1 * (1 - b + b * dl / avgdl))
+            ).alias("contrib"),
+        )
+    )
+    mx = contrib.agg(F.max("contrib").alias("mx"))
+    top = (1 << bits) - 1
+    codes = contrib.crossJoin(F.broadcast(mx)).select(
+        id_col,
+        "term",
+        F.floor(
+            F.round(F.col("contrib") * top / F.col("mx"), 6) + F.lit(0.5)
+        ).cast("int").alias("code"),
+    )
+    term_max = codes.groupBy("term").agg(F.max("code").alias("max_code"))
+    return {"impacts": codes, "term_max": term_max}
+
+
+def impact_topk(
+    impact_index: dict[str, DataFrame],
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k retrieval over an impact-ordered index: filter the query
+    terms, sum the integer codes, TakeOrderedAndProject the top k under
+    a total (score DESC, id ASC) order.  No doclen, no idf, no floats —
+    the entire query-time plan is integer arithmetic over the pruned
+    postings slice."""
+    q = [t.lower() for t in query_terms]
+    return (
+        impact_index["impacts"]
+        .filter(F.col("term").isin(q))
+        .groupBy(id_col)
+        .agg(F.sum("code").cast("long").alias("impact_score"))
+        .filter(F.col("impact_score") > 0)
+        .orderBy(F.desc("impact_score"), id_col)
+        .limit(k)
+    )

@@ -126,3 +126,44 @@ def test_manifested_but_unindexed_run_recovered(spark, pages_path, tmp_path):
     assert len(want) > 0 and got.keys() == want.keys()
     for cid, score in want.items():
         assert got[cid] == pytest.approx(score, rel=1e-12)
+
+
+def test_impact_index_rank_agreement(spark, indexed_out):
+    """Impact-ordered codes (8-bit quantized contributions) must
+    reproduce the exact-BM25 ranking closely: top-10 overlap >= 8/10
+    and the exact #1 stays in the impact top-3.  Also pins the code
+    range and the term_max bound used for WAND-style pruning."""
+    chunks = read_chunks(spark, indexed_out).select("chunk_id", "text")
+    idx = R.bm25_build_index(chunks, "chunk_id", "text")
+    for name in ("postings", "doclen", "idf"):
+        idx[name] = idx[name].persist()
+    imp = R.build_impact_index(idx, "chunk_id")
+
+    codes = imp["impacts"].agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).first()
+    assert codes["lo"] >= 0 and codes["hi"] == 255  # max contrib -> top code
+
+    # term_max really bounds every code of its term (the pruning invariant)
+    viol = (
+        imp["impacts"]
+        .join(imp["term_max"], "term")
+        .filter(F.col("code") > F.col("max_code"))
+        .count()
+    )
+    assert viol == 0
+
+    exact = [
+        r["chunk_id"]
+        for r in R.bm25_score_index(idx, "chunk_id", TERMS)
+        .orderBy(F.desc("bm25_score"), "chunk_id")
+        .limit(10)
+        .collect()
+    ]
+    approx = [
+        r["chunk_id"]
+        for r in R.impact_topk(imp, "chunk_id", TERMS, k=10).collect()
+    ]
+    assert len(exact) == 10, "vacuous: fixture has <10 scored chunks"
+    assert len(set(exact) & set(approx)) >= 8
+    assert exact[0] in approx[:3]
