@@ -1728,6 +1728,22 @@ def q_host_stats(spark, sf_dir):
     )
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Max-min fair (water-filling) crawl-budget split across the demo
+    corpus hosts: alloc = min(demand, cap) with the water level cap
+    solving sum(min(demand, cap)) = budget, computed in closed form
+    over a distributed prefix-sum/rank pass (no single-partition global
+    sort).  The Zipf-hot hosts get capped; the tail keeps its full
+    demand — the frontier allocator that precedes politeness
+    scheduling.  Oracle replicates the rank-prefix closed form with
+    window functions."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    host = F.regexp_extract(F.col("url"), "^[a-z]+://([^/]+)", 1)
+    hosts = pages.groupBy(host.alias("host")).agg(F.count("*").alias("demand"))
+    return WT.fair_crawl_budget(hosts, "host", "demand", budget=120.0)
+
+
 def q_link_graph(spark, sf_dir):
     """Host-level webgraph edges from raw crawl pages: magic-prefix
     html gate (binary compare BEFORE the string cast, so non-UTF-8
@@ -3451,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "crawl_delay_schedule": q_crawl_delay_schedule,
         "impact_topk": q_impact_topk,
+        "crawl_budget": q_crawl_budget,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6580,6 +6597,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_extract(url, '^[a-z]+://([^/]+)', 1) NOT IN
                   ('host003.example.com', 'host007.example.com')
             GROUP BY 1
+        """,
+        "crawl_budget": f"""
+            WITH hosts AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       count(*)::BIGINT AS demand
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                GROUP BY 1
+            ),
+            ranked AS (
+                SELECT host, demand,
+                       row_number() OVER (ORDER BY demand, host) AS rnk,
+                       coalesce(sum(demand) OVER (
+                           ORDER BY demand, host
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS pfx,
+                       count(*) OVER () AS n
+                FROM hosts
+            ),
+            scal AS (
+                SELECT
+                    (SELECT count(*) FROM ranked
+                     WHERE pfx + demand * (n - rnk + 1) <= 120.0) AS k,
+                    (SELECT coalesce(sum(demand), 0) FROM ranked
+                     WHERE pfx + demand * (n - rnk + 1) <= 120.0) AS sk,
+                    (SELECT count(*) FROM ranked) AS n
+            )
+            SELECT r.host, r.demand,
+                   round(CASE WHEN s.k >= s.n THEN r.demand::DOUBLE
+                              ELSE least(r.demand::DOUBLE,
+                                         (120.0 - s.sk) / (s.n - s.k))
+                         END, 6) AS alloc
+            FROM ranked r CROSS JOIN scal s
         """,
         # drop_reasons: same shared funnel chain, per-doc first-failing
         # stage instead of the per-stage counts

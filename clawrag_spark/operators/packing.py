@@ -86,12 +86,17 @@ def _exclusive_prefix(
     order_cols: list,
     weight_col: str,
     num_partitions: int | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """The shared two-phase scaffolding: the input plus ``__pfx`` — the
     exclusive prefix sum of ``weight_col`` under the total order
     ``order_cols``.  Core of :func:`pack_training_shards`,
     :func:`pack_sequences` (weight = token counts, order = the shuffle
     key) and :func:`global_rank` (weight = 1, order = caller's score).
+    ``with_rank=True`` additionally emits ``__rank`` (the 1-based global
+    row number under the same order) from the SAME window pass and the
+    SAME P-row offsets job — callers needing both (water-filling
+    allocation) pay one shuffle, not two.
 
     Pins the sampled range boundaries before the plan forks:
     RangePartitioner samples its bounds per-RDD, so the totals job and
@@ -125,21 +130,29 @@ def _exclusive_prefix(
     local = parted.withColumn(
         "__loc", F.coalesce(F.sum(weight_col).over(w), F.lit(0))
     )
+    if with_rank:
+        wr = Window.partitionBy("__pid").orderBy(*order_cols)
+        local = local.withColumn("__locn", F.row_number().over(wr))
     # Exclusive running total of the P per-partition sums: P rows (one
     # per partition, not per document) through a single-partition window
     # — metadata-sized by construction — then broadcast back.
     wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         parted.groupBy("__pid")
-        .agg(F.sum(weight_col).alias("__t"))
+        .agg(F.sum(weight_col).alias("__t"), F.count("*").alias("__c"))
         .withColumn("__off", F.coalesce(F.sum("__t").over(wp), F.lit(0)))
-        .select("__pid", "__off")
+        .withColumn("__offn", F.coalesce(F.sum("__c").over(wp), F.lit(0)))
+        .select("__pid", "__off", "__offn")
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn("__pfx", F.col("__loc") + F.col("__off"))
-        .drop("__pid", "__loc", "__off")
     )
+    if with_rank:
+        out = out.withColumn(
+            "__rank", (F.col("__offn") + F.col("__locn")).cast("long")
+        ).drop("__locn")
+    return out.drop("__pid", "__loc", "__off", "__offn")
 
 
 def _exclusive_prefix_sum(

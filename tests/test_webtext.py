@@ -1216,3 +1216,67 @@ def test_lsh_plan_properties(spark):
     for r in rows.values():
         assert 0 <= r["fp_area"] and 0 <= r["fn_area"]
         assert abs(r["total_error"] - round(r["fp_area"] + r["fn_area"], 6)) < 2e-6
+
+
+class TestFairCrawlBudget:
+    def _brute(self, demands, budget):
+        """Reference water level by bisection on sum(min(d, cap))."""
+        if sum(demands) <= budget:
+            return [float(d) for d in demands]
+        lo, hi = 0.0, float(max(demands))
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if sum(min(d, mid) for d in demands) > budget:
+                hi = mid
+            else:
+                lo = mid
+        return [min(float(d), lo) for d in demands]
+
+    def _run(self, spark, demands, budget):
+        hosts = spark.createDataFrame(
+            [(f"h{i:03d}", int(d)) for i, d in enumerate(demands)],
+            "host string, demand long",
+        )
+        got = {
+            r["host"]: r["alloc"]
+            for r in W.fair_crawl_budget(
+                hosts, "host", "demand", budget
+            ).collect()
+        }
+        want = self._brute(demands, budget)
+        assert len(got) == len(demands)
+        for i, w in enumerate(want):
+            assert got[f"h{i:03d}"] == pytest.approx(w, abs=1e-4)
+        # allocation is exhaustive: spends min(budget, total), never more
+        assert sum(got.values()) == pytest.approx(
+            min(budget, float(sum(demands))), abs=1e-3
+        )
+
+    def test_zipf_demands_match_bisection(self, spark):
+        import random
+
+        rng = random.Random(7)
+        demands = [max(1, int(1000 / (i + 1) ** 1.2)) for i in range(40)]
+        rng.shuffle(demands)
+        self._run(spark, demands, budget=sum(demands) * 0.35)
+
+    def test_budget_exceeds_total(self, spark):
+        self._run(spark, [5, 9, 2], budget=100.0)
+
+    def test_zero_budget(self, spark):
+        self._run(spark, [5, 9, 2], budget=0.0)
+
+    def test_uniform_demands_split_evenly(self, spark):
+        # every host identical: cap = budget / n exactly
+        got = {
+            r["host"]: r["alloc"]
+            for r in W.fair_crawl_budget(
+                spark.createDataFrame(
+                    [(f"h{i}", 10) for i in range(8)], "host string, demand long"
+                ),
+                "host",
+                "demand",
+                20.0,
+            ).collect()
+        }
+        assert all(v == pytest.approx(2.5) for v in got.values())
