@@ -1744,6 +1744,27 @@ def q_crawl_budget(spark, sf_dir):
     return WT.fair_crawl_budget(hosts, "host", "demand", budget=120.0)
 
 
+def q_frontier_caps(spark, sf_dir):
+    """End-to-end frontier capping: water-filling budget split
+    (q_crawl_budget) enforced on the url frontier — newest snapshot
+    first within each host, at most floor(alloc) fetches per host.
+    Composes fair_crawl_budget + apply_host_caps; the oracle replays
+    the closed form and the per-host window in SQL."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    host = F.regexp_extract(F.col("url"), "^[a-z]+://([^/]+)", 1)
+    urls = pages.select(host.alias("host"), "url", "warc_ts")
+    hosts = urls.groupBy("host").agg(F.count("*").alias("demand"))
+    caps = WT.fair_crawl_budget(hosts, "host", "demand", budget=120.0)
+    kept = WT.apply_host_caps(
+        urls,
+        "host",
+        caps.select("host", "alloc"),
+        priority_cols=[F.col("warc_ts").desc(), F.col("url").asc()],
+    )
+    return kept.select("host", "url")
+
+
 def q_link_graph(spark, sf_dir):
     """Host-level webgraph edges from raw crawl pages: magic-prefix
     html gate (binary compare BEFORE the string cast, so non-UTF-8
@@ -3468,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay_schedule": q_crawl_delay_schedule,
         "impact_topk": q_impact_topk,
         "crawl_budget": q_crawl_budget,
+        "frontier_caps": q_frontier_caps,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -3544,6 +3566,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+def _budget_cte() -> str:
+    """Shared water-filling closed form (q_crawl_budget /
+    q_frontier_caps): per-host demand, demand-ascending rank + exclusive
+    prefix sum, and the satisfied-prefix scalars (k, S_k, n) at
+    budget = 120."""
+    return f"""
+            WITH hosts AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       count(*)::BIGINT AS demand
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                GROUP BY 1
+            ),
+            ranked AS (
+                SELECT host, demand,
+                       row_number() OVER (ORDER BY demand, host) AS rnk,
+                       coalesce(sum(demand) OVER (
+                           ORDER BY demand, host
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS pfx,
+                       count(*) OVER () AS n
+                FROM hosts
+            ),
+            scal AS (
+                SELECT
+                    (SELECT count(*) FROM ranked
+                     WHERE pfx + demand * (n - rnk + 1) <= 120.0) AS k,
+                    (SELECT coalesce(sum(demand), 0) FROM ranked
+                     WHERE pfx + demand * (n - rnk + 1) <= 120.0) AS sk,
+                    (SELECT count(*) FROM ranked) AS n
+            )
+    """
+
 
 _BM25_CTE = """
 WITH toks AS (
@@ -6598,37 +6653,35 @@ def oracle_sql() -> dict[str, str]:
                   ('host003.example.com', 'host007.example.com')
             GROUP BY 1
         """,
-        "crawl_budget": f"""
-            WITH hosts AS (
-                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-                       count(*)::BIGINT AS demand
-                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
-                GROUP BY 1
-            ),
-            ranked AS (
-                SELECT host, demand,
-                       row_number() OVER (ORDER BY demand, host) AS rnk,
-                       coalesce(sum(demand) OVER (
-                           ORDER BY demand, host
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS pfx,
-                       count(*) OVER () AS n
-                FROM hosts
-            ),
-            scal AS (
-                SELECT
-                    (SELECT count(*) FROM ranked
-                     WHERE pfx + demand * (n - rnk + 1) <= 120.0) AS k,
-                    (SELECT coalesce(sum(demand), 0) FROM ranked
-                     WHERE pfx + demand * (n - rnk + 1) <= 120.0) AS sk,
-                    (SELECT count(*) FROM ranked) AS n
-            )
+        "crawl_budget": _budget_cte() + """
             SELECT r.host, r.demand,
                    round(CASE WHEN s.k >= s.n THEN r.demand::DOUBLE
                               ELSE least(r.demand::DOUBLE,
                                          (120.0 - s.sk) / (s.n - s.k))
                          END, 6) AS alloc
             FROM ranked r CROSS JOIN scal s
+        """,
+        "frontier_caps": _budget_cte() + f"""
+            , alloc AS (
+                SELECT r.host,
+                       floor(CASE WHEN s.k >= s.n THEN r.demand::DOUBLE
+                                  ELSE least(r.demand::DOUBLE,
+                                             (120.0 - s.sk) / (s.n - s.k))
+                             END)::BIGINT AS cap
+                FROM ranked r CROSS JOIN scal s
+            ),
+            frontier AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       url,
+                       row_number() OVER (
+                           PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                           ORDER BY warc_ts DESC, url
+                       ) AS rn
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            )
+            SELECT f.host, f.url
+            FROM frontier f JOIN alloc a USING (host)
+            WHERE f.rn <= a.cap
         """,
         # drop_reasons: same shared funnel chain, per-doc first-failing
         # stage instead of the per-stage counts

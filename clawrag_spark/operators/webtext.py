@@ -1452,6 +1452,40 @@ def fair_crawl_budget(
     )
 
 
+def apply_host_caps(
+    urls: DataFrame,
+    host_col: str,
+    caps: DataFrame,
+    cap_col: str = "alloc",
+    priority_cols: list | None = None,
+) -> DataFrame:
+    """Enforce per-host fetch caps on a url frontier: keep the top
+    ``floor(cap)`` urls of each host under ``priority_cols`` (a TOTAL
+    order — include a url tiebreaker), dropping the rest.  The
+    companion of :func:`fair_crawl_budget`: that computes how many
+    fetches each host deserves; this selects WHICH urls spend them.
+
+    Plan shape: the caps frame is host-level (small) and broadcasts;
+    the frontier shuffles once on host for a per-host ``row_number``.
+    A Zipf-hot host makes its window task scan that host's rows alone —
+    at 10^12 urls prefilter hot hosts approximately first
+    (:func:`stratified_keep_expr` with rate ≈ cap/demand, keeping ~2×
+    cap) so the exact window sorts a bounded candidate set, the same
+    coarse-then-exact shape as the ANN and near-dup operators.
+    """
+    if priority_cols is None:
+        raise ValueError("priority_cols must give a total per-host order")
+    w = Window.partitionBy(host_col).orderBy(*priority_cols)
+    return (
+        urls.join(
+            F.broadcast(caps.select(host_col, F.col(cap_col))), host_col
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.floor(F.col(cap_col)))
+        .drop("__rn", cap_col)
+    )
+
+
 def parse_sitemaps(
     sitemaps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
 ) -> DataFrame:

@@ -1280,3 +1280,25 @@ class TestFairCrawlBudget:
             ).collect()
         }
         assert all(v == pytest.approx(2.5) for v in got.values())
+
+    def test_apply_host_caps_keeps_priority_order(self, spark):
+        urls = spark.createDataFrame(
+            [("a", f"u{i}", i) for i in range(5)] + [("b", "v0", 0)],
+            "host string, url string, ts long",
+        )
+        caps = spark.createDataFrame(
+            [("a", 2.7), ("b", 1.0)], "host string, alloc double"
+        )
+        kept = W.apply_host_caps(
+            urls, "host", caps,
+            priority_cols=[F.col("ts").desc(), F.col("url").asc()],
+        ).collect()
+        got = sorted((r["host"], r["url"]) for r in kept)
+        # floor(2.7)=2 newest of host a, the single url of host b
+        assert got == [("a", "u3"), ("a", "u4"), ("b", "v0")]
+
+    def test_apply_host_caps_requires_priority(self, spark):
+        urls = spark.createDataFrame([("a", "u")], "host string, url string")
+        caps = spark.createDataFrame([("a", 1.0)], "host string, alloc double")
+        with pytest.raises(ValueError):
+            W.apply_host_caps(urls, "host", caps, priority_cols=None)
