@@ -334,6 +334,17 @@ def q_impact_topk(spark, sf_dir):
     return R.impact_topk(idx, "doc_id", QUERY_TERMS, k=15)
 
 
+def q_impact_pruned(spark, sf_dir):
+    """Statically pruned impact index (Carmel et al. 2001): only each
+    term's 20 highest-impact postings survive the build, so the
+    query-tier index is sized by |vocab| x 20 instead of the corpus.
+    Same integer-only top-k as impact_topk over the pruned postings;
+    the pruning window is deterministic under ties (code desc, id asc)
+    so the oracle reproduces the exact surviving set."""
+    idx = R.prune_impact_index(_impact_index(spark, sf_dir), "doc_id", 20)
+    return R.impact_topk(idx, "doc_id", QUERY_TERMS, k=15)
+
+
 def q_cosine_topk(spark, sf_dir):
     """T2 brute-force cosine top-k over the embeddings table."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -3490,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_topk": q_impact_topk,
         "crawl_budget": q_crawl_budget,
         "frontier_caps": q_frontier_caps,
+        "impact_pruned": q_impact_pruned,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -5611,6 +5623,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.term, d.doc_freq::BIGINT AS doc_freq,
                    round(i.idf, 6) AS idf, round(i.avgdl, 6) AS avgdl
             FROM idf i JOIN dfreq d USING (term)
+        """,
+        "impact_pruned": _BM25_CTE + """
+            , contrib AS (
+                SELECT p.doc_id, p.term,
+                       i.idf * (p.tf * 2.5)
+                       / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / i.avgdl))
+                       AS contrib
+                FROM postings p
+                JOIN idf i USING (term)
+                JOIN doclen d USING (doc_id)
+            ),
+            mx AS (SELECT max(contrib) AS mx FROM contrib),
+            codes AS (
+                SELECT doc_id, term,
+                       CAST(floor(round(contrib * 255 / mx, 6) + 0.5) AS INT)
+                       AS code
+                FROM contrib CROSS JOIN mx
+            ),
+            pruned AS (
+                SELECT doc_id, term, code,
+                       row_number() OVER (
+                           PARTITION BY term ORDER BY code DESC, doc_id
+                       ) AS rn
+                FROM codes
+            )
+            SELECT doc_id, CAST(sum(code) AS BIGINT) AS impact_score
+            FROM pruned
+            WHERE rn <= 20 AND term IN ('dup', 'spark', 'join')
+            GROUP BY doc_id
+            HAVING impact_score > 0
+            ORDER BY impact_score DESC, doc_id
+            LIMIT 15
         """,
         "impact_topk": _BM25_CTE + """
             , contrib AS (

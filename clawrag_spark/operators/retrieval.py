@@ -510,6 +510,34 @@ def build_impact_index(
     return {"impacts": codes, "term_max": term_max}
 
 
+def prune_impact_index(
+    impact_index: dict[str, DataFrame],
+    id_col: str,
+    keep_per_term: int,
+) -> dict[str, DataFrame]:
+    """Static index pruning (Carmel et al. 2001): keep only each term's
+    ``keep_per_term`` highest-impact postings.  At 10^12 docs this is
+    the difference between an index sized by the corpus and one sized
+    by ``|vocab| × N`` — the long tail of near-zero contributions that
+    can never reach a top-k result set is dropped at BUILD time.
+
+    Deterministic under ties (code desc, id asc), so the pruned index
+    is engine-reproducible; one window shuffle on term.  Retrieval
+    quality loss is measured, not assumed — the pytest pins top-k
+    overlap vs the unpruned index at the probe terms."""
+    w = Window.partitionBy("term").orderBy(
+        F.desc("code"), F.col(id_col).asc()
+    )
+    pruned = (
+        impact_index["impacts"]
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep_per_term)
+        .drop("__rn")
+    )
+    term_max = pruned.groupBy("term").agg(F.max("code").alias("max_code"))
+    return {"impacts": pruned, "term_max": term_max}
+
+
 def impact_topk(
     impact_index: dict[str, DataFrame],
     id_col: str,
