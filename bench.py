@@ -215,6 +215,13 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float
     entry_mod._jaccard_pairs_cached(spark, sf_dir).count()
     builds["neardup_pairs_build_sec"] = round(time.monotonic() - t0, 4)
 
+    # impact-ordered postings: index-build work (quantization pass over
+    # the session BM25 index), reported separately so the integer-only
+    # query tier shows its true per-query cost
+    t0 = time.monotonic()
+    entry_mod._impact_index(spark, sf_dir)["impacts"].count()
+    builds["impact_index_build_sec"] = round(time.monotonic() - t0, 4)
+
     out = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.monotonic()

@@ -673,3 +673,26 @@ class TestRound4SessionPlans:
         # the two-phase prefix sum allows one P-row single-partition
         # exchange (partition offsets); the corpus itself never funnels
         assert plan.count("Exchange SinglePartition") <= 2
+
+    def test_impact_topk_is_integer_only_probe(self, spark):
+        """Query tier over the impact index: no Python, no cartesian,
+        no join at all in the probe plan — filter + hash agg + top-k."""
+        plan = plan_of(entry_mod.q_impact_topk(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_crawl_budget_prefix_core_shape(self, spark):
+        """Water-filling allocator: broadcast offsets join, no Python,
+        only the P-row offsets exchange funnels to one partition."""
+        plan = plan_of(entry_mod.q_crawl_budget(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        assert plan.count("Exchange SinglePartition") <= 2
+
+    def test_frontier_caps_broadcasts_host_caps(self, spark):
+        plan = plan_of(entry_mod.q_frontier_caps(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
