@@ -3287,6 +3287,58 @@ _BITEXT_URL_FIXTURES = (
 )
 
 
+#: Planted page lengths (chars) for the bitext fixtures: the en↔fr
+#: pairs are length-compatible, the de page and the ?lang doc pair are
+#: statistically impossible translations (|delta| >> 3).
+_BITEXT_LEN_FIXTURES = {
+    "https://site0.example.com/en/about": 1000,
+    "https://site0.example.com/en/contact": 800,
+    "https://site0.example.com/en/pricing": 500,
+    "https://site0.example.com/fr/about": 1080,
+    "https://site0.example.com/fr/contact": 780,
+    "https://site0.example.com/de/about": 2600,
+    "https://site0.example.com/end/about": 300,
+    "https://site0.example.com/es/solo": 400,
+    "https://site1.example.com/en/about": 900,
+    "https://site1.example.com/doc?lang=en&id=3": 1200,
+    "https://site1.example.com/doc?lang=fr&id=3": 150,
+    "https://site1.example.com/doc?id=3": 600,
+    "https://site1.example.com/doc?lang=fr&id=4": 700,
+    "https://site2.example.com/en": 50,
+    "https://site2.example.com/pt": 58,
+}
+
+
+def q_bitext_gale(spark, sf_dir):
+    """Gale-Church length gate over the URL-mined bitext candidates
+    (ParaCrawl stage 2): delta = (l_b - l_a)/sqrt(((l_a+l_b)/2)*6.8),
+    |delta| <= 3 keeps the pair — the en<->fr pages survive, the de
+    page and the gutted ?lang doc pair are rejected before any content
+    verify would run.  Pure projection over the stage-1 equi-join plus
+    two broadcast length lookups."""
+    pages = spark.createDataFrame(
+        [(u,) for u in _BITEXT_URL_FIXTURES], ["url"]
+    )
+    cand = WT.bitext_url_candidates(pages)
+    lens = spark.createDataFrame(
+        list(_BITEXT_LEN_FIXTURES.items()), ["url", "n_chars"]
+    )
+    out = cand.join(
+        F.broadcast(
+            lens.select(F.col("url").alias("url_a"), F.col("n_chars").alias("len_a"))
+        ),
+        "url_a",
+    ).join(
+        F.broadcast(
+            lens.select(F.col("url").alias("url_b"), F.col("n_chars").alias("len_b"))
+        ),
+        "url_b",
+    )
+    return WT.gale_church_gate(out, "len_a", "len_b").select(
+        "url_a", "url_b", "lang_a", "lang_b", "delta", "is_aligned"
+    )
+
+
 def q_bitext_candidates(spark, sf_dir):
     """Parallel-page candidates from URL structure (WikiMatrix /
     ParaCrawl stage 1): same host, path differing only in a language
@@ -3502,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "frontier_caps": q_frontier_caps,
         "impact_pruned": q_impact_pruned,
+        "bitext_gale": q_bitext_gale,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -7247,6 +7300,49 @@ def oracle_sql() -> dict[str, str]:
               ON a.host = b.host AND a.template = b.template
              AND a.lang < b.lang
         """.replace("{V}", _sql_values([(u,) for u in _BITEXT_URL_FIXTURES]))
+           .replace("{L}", "|".join(WT._BITEXT_LANGS)),
+        # bitext_gale: stage-1 candidate CTE + planted lengths + the
+        # Gale-Church delta with c=1, s2=6.8, |delta|<=3
+        "bitext_gale": r"""
+            WITH u(url) AS (VALUES {V}),
+            k0 AS (SELECT DISTINCT url,
+                regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                regexp_extract(url,
+                    '^https?://[^/?#]+/({L})(?:[/?#]|$)', 1) AS seg,
+                regexp_extract(url, '[?&]lang=({L})(?:&|#|$)', 1) AS qp
+                FROM u),
+            k AS (SELECT url, host,
+                CASE WHEN seg <> '' THEN seg ELSE qp END AS lang,
+                CASE WHEN seg <> ''
+                     THEN regexp_replace(url,
+                          '^(https?://[^/?#]+/)({L})([/?#].*|$)', '\1*\3')
+                     ELSE regexp_replace(url,
+                          '([?&]lang=)({L})(&.*|#.*|$)', '\1*\3')
+                END AS template
+                FROM k0 WHERE seg <> '' OR qp <> ''),
+            cand AS (
+                SELECT a.lang AS lang_a, a.url AS url_a,
+                       b.lang AS lang_b, b.url AS url_b
+                FROM k a JOIN k b
+                  ON a.host = b.host AND a.template = b.template
+                 AND a.lang < b.lang),
+            lens(url, n_chars) AS (VALUES {LV}),
+            paired AS (
+                SELECT c.url_a, c.url_b, c.lang_a, c.lang_b,
+                       la.n_chars::DOUBLE AS len_a,
+                       lb.n_chars::DOUBLE AS len_b
+                FROM cand c
+                JOIN lens la ON la.url = c.url_a
+                JOIN lens lb ON lb.url = c.url_b)
+            SELECT url_a, url_b, lang_a, lang_b,
+                   round((len_b - len_a)
+                         / sqrt((len_a + len_b) / 2.0 * 6.8), 6) AS delta,
+                   coalesce(abs(round((len_b - len_a)
+                         / sqrt((len_a + len_b) / 2.0 * 6.8), 6)) <= 3.0,
+                         FALSE) AS is_aligned
+            FROM paired
+        """.replace("{V}", _sql_values([(u,) for u in _BITEXT_URL_FIXTURES]))
+           .replace("{LV}", _sql_values(list(_BITEXT_LEN_FIXTURES.items())))
            .replace("{L}", "|".join(WT._BITEXT_LANGS)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures

@@ -2591,6 +2591,42 @@ def bitext_url_candidates(pages: DataFrame, url_col: str = "url") -> DataFrame:
     ).select("host", "template", "lang_a", "url_a", "lang_b", "url_b")
 
 
+def gale_church_gate(
+    pairs: DataFrame,
+    len_a_col: str,
+    len_b_col: str,
+    c: float = 1.0,
+    s2: float = 6.8,
+    max_abs_delta: float = 3.0,
+) -> DataFrame:
+    """Gale & Church (1993) length-statistics alignment gate — the
+    stage-2 verifier behind :func:`bitext_url_candidates`: candidate
+    translation pairs whose character lengths are statistically
+    incompatible are rejected BEFORE any content fetch or embedding
+    pass (at 10^12 pages the content verify runs only on pairs that
+    survive this one projection).
+
+    ``delta = (l_b − c·l_a) / sqrt(((l_a + l_b)/2)·s²)`` with the
+    paper's constants: ``c`` the expected target/source character
+    ratio (1.0 as the language-agnostic default), ``s² = 6.8`` the
+    per-character variance.  ``|delta| <= max_abs_delta`` (3 standard
+    deviations) keeps the pair.  Expression-only, zero shuffle; a
+    zero-length pair yields NULL delta and is_aligned = false.
+    """
+    la = F.col(len_a_col).cast("double")
+    lb = F.col(len_b_col).cast("double")
+    denom = F.sqrt((la + lb) / F.lit(2.0) * F.lit(float(s2)))
+    delta = F.round(
+        F.when(la + lb > 0, (lb - F.lit(float(c)) * la) / denom), 6
+    )
+    return pairs.withColumn("delta", delta).withColumn(
+        "is_aligned",
+        F.coalesce(
+            F.abs(F.col("delta")) <= F.lit(float(max_abs_delta)), F.lit(False)
+        ),
+    )
+
+
 def soft404_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1302,3 +1302,30 @@ class TestFairCrawlBudget:
         caps = spark.createDataFrame([("a", 1.0)], "host string, alloc double")
         with pytest.raises(ValueError):
             W.apply_host_caps(urls, "host", caps, priority_cols=None)
+
+
+class TestGaleChurch:
+    def test_delta_math_and_gate(self, spark):
+        pairs = spark.createDataFrame(
+            [("a", 1000, 1080), ("b", 1000, 2600), ("c", 0, 0)],
+            "pid string, len_a long, len_b long",
+        )
+        got = {
+            r["pid"]: (r["delta"], r["is_aligned"])
+            for r in W.gale_church_gate(pairs, "len_a", "len_b").collect()
+        }
+        import math
+        want_a = 80 / math.sqrt(1040 * 6.8)
+        assert got["a"][0] == pytest.approx(want_a, abs=1e-6)
+        assert got["a"][1] is True
+        assert got["b"][1] is False and abs(got["b"][0]) > 3
+        # zero-length pair: NULL delta, gate closed (never NULL)
+        assert got["c"] == (None, False)
+
+    def test_char_ratio_shifts_expectation(self, spark):
+        # c=1.3: a 1000->1300 pair is a perfect match (delta 0)
+        pairs = spark.createDataFrame(
+            [("a", 1000, 1300)], "pid string, len_a long, len_b long"
+        )
+        r = W.gale_church_gate(pairs, "len_a", "len_b", c=1.3).first()
+        assert r["delta"] == 0.0 and r["is_aligned"] is True
