@@ -696,3 +696,9 @@ class TestRound4SessionPlans:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastExchange" in plan
+
+    def test_bitext_gale_broadcasts_and_stays_jvm(self, spark):
+        plan = plan_of(entry_mod.q_bitext_gale(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
