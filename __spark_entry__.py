@@ -353,6 +353,33 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+#: Planted corrupt vectors for the embedding QA gate: a NaN component,
+#: the all-zeros vector, an unnormalized 100x-scale batch escapee, and
+#: a truncated (wrong-dim) write.
+_EMB_SANITY_FIXTURES = [
+    (9000001, [float("nan")] + [0.1] * 63),
+    (9000002, [0.0] * 64),
+    (9000003, [5.0] * 64),
+    (9000004, [0.1] * 8),
+]
+
+
+def q_embedding_sanity(spark, sf_dir):
+    """Embedding QA gate over embeddings + planted corrupt rows: one
+    scan computes (dim, non-finite count, norm) as pure expressions,
+    healthy-population quartiles broadcast back as literals, verdicts
+    in precedence order bad_dim > non_finite > zero_norm >
+    norm_outlier > ok.  The relative band floor keeps the outlier
+    fence meaningful on an L2-normalized corpus (IQR ~= 1e-8)."""
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = spark.createDataFrame(
+        _EMB_SANITY_FIXTURES, "vec_id long, embedding array<float>"
+    )
+    return DS.embedding_sanity(
+        emb.unionByName(planted), "vec_id", "embedding", expected_dim=64
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column — 4x smaller
     at rest (the difference between an embedding table that fits the
@@ -3216,6 +3243,17 @@ def q_lineage_rollup(spark, sf_dir):
     )
 
 
+def _emb_sanity_values() -> str:
+    """Fixture vectors as DuckDB FLOAT[] literals (NaN spelled out)."""
+    rows = []
+    for vid, vec in _EMB_SANITY_FIXTURES:
+        elems = ", ".join(
+            "'nan'::FLOAT" if x != x else f"{x!r}::FLOAT" for x in vec
+        )
+        rows.append(f"({vid}, [{elems}])")
+    return ", ".join(rows)
+
+
 def _sql_values(rows) -> str:
     """Inline fixture rows as a SQL VALUES list (single-quote escaped)."""
     return ", ".join(
@@ -3555,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_caps": q_frontier_caps,
         "impact_pruned": q_impact_pruned,
         "bitext_gale": q_bitext_gale,
+        "embedding_sanity": q_embedding_sanity,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6537,6 +6576,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 6 IN (0, 1, 2, 5)
             GROUP BY 1
         """,
+        "embedding_sanity": """
+            WITH base AS (
+                SELECT vec_id, embedding::FLOAT[] AS embedding FROM embeddings
+                UNION ALL
+                SELECT * FROM (VALUES {EV}) v(vec_id, embedding)
+            ),
+            staged AS (
+                SELECT vec_id,
+                       len(embedding)::INT AS dim,
+                       len(list_filter(embedding,
+                           x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE)))
+                           AS n_nonfinite,
+                       sqrt(list_reduce(list_transform(embedding,
+                           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+                           AS norm
+                FROM base
+            ),
+            qs AS (
+                SELECT quantile_cont(norm, 0.25) AS q1,
+                       quantile_cont(norm, 0.75) AS q3
+                FROM staged WHERE dim = 64 AND n_nonfinite = 0 AND norm > 0
+            ),
+            b AS (SELECT q1, q3,
+                         greatest(3.0 * (q3 - q1), 0.01 * (q1 + q3) / 2.0)
+                             AS band
+                  FROM qs)
+            SELECT s.vec_id, s.dim,
+                   CASE WHEN s.n_nonfinite > 0 THEN -1.0
+                        ELSE round(s.norm, 6) END AS norm,
+                   CASE WHEN s.dim <> 64 THEN 'bad_dim'
+                        WHEN s.n_nonfinite > 0 THEN 'non_finite'
+                        WHEN s.norm = 0.0 THEN 'zero_norm'
+                        WHEN s.norm < b.q1 - b.band
+                             OR s.norm > b.q3 + b.band THEN 'norm_outlier'
+                        ELSE 'ok' END AS verdict
+            FROM staged s CROSS JOIN b
+        """.replace("{EV}", _emb_sanity_values()),
         "embedding_quantize": """
             WITH e AS (
                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100

@@ -1405,6 +1405,80 @@ def connected_components(
 
 # --------------------------------------------- embedding quantization
 
+def embedding_sanity(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+    k_iqr: float = 3.0,
+    min_rel_band: float = 0.01,
+) -> DataFrame:
+    """Embedding QA gate: the scan a 10^12-chunk pipeline runs BEFORE
+    ANN/near-dup/quantization, because one NaN component poisons every
+    dot product it touches and a batch of zero vectors silently matches
+    nothing.  Flags, in precedence order:
+
+    - ``bad_dim``: wrong vector length (a schema drift or a truncated
+      write),
+    - ``non_finite``: any NaN/Inf component,
+    - ``zero_norm``: the all-zeros vector (cosine undefined),
+    - ``norm_outlier``: finite norm outside ``[q1 − w, q3 + w]`` with
+      ``w = max(k·IQR, min_rel_band·median-scale)`` over the HEALTHY
+      population (an unnormalized batch from a different encoder
+      revision).  The relative floor matters: an L2-normalized corpus
+      has IQR ≈ 1e-8, where a bare Tukey fence would flag legitimate
+      rows on float noise and make the verdict engine-dependent — the
+      band never drops below ``min_rel_band`` of the distribution's
+      location,
+    - ``ok`` otherwise.
+
+    One scan computes (dim, n_nonfinite, norm) as pure expressions; the
+    quartiles are a 2-number aggregate over healthy rows broadcast back
+    as literals — no second shuffle, no Python.  Norm sums the squares
+    in list order so the oracle's fold reproduces the float exactly.
+    """
+    x2 = F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
+    staged = emb.select(
+        F.col(id_col),
+        F.size(vec_col).alias("dim"),
+        F.size(
+            F.filter(
+                F.col(vec_col),
+                lambda x: F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+            )
+        ).alias("n_nonfinite"),
+        F.sqrt(F.aggregate(x2, F.lit(0.0), lambda a, x: a + x)).alias("norm"),
+    )
+    healthy = staged.filter(
+        (F.col("dim") == expected_dim)
+        & (F.col("n_nonfinite") == 0)
+        & (F.col("norm") > 0)
+    )
+    q = healthy.agg(
+        F.expr("percentile(norm, array(0.25, 0.75))").alias("q")
+    ).first()["q"]
+    q1, q3 = float(q[0]), float(q[1])
+    band = max(k_iqr * (q3 - q1), min_rel_band * (q1 + q3) / 2.0)
+    lo, hi = q1 - band, q3 + band
+    verdict = (
+        F.when(F.col("dim") != expected_dim, F.lit("bad_dim"))
+        .when(F.col("n_nonfinite") > 0, F.lit("non_finite"))
+        .when(F.col("norm") == 0.0, F.lit("zero_norm"))
+        .when((F.col("norm") < lo) | (F.col("norm") > hi), F.lit("norm_outlier"))
+        .otherwise(F.lit("ok"))
+    )
+    # non-finite rows report norm = -1.0 (a sentinel no real vector can
+    # produce) instead of NaN: NaN is unsortable/unhashable across the
+    # oracle comparison surfaces and unequal to itself in joins
+    norm_out = F.when(F.col("n_nonfinite") > 0, F.lit(-1.0)).otherwise(
+        F.round("norm", 6)
+    )
+    return staged.select(
+        id_col, "dim", norm_out.alias("norm"), verdict.alias("verdict")
+    )
+
+
 def quantize_embeddings_int8(
     emb: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -791,3 +791,34 @@ def test_dedup_representatives_keep_best(spark):
     assert rows[2]["is_rep"] == 1 and rows[3]["is_rep"] == 0
     # singleton is its own representative
     assert rows[9]["rep_id"] == 9 and rows[9]["is_rep"] == 1
+
+
+def test_embedding_sanity_verdicts(spark):
+    """Every corrupt class gets its verdict, precedence respected
+    (NaN in a wrong-dim row would be bad_dim first), healthy rows ok,
+    and the relative band floor keeps a tight normalized population
+    from flagging itself."""
+    import math
+
+    healthy = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(20)]  # norm 1.0
+    rows = healthy + [
+        (100, [float("nan"), 0.5, 0.5, 0.5]),     # non_finite
+        (101, [0.0, 0.0, 0.0, 0.0]),              # zero_norm
+        (102, [50.0, 0.0, 0.0, 0.0]),             # norm_outlier
+        (103, [0.5, 0.5]),                        # bad_dim
+        (104, [float("inf"), 0.5]),               # bad_dim wins over inf
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from clawrag_spark.operators import dataset as DS
+
+    got = {
+        r["vec_id"]: (r["dim"], r["norm"], r["verdict"])
+        for r in DS.embedding_sanity(df, "vec_id", "embedding", 4).collect()
+    }
+    assert all(got[i][2] == "ok" for i in range(20))
+    assert got[0][1] == pytest.approx(1.0)
+    assert got[100][2] == "non_finite" and got[100][1] == -1.0
+    assert got[101][2] == "zero_norm"
+    assert got[102] == (4, 50.0, "norm_outlier")
+    assert got[103][2] == "bad_dim"
+    assert got[104][2] == "bad_dim"  # precedence: dim check first
