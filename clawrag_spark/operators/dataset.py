@@ -1458,9 +1458,15 @@ def embedding_sanity(
     q = healthy.agg(
         F.expr("percentile(norm, array(0.25, 0.75))").alias("q")
     ).first()["q"]
-    q1, q3 = float(q[0]), float(q[1])
-    band = max(k_iqr * (q3 - q1), min_rel_band * (q1 + q3) / 2.0)
-    lo, hi = q1 - band, q3 + band
+    if q is None:
+        # no healthy rows at all: nothing can reach the outlier branch
+        # (its guard conditions ARE the healthy filter), so the fence
+        # is vacuous — just keep the column expression well-defined
+        lo, hi = float("-inf"), float("inf")
+    else:
+        q1, q3 = float(q[0]), float(q[1])
+        band = max(k_iqr * (q3 - q1), min_rel_band * (q1 + q3) / 2.0)
+        lo, hi = q1 - band, q3 + band
     verdict = (
         F.when(F.col("dim") != expected_dim, F.lit("bad_dim"))
         .when(F.col("n_nonfinite") > 0, F.lit("non_finite"))

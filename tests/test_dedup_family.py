@@ -822,3 +822,21 @@ def test_embedding_sanity_verdicts(spark):
     assert got[102] == (4, 50.0, "norm_outlier")
     assert got[103][2] == "bad_dim"
     assert got[104][2] == "bad_dim"  # precedence: dim check first
+
+
+def test_embedding_sanity_no_healthy_population(spark):
+    """All-corrupt input must not crash the quartile step: every row
+    still gets its hard-gate verdict and the outlier fence is vacuous."""
+    from clawrag_spark.operators import dataset as DS
+
+    rows = [
+        (1, [float("nan"), 0.5]),
+        (2, [0.0, 0.0]),
+        (3, [0.5, 0.5, 0.5]),  # bad_dim for expected_dim=2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["verdict"]
+        for r in DS.embedding_sanity(df, "vec_id", "embedding", 2).collect()
+    }
+    assert got == {1: "non_finite", 2: "zero_norm", 3: "bad_dim"}
