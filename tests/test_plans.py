@@ -702,3 +702,16 @@ class TestRound4SessionPlans:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastExchange" in plan
+
+    def test_embedding_sanity_scan_side_only(self, spark):
+        """QA verdicts are pure expressions over one scan: no Python,
+        no join for the quartile fence (broadcast as literals)."""
+        plan = plan_of(entry_mod.q_embedding_sanity(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # fence folded into the projection
+
+    def test_impact_pruned_no_python(self, spark):
+        plan = plan_of(entry_mod.q_impact_pruned(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
