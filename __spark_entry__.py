@@ -2277,6 +2277,40 @@ def q_crawl_delay_schedule(spark, sf_dir):
     )
 
 
+#: UA-precedence fixtures: host000 flips from Disallow-/ (star) to
+#: allowed for our bot; host003 has two bot groups where the LONGER
+#: UA-token match must win; the shared fixtures contribute the
+#: star-only and other-bot-only hosts.
+_ROBOTS_UA_AGENT = "ExampleBot/1.0"
+_ROBOTS_UA_FIXTURES = _ROBOTS_FIXTURES + [
+    ("host000.example.com",
+     "User-agent: *\nDisallow: /\n"
+     "User-agent: examplebot\nAllow: /\nDisallow: /private"),
+    ("host003.example.com",
+     "User-agent: example\nDisallow: /a\n"
+     "User-agent: examplebot\nDisallow: /b"),
+]
+
+
+def q_robots_ua_gate(spark, sf_dir):
+    """robots.txt gating under RFC 9309 user-agent precedence: the
+    group whose UA product token is the LONGEST case-insensitive
+    prefix of the crawler's UA string applies; '*' is the score-0
+    fallback; other bots' groups are ignored entirely (host005's
+    bad-bot Disallow-/ must NOT bind us).  host000 demonstrates the
+    override: its star group disallows everything, its examplebot
+    group re-allows — star-only parsing of the SAME fixtures blocks
+    all 66 host000 urls, UA precedence allows all 66 (pinned in
+    tests/test_webtext.py)."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet")).select(
+        "url"
+    )
+    robots = spark.createDataFrame(_ROBOTS_UA_FIXTURES, ["host", "robots_txt"])
+    rules = WT.robots_rules_for_agent(robots, _ROBOTS_UA_AGENT)
+    return WT.robots_filter(pages, rules)
+
+
 def q_robots_gate(spark, sf_dir):
     """robots.txt gating of a crawl frontier (RFC 9309 star groups):
     parse Allow/Disallow prefix rules with window-numbered groups,
@@ -3594,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_pruned": q_impact_pruned,
         "bitext_gale": q_bitext_gale,
         "embedding_sanity": q_embedding_sanity,
+        "robots_ua_gate": q_robots_ua_gate,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -4094,6 +4129,76 @@ def oracle_sql() -> dict[str, str]:
                 SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
                        length(g.v) AS plen
                 FROM grouped g JOIN star USING (host, grp)
+                WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
+            ),
+            frontier AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(url, '^[a-z]+://[^/]*', '')
+                       END AS path
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            ),
+            m AS (
+                SELECT f.url, f.host,
+                       arg_max(struct_pack(allow := r.allow, prefix := r.prefix),
+                               coalesce(r.plen, -1) * 2
+                               + coalesce(r.allow::INT, 0)) AS best
+                FROM frontier f LEFT JOIN rules r
+                  ON f.host = r.host AND starts_with(f.path, r.prefix)
+                GROUP BY f.url, f.host
+            )"""
+    # UA-precedence twin of the robots chain: same line grammar over
+    # the extended fixtures, group chosen by longest UA-token prefix
+    # match ('*' scores 0, other bots NULL), ties merged
+    ua_agent_lit = _ROBOTS_UA_AGENT.lower().replace("'", "''")
+    robots_ua_cte = """
+            WITH robots(host, txt) AS (VALUES """ + ", ".join(
+        "('{}', {})".format(
+            h, " || chr(10) || ".join("'{}'".format(ln) for ln in t.split("\n"))
+        )
+        for h, t in _ROBOTS_UA_FIXTURES
+    ) + f"""),
+            lines AS (
+                SELECT host,
+                       generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
+                       trim(regexp_replace(
+                           unnest(string_split(txt, chr(10))), '#.*$', '')) AS line
+                FROM robots
+            ),
+            parsed AS (
+                SELECT host, ln,
+                       lower(trim(split_part(line, ':', 1))) AS d,
+                       trim(substring(line, instr(line, ':') + 1)) AS v
+                FROM lines WHERE line <> '' AND instr(line, ':') > 0
+            ),
+            grouped AS (
+                SELECT host, d, v,
+                       sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY ln) AS grp
+                FROM parsed
+            ),
+            ua AS (
+                SELECT host, grp,
+                       CASE WHEN v = '*' THEN 0
+                            WHEN starts_with('{ua_agent_lit}', lower(v))
+                                 THEN length(v)
+                            ELSE NULL END AS score
+                FROM grouped WHERE d = 'user-agent'
+            ),
+            best AS (
+                SELECT host, max(score) AS ms FROM ua
+                WHERE score IS NOT NULL GROUP BY host
+            ),
+            chosen AS (
+                SELECT DISTINCT u.host, u.grp
+                FROM ua u JOIN best b ON u.host = b.host AND u.score = b.ms
+            ),
+            rules AS (
+                SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
+                       length(g.v) AS plen
+                FROM grouped g JOIN chosen USING (host, grp)
                 WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
             ),
             frontier AS (
@@ -6246,6 +6351,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sel, LATERAL UNNEST(fps) AS f(fp)
         """,
         "robots_gate": robots_cte + """
+            SELECT url, host, coalesce(best.allow, true) AS allowed,
+                   best.prefix AS matched_prefix
+            FROM m
+        """,
+        "robots_ua_gate": robots_ua_cte + """
             SELECT url, host, coalesce(best.allow, true) AS allowed,
                    best.prefix AS matched_prefix
             FROM m

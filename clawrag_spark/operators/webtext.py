@@ -1555,6 +1555,75 @@ def _robots_star_directives(
     """(host, d, v) directive rows from the ``User-agent: *`` groups —
     the shared line grammar behind :func:`parse_robots` (Allow/
     Disallow) and :func:`parse_crawl_delays` (Crawl-delay)."""
+    grouped = _robots_grouped(robots, host_col, text_col)
+    star_groups = (
+        grouped.filter((F.col("d") == "user-agent") & (F.col("v") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return grouped.join(star_groups, ["host", "grp"])
+
+
+def robots_rules_for_agent(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Allow/Disallow prefix rules from the group that APPLIES to
+    ``agent`` per RFC 9309 §2.2.1: among groups whose User-agent
+    product token is a case-insensitive prefix of the crawler's UA
+    string, the LONGEST token wins; ``*`` matches with score 0 (the
+    fallback); groups for other bots are ignored.  Groups tying on the
+    best score merge (the RFC's identical-UA merge).  A host whose
+    robots.txt names only other bots yields no rules — i.e. fully
+    allowed, exactly like a host with no robots.txt.
+
+    Same output shape as :func:`parse_robots` (host, allow, prefix,
+    plen), so :func:`robots_filter` consumes either.  The group-select
+    is one tiny aggregate over UA lines (robots tables are directive-
+    sized); nothing here touches the frontier.
+    """
+    g = _robots_grouped(robots, host_col, text_col)
+    ua = g.filter(F.col("d") == "user-agent").select(
+        "host",
+        "grp",
+        F.when(F.col("v") == "*", F.lit(0))
+        .when(
+            F.lit(agent.lower()).startswith(F.lower(F.col("v"))),
+            F.length("v"),
+        )
+        .alias("score"),
+    )
+    best = (
+        ua.filter(F.col("score").isNotNull())
+        .groupBy("host")
+        .agg(F.max("score").alias("ms"))
+    )
+    chosen = (
+        ua.join(best, "host")
+        .filter(F.col("score") == F.col("ms"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        g.join(chosen, ["host", "grp"])
+        .filter(F.col("d").isin("allow", "disallow") & (F.col("v") != ""))
+        .select(
+            "host",
+            (F.col("d") == "allow").alias("allow"),
+            F.col("v").alias("prefix"),
+            F.length("v").alias("plen"),
+        )
+    )
+
+
+def _robots_grouped(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, ln, d, v, grp) directive rows with window-numbered
+    groups — the line grammar shared by the star-group readers and the
+    per-agent group selection."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
@@ -1570,15 +1639,9 @@ def _robots_star_directives(
         F.trim(F.substr(F.col("line"), F.instr(F.col("line"), ":") + 1)).alias("v"),
     ).filter(F.instr(F.col("line"), ":") > 0)
     w = Window.partitionBy("host").orderBy("ln")
-    grouped = parsed.withColumn(
+    return parsed.withColumn(
         "grp", F.sum(F.when(F.col("d") == "user-agent", 1).otherwise(0)).over(w)
     )
-    star_groups = (
-        grouped.filter((F.col("d") == "user-agent") & (F.col("v") == "*"))
-        .select("host", "grp")
-        .distinct()
-    )
-    return grouped.join(star_groups, ["host", "grp"])
 
 
 def parse_crawl_delays(

@@ -1329,3 +1329,57 @@ class TestGaleChurch:
         )
         r = W.gale_church_gate(pairs, "len_a", "len_b", c=1.3).first()
         assert r["delta"] == 0.0 and r["is_aligned"] is True
+
+
+class TestRobotsUAPrecedence:
+    FIX = [
+        ("a.com", "User-agent: *\nDisallow: /\nUser-agent: examplebot\nAllow: /\nDisallow: /private"),
+        ("b.com", "User-agent: example\nDisallow: /a\nUser-agent: examplebot\nDisallow: /b"),
+        ("c.com", "User-agent: otherbot\nDisallow: /"),
+        ("d.com", "User-agent: *\nDisallow: /x"),
+    ]
+
+    def _rules(self, spark, agent):
+        df = spark.createDataFrame(self.FIX, ["host", "robots_txt"])
+        return {
+            (r["host"], r["prefix"]): r["allow"]
+            for r in W.robots_rules_for_agent(df, agent).collect()
+        }
+
+    def test_longest_ua_token_wins(self, spark):
+        got = self._rules(spark, "ExampleBot/1.0")
+        # a.com: bot group overrides the star group entirely
+        assert got[("a.com", "/private")] is False
+        assert got[("a.com", "/")] is True
+        assert ("a.com", "/") in got and len(
+            [k for k in got if k[0] == "a.com"]
+        ) == 2
+        # b.com: 'examplebot' (10) beats 'example' (7) — /b, not /a
+        assert ("b.com", "/b") in got and ("b.com", "/a") not in got
+        # c.com names only another bot: no rules bind us at all
+        assert not [k for k in got if k[0] == "c.com"]
+        # d.com falls back to the star group
+        assert got[("d.com", "/x")] is False
+
+    def test_unknown_agent_gets_star_groups_only(self, spark):
+        got = self._rules(spark, "SomeOtherCrawler/9")
+        assert got[("a.com", "/")] is False       # star group Disallow: /
+        assert ("a.com", "/private") not in got   # bot group not selected
+        assert got[("d.com", "/x")] is False
+
+    def test_ua_override_flips_star_block(self, spark):
+        """Same robots body: star-only parsing blocks everything on a
+        host whose bot group re-allows; UA precedence lets it through."""
+        import __spark_entry__ as e
+
+        robots = spark.createDataFrame(
+            e._ROBOTS_UA_FIXTURES, ["host", "robots_txt"]
+        )
+        urls = spark.createDataFrame(
+            [("https://host000.example.com/page/1",)], ["url"]
+        )
+        star = W.robots_filter(urls, W.parse_robots(robots)).first()
+        ua = W.robots_filter(
+            urls, W.robots_rules_for_agent(robots, e._ROBOTS_UA_AGENT)
+        ).first()
+        assert star["allowed"] is False and ua["allowed"] is True
