@@ -2484,6 +2484,24 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def q_wordlm_score(spark, sf_dir):
+    """Word-bigram stupid-backoff LM (Brants et al. 2007 — the count-
+    table-only model family built for trillion-token web corpora; the
+    word-level upgrade of `lm_perplexity`'s char-trigram stand-in for
+    CCNet's KenLM filter).  Trained on the 'en' slice, every document
+    scored by average negative log S(w2|w1); en docs score low, other
+    languages back off to the OOV floor and score high.  Count tables
+    are Heaps'-bounded; scoring joins are gram-key equi-joins and the
+    doc-level shuffle carries one row per document."""
+    docs = _load(spark, sf_dir, "documents")
+    model = WT.train_word_lm(docs.filter(F.col("lang") == "en"), "text")
+    return WT.word_lm_score(docs, "doc_id", "text", model).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "avg_neg_logp",
+    )
+
+
 #: training-mix sampling rates by language — en kept whole, others
 #: downsampled; 'zh' unlisted on purpose to exercise the default rate.
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
@@ -3585,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         # -- (2) oracle-bearing never-verified overflow — front of the
         # round-5 window --------------------------------------------
+        "wordlm_score": q_wordlm_score,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -7102,6 +7121,49 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND UNBOUNDED FOLLOWING))::INT AS is_rep
             FROM labeled
+        """,
+        "wordlm_score": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''
+                       ) AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+                FROM tok, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+                WHERE len(t) >= 2
+            ),
+            bi AS (
+                SELECT w1, w2, count(*) AS cb FROM bg
+                WHERE lang = 'en' GROUP BY 1, 2
+            ),
+            uni AS (
+                SELECT w, count(*) AS cu FROM (
+                    SELECT t[i] AS w
+                    FROM tok, LATERAL UNNEST(generate_series(1, len(t))) AS s(i)
+                    WHERE lang = 'en'
+                ) GROUP BY w
+            ),
+            st AS (SELECT sum(cu) AS n_tokens, count(*) AS vocab FROM uni),
+            sc AS (
+                SELECT bg.doc_id,
+                       ln(CASE WHEN coalesce(bi.cb, 0) > 0
+                               THEN bi.cb::DOUBLE / u1.cu
+                               ELSE 0.4 * (coalesce(u2.cu, 0) + 1)::DOUBLE
+                                    / (st.n_tokens + st.vocab)
+                          END) AS lp
+                FROM bg
+                LEFT JOIN bi USING (w1, w2)
+                LEFT JOIN uni u1 ON bg.w1 = u1.w
+                LEFT JOIN uni u2 ON bg.w2 = u2.w
+                CROSS JOIN st
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   -avg(lp) AS avg_neg_logp
+            FROM sc GROUP BY doc_id
         """,
         "lm_perplexity": """
             WITH lo AS (

@@ -47,6 +47,8 @@ __all__ = [
     "decontaminate",
     "train_char_lm",
     "lm_score",
+    "train_word_lm",
+    "word_lm_score",
     "canonicalize_url",
     "latest_per_url",
     "snapshot_diff",
@@ -850,6 +852,138 @@ def lm_score(
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_trigrams"),
+        (-F.avg("lp")).alias("avg_neg_logp"),
+    )
+
+
+def _word_tokens(df: DataFrame, keep_cols: list[str], text_col: str) -> DataFrame:
+    """One row per ``[^a-z0-9]+``-token (the corpus-wide tokenizer
+    convention shared with the DuckDB oracles).  The token array
+    materializes into its own projection first (lambda-CSE rule)."""
+    toks = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("__t"),
+    )
+    return toks.select(
+        *[F.col(c) for c in keep_cols], F.explode("__t").alias("w")
+    )
+
+
+def _word_bigrams(df: DataFrame, keep_cols: list[str], text_col: str) -> DataFrame:
+    """One row per adjacent word pair (w1, w2), in-row via a bounded
+    ``transform`` over the staged token array — bigram formation itself
+    never shuffles."""
+    toks = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("__t"),
+    ).filter(F.size("__t") >= 2)
+    return toks.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("w1"),
+                    F.element_at(F.col("__t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(*[F.col(c) for c in keep_cols], "__bg.w1", "__bg.w2")
+
+
+def train_word_lm(
+    train: DataFrame, text_col: str, min_count: int = 1
+) -> dict[str, DataFrame]:
+    """Train a word-bigram stupid-backoff LM (Brants et al. 2007,
+    "Large Language Models in Machine Translation" §4) — the model
+    family Google trained on 2-trillion-token web corpora precisely
+    because it needs only count tables and no normalization pass.
+
+    Returns {'bi': (w1, w2, cb), 'uni': (w, cu), 'stats': one row
+    (n_tokens, vocab)}.  ``min_count`` is the count-pruning threshold
+    Brants applies at scale (§4.3: entries below the threshold are
+    dropped; scores stay well-defined because backoff covers pruned
+    bigrams) — default 1 keeps everything at test scale.
+
+    Scale shape: two count aggregations with map-side partials over the
+    training slice; the tables are Heaps'-law-bounded (vocab grows
+    ~n^0.5), not corpus-bounded, and shrink further under pruning.
+    """
+    uni = _word_tokens(train, [], text_col).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    bi = (
+        _word_bigrams(train, [], text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    stats = uni.agg(
+        F.sum("cu").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    return {"bi": bi, "uni": uni.filter(F.col("cu") >= min_count), "stats": stats}
+
+
+def word_lm_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict[str, DataFrame],
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Average negative log stupid-backoff score per document:
+
+        S(w2 | w1) = cb(w1 w2) / cu(w1)            if cb > 0
+                   = 0.4 · (cu(w2) + 1) / (N + V)  otherwise
+
+    (Brants et al. 2007 eq. 5 with the recommended α = 0.4; the
+    unseen-word floor is add-one over the training token mass so OOV
+    words score finitely — the same role KenLM's <unk> prob plays).
+    Returns (id, n_bigrams, avg_neg_logp); docs with < 2 tokens drop.
+
+    Scale shape: the scoring joins are hash equi-joins on the gram key
+    (the model tables are Heaps'-small but NOT guaranteed
+    broadcast-small at web scale, unlike the vocabulary-bounded char
+    model — AQE broadcasts them when they fit); the (N, V) row
+    cross-joins as a 1-row broadcast; per-bigram log-scores partially
+    aggregate map-side, so the doc-level shuffle is one row per doc.
+    """
+    bg = _word_bigrams(docs, [id_col], text_col)
+    uni1 = model["uni"].select(
+        F.col("w").alias("__u1w"), F.col("cu").alias("cu1")
+    )
+    uni2 = model["uni"].select(
+        F.col("w").alias("__u2w"), F.col("cu").alias("cu2")
+    )
+    scored = (
+        bg.join(model["bi"], ["w1", "w2"], "left")
+        .join(uni1, F.col("w1") == F.col("__u1w"), "left")
+        .join(uni2, F.col("w2") == F.col("__u2w"), "left")
+        .crossJoin(F.broadcast(model["stats"]))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.when(
+                    F.coalesce(F.col("cb"), F.lit(0)) > 0,
+                    F.col("cb").cast("double") / F.col("cu1"),
+                ).otherwise(
+                    F.lit(backoff)
+                    * (F.coalesce(F.col("cu2"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("n_tokens") + F.col("vocab"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
         (-F.avg("lp")).alias("avg_neg_logp"),
     )
 

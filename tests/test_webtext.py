@@ -393,6 +393,64 @@ def test_char_lm_separates_languages(spark):
     assert out[1] < out[2]
 
 
+def test_word_lm_stupid_backoff_math(spark):
+    """Hand-computed stupid-backoff scores (Brants 2007 eq. 5).
+
+    Train: "a b a c" → uni {a:2, b:1, c:1} (N=4, V=3),
+    bigrams {(a,b):1, (b,a):1, (a,c):1}.
+    """
+    import math
+
+    train = spark.createDataFrame([(1, "a b a c")], ["id", "text"])
+    model = W.train_word_lm(train, "text")
+    st = model["stats"].collect()[0]
+    assert (st["n_tokens"], st["vocab"]) == (4, 3)
+
+    # doc "a b d": (a,b) seen → 1/2; (b,d) unseen, d OOV → .4·(0+1)/7
+    score = W.word_lm_score(
+        spark.createDataFrame([(9, "a b d")], ["id", "text"]), "id", "text", model
+    ).collect()[0]
+    expect = -(math.log(1 / 2) + math.log(0.4 * 1 / 7)) / 2
+    assert score["n_bigrams"] == 2
+    assert score["avg_neg_logp"] == pytest.approx(expect)
+
+    # unseen bigram of two SEEN words backs off to the w2 unigram:
+    # (c,a): cb=0 → .4·(2+1)/7
+    score2 = W.word_lm_score(
+        spark.createDataFrame([(7, "c a")], ["id", "text"]), "id", "text", model
+    ).collect()[0]
+    assert score2["avg_neg_logp"] == pytest.approx(-math.log(0.4 * 3 / 7))
+
+
+def test_word_lm_separates_languages_and_drops_short(spark):
+    en = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(5)]
+    model = W.train_word_lm(spark.createDataFrame(en, ["id", "text"]), "text")
+    docs = spark.createDataFrame(
+        [(1, "the brown dog jumps over the fox"),
+         (2, "zzqx vvkj wwpy qqzz xxjv"),
+         (3, "single")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["avg_neg_logp"]
+           for r in W.word_lm_score(docs, "id", "text", model).collect()}
+    assert out[1] < out[2]
+    assert 3 not in out  # < 2 tokens → no bigrams → dropped
+
+
+def test_word_lm_min_count_prunes_but_scores_stay_finite(spark):
+    train = spark.createDataFrame(
+        [(1, "a b a b a b c d")], ["id", "text"]
+    )
+    model = W.train_word_lm(train, "text", min_count=2)
+    kept = {(r["w1"], r["w2"]) for r in model["bi"].collect()}
+    assert kept == {("a", "b"), ("b", "a")}  # (b,c),(c,d) pruned
+    out = W.word_lm_score(
+        spark.createDataFrame([(1, "c d")], ["id", "text"]), "id", "text", model
+    ).collect()[0]
+    import math
+    assert math.isfinite(out["avg_neg_logp"])  # backoff covers pruned
+
+
 def test_char_lm_short_docs_drop(spark):
     model = W.train_char_lm(spark.createDataFrame([(1, "abcd")], ["id", "text"]), "text")
     out = W.lm_score(
