@@ -3131,6 +3131,90 @@ def q_page_metadata(spark, sf_dir):
     )
 
 
+#: WHATWG label → canonical encoding, the query-side subset of
+#: core/charset.py's alias table (shared literal map so the Spark CASE
+#: and the oracle CASE are generated from the same dict).
+_CHARSET_LABELS = {
+    "utf-8": "utf-8",
+    "shift_jis": "shift_jis",
+    "iso-8859-2": "iso-8859-2",
+    "windows-1251": "windows-1251",
+    "gb2312": "gbk",
+    "utf-16le": "utf-8",   # WHATWG: UTF-16 declared in meta means UTF-8
+    "latin1": "windows-1252",
+}
+_CHARSET_META_RE = (
+    r"(?i)<meta[^>]{0,512}?charset\s*=\s*[\x22\x27]?\s*([a-zA-Z0-9._:-]{1,40})"
+)
+_CHARSET_XML_RE = (
+    r"(?i)^\s{0,32}<\?xml[^>]{0,128}?encoding\s*=\s*"
+    r"[\x22\x27]([a-zA-Z0-9._:-]{1,40})[\x22\x27]"
+)
+#: CASE arms for the oracle, generated from the same dict as the Spark side
+_CHARSET_CASE_ARMS = " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _CHARSET_LABELS.items()
+)
+
+
+def q_charset_sniff(spark, sf_dir):
+    """Declared-encoding survey over page heads — the corpus-stats twin
+    of the byte-level WHATWG prescan that `core/charset.py` runs inside
+    extraction (BOM > meta/http-equiv > xml decl; labels normalized per
+    the WHATWG alias table, incl. the meta-utf-16-means-utf-8 rule and
+    latin1 -> windows-1252).  The documents fixture carries no HTML, so
+    deterministic heads are synthesized per doc_id%7 — BOM-over-meta
+    conflict, whitespace/case-mangled labels, http-equiv form,
+    meta-over-xml conflict, and an undeclared page all exercised; the
+    oracle rebuilds the heads and runs the identical RE2-safe regexes.
+    Expression-only: one scan, zero Python, zero shuffle (byte-level
+    UTF-8-validity sniffing stays in the Python kernel where the raw
+    bytes live)."""
+    docs = _load(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 7
+    head = (
+        F.when(v == 0, F.concat(F.lit("\ufeff<meta charset=\"shift_jis\">"),
+                                F.lit("<html><head><title>t</title>")))
+        .when(v == 1, F.lit('<?xml version="1.0" encoding="ISO-8859-2"?><html>'))
+        .when(v == 2, F.lit("<meta charset=' WINDOWS-1251 '><html>"))
+        .when(v == 3, F.lit('<meta http-equiv="Content-Type" '
+                            'content="text/html; charset=GB2312">'))
+        .when(v == 4, F.lit('<meta charset="utf-16le"><html>'))
+        .when(v == 5, F.lit('<?xml version="1.0" encoding="utf-8"?>'
+                            '<meta charset="latin1">'))
+        .otherwise(F.lit("<html><head><title>plain</title>"))
+    )
+    pages = docs.select("doc_id", head.alias("__h"))
+    meta_raw = F.regexp_extract(F.col("__h"), _CHARSET_META_RE, 1)
+    xml_raw = F.regexp_extract(F.col("__h"), _CHARSET_XML_RE, 1)
+
+    def _norm(raw):
+        out = F.lit("")
+        for label, enc in _CHARSET_LABELS.items():
+            out = F.when(F.trim(F.lower(raw)) == label, F.lit(enc)).otherwise(out)
+        return out
+
+    meta_enc, xml_enc = _norm(meta_raw), _norm(xml_raw)
+    bom = F.col("__h").startswith("\ufeff")
+    enc = (
+        F.when(bom, F.lit("utf-8"))
+        .when(meta_enc != "", meta_enc)
+        .when(xml_enc != "", xml_enc)
+        .otherwise(F.lit("utf-8"))
+    )
+    src = (
+        F.when(bom, F.lit("bom"))
+        .when(meta_enc != "", F.lit("meta"))
+        .when(xml_enc != "", F.lit("xml"))
+        .otherwise(F.lit("undeclared"))
+    )
+    return pages.select(
+        "doc_id",
+        F.trim(F.lower(meta_raw)).alias("meta_label"),
+        enc.alias("encoding"),
+        src.alias("source"),
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX capture index over the raw crawl snapshot: (SURT key, ts,
     content digest, byte size) per page — the web-archive index that
@@ -3604,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) oracle-bearing never-verified overflow — front of the
         # round-5 window --------------------------------------------
         "wordlm_score": q_wordlm_score,
+        "charset_sniff": q_charset_sniff,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -7121,6 +7206,45 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND UNBOUNDED FOLLOWING))::INT AS is_rep
             FROM labeled
+        """,
+        "charset_sniff": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                    CASE doc_id % 7
+                        WHEN 0 THEN chr(65279) || '<meta charset="shift_jis">'
+                                    || '<html><head><title>t</title>'
+                        WHEN 1 THEN '<?xml version="1.0" encoding="ISO-8859-2"?><html>'
+                        WHEN 2 THEN '<meta charset='' WINDOWS-1251 ''><html>'
+                        WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; charset=GB2312">'
+                        WHEN 4 THEN '<meta charset="utf-16le"><html>'
+                        WHEN 5 THEN '<?xml version="1.0" encoding="utf-8"?><meta charset="latin1">'
+                        ELSE '<html><head><title>plain</title>'
+                    END AS h
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id,
+                       trim(lower(regexp_extract(h, '{_CHARSET_META_RE}', 1))) AS ml,
+                       trim(lower(regexp_extract(h, '{_CHARSET_XML_RE}', 1))) AS xl,
+                       starts_with(h, chr(65279)) AS bom
+                FROM pages
+            ),
+            n AS (
+                SELECT doc_id, ml, bom,
+                       CASE ml {_CHARSET_CASE_ARMS} ELSE '' END AS me,
+                       CASE xl {_CHARSET_CASE_ARMS} ELSE '' END AS xe
+                FROM ex
+            )
+            SELECT doc_id, ml AS meta_label,
+                   CASE WHEN bom THEN 'utf-8'
+                        WHEN me <> '' THEN me
+                        WHEN xe <> '' THEN xe
+                        ELSE 'utf-8' END AS encoding,
+                   CASE WHEN bom THEN 'bom'
+                        WHEN me <> '' THEN 'meta'
+                        WHEN xe <> '' THEN 'xml'
+                        ELSE 'undeclared' END AS source
+            FROM n
         """,
         "wordlm_score": """
             WITH tok AS (

@@ -44,6 +44,21 @@ def detect_mime(payload: bytes) -> str:
     head = payload
     if head.startswith(_BOM_UTF8):
         head = head[len(_BOM_UTF8):]
+    elif head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # UTF-16 BOM: marker matching must happen on DECODED text — the
+        # raw bytes interleave NULs ("<\\x00h\\x00..."), which is valid
+        # UTF-8 and would silently misroute a UTF-16 HTML page to
+        # text/plain.  Re-encode the decoded head to reuse the byte
+        # marker table below.
+        try:
+            head = (
+                payload[: 512]
+                .decode("utf-16-le" if head[:2] == b"\xff\xfe" else "utf-16-be",
+                        errors="ignore")
+                .encode("utf-8")
+            )
+        except Exception:  # pragma: no cover - decode with ignore can't raise
+            pass
     stripped = head.lstrip()
     low = stripped[:256].lower()
     for marker in _HTML_MARKERS:
@@ -70,9 +85,16 @@ def detect_mime(payload: bytes) -> str:
 
 
 def decode_text(payload: bytes) -> str:
-    """UTF-8 decode with latin-1 fallback (extraction_service.py:150-163)."""
+    """UTF-8 decode with latin-1 fallback (extraction_service.py:150-163).
+
+    UTF-16 BOMs are honored first — without the check a BOM'd UTF-16
+    payload is NUL-laced "valid UTF-8" and decodes to garbage."""
     if payload.startswith(_BOM_UTF8):
         payload = payload[len(_BOM_UTF8):]
+    elif payload[:2] == b"\xff\xfe":
+        return payload[2:].decode("utf-16-le", errors="replace")
+    elif payload[:2] == b"\xfe\xff":
+        return payload[2:].decode("utf-16-be", errors="replace")
     try:
         return payload.decode("utf-8")
     except (UnicodeDecodeError, ValueError):

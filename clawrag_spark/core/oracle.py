@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 from typing import NamedTuple
 
+from . import charset as charset_mod
 from . import mime as mime_mod
 from .chunkers import Chunk, separator_cascade_chunks
 from .html_extract import extract_html
@@ -103,7 +104,15 @@ def process_document(payload: bytes | None, lang_hint: str | None = None) -> Doc
         elif detected == mime_mod.MIME_HTML:
             engine = ENGINE_DOCLING
             try:
-                text, artifacts = extract_html(mime_mod.decode_text(payload))
+                # WHATWG-prescan charset sniff (core/charset.py): BOM >
+                # meta/http-equiv > xml decl > strict UTF-8 > latin-1.
+                # Undeclared pages decode byte-identically to the old
+                # decode_text chain; declared cp125x/Shift_JIS/GB pages
+                # stop mojibaking.  encoding+source land in artifacts so
+                # the extraction-metadata sink can report decode mix.
+                decoded, enc, enc_src = charset_mod.decode_html(payload)
+                text, artifacts = extract_html(decoded)
+                artifacts = dict(artifacts, encoding=enc, encoding_source=enc_src)
             except Exception:
                 error = "html_parse_failure"
             if not error and not text:
