@@ -309,6 +309,32 @@ def q_bm25_scores(spark, sf_dir):
     )
 
 
+#: BM25F field plan: (name, weight, b_f) — title terms worth 2x body
+#: terms with lighter length normalization (titles are short; heavy
+#: normalization would punish multi-word titles).
+_BM25F_FIELDS = (("title", 2.0, 0.5), ("body", 1.0, 0.75))
+_BM25F_K1 = 1.5
+
+
+def q_bm25f_scores(spark, sf_dir):
+    """Fielded BM25F over (title, body) — title = the first-4-words
+    page-head convention shared with `page_metadata`, body = full text.
+    One pseudo-frequency per (doc, term) from weighted per-field
+    normalized tfs, then a single saturation (Robertson & Zaragoza 2009
+    §9 — deliberately NOT a weighted sum of per-field BM25 scores).
+    Scores round to 6 dp on both engines."""
+    docs = _load(spark, sf_dir, "documents")
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ")
+    fields = [
+        ("title", title, _BM25F_FIELDS[0][1], _BM25F_FIELDS[0][2]),
+        ("body", F.col("text"), _BM25F_FIELDS[1][1], _BM25F_FIELDS[1][2]),
+    ]
+    out = R.bm25f_scores(docs, "doc_id", fields, QUERY_TERMS, k1=_BM25F_K1)
+    return out.select(
+        "doc_id", F.round("bm25f_score", 6).alias("bm25f_score")
+    )
+
+
 def q_bm25_postings(spark, sf_dir):
     """S15/A7 index tables as a hard-checked artifact: per-term corpus
     statistics (doc_freq + idf) of the persisted BM25 index."""
@@ -3689,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 window --------------------------------------------
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
+        "bm25f_scores": q_bm25f_scores,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -7206,6 +7233,57 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND UNBOUNDED FOLLOWING))::INT AS is_rep
             FROM labeled
+        """,
+        "bm25f_scores": f"""
+            WITH fld AS (
+                SELECT doc_id, 'title' AS field,
+                       list_filter(string_split_regex(lower(
+                           array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+                       ), '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'body',
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, field, unnest(t) AS term FROM fld),
+            pf AS (
+                SELECT doc_id, field, term, count(*) AS tf
+                FROM tok GROUP BY 1, 2, 3
+            ),
+            lf AS (SELECT doc_id, field, sum(tf) AS fl FROM pf GROUP BY 1, 2),
+            av AS (SELECT field, avg(fl) AS avgfl FROM lf GROUP BY 1),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            hits AS (
+                SELECT * FROM pf
+                WHERE term IN ({", ".join(repr(t) for t in QUERY_TERMS)})
+            ),
+            idf AS (
+                SELECT term,
+                       ln(1 + (nd.n_docs - count(DISTINCT doc_id) + 0.5)
+                              / (count(DISTINCT doc_id) + 0.5)) AS idf
+                FROM hits CROSS JOIN nd GROUP BY term, nd.n_docs
+            ),
+            pseudo AS (
+                SELECT h.doc_id, h.term,
+                       sum(CASE h.field WHEN 'title' THEN {_BM25F_FIELDS[0][1]}
+                                        ELSE {_BM25F_FIELDS[1][1]} END * h.tf
+                           / ((1 - CASE h.field WHEN 'title' THEN {_BM25F_FIELDS[0][2]}
+                                                ELSE {_BM25F_FIELDS[1][2]} END)
+                              + CASE h.field WHEN 'title' THEN {_BM25F_FIELDS[0][2]}
+                                             ELSE {_BM25F_FIELDS[1][2]} END
+                                * lf.fl / av.avgfl)) AS tfq
+                FROM hits h
+                JOIN lf USING (doc_id, field)
+                JOIN av USING (field)
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_id,
+                   round(sum(i.idf * p.tfq / ({_BM25F_K1} + p.tfq)), 6) AS bm25f_score
+            FROM pseudo p JOIN idf i USING (term)
+            GROUP BY 1
+            HAVING sum(i.idf * p.tfq / ({_BM25F_K1} + p.tfq)) > 0
         """,
         "charset_sniff": f"""
             WITH pages AS (

@@ -122,6 +122,98 @@ def bm25_score_index(
     )
 
 
+def bm25f_scores(
+    docs: DataFrame,
+    id_col: str,
+    fields: list[tuple],
+    query_terms: list[str],
+    k1: float = BM25_K1,
+) -> DataFrame:
+    """Fielded BM25F (Robertson & Zaragoza 2009 §9, the "simple BM25F"):
+    per-field length-normalized term frequencies combine into ONE
+    pseudo-frequency before a single saturation —
+
+        tf~(t,d) = Σ_f  w_f · tf_{f,t}(d) / B_f(d),
+        B_f(d)   = (1 − b_f) + b_f · len_f(d) / avglen_f,
+        score(d) = Σ_t  idf(t) · tf~ / (k1 + tf~)
+
+    which is NOT equivalent to a weighted sum of per-field BM25 scores
+    (saturating per field over-rewards a term that appears once in
+    every field — the original paper's point).  ``fields`` is a list of
+    ``(name, column, weight, b_f)``; idf is the always-positive Lucene
+    form ln(1 + (N − df + 0.5)/(df + 0.5)) with df = docs containing
+    the term in ANY field.
+
+    Scale shape: one tokenize scan per field column, ONE (id, field,
+    term) hash aggregation with map-side partials feeding tf, per-field
+    lengths and df; field count/weights/b are literal CASE maps (never
+    a join); avglen and idf are field-count- and query-term-bounded
+    broadcasts; the score shuffle carries only query-term postings.
+    """
+    q = [t.lower() for t in query_terms]
+    tok = None
+    for name, col, _w, _b in fields:
+        part = docs.select(
+            F.col(id_col),
+            F.lit(name).alias("field"),
+            F.explode(sql_tokens(col)).alias("term"),
+        )
+        tok = part if tok is None else tok.unionByName(part)
+    pf = tok.groupBy(id_col, "field", "term").agg(F.count("*").alias("tf"))
+    lf = pf.groupBy(id_col, "field").agg(F.sum("tf").alias("fl"))
+    avg = lf.groupBy("field").agg(F.avg("fl").alias("avgfl"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+
+    w_expr, b_expr = F.lit(0.0), F.lit(0.0)
+    for name, _c, w, bf in fields:
+        w_expr = F.when(F.col("field") == name, F.lit(float(w))).otherwise(w_expr)
+        b_expr = F.when(F.col("field") == name, F.lit(float(bf))).otherwise(b_expr)
+
+    hits = pf.filter(F.col("term").isin(q))
+    idf = (
+        hits.select("term", F.col(id_col))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+                / (F.col("doc_freq") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    pseudo = (
+        hits.join(lf, [id_col, "field"])
+        .join(F.broadcast(avg), "field")
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                w_expr
+                * F.col("tf")
+                / (F.lit(1.0) - b_expr + b_expr * F.col("fl") / F.col("avgfl"))
+            ).alias("tfw"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.sum("tfw").alias("tfq"))
+    )
+    return (
+        pseudo.join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            (F.col("idf") * F.col("tfq") / (F.lit(float(k1)) + F.col("tfq"))).alias(
+                "contrib"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("bm25f_score"))
+        .filter(F.col("bm25f_score") > 0)
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     id_col: str,

@@ -203,3 +203,67 @@ def test_postings_gap_compression_curve(spark):
     dense_mag, rare_mag = 3, 1  # df 3000 vs df 20
     assert out[dense_mag]["avg_bytes_per_posting"] < out[rare_mag]["avg_bytes_per_posting"]
     assert out[dense_mag]["avg_bytes_per_posting"] == 1.0  # gap 1 everywhere
+
+
+# ------------------------------------------------------------ BM25F
+
+
+def test_bm25f_title_hit_outranks_body_hit(spark):
+    """Same term, same tf: a title occurrence (w=2, short field) must
+    outscore a body occurrence (w=1, long field)."""
+    from clawrag_spark.operators.retrieval import bm25f_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solar power", "grid statistics and other market notes here"),
+            (2, "market notes", "solar adoption keeps growing across regions"),
+            (3, "cooking pasta", "tomato sauce recipes and kitchen techniques"),
+        ],
+        ["doc_id", "title", "body"],
+    )
+    fields = [("title", F.col("title"), 2.0, 0.5), ("body", F.col("body"), 1.0, 0.75)]
+    out = {
+        r["doc_id"]: r["bm25f_score"]
+        for r in bm25f_scores(docs, "doc_id", fields, ["solar"]).collect()
+    }
+    assert out[1] > out[2]
+    assert 3 not in out  # no hit → filtered by the positive-score gate
+
+
+def test_bm25f_single_saturation_not_per_field_sum(spark):
+    """The defining BM25F property (Robertson & Zaragoza 2009 §9): the
+    pseudo-frequency saturates ONCE.  A doc with the term in both
+    fields must score strictly less than the sum of two independent
+    per-field saturations would give."""
+    import math
+
+    from clawrag_spark.operators.retrieval import bm25f_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "alpha beta"), (2, "gamma", "delta beta")],
+        ["doc_id", "title", "body"],
+    )
+    fields = [("title", F.col("title"), 1.0, 0.0), ("body", F.col("body"), 1.0, 0.0)]
+    out = {
+        r["doc_id"]: r["bm25f_score"]
+        for r in bm25f_scores(docs, "doc_id", fields, ["alpha"], k1=1.5).collect()
+    }
+    # b=0 kills length normalization: tfq = 1 (title) + 1 (body) = 2.
+    # N=2, df=1 → idf = ln(1 + 1.5/1.5) = ln 2.
+    expect_single = math.log(2) * 2 / (1.5 + 2)
+    per_field_sum = 2 * (math.log(2) * 1 / (1.5 + 1))
+    assert out[1] == pytest.approx(expect_single)
+    assert out[1] < per_field_sum
+
+
+def test_bm25f_plan_no_cartesian_no_python(spark):
+    from clawrag_spark.operators.retrieval import bm25f_scores
+
+    docs = spark.createDataFrame(
+        [(1, "t one", "b one two"), (2, "t two", "b two three")],
+        ["doc_id", "title", "body"],
+    )
+    fields = [("title", F.col("title"), 2.0, 0.5), ("body", F.col("body"), 1.0, 0.75)]
+    plan = bm25f_scores(docs, "doc_id", fields, ["one"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
