@@ -371,6 +371,19 @@ def q_impact_pruned(spark, sf_dir):
     return R.impact_topk(idx, "doc_id", QUERY_TERMS, k=15)
 
 
+def q_wand_topk(spark, sf_dir):
+    """WAND two-phase pruned top-k (Broder et al. 2003) over the
+    session impact index: θ = k-th best single-term code (a valid
+    lower bound on the k-th top score), docs whose Σ term_max upper
+    bound can't reach θ never enter the exact-scoring shuffle.  The
+    pruning is provably lossless, so the oracle is the UNPRUNED full
+    scoring — cross-engine agreement is the losslessness proof at
+    driver scale (a pytest additionally pins equality to impact_topk
+    and a >0 pruned fraction on a skewed fixture)."""
+    idx = _impact_index(spark, sf_dir)
+    return R.wand_topk(idx, "doc_id", QUERY_TERMS, k=15)
+
+
 def q_cosine_topk(spark, sf_dir):
     """T2 brute-force cosine top-k over the embeddings table."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -3716,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
+        "wand_topk": q_wand_topk,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -5979,6 +5993,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(code) AS BIGINT) AS impact_score
             FROM pruned
             WHERE rn <= 20 AND term IN ('dup', 'spark', 'join')
+            GROUP BY doc_id
+            HAVING impact_score > 0
+            ORDER BY impact_score DESC, doc_id
+            LIMIT 15
+        """,
+        "wand_topk": _BM25_CTE + """
+            , contrib AS (
+                SELECT p.doc_id, p.term,
+                       i.idf * (p.tf * 2.5)
+                       / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / i.avgdl))
+                       AS contrib
+                FROM postings p
+                JOIN idf i USING (term)
+                JOIN doclen d USING (doc_id)
+            ),
+            mx AS (SELECT max(contrib) AS mx FROM contrib),
+            codes AS (
+                SELECT doc_id, term,
+                       CAST(floor(round(contrib * 255 / mx, 6) + 0.5) AS INT)
+                       AS code
+                FROM contrib CROSS JOIN mx
+            )
+            SELECT doc_id, CAST(sum(code) AS BIGINT) AS impact_score
+            FROM codes
+            WHERE term IN ('dup', 'spark', 'join')
             GROUP BY doc_id
             HAVING impact_score > 0
             ORDER BY impact_score DESC, doc_id

@@ -651,3 +651,73 @@ def impact_topk(
         .orderBy(F.desc("impact_score"), id_col)
         .limit(k)
     )
+
+
+def wand_topk(
+    impact_index: dict[str, DataFrame],
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Two-phase WAND-style pruned top-k (Broder et al. 2003, adapted
+    from document-at-a-time heaps to Spark's set-at-a-time model) —
+    provably the SAME result as ``impact_topk``, with the exact-scoring
+    shuffle restricted to docs whose upper bound clears a threshold:
+
+    1. θ = the k-th largest per-doc single-term code, corrected for
+       negative codes: this impact build CAN emit negative codes (the
+       ε-floored idf of a term in more than half the corpus is the sign
+       of the corpus mean, so stopword contributions may quantize
+       below zero), and with negatives "score ≥ best single-term code"
+       is FALSE — adding a term can lower the score.  The safe bound is
+       score(d) ≥ mx(d) + Σ_t min(0, term_min(t)) over the query terms,
+       so θ_safe = θ + neg_sum is a valid lower bound on the k-th top
+       score (neg_sum = 0 for the classic all-positive impact index,
+       recovering textbook WAND).
+    2. A doc's upper bound is Σ term_max over the query terms it
+       matches (the WAND bound — still valid under negative codes).
+       bound(d) < θ_safe ⇒ score(d) < θ_safe ≤ score_k ⇒ d cannot
+       enter the top k: prune it losslessly.
+    3. Exact integer scoring runs only on the survivors.
+
+    Phase 1 is a TakeOrderedAndProject over (doc, max code) rows;
+    term_max and θ are broadcast (≤|query| rows and 1 row); the
+    only corpus-shaped work is the postings slice for the query terms,
+    read once.  On skewed impact distributions (the web norm) the
+    survivor set is a small multiple of k, so phase 2's aggregation
+    shuffle carries candidate postings instead of every matching doc —
+    at 10^12 docs with a stopword in the query that is the difference
+    between shuffling millions of rows and thousands.
+    """
+    q = [t.lower() for t in query_terms]
+    hits = impact_index["impacts"].filter(F.col("term").isin(q))
+    kth = (
+        hits.groupBy(id_col)
+        .agg(F.max("code").alias("mx"))
+        .orderBy(F.desc("mx"), id_col)
+        .limit(k)
+        .agg(F.min("mx").alias("kth_mx"))
+    )
+    neg = hits.groupBy("term").agg(F.min("code").alias("tmin")).agg(
+        F.sum(F.least(F.lit(0), F.col("tmin"))).alias("neg_sum")
+    )
+    theta = kth.crossJoin(neg).select(
+        (F.col("kth_mx") + F.coalesce(F.col("neg_sum"), F.lit(0))).alias("theta")
+    )
+    tm = impact_index["term_max"].filter(F.col("term").isin(q))
+    cand = (
+        hits.join(F.broadcast(tm), "term")
+        .groupBy(id_col)
+        .agg(F.sum("max_code").alias("ub"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ub") >= F.col("theta"))
+        .select(id_col)
+    )
+    return (
+        hits.join(cand, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("code").cast("long").alias("impact_score"))
+        .filter(F.col("impact_score") > 0)
+        .orderBy(F.desc("impact_score"), id_col)
+        .limit(k)
+    )

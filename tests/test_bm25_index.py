@@ -201,3 +201,68 @@ def test_pruned_impact_index_quality(spark):
     assert len(full) == 10
     assert len(set(full) & set(cut)) >= 8
     assert full[0] in cut[:3]
+
+
+def test_wand_topk_equals_impact_topk_and_actually_prunes(spark):
+    """WAND two-phase pruning is LOSSLESS: wand_topk == impact_topk row
+    for row on a skewed fixture — and the candidate gate must really
+    prune (survivors < matching docs), or the operator is a no-op."""
+    rows = []
+    for i in range(400):
+        # 'hot' is stopword-like (every doc → tiny idf → tiny codes);
+        # 'rare' is discriminative and dense in ~14 docs — θ (the 10th
+        # best single-term code) lands on a rare code, so the ~386
+        # hot-only docs bound below it and prune.  The skew WAND exploits.
+        body = "hot filler words " * 3 + ("rare signal " * (6 if i % 29 == 0 else 0))
+        rows.append((i, body + f"tail{i % 7}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = R.bm25_build_index(docs, "doc_id", "text")
+    imp = {k: v.persist() for k, v in R.build_impact_index(idx, "doc_id").items()}
+
+    terms = ["hot", "rare"]
+    want = [tuple(r) for r in R.impact_topk(imp, "doc_id", terms, k=10).collect()]
+    got = [tuple(r) for r in R.wand_topk(imp, "doc_id", terms, k=10).collect()]
+    assert len(want) == 10, "vacuous: fixture has <10 scored docs"
+    assert got == want
+
+    # the pruning gate really fires: survivors ≪ docs matching any term
+    # (θ_safe mirrors the operator: k-th best per-doc max code plus the
+    # summed negative per-term minima — this fixture's stopword-like
+    # 'hot' term genuinely quantizes to negative codes)
+    q = [t.lower() for t in terms]
+    hits = imp["impacts"].filter(F.col("term").isin(q))
+    kth = (
+        hits.groupBy("doc_id").agg(F.max("code").alias("mx"))
+        .orderBy(F.desc("mx"), "doc_id").limit(10)
+        .agg(F.min("mx").alias("kth_mx"))
+    )
+    neg = hits.groupBy("term").agg(F.min("code").alias("tmin")).agg(
+        F.sum(F.least(F.lit(0), F.col("tmin"))).alias("neg_sum")
+    )
+    theta = kth.crossJoin(neg).select(
+        (F.col("kth_mx") + F.coalesce(F.col("neg_sum"), F.lit(0))).alias("theta")
+    )
+    survivors = (
+        hits.join(F.broadcast(imp["term_max"].filter(F.col("term").isin(q))), "term")
+        .groupBy("doc_id").agg(F.sum("max_code").alias("ub"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ub") >= F.col("theta"))
+        .count()
+    )
+    matching = hits.select("doc_id").distinct().count()
+    assert survivors < matching, (survivors, matching)
+
+    for v in imp.values():
+        v.unpersist()
+
+
+def test_wand_topk_fewer_than_k_docs_is_lossless(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "unrelated text")],
+        ["doc_id", "text"],
+    )
+    idx = R.bm25_build_index(docs, "doc_id", "text")
+    imp = R.build_impact_index(idx, "doc_id")
+    want = [tuple(r) for r in R.impact_topk(imp, "doc_id", ["beta"], k=10).collect()]
+    got = [tuple(r) for r in R.wand_topk(imp, "doc_id", ["beta"], k=10).collect()]
+    assert got == want and len(want) == 2
