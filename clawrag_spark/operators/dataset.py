@@ -136,6 +136,95 @@ def minhash_band_signatures(
     ).select(id_col, F.col("band").cast("int").alias("band"), "sig")
 
 
+#: densification offset per rotation step — values stay < 2^60 + 15·2^56
+#: < 2^63, so the offset arithmetic never overflows a signed BIGINT on
+#: any engine.
+_OPH_OFFSET = 1 << 56
+
+
+def oph_band_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 16,
+    rows_per_band: int = 2,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """One-permutation MinHash with rotation densification (Li, Owen &
+    Zhang 2012; Shrivastava & Li 2014) — the scale-path signature
+    generator: ONE md5 per shingle instead of ``n_bands ×
+    rows_per_band`` salted md5s, with the hash's bucket
+    ``h mod n_buckets`` acting as the permutation index.
+
+    Empty buckets densify by circular borrowing from the next non-empty
+    bucket to the right, PLUS ``t · _OPH_OFFSET`` for borrow distance
+    ``t`` — without the offset two docs empty at slot j would collide
+    whenever their j+1 minima collide, biasing sparse-doc collision
+    rates upward (the 2014 paper's correction; the 2017 "optimal
+    densification" variant hash-picks the borrow direction to cut
+    variance further — rotation keeps the math expression-only and
+    engine-portable).
+
+    Returns (id, band, sig) — a drop-in replacement for
+    ``minhash_band_signatures`` with ``n_bands = n_buckets //
+    rows_per_band``.  Scale shape: the scan side computes exactly one
+    md5 + one modulo per shingle (vs k hashes — at 10^12 docs × ~10³
+    shingles the hashing is THE dominant dedup cost, so this is a ~k×
+    scan-side saving); the per-doc aggregation is ``n_buckets``
+    conditional mins with map-side partials (one row per doc through
+    the shuffle, same as the classic path); densification and band
+    assembly are pure projections.
+    """
+    if n_buckets % rows_per_band != 0:
+        raise ValueError(
+            f"n_buckets ({n_buckets}) must be divisible by rows_per_band"
+            f" ({rows_per_band})"
+        )
+    if shingles is None:
+        shingles = shingle_rows(docs, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    rows = shingles.select(
+        F.col(id_col), (h % n_buckets).alias("__j"), h.alias("__h")
+    )
+    wide = rows.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__j") == j, F.col("__h"))).alias(f"m{j}")
+            for j in range(n_buckets)
+        ]
+    )
+    dense = wide.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                *[
+                    F.col(f"m{(j + t) % n_buckets}") + F.lit(t * _OPH_OFFSET)
+                    for t in range(n_buckets)
+                ]
+            ).alias(f"f{j}")
+            for j in range(n_buckets)
+        ],
+    )
+    n_bands = n_buckets // rows_per_band
+    sigs = dense.select(
+        F.col(id_col),
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"f{b * rows_per_band + t}").cast("string")
+                    for t in range(rows_per_band)
+                ],
+            ).alias(f"sig_{b}")
+            for b in range(n_bands)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, sig_{b}" for b in range(n_bands))
+    return sigs.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig"),
+    ).select(id_col, F.col("band").cast("int").alias("band"), "sig")
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str,

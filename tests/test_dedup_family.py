@@ -171,6 +171,67 @@ def test_minhash_planted_pair_recall(spark):
     assert (0, 1) in pairs
 
 
+def test_oph_signatures_shape_and_duplicate_identity(spark):
+    """One-permutation signatures: full band coverage per doc (the
+    densifier fills every slot), exact duplicates share EVERY band sig,
+    and a single-shingle doc fills all slots with DISTINCT borrowed
+    values (the rotation offset at work — without it all slots would
+    alias and any two single-shingle docs would band-collide on every
+    band whenever their lone hashes landed in the same bucket)."""
+    rng = random.Random(7)
+    base = " ".join(rng.choice(_WORDS) for _ in range(40))
+    rows = [(0, base), (1, base), (2, "tiny three tokens")] + [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(40))) for i in range(3, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = DS.oph_band_signatures(df, "doc_id", "text", 16, 2).collect()
+    by_doc: dict = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["sig"]
+    assert all(len(v) == 8 for v in by_doc.values())  # 16/2 bands, none null
+    assert by_doc[0] == by_doc[1]  # exact dup → identical signature
+    # single-shingle doc: 16 slot values = 1 real + 15 offset-borrowed,
+    # all distinct
+    vals = [p for b in range(8) for p in by_doc[2][b].split("-")]
+    assert len(set(vals)) == 16
+
+
+def test_oph_planted_pair_recall(spark):
+    """OPH banding finds the same planted near-dup the classic
+    k-permutation path finds (drop-in candidate-generator check)."""
+    rng = random.Random(3)
+    base = " ".join(rng.choice(_WORDS) for _ in range(60))
+    variant = base.replace("alpha", "omega") if "alpha" in base else base + " omega"
+    rows = [(0, base), (1, variant)] + [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(60))) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = DS.oph_band_signatures(df, "doc_id", "text", 16, 2).alias("a")
+    b = sigs.alias("b")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in sigs.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert (0, 1) in pairs
+    # the band join is selective, not all-pairs: unrelated random docs
+    # must not flood the candidate set
+    assert len(pairs) < 30
+
+
+def test_oph_validates_band_divisibility(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        DS.oph_band_signatures(df, "doc_id", "text", n_buckets=10, rows_per_band=3)
+
+
 def test_prefix_filter_join_equals_brute_force(spark):
     """The prefix-filter similarity join is EXACT: its output equals the
     brute-force all-pairs Jaccard >= 4/5 set, both membership and the
