@@ -915,14 +915,27 @@ def train_word_lm(
     training slice; the tables are Heaps'-law-bounded (vocab grows
     ~n^0.5), not corpus-bounded, and shrink further under pruning.
     """
-    uni = _word_tokens(train, [], text_col).groupBy("w").agg(
-        F.count("*").alias("cu")
+    # uni feeds THREE consumers (the cu1 fold into bi, the (N, V) stats
+    # row, and scoring's cu2 lookup) — persist it so the training-slice
+    # token scan runs once, not once per consumer.  The consumers
+    # materialize sequentially (broadcast builds are driver-ordered),
+    # so the lazy persist warms without the concurrent-stage cache-miss
+    # race documented on shingle_rows.
+    uni = (
+        _word_tokens(train, [], text_col)
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+        .persist()
     )
+    # the context count cu(w1) folds into the bigram table at TRAIN time
+    # (cb > 0 ⇒ cu(w1) ≥ cb > 0, the join never drops rows) so scoring
+    # needs one fewer join per corpus bigram
     bi = (
         _word_bigrams(train, [], text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
         .filter(F.col("cb") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
     )
     stats = uni.agg(
         F.sum("cu").alias("n_tokens"), F.count("*").alias("vocab")
@@ -936,6 +949,7 @@ def word_lm_score(
     text_col: str,
     model: dict[str, DataFrame],
     backoff: float = 0.4,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Average negative log stupid-backoff score per document:
 
@@ -947,24 +961,26 @@ def word_lm_score(
     words score finitely — the same role KenLM's <unk> prob plays).
     Returns (id, n_bigrams, avg_neg_logp); docs with < 2 tokens drop.
 
-    Scale shape: the scoring joins are hash equi-joins on the gram key
-    (the model tables are Heaps'-small but NOT guaranteed
-    broadcast-small at web scale, unlike the vocabulary-bounded char
-    model — AQE broadcasts them when they fit); the (N, V) row
-    cross-joins as a 1-row broadcast; per-bigram log-scores partially
-    aggregate map-side, so the doc-level shuffle is one row per doc.
+    Scale shape: the model tables broadcast by default (Heaps'-small
+    after count pruning — the same call the char model makes; pass
+    ``broadcast_model=False`` when an unpruned trillion-token bigram
+    table outgrows executor memory, and the joins fall back to hash
+    equi-joins on the gram key that AQE can still convert).  cu(w1) is
+    pre-joined into the bigram table at train time, so the per-bigram
+    stream takes exactly two lookup joins; the (N, V) row cross-joins
+    as a 1-row broadcast; per-bigram log-scores partially aggregate
+    map-side, so the doc-level shuffle is one row per doc.
     """
     bg = _word_bigrams(docs, [id_col], text_col)
-    uni1 = model["uni"].select(
-        F.col("w").alias("__u1w"), F.col("cu").alias("cu1")
-    )
     uni2 = model["uni"].select(
         F.col("w").alias("__u2w"), F.col("cu").alias("cu2")
     )
+    bi, u2 = model["bi"], uni2
+    if broadcast_model:
+        bi, u2 = F.broadcast(bi), F.broadcast(u2)
     scored = (
-        bg.join(model["bi"], ["w1", "w2"], "left")
-        .join(uni1, F.col("w1") == F.col("__u1w"), "left")
-        .join(uni2, F.col("w2") == F.col("__u2w"), "left")
+        bg.join(bi, ["w1", "w2"], "left")
+        .join(u2, F.col("w2") == F.col("__u2w"), "left")
         .crossJoin(F.broadcast(model["stats"]))
         .select(
             F.col(id_col),
