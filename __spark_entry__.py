@@ -2257,14 +2257,25 @@ def q_crawl_schedule(spark, sf_dir):
 #: semantics exercised: tie-break to Allow, non-star groups ignored,
 #: comments stripped, hosts without robots allowed.
 _ROBOTS_FIXTURES = [
+    # Sitemap: records are NON-group fields (RFC 9309 §2.3): one inside
+    # a group, one before any group, one SITEMAP-cased, one relative
+    # (must drop), one repeated (must collapse) — all inert for the
+    # allow/disallow/crawl-delay consumers sharing this fixture.
     ("host001.example.com",
-     "User-agent: *\nCrawl-delay: 12\nDisallow: /\nAllow: /s  # longest match wins"),
+     "User-agent: *\nCrawl-delay: 12\nDisallow: /\nAllow: /s  # longest match wins"
+     "\nSitemap: https://host001.example.com/sitemap.xml"),
     ("host002.example.com",
-     "user-AGENT: *\ndisallow: /s\ncrawl-DELAY: 2.5"),
-    ("host004.example.com", "User-agent: *\nDisallow: /x\nDisallow:"),
+     "SITEMAP: https://host002.example.com/sm/index.xml\n"
+     "user-AGENT: *\ndisallow: /s\ncrawl-DELAY: 2.5\n"
+     "Sitemap: https://host002.example.com/sm/index.xml"),
+    ("host004.example.com",
+     "User-agent: *\nDisallow: /x\nDisallow:\nSitemap: /relative.xml"),
     ("host005.example.com",
      # star-group delay absent: bad-bot's Crawl-delay must NOT apply
      "User-agent: bad-bot\nCrawl-delay: 99\nDisallow: /"),
+    # sitemap-only robots.txt: no groups at all, the record still counts
+    ("host006.example.com",
+     "# discovery only\nSitemap: https://host006.example.com/sitemap_index.xml"),
 ]
 
 
@@ -2377,6 +2388,49 @@ def q_robots_gate(spark, sf_dir):
     robots = spark.createDataFrame(_ROBOTS_FIXTURES, ["host", "robots_txt"])
     rules = WT.parse_robots(robots)
     return WT.robots_filter(pages, rules)
+
+
+def q_canonical_cluster(spark, sf_dir):
+    """rel=canonical consolidation over synthesized per-doc
+    declarations (by doc_id%12: collapse-to-neighbor, mutual A⇄B loop,
+    one-hop chain, external target, explicit self, absent) — the
+    capture-collapse step indexing pipelines run after `page_metadata`
+    extracts the canonical link.  One self equi-join on the url key,
+    no iteration; loops keep themselves (Google-documented), chains
+    collapse exactly one hop and are flagged."""
+    docs = _load(spark, sf_dir, "documents")
+
+    def curl(c):
+        return F.concat(
+            F.lit("https://h"), (c % 7).cast("string"),
+            F.lit(".example.com/d/"), c.cast("string"),
+        )
+
+    i = F.col("doc_id")
+    r = i % 12
+    canon = (
+        F.when(r == 1, curl(i - 1))
+        .when(r == 2, curl(i + 1))
+        .when(r == 3, curl(i - 1))
+        .when(r == 4, F.concat(F.lit("https://cdn.example.org/d/"), i.cast("string")))
+        .when(r == 5, curl(i))
+        .when(r == 6, curl(i + 1))
+        .when(r == 7, curl(i + 1))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(curl(i).alias("url"), canon.alias("canon"))
+    return WT.canonical_consolidate(pages, "url", "canon")
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt ``Sitemap:`` records — the
+    non-group field (RFC 9309 §2.3) every crawler reads first; how new
+    sitemaps enter the frontier without link traversal.  Fixture
+    exercises in-group/pre-group/SITEMAP-cased/relative(dropped)/
+    repeated(collapsed) records; shares the line grammar (and the
+    oracle's CTE chain) with robots_gate."""
+    robots = spark.createDataFrame(_ROBOTS_FIXTURES, ["host", "robots_txt"])
+    return WT.parse_robots_sitemaps(robots)
 
 
 def q_source_overlap(spark, sf_dir):
@@ -3745,6 +3799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_scores": q_bm25f_scores,
         "wand_topk": q_wand_topk,
         "oph_minhash": q_oph_minhash,
+        "robots_sitemaps": q_robots_sitemaps,
+        "canonical_cluster": q_canonical_cluster,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -6219,6 +6275,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 7 AS band, f14::VARCHAR || '-' || f15::VARCHAR AS sig FROM d
         """,
+        "canonical_cluster": """
+            WITH p AS (
+                SELECT 'https://h' || (doc_id % 7) || '.example.com/d/' || doc_id AS url,
+                       CASE doc_id % 12
+                           WHEN 1 THEN 'https://h' || ((doc_id - 1) % 7) || '.example.com/d/' || (doc_id - 1)
+                           WHEN 2 THEN 'https://h' || ((doc_id + 1) % 7) || '.example.com/d/' || (doc_id + 1)
+                           WHEN 3 THEN 'https://h' || ((doc_id - 1) % 7) || '.example.com/d/' || (doc_id - 1)
+                           WHEN 4 THEN 'https://cdn.example.org/d/' || doc_id
+                           WHEN 5 THEN 'https://h' || (doc_id % 7) || '.example.com/d/' || doc_id
+                           WHEN 6 THEN 'https://h' || ((doc_id + 1) % 7) || '.example.com/d/' || (doc_id + 1)
+                           WHEN 7 THEN 'https://h' || ((doc_id + 1) % 7) || '.example.com/d/' || (doc_id + 1)
+                           ELSE ''
+                       END AS canon
+                FROM documents
+            ),
+            j AS (
+                SELECT p.url, p.canon, t.url AS t_url, t.canon AS t_canon
+                FROM p LEFT JOIN p t ON p.canon = t.url
+            )
+            SELECT url,
+                   CASE WHEN canon = '' OR canon = url THEN url
+                        WHEN t_url IS NULL THEN canon
+                        WHEN t_canon = url THEN url
+                        ELSE canon END AS canonical_rep,
+                   CASE WHEN canon = '' OR canon = url THEN 'self'
+                        WHEN t_url IS NULL THEN 'external_target'
+                        WHEN t_canon = url THEN 'loop_ignored'
+                        WHEN t_canon <> '' AND t_canon <> t_url THEN 'chained'
+                        ELSE 'consolidated' END AS relation
+            FROM j
+        """,
         "minhash_bands": """
             WITH toks AS (
                 SELECT doc_id,
@@ -6608,6 +6695,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, f.fp
             FROM sel, LATERAL UNNEST(fps) AS f(fp)
+        """,
+        "robots_sitemaps": robots_cte + """
+            SELECT DISTINCT host, v AS sitemap_url
+            FROM parsed
+            WHERE d = 'sitemap'
+              AND (lower(v) LIKE 'http://%' OR lower(v) LIKE 'https://%')
         """,
         "robots_gate": robots_cte + """
             SELECT url, host, coalesce(best.allow, true) AS allowed,

@@ -1794,6 +1794,85 @@ def _robots_grouped(
     )
 
 
+def parse_robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` records — per RFC 9309 §2.3
+    / sitemaps.org these are NON-group fields: they apply regardless of
+    any User-agent group and may appear anywhere in the file, so this
+    reads ALL directive rows (no star-group join).  Values must be
+    absolute http(s) URLs per the protocol; relative or schemeless
+    values are dropped.  Distinct per (host, url) — repeated
+    declarations collapse.
+
+    This is the crawl-frontier DISCOVERY hook: robots.txt is the one
+    file a crawler always fetches first, so its Sitemap records are how
+    new sitemaps (and through them new URLs) enter `parse_sitemaps`'
+    pipeline without any link-graph traversal.
+    """
+    g = _robots_grouped(robots, host_col, text_col)
+    return (
+        g.filter(
+            (F.col("d") == "sitemap")
+            & (
+                F.lower(F.col("v")).startswith("http://")
+                | F.lower(F.col("v")).startswith("https://")
+            )
+        )
+        .select("host", F.col("v").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def canonical_consolidate(
+    pages: DataFrame, url_col: str, canon_col: str
+) -> DataFrame:
+    """rel=canonical consolidation — collapse duplicate captures onto
+    their declared canonical target, the way indexing pipelines do
+    (one hop, loops distrusted):
+
+    - absent ('') or self-pointing canonical → relation 'self', the
+      page represents itself;
+    - target captured and itself self-canonical → 'consolidated';
+    - target captured but declaring a FURTHER non-self canonical →
+      'chained' (still collapsed one hop — chains are followed one
+      link and flagged, never walked: a 10^12-page job cannot iterate
+      on webmaster-supplied pointers, and indexers distrust them too);
+    - mutual A⇄B loop → 'loop_ignored', page keeps itself (the
+      Google-documented behavior for canonical loops);
+    - target never captured → 'external_target' (rep = the declared
+      url; the capture can't be verified this snapshot).
+
+    Returns (url, canonical_rep, relation).  Scale shape: ONE self
+    equi-join of the (url, canonical) projection on the url key — the
+    same url-hash key the pipeline buckets by, so in the bucketed
+    layout the join is co-located and shuffle-free; no iteration ever.
+    """
+    base = pages.select(F.col(url_col).alias("url"), F.col(canon_col).alias("canon"))
+    tgt = base.select(
+        F.col("url").alias("__t_url"), F.col("canon").alias("__t_canon")
+    )
+    j = base.join(tgt, base["canon"] == tgt["__t_url"], "left")
+    is_self = (F.col("canon") == "") | (F.col("canon") == F.col("url"))
+    relation = (
+        F.when(is_self, F.lit("self"))
+        .when(F.col("__t_url").isNull(), F.lit("external_target"))
+        .when(F.col("__t_canon") == F.col("url"), F.lit("loop_ignored"))
+        .when(
+            (F.col("__t_canon") != "") & (F.col("__t_canon") != F.col("__t_url")),
+            F.lit("chained"),
+        )
+        .otherwise(F.lit("consolidated"))
+    )
+    rep = (
+        F.when(is_self | (relation == "loop_ignored"), F.col("url"))
+        .otherwise(F.col("canon"))
+    )
+    return j.select(
+        "url", rep.alias("canonical_rep"), relation.alias("relation")
+    )
+
+
 def parse_crawl_delays(
     robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:

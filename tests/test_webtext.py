@@ -1441,3 +1441,54 @@ class TestRobotsUAPrecedence:
             urls, W.robots_rules_for_agent(robots, e._ROBOTS_UA_AGENT)
         ).first()
         assert star["allowed"] is False and ua["allowed"] is True
+
+
+def test_parse_robots_sitemaps_non_group_semantics(spark):
+    """Sitemap: is a NON-group record (RFC 9309 §2.3): found inside or
+    outside any UA group, any case, deduped; relative values drop."""
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "Sitemap: https://a.com/s1.xml\nUser-agent: bot\n"
+                      "Disallow: /\nSITEMAP: https://a.com/s2.xml"),
+            ("b.com", "User-agent: *\nsitemap: https://b.com/sm.xml\n"
+                      "Sitemap: https://b.com/sm.xml"),       # repeat collapses
+            ("c.com", "Sitemap: /relative.xml\nSitemap: ftp://c.com/x"),
+            ("d.com", "User-agent: *\nDisallow: /"),          # none declared
+        ],
+        ["host", "robots_txt"],
+    )
+    got = {(r["host"], r["sitemap_url"])
+           for r in W.parse_robots_sitemaps(robots).collect()}
+    assert got == {
+        ("a.com", "https://a.com/s1.xml"),
+        ("a.com", "https://a.com/s2.xml"),
+        ("b.com", "https://b.com/sm.xml"),
+    }
+
+
+def test_canonical_consolidate_relations(spark):
+    """Every relation arm: self (absent + explicit), consolidated,
+    one-hop chain (collapsed + flagged), mutual loop (kept), external."""
+    pages = spark.createDataFrame(
+        [
+            ("u0", ""),      # absent → self
+            ("u1", "u1"),    # explicit self
+            ("u2", "u0"),    # → self-canonical target: consolidated
+            ("u3", "u4"),    # mutual loop with u4
+            ("u4", "u3"),
+            ("u5", "u6"),    # chain: u6 itself points at u0
+            ("u6", "u0"),
+            ("u7", "zz"),    # target never captured
+        ],
+        ["url", "canon"],
+    )
+    got = {r["url"]: (r["canonical_rep"], r["relation"])
+           for r in W.canonical_consolidate(pages, "url", "canon").collect()}
+    assert got["u0"] == ("u0", "self")
+    assert got["u1"] == ("u1", "self")
+    assert got["u2"] == ("u0", "consolidated")
+    assert got["u3"] == ("u3", "loop_ignored")
+    assert got["u4"] == ("u4", "loop_ignored")
+    assert got["u5"] == ("u6", "chained")      # one hop only, flagged
+    assert got["u6"] == ("u0", "consolidated")
+    assert got["u7"] == ("zz", "external_target")
