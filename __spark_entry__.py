@@ -570,6 +570,21 @@ def q_oph_minhash(spark, sf_dir):
     )
 
 
+def q_oph_jaccard(spark, sf_dir):
+    """OPH slot-agreement Jaccard estimates over the banded candidate
+    pairs: Ĵ = matching densified slots / 16, free of any shingle-set
+    verify — the cheap threshold gate BEFORE the exact verify pays for
+    gram arrays.  Candidates come from the same band equi-join as
+    oph_minhash (never all-pairs)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    out = DS.oph_estimate_jaccard(
+        docs, "doc_id", "text", n_buckets=16, rows_per_band=2
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def _jaccard_verified_pairs(docs, shingles=None):
     """MinHash-band candidates (r=2) → exact 3-gram Jaccard verify >0.8.
     Shared by q_ngram_jaccard and the curation funnel's dedup stage.
@@ -3801,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_minhash": q_oph_minhash,
         "robots_sitemaps": q_robots_sitemaps,
         "canonical_cluster": q_canonical_cluster,
+        "oph_jaccard": q_oph_jaccard,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -6200,6 +6216,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, c_name, o_orderdate, o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        """,
+        "oph_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 120
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            hs AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                FROM shingles
+            ),
+            m AS (
+                SELECT doc_id,
+                       min(CASE WHEN h % 16 = 0 THEN h END) AS m0,
+                       min(CASE WHEN h % 16 = 1 THEN h END) AS m1,
+                       min(CASE WHEN h % 16 = 2 THEN h END) AS m2,
+                       min(CASE WHEN h % 16 = 3 THEN h END) AS m3,
+                       min(CASE WHEN h % 16 = 4 THEN h END) AS m4,
+                       min(CASE WHEN h % 16 = 5 THEN h END) AS m5,
+                       min(CASE WHEN h % 16 = 6 THEN h END) AS m6,
+                       min(CASE WHEN h % 16 = 7 THEN h END) AS m7,
+                       min(CASE WHEN h % 16 = 8 THEN h END) AS m8,
+                       min(CASE WHEN h % 16 = 9 THEN h END) AS m9,
+                       min(CASE WHEN h % 16 = 10 THEN h END) AS m10,
+                       min(CASE WHEN h % 16 = 11 THEN h END) AS m11,
+                       min(CASE WHEN h % 16 = 12 THEN h END) AS m12,
+                       min(CASE WHEN h % 16 = 13 THEN h END) AS m13,
+                       min(CASE WHEN h % 16 = 14 THEN h END) AS m14,
+                       min(CASE WHEN h % 16 = 15 THEN h END) AS m15
+                FROM hs GROUP BY doc_id
+            ),
+            d AS (
+                SELECT doc_id,
+                       coalesce(m0, m1 + 72057594037927936, m2 + 144115188075855872, m3 + 216172782113783808, m4 + 288230376151711744, m5 + 360287970189639680, m6 + 432345564227567616, m7 + 504403158265495552, m8 + 576460752303423488, m9 + 648518346341351424, m10 + 720575940379279360, m11 + 792633534417207296, m12 + 864691128455135232, m13 + 936748722493063168, m14 + 1008806316530991104, m15 + 1080863910568919040) AS f0,
+                       coalesce(m1, m2 + 72057594037927936, m3 + 144115188075855872, m4 + 216172782113783808, m5 + 288230376151711744, m6 + 360287970189639680, m7 + 432345564227567616, m8 + 504403158265495552, m9 + 576460752303423488, m10 + 648518346341351424, m11 + 720575940379279360, m12 + 792633534417207296, m13 + 864691128455135232, m14 + 936748722493063168, m15 + 1008806316530991104, m0 + 1080863910568919040) AS f1,
+                       coalesce(m2, m3 + 72057594037927936, m4 + 144115188075855872, m5 + 216172782113783808, m6 + 288230376151711744, m7 + 360287970189639680, m8 + 432345564227567616, m9 + 504403158265495552, m10 + 576460752303423488, m11 + 648518346341351424, m12 + 720575940379279360, m13 + 792633534417207296, m14 + 864691128455135232, m15 + 936748722493063168, m0 + 1008806316530991104, m1 + 1080863910568919040) AS f2,
+                       coalesce(m3, m4 + 72057594037927936, m5 + 144115188075855872, m6 + 216172782113783808, m7 + 288230376151711744, m8 + 360287970189639680, m9 + 432345564227567616, m10 + 504403158265495552, m11 + 576460752303423488, m12 + 648518346341351424, m13 + 720575940379279360, m14 + 792633534417207296, m15 + 864691128455135232, m0 + 936748722493063168, m1 + 1008806316530991104, m2 + 1080863910568919040) AS f3,
+                       coalesce(m4, m5 + 72057594037927936, m6 + 144115188075855872, m7 + 216172782113783808, m8 + 288230376151711744, m9 + 360287970189639680, m10 + 432345564227567616, m11 + 504403158265495552, m12 + 576460752303423488, m13 + 648518346341351424, m14 + 720575940379279360, m15 + 792633534417207296, m0 + 864691128455135232, m1 + 936748722493063168, m2 + 1008806316530991104, m3 + 1080863910568919040) AS f4,
+                       coalesce(m5, m6 + 72057594037927936, m7 + 144115188075855872, m8 + 216172782113783808, m9 + 288230376151711744, m10 + 360287970189639680, m11 + 432345564227567616, m12 + 504403158265495552, m13 + 576460752303423488, m14 + 648518346341351424, m15 + 720575940379279360, m0 + 792633534417207296, m1 + 864691128455135232, m2 + 936748722493063168, m3 + 1008806316530991104, m4 + 1080863910568919040) AS f5,
+                       coalesce(m6, m7 + 72057594037927936, m8 + 144115188075855872, m9 + 216172782113783808, m10 + 288230376151711744, m11 + 360287970189639680, m12 + 432345564227567616, m13 + 504403158265495552, m14 + 576460752303423488, m15 + 648518346341351424, m0 + 720575940379279360, m1 + 792633534417207296, m2 + 864691128455135232, m3 + 936748722493063168, m4 + 1008806316530991104, m5 + 1080863910568919040) AS f6,
+                       coalesce(m7, m8 + 72057594037927936, m9 + 144115188075855872, m10 + 216172782113783808, m11 + 288230376151711744, m12 + 360287970189639680, m13 + 432345564227567616, m14 + 504403158265495552, m15 + 576460752303423488, m0 + 648518346341351424, m1 + 720575940379279360, m2 + 792633534417207296, m3 + 864691128455135232, m4 + 936748722493063168, m5 + 1008806316530991104, m6 + 1080863910568919040) AS f7,
+                       coalesce(m8, m9 + 72057594037927936, m10 + 144115188075855872, m11 + 216172782113783808, m12 + 288230376151711744, m13 + 360287970189639680, m14 + 432345564227567616, m15 + 504403158265495552, m0 + 576460752303423488, m1 + 648518346341351424, m2 + 720575940379279360, m3 + 792633534417207296, m4 + 864691128455135232, m5 + 936748722493063168, m6 + 1008806316530991104, m7 + 1080863910568919040) AS f8,
+                       coalesce(m9, m10 + 72057594037927936, m11 + 144115188075855872, m12 + 216172782113783808, m13 + 288230376151711744, m14 + 360287970189639680, m15 + 432345564227567616, m0 + 504403158265495552, m1 + 576460752303423488, m2 + 648518346341351424, m3 + 720575940379279360, m4 + 792633534417207296, m5 + 864691128455135232, m6 + 936748722493063168, m7 + 1008806316530991104, m8 + 1080863910568919040) AS f9,
+                       coalesce(m10, m11 + 72057594037927936, m12 + 144115188075855872, m13 + 216172782113783808, m14 + 288230376151711744, m15 + 360287970189639680, m0 + 432345564227567616, m1 + 504403158265495552, m2 + 576460752303423488, m3 + 648518346341351424, m4 + 720575940379279360, m5 + 792633534417207296, m6 + 864691128455135232, m7 + 936748722493063168, m8 + 1008806316530991104, m9 + 1080863910568919040) AS f10,
+                       coalesce(m11, m12 + 72057594037927936, m13 + 144115188075855872, m14 + 216172782113783808, m15 + 288230376151711744, m0 + 360287970189639680, m1 + 432345564227567616, m2 + 504403158265495552, m3 + 576460752303423488, m4 + 648518346341351424, m5 + 720575940379279360, m6 + 792633534417207296, m7 + 864691128455135232, m8 + 936748722493063168, m9 + 1008806316530991104, m10 + 1080863910568919040) AS f11,
+                       coalesce(m12, m13 + 72057594037927936, m14 + 144115188075855872, m15 + 216172782113783808, m0 + 288230376151711744, m1 + 360287970189639680, m2 + 432345564227567616, m3 + 504403158265495552, m4 + 576460752303423488, m5 + 648518346341351424, m6 + 720575940379279360, m7 + 792633534417207296, m8 + 864691128455135232, m9 + 936748722493063168, m10 + 1008806316530991104, m11 + 1080863910568919040) AS f12,
+                       coalesce(m13, m14 + 72057594037927936, m15 + 144115188075855872, m0 + 216172782113783808, m1 + 288230376151711744, m2 + 360287970189639680, m3 + 432345564227567616, m4 + 504403158265495552, m5 + 576460752303423488, m6 + 648518346341351424, m7 + 720575940379279360, m8 + 792633534417207296, m9 + 864691128455135232, m10 + 936748722493063168, m11 + 1008806316530991104, m12 + 1080863910568919040) AS f13,
+                       coalesce(m14, m15 + 72057594037927936, m0 + 144115188075855872, m1 + 216172782113783808, m2 + 288230376151711744, m3 + 360287970189639680, m4 + 432345564227567616, m5 + 504403158265495552, m6 + 576460752303423488, m7 + 648518346341351424, m8 + 720575940379279360, m9 + 792633534417207296, m10 + 864691128455135232, m11 + 936748722493063168, m12 + 1008806316530991104, m13 + 1080863910568919040) AS f14,
+                       coalesce(m15, m0 + 72057594037927936, m1 + 144115188075855872, m2 + 216172782113783808, m3 + 288230376151711744, m4 + 360287970189639680, m5 + 432345564227567616, m6 + 504403158265495552, m7 + 576460752303423488, m8 + 648518346341351424, m9 + 720575940379279360, m10 + 792633534417207296, m11 + 864691128455135232, m12 + 936748722493063168, m13 + 1008806316530991104, m14 + 1080863910568919040) AS f15
+                FROM m
+            ),
+            sigs AS (
+                SELECT doc_id, 0 AS band, f0::VARCHAR || '-' || f1::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 1 AS band, f2::VARCHAR || '-' || f3::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 2 AS band, f4::VARCHAR || '-' || f5::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 3 AS band, f6::VARCHAR || '-' || f7::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 4 AS band, f8::VARCHAR || '-' || f9::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 5 AS band, f10::VARCHAR || '-' || f11::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 6 AS band, f12::VARCHAR || '-' || f13::VARCHAR AS sig FROM d
+                UNION ALL
+                SELECT doc_id, 7 AS band, f14::VARCHAR || '-' || f15::VARCHAR AS sig FROM d
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(((CASE WHEN da.f0 = db.f0 THEN 1 ELSE 0 END) + (CASE WHEN da.f1 = db.f1 THEN 1 ELSE 0 END) + (CASE WHEN da.f2 = db.f2 THEN 1 ELSE 0 END) + (CASE WHEN da.f3 = db.f3 THEN 1 ELSE 0 END) + (CASE WHEN da.f4 = db.f4 THEN 1 ELSE 0 END) + (CASE WHEN da.f5 = db.f5 THEN 1 ELSE 0 END) + (CASE WHEN da.f6 = db.f6 THEN 1 ELSE 0 END) + (CASE WHEN da.f7 = db.f7 THEN 1 ELSE 0 END) + (CASE WHEN da.f8 = db.f8 THEN 1 ELSE 0 END) + (CASE WHEN da.f9 = db.f9 THEN 1 ELSE 0 END) + (CASE WHEN da.f10 = db.f10 THEN 1 ELSE 0 END) + (CASE WHEN da.f11 = db.f11 THEN 1 ELSE 0 END) + (CASE WHEN da.f12 = db.f12 THEN 1 ELSE 0 END) + (CASE WHEN da.f13 = db.f13 THEN 1 ELSE 0 END) + (CASE WHEN da.f14 = db.f14 THEN 1 ELSE 0 END) + (CASE WHEN da.f15 = db.f15 THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+            FROM cand c
+            JOIN d da ON da.doc_id = c.doc_a
+            JOIN d db ON db.doc_id = c.doc_b
         """,
         "oph_minhash": """
             WITH toks AS (

@@ -142,6 +142,42 @@ def minhash_band_signatures(
 _OPH_OFFSET = 1 << 56
 
 
+def _oph_dense(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, f0..f{k-1}) densified one-permutation slot minima — the
+    shared core of :func:`oph_band_signatures` (banding) and
+    :func:`oph_estimate_jaccard` (slot-agreement estimation)."""
+    if shingles is None:
+        shingles = shingle_rows(docs, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    rows = shingles.select(
+        F.col(id_col), (h % n_buckets).alias("__j"), h.alias("__h")
+    )
+    wide = rows.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("__j") == j, F.col("__h"))).alias(f"m{j}")
+            for j in range(n_buckets)
+        ]
+    )
+    return wide.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                *[
+                    F.col(f"m{(j + t) % n_buckets}") + F.lit(t * _OPH_OFFSET)
+                    for t in range(n_buckets)
+                ]
+            ).alias(f"f{j}")
+            for j in range(n_buckets)
+        ],
+    )
+
+
 def oph_band_signatures(
     docs: DataFrame,
     id_col: str,
@@ -180,30 +216,7 @@ def oph_band_signatures(
             f"n_buckets ({n_buckets}) must be divisible by rows_per_band"
             f" ({rows_per_band})"
         )
-    if shingles is None:
-        shingles = shingle_rows(docs, id_col, text_col)
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-    rows = shingles.select(
-        F.col(id_col), (h % n_buckets).alias("__j"), h.alias("__h")
-    )
-    wide = rows.groupBy(id_col).agg(
-        *[
-            F.min(F.when(F.col("__j") == j, F.col("__h"))).alias(f"m{j}")
-            for j in range(n_buckets)
-        ]
-    )
-    dense = wide.select(
-        F.col(id_col),
-        *[
-            F.coalesce(
-                *[
-                    F.col(f"m{(j + t) % n_buckets}") + F.lit(t * _OPH_OFFSET)
-                    for t in range(n_buckets)
-                ]
-            ).alias(f"f{j}")
-            for j in range(n_buckets)
-        ],
-    )
+    dense = _oph_dense(docs, id_col, text_col, n_buckets, shingles)
     n_bands = n_buckets // rows_per_band
     sigs = dense.select(
         F.col(id_col),
@@ -223,6 +236,91 @@ def oph_band_signatures(
         F.col(id_col),
         F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig"),
     ).select(id_col, F.col("band").cast("int").alias("band"), "sig")
+
+
+def oph_estimate_jaccard(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 16,
+    rows_per_band: int = 2,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Banded-candidate pairs WITH their OPH-estimated Jaccard:
+    Ĵ(a, b) = (# matching densified slots) / k — the unbiased
+    one-permutation estimator the densification offset exists to keep
+    honest (Shrivastava & Li 2014 Thm 1: matched borrowed slots
+    estimate the same collision probability as real ones).
+
+    The estimate needs no shingle-set verify pass, so a pipeline can
+    threshold candidates (e.g. keep Ĵ ≥ 0.5 for the exact verify)
+    before paying for gram arrays.  Scale shape: the banding self
+    equi-join is the selective step (never all-pairs); slot vectors
+    then join the candidate-sized pair set by id — k BIGINTs per side
+    (k·8 bytes, constant — unlike gram arrays, which is the whole
+    point vs `_jaccard_verified_pairs`); the slot comparison is a
+    fixed-width projection.
+    """
+    dense = _oph_dense(docs, id_col, text_col, n_buckets, shingles).persist()
+    dense.count()  # materialize once: all three consumers reuse it
+    n_bands = n_buckets // rows_per_band
+    sigs = dense.select(
+        F.col(id_col),
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"f{i * rows_per_band + t}").cast("string")
+                    for t in range(rows_per_band)
+                ],
+            ).alias(f"sig_{i}")
+            for i in range(n_bands)
+        ],
+    )
+    stack_args = ", ".join(f"{i}, sig_{i}" for i in range(n_bands))
+    banded = sigs.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_args})").alias("band", "sig"),
+    )
+    sa, sb = banded.alias("sa"), banded.alias("sb")
+    cand = (
+        sa.join(
+            sb,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.sig") == F.col("sb.sig"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .select(
+            F.col(f"sa.{id_col}").alias("doc_a"),
+            F.col(f"sb.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    da = dense.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"f{j}").alias(f"a{j}") for j in range(n_buckets)],
+    )
+    db = dense.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"f{j}").alias(f"b{j}") for j in range(n_buckets)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(n_buckets)
+    )
+    out = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(n_buckets))).alias(
+                "est_jaccard"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dense.unpersist()
+    return out
 
 
 def minhash_candidate_pairs(

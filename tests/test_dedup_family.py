@@ -901,3 +901,44 @@ def test_embedding_sanity_no_healthy_population(spark):
         for r in DS.embedding_sanity(df, "vec_id", "embedding", 2).collect()
     }
     assert got == {1: "non_finite", 2: "zero_norm", 3: "bad_dim"}
+
+
+def test_oph_jaccard_estimate_tracks_exact(spark):
+    """Slot-agreement Ĵ on a planted near-dup: higher than any random
+    pair's estimate and within the k=64 estimator's noise of the exact
+    3-shingle Jaccard (σ ≈ √(J(1−J)/64) ≈ 0.06 at J≈0.9)."""
+    rng = random.Random(11)
+    base = " ".join(rng.choice(_WORDS) for _ in range(80))
+    variant = base + " omega extra"
+    rows = [(0, base), (1, variant)] + [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(80))) for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in DS.oph_estimate_jaccard(df, "doc_id", "text", 64, 2).collect()
+    }
+    assert (0, 1) in est
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    a, b = shingles(base), shingles(variant)
+    exact = len(a & b) / len(a | b)
+    assert abs(est[(0, 1)] - exact) < 0.2  # ~3σ at k=64
+    assert all(v <= est[(0, 1)] for v in est.values())
+
+
+def test_oph_jaccard_identical_docs_estimate_one(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),
+         (1, "alpha beta gamma delta epsilon"),
+         (2, "unrelated words entirely here now")],
+        ["doc_id", "text"],
+    )
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in DS.oph_estimate_jaccard(df, "doc_id", "text", 16, 2).collect()
+    }
+    assert est[(0, 1)] == 1.0
