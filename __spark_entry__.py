@@ -384,6 +384,18 @@ def q_wand_topk(spark, sf_dir):
     return R.wand_topk(idx, "doc_id", QUERY_TERMS, k=15)
 
 
+def q_blockmax_topk(spark, sf_dir):
+    """Block-max WAND (Ding & Suel 2011) over the session impact
+    index: candidate bounds from per-block maxima of the
+    impact-ordered postings (strictly ≤ the global term_max bound, so
+    strictly more pruning than wand_topk), exact scoring on survivors.
+    Lossless — the oracle is the unpruned scoring; a pytest pins
+    ≡ impact_topk AND survivor-set ⊆ wand_topk's on a skewed fixture.
+    Small block_size at driver scale so blocks actually split."""
+    idx = _impact_index(spark, sf_dir)
+    return R.blockmax_topk(idx, "doc_id", QUERY_TERMS, k=15, block_size=8)
+
+
 def q_cosine_topk(spark, sf_dir):
     """T2 brute-force cosine top-k over the embeddings table."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -3817,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "canonical_cluster": q_canonical_cluster,
         "oph_jaccard": q_oph_jaccard,
+        "blockmax_topk": q_blockmax_topk,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -6080,6 +6093,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sum(code) AS BIGINT) AS impact_score
             FROM pruned
             WHERE rn <= 20 AND term IN ('dup', 'spark', 'join')
+            GROUP BY doc_id
+            HAVING impact_score > 0
+            ORDER BY impact_score DESC, doc_id
+            LIMIT 15
+        """,
+        "blockmax_topk": _BM25_CTE + """
+            , contrib AS (
+                SELECT p.doc_id, p.term,
+                       i.idf * (p.tf * 2.5)
+                       / (p.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / i.avgdl))
+                       AS contrib
+                FROM postings p
+                JOIN idf i USING (term)
+                JOIN doclen d USING (doc_id)
+            ),
+            mx AS (SELECT max(contrib) AS mx FROM contrib),
+            codes AS (
+                SELECT doc_id, term,
+                       CAST(floor(round(contrib * 255 / mx, 6) + 0.5) AS INT)
+                       AS code
+                FROM contrib CROSS JOIN mx
+            )
+            SELECT doc_id, CAST(sum(code) AS BIGINT) AS impact_score
+            FROM codes
+            WHERE term IN ('dup', 'spark', 'join')
             GROUP BY doc_id
             HAVING impact_score > 0
             ORDER BY impact_score DESC, doc_id

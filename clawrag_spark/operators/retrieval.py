@@ -122,6 +122,103 @@ def bm25_score_index(
     )
 
 
+def build_block_max(
+    impact_index: dict[str, DataFrame], id_col: str, block_size: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Block-max sidecar for an impact index (Ding & Suel 2011, the
+    block-max WAND structure; JASS keeps the same thing as its
+    impact-ordered segment headers): postings of each term sort
+    impact-ordered (code DESC, id ASC), consecutive runs of
+    ``block_size`` form blocks, and the sidecar keeps (term, block,
+    block's max code) — ≤ df/B rows per term.
+
+    Because the order is impact-descending, block maxima decrease
+    monotonically within a term: query-time bounds from block maxima
+    are strictly ≤ the global term_max bound, so every candidate the
+    block-max gate admits, the term_max gate admits too — pruning only
+    tightens.  At warehouse scale the block id IS the file/partition
+    zone: this table is exactly the min/max zone map the storage layer
+    keeps per parquet row group (`clawrag_spark/zonemaps.py`), applied
+    to postings.
+
+    The (id, block) assignment rides back onto the postings as
+    ``__blk`` so query-time lookups are an equi-join; production builds
+    persist both at index time (the row_number window is one shuffle on
+    term — index-build cost, never query cost).
+    """
+    w = Window.partitionBy("term").orderBy(F.desc("code"), id_col)
+    blocked = impact_index["impacts"].withColumn(
+        "__blk", ((F.row_number().over(w) - 1) / block_size).cast("int")
+    )
+    bmax = blocked.groupBy("term", "__blk").agg(
+        F.max("code").alias("block_max")
+    )
+    return blocked, bmax
+
+
+def blockmax_topk(
+    impact_index: dict[str, DataFrame],
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    block_size: int = 64,
+) -> DataFrame:
+    """Block-max WAND top-k: identical results to ``impact_topk`` /
+    ``wand_topk`` (the oracle is again the unpruned scoring), with the
+    candidate gate bounded by PER-BLOCK maxima instead of the global
+    term maximum — on impact-ordered postings the tail blocks of a hot
+    term bound far below its head, so docs whose postings sit in tail
+    blocks prune even when the term's global max would admit them.
+
+    Same θ_safe as ``wand_topk`` (negative-code-safe).  ub(d) =
+    Σ_t block_max(t, block of d's posting) ≥ score(d) because each
+    posting's code ≤ its own block's max; and ub_blockmax ≤ ub_termmax
+    always, so the survivor set only shrinks.  Exact scoring then reads
+    the FULL postings of survivors (a candidate's tail-block postings
+    still count toward its exact score — block pruning gates
+    candidacy, never the re-score).
+
+    The block-max sidecar broadcasts here (query-term blocks at driver
+    scale are tiny); at warehouse scale the same table IS the postings
+    files' row-group zone maps, and the gate becomes metadata partition
+    pruning rather than a broadcast join — a stopword's df/B block rows
+    never ship anywhere.
+    """
+    q = [t.lower() for t in query_terms]
+    blocked, bmax = build_block_max(impact_index, id_col, block_size)
+    hits = blocked.filter(F.col("term").isin(q))
+    kth = (
+        hits.groupBy(id_col)
+        .agg(F.max("code").alias("mx"))
+        .orderBy(F.desc("mx"), id_col)
+        .limit(k)
+        .agg(F.min("mx").alias("kth_mx"))
+    )
+    neg = hits.groupBy("term").agg(F.min("code").alias("tmin")).agg(
+        F.sum(F.least(F.lit(0), F.col("tmin"))).alias("neg_sum")
+    )
+    theta = kth.crossJoin(neg).select(
+        (F.col("kth_mx") + F.coalesce(F.col("neg_sum"), F.lit(0))).alias("theta")
+    )
+    bm_q = bmax.filter(F.col("term").isin(q))
+    cand = (
+        hits.join(F.broadcast(bm_q), ["term", "__blk"])
+        .groupBy(id_col)
+        .agg(F.sum("block_max").alias("ub"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ub") >= F.col("theta"))
+        .select(id_col)
+    )
+    return (
+        hits.join(cand, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("code").cast("long").alias("impact_score"))
+        .filter(F.col("impact_score") > 0)
+        .orderBy(F.desc("impact_score"), id_col)
+        .limit(k)
+    )
+
+
 def bm25f_scores(
     docs: DataFrame,
     id_col: str,

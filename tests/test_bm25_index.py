@@ -266,3 +266,67 @@ def test_wand_topk_fewer_than_k_docs_is_lossless(spark):
     want = [tuple(r) for r in R.impact_topk(imp, "doc_id", ["beta"], k=10).collect()]
     got = [tuple(r) for r in R.wand_topk(imp, "doc_id", ["beta"], k=10).collect()]
     assert got == want and len(want) == 2
+
+
+def test_blockmax_topk_lossless_and_tighter_than_wand(spark):
+    """Block-max WAND equals impact_topk row for row, and its survivor
+    set is a SUBSET of plain WAND's (per-block maxima bound ≤ global
+    term_max bound — pruning only tightens)."""
+    rows = []
+    for i in range(400):
+        body = "hot filler words " * 3 + ("rare signal " * (6 if i % 29 == 0 else 0))
+        rows.append((i, body + f"tail{i % 7}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = R.bm25_build_index(docs, "doc_id", "text")
+    imp = {k: v.persist() for k, v in R.build_impact_index(idx, "doc_id").items()}
+    terms = ["hot", "rare"]
+
+    want = [tuple(r) for r in R.impact_topk(imp, "doc_id", terms, k=10).collect()]
+    got = [tuple(r) for r in R.blockmax_topk(imp, "doc_id", terms, k=10,
+                                             block_size=8).collect()]
+    assert len(want) == 10 and got == want
+
+    def survivors(bound_fn):
+        q = [t.lower() for t in terms]
+        hits, bm = bound_fn()
+        kth = (
+            hits.groupBy("doc_id").agg(F.max("code").alias("mx"))
+            .orderBy(F.desc("mx"), "doc_id").limit(10)
+            .agg(F.min("mx").alias("kth_mx"))
+        )
+        neg = hits.groupBy("term").agg(F.min("code").alias("tmin")).agg(
+            F.sum(F.least(F.lit(0), F.col("tmin"))).alias("neg_sum")
+        )
+        theta = kth.crossJoin(neg).select(
+            (F.col("kth_mx") + F.coalesce(F.col("neg_sum"), F.lit(0))).alias("theta")
+        )
+        return {
+            r["doc_id"]
+            for r in bm.groupBy("doc_id").agg(F.sum("b").alias("ub"))
+            .crossJoin(F.broadcast(theta))
+            .filter(F.col("ub") >= F.col("theta"))
+            .select("doc_id").collect()
+        }
+
+    q = [t.lower() for t in terms]
+
+    def wand_bounds():
+        hits = imp["impacts"].filter(F.col("term").isin(q))
+        tm = imp["term_max"].filter(F.col("term").isin(q))
+        return hits, hits.join(F.broadcast(tm), "term").select(
+            "doc_id", F.col("max_code").alias("b")
+        )
+
+    def blockmax_bounds():
+        blocked, bmax = R.build_block_max(imp, "doc_id", block_size=8)
+        hits = blocked.filter(F.col("term").isin(q))
+        return hits, hits.join(
+            F.broadcast(bmax.filter(F.col("term").isin(q))), ["term", "__blk"]
+        ).select("doc_id", F.col("block_max").alias("b"))
+
+    s_wand, s_bm = survivors(wand_bounds), survivors(blockmax_bounds)
+    assert s_bm <= s_wand
+    assert len(s_bm) < 400  # really prunes
+
+    for v in imp.values():
+        v.unpersist()
