@@ -13,6 +13,10 @@ Per FIXTURES.md §1:
   reading-order sort is exercised),
 - ~2 % malformed rows (truncated tags, latin-1 bytes, empty payloads)
   for parse-failure counting,
+- ~1 % declared-charset pages (windows-1251 Cyrillic behind a meta
+  declaration, UTF-16LE behind a BOM) exercising the WHATWG prescan in
+  `core/charset.py` — decode them as UTF-8/latin-1 and the byte-identity
+  gate fails,
 - ~3 % exact-duplicate bodies under different urls (dedup/versioning),
 - deterministic increasing ``warc_ts`` within a 30-day window,
 - everything seeded — same (n_rows, seed) → byte-identical corpus.
@@ -55,6 +59,14 @@ _VOCAB = {
     ).split(),
 }
 _LANGS = ["en", "en", "en", "en", "en", "en", "de", "de", "fr"]
+
+#: Cyrillic vocabulary for the declared-charset (windows-1251) pages —
+#: every char must exist in cp1251 (plain Russian does).
+_VOCAB_RU = (
+    "быстрая бурая лиса прыгает через ленивую собаку пока конвейеры "
+    "данных обрабатывают веб страницы в большом масштабе и качество "
+    "извлечения зависит от удаления шаблонов"
+).split()
 
 
 def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
@@ -193,6 +205,21 @@ def generate_pages(n_rows: int, seed: int = SEED, content_scale: int = 1) -> pa.
             payload = b""  # empty
         elif roll < 0.07:
             payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 256)))  # binary junk
+        elif roll < 0.075:
+            # declared-charset page: windows-1251 Cyrillic with a meta
+            # declaration — decoded correctly only via the WHATWG
+            # prescan (core/charset.py); utf-8-with-latin-1-fallback
+            # would mojibake it
+            ru = " ".join(rng.choice(_VOCAB_RU) for _ in range(rng.randint(20, 60)))
+            ru_title = " ".join(rng.choice(_VOCAB_RU) for _ in range(3)).capitalize()
+            payload = (
+                f'<html><head><meta charset="windows-1251"><title>{ru_title}</title>'
+                f"</head><body><p>{ru}</p></body></html>"
+            ).encode("windows-1251")
+        elif roll < 0.08:
+            # UTF-16LE page with BOM: routing must decode before the
+            # marker match (NUL-laced bytes are "valid UTF-8")
+            payload = b"\xff\xfe" + _html_page(rng, lang, title).encode("utf-16-le")
         elif roll < 0.09:
             payload = _paragraph(rng, lang).encode("utf-8")  # plain text page
         else:

@@ -258,7 +258,7 @@ def incremental_index_stream(
       the (consistent, overwritten) delta.
     """
     from .core import oracle as _oracle
-    from .pipeline import build_bm25_index
+    from .pipeline import _bm25_current, build_bm25_index
     from .udfs import CHUNK_FLAT_SCHEMA, make_chunk_embed_arrow
 
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_index_checkpoint")
@@ -286,6 +286,31 @@ def incremental_index_stream(
         good = extracted.filter(
             F.col("error").isNull() & (F.col("text_length") > 0)
         ).filter(F.col("is_active")).select("url", "url_bucket", "doc_id", "text")
+        # Content-level exactly-once: chunk ids are content-addressed
+        # (doc_id = sha256(text)), so the same body under two urls —
+        # within a batch or across batches — would double-count in the
+        # index's additive df/doclen rollup.  Keep one deterministic
+        # representative per doc_id in the batch (min url), and none
+        # that a pointer-committed run already indexed: the streaming
+        # twin of the batch pipeline's dedup existence probe.  The
+        # committed probe reads one column of the committed chunk runs
+        # per batch — O(committed) here; the persisted-signature
+        # artifact (`streaming_near_dedup`) is the sub-linear path when
+        # the store outgrows a per-batch scan.
+        from pyspark.sql import Window as _W
+
+        rep = F.row_number().over(_W.partitionBy("doc_id").orderBy("url"))
+        good = good.withColumn("__rep", rep).filter(F.col("__rep") == 1).drop("__rep")
+        pointer = _bm25_current(os.path.join(out_dir, "bm25_index"))
+        seen_runs = sorted(set(pointer.get("runs") or [])) if pointer else []
+        if seen_runs:
+            seen = (
+                spark.read.parquet(os.path.join(out_dir, "chunks"))
+                .filter(F.col("run_id").isin(seen_runs))
+                .select("doc_id")
+                .distinct()
+            )
+            good = good.join(seen, "doc_id", "left_anti")
         chunks = (
             good.mapInArrow(chunk_embed, CHUNK_FLAT_SCHEMA)
             .withColumn(

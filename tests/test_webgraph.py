@@ -327,3 +327,69 @@ def test_link_reciprocity_semantics(spark):
     assert got["b"] == {"host": "b", "n_out_hosts": 1,
                         "n_reciprocated": 1, "reciprocity": 1.0}
     assert "c" not in got                        # c has no out-links
+
+
+# --------------------------------------------------- label propagation
+
+
+def _lpa_reference(edges, max_iter=10):
+    """Pure-python synchronous LPA with self-vote and min-label ties —
+    the independent twin of label_propagation_communities."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    rounds, converged = 0, False
+    for _ in range(max_iter):
+        rounds += 1
+        new = {}
+        for n in sorted(adj):
+            votes = Counter(labels[m] for m in adj[n])
+            votes[labels[n]] += 1
+            # min-label tie-break: highest count, then smallest label
+            top = max(votes.values())
+            new[n] = min(lbl for lbl, c in votes.items() if c == top)
+        if new == labels:
+            converged = True
+            labels = new
+            break
+        labels = new
+    return labels, converged, rounds
+
+
+def test_lpa_matches_pure_python_and_recovers_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must label each
+    clique uniformly, the Spark rounds must agree with the pure-python
+    reference exactly (same self-vote + min-label determinism)."""
+    c1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = c1 + c2 + [("a0", "b0")]
+    want, want_conv, _ = _lpa_reference(edges)
+
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    out = WG.label_propagation_communities(df, max_iter=10)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert got == want
+    assert len({got[f"a{i}"] for i in range(1, 4)}) == 1
+    assert len({got[f"b{i}"] for i in range(1, 4)}) == 1
+    conv = out.select("converged").first()["converged"]
+    assert conv == want_conv
+
+
+def test_lpa_reports_nonconvergence_on_oscillator(spark):
+    """A single edge (2-node bipartite graph) oscillates under
+    synchronous LPA... unless the self-vote dampens it: with self-vote
+    each node keeps its own label forever (1 vote own + 1 neighbor,
+    tie → min) — so THIS converges to the min label or stalemate.
+    Pin whatever the deterministic rule produces and that the flag
+    matches the pure-python reference."""
+    edges = [("x", "y")]
+    want, want_conv, _ = _lpa_reference(edges)
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    out = WG.label_propagation_communities(df, max_iter=6)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert got == want
+    assert out.select("converged").first()["converged"] == want_conv
