@@ -2460,6 +2460,20 @@ def q_robots_sitemaps(spark, sf_dir):
     return WT.parse_robots_sitemaps(robots)
 
 
+def q_lpa_communities(spark, sf_dir):
+    """Host-graph communities by deterministic synchronous label
+    propagation (Raghavan 2007; self-vote + min-label ties make every
+    round engine-reproducible) — link neighborhoods for the spam
+    family: a dense community with low trustrank is a link farm.
+    Iterative (no SQL twin): rows-only at the driver; the Spark loop
+    is pinned EXACTLY against a pure-python reference in
+    tests/test_webgraph.py."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    return WG.label_propagation_communities(edges, max_iter=10)
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication estimated from KMV sketches ALONE (the
     theta-sketch workflow): per-source k-minimum-values sketch over
@@ -3830,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_cluster": q_canonical_cluster,
         "oph_jaccard": q_oph_jaccard,
         "blockmax_topk": q_blockmax_topk,
+        "lpa_communities": q_lpa_communities,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,

@@ -366,6 +366,94 @@ def pagerank(
     return ranks
 
 
+def label_propagation_communities(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by label propagation (Raghavan, Albert &
+    Kumara 2007), the deterministic synchronous variant: labels start
+    as the node's own id; each round every node adopts the label most
+    frequent among its neighbors PLUS itself (the self-vote), ties
+    broken to the lexicographically smallest label.  The self-vote and
+    the total tie order make every round a pure function of the
+    previous labeling — no RNG, no visit order — so the result is
+    reproducible across engines and partitionings (the published
+    algorithm's async visit order is inherently nondeterministic;
+    synchronous LPA may instead oscillate on bipartite-ish structures,
+    so the loop stops at convergence OR ``max_iter`` and reports
+    which).
+
+    Returns (node, community, converged, rounds).  Complements the
+    global link-quality family (`pagerank`/`hits`/`trustrank`): LPA
+    groups hosts into link neighborhoods — template farms and blog
+    rings surface as dense communities with low trust.
+
+    Scale shape per round: one neighbor-label equi-join + shuffle
+    (E rows of label strings), one (node, label) count agg with
+    map-side partials, one window top-1 per node; lineage truncated
+    with lazy localCheckpoint like the pagerank loop, and the change
+    count that drives the convergence test is the round's only
+    driver-visible scalar.
+    """
+    from pyspark.sql import Window as _W
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    labels = (
+        sym.select(F.col("a").alias("n")).distinct()
+        .select("n", F.col("n").alias("lbl"))
+        .persist()
+    )
+    labels.count()
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        neigh = sym.join(
+            labels.select(F.col("n").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("n"), "lbl")
+        votes = (
+            neigh.union(labels.select("n", "lbl"))
+            .groupBy("n", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = _W.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
+        new_labels = (
+            votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("n", "lbl")
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.lbl") != F.col("y.lbl"))
+            .count()
+        )
+        old = labels
+        labels = new_labels.persist()
+        labels.count()
+        old.unpersist()
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("n").alias("node"),
+        F.col("lbl").alias("community"),
+        F.lit(converged).alias("converged"),
+        F.lit(rounds).alias("rounds"),
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src_host",
