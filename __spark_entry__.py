@@ -3507,6 +3507,22 @@ def q_extraction_report(spark, sf_dir):
     )
 
 
+def q_encoding_report(spark, sf_dir):
+    """Decode-mix report over the committed ``extracted`` table: docs
+    and emitted chars by (encoding, encoding_source) — the ops view of
+    the WHATWG prescan (`core/charset.py`).  The corpus plants
+    windows-1251-behind-meta and UTF-16LE-behind-BOM pages, so the
+    report shows real meta/bom rows next to the utf-8-valid bulk; a
+    rising `fallback` share in production is a crawl-quality alarm.
+    One map-side-combinable aggregation over committed parquet."""
+    out = _ensure_pipeline_demo(spark)
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    return ext.groupBy("encoding", "encoding_source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("text_length").alias("total_chars"),
+    )
+
+
 def q_lineage_rollup(spark, sf_dir):
     """Run-level rollup of the per-partition lineage metrics the
     pipeline commits next to its data (north-star requirement:
@@ -3845,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_jaccard": q_oph_jaccard,
         "blockmax_topk": q_blockmax_topk,
         "lpa_communities": q_lpa_communities,
+        "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
         "soft404": q_soft404,
@@ -5443,6 +5460,13 @@ def oracle_sql() -> dict[str, str]:
         # extraction_report / lineage_rollup: the aggregation is what's
         # verified here (the artifacts' byte identity is pinned by the
         # pytest oracle suite); DuckDB recomputes from the same parquet
+        "encoding_report": rf"""
+            SELECT encoding, encoding_source,
+                   count(*) AS n_docs,
+                   sum(text_length) AS total_chars
+            FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+            GROUP BY encoding, encoding_source
+        """,
         "extraction_report": rf"""
             SELECT mime, engine,
                    count(*) AS n_docs,

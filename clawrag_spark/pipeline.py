@@ -75,6 +75,8 @@ _EXTRACT_OUT_SCHEMA = T.StructType(
         T.StructField("n_lists", T.IntegerType()),
         T.StructField("n_tables", T.IntegerType()),
         T.StructField("n_paragraphs", T.IntegerType()),
+        T.StructField("encoding", T.StringType()),
+        T.StructField("encoding_source", T.StringType()),
         T.StructField("part_id", T.IntegerType()),
         T.StructField("part_elapsed", T.DoubleType()),
     ]
@@ -98,6 +100,7 @@ def _extract_partitions(iterator):
             "doc_hash", "doc_id", "mime", "engine", "text", "text_length",
             "quality_score", "language", "error",
             "n_headings", "n_lists", "n_tables", "n_paragraphs",
+            "encoding", "encoding_source",
         )}
         for payload, hint in zip(batch["html"], batch["lang"]):
             r = oracle.process_document(payload, hint)
@@ -114,6 +117,8 @@ def _extract_partitions(iterator):
             rows["n_lists"].append(r.artifacts.get("lists_count", 0))
             rows["n_tables"].append(r.artifacts.get("tables_count", 0))
             rows["n_paragraphs"].append(r.artifacts.get("paragraphs_count", 0))
+            rows["encoding"].append(r.artifacts.get("encoding", ""))
+            rows["encoding_source"].append(r.artifacts.get("encoding_source", ""))
         elapsed += time.monotonic() - t0
         out = pd.DataFrame(rows)
         out.insert(0, "url", batch["url"].values)

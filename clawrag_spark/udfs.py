@@ -31,6 +31,8 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("n_lists", T.IntegerType()),
         T.StructField("n_tables", T.IntegerType()),
         T.StructField("n_paragraphs", T.IntegerType()),
+        T.StructField("encoding", T.StringType()),
+        T.StructField("encoding_source", T.StringType()),
     ]
 )
 
@@ -47,6 +49,7 @@ def extract_page(html: pd.Series, lang_hint: pd.Series) -> pd.DataFrame:
         "doc_hash", "doc_id", "mime", "engine", "text", "text_length",
         "quality_score", "language", "error",
         "n_headings", "n_lists", "n_tables", "n_paragraphs",
+        "encoding", "encoding_source",
     )}
     for payload, hint in zip(html, lang_hint):
         r = oracle.process_document(payload, hint)
@@ -63,6 +66,8 @@ def extract_page(html: pd.Series, lang_hint: pd.Series) -> pd.DataFrame:
         out["n_lists"].append(r.artifacts.get("lists_count", 0))
         out["n_tables"].append(r.artifacts.get("tables_count", 0))
         out["n_paragraphs"].append(r.artifacts.get("paragraphs_count", 0))
+        out["encoding"].append(r.artifacts.get("encoding", ""))
+        out["encoding_source"].append(r.artifacts.get("encoding_source", ""))
     return pd.DataFrame(out)
 
 
