@@ -2474,6 +2474,46 @@ def q_lpa_communities(spark, sf_dir):
     return WG.label_propagation_communities(edges, max_iter=10)
 
 
+def q_kcore_hosts(spark, sf_dir):
+    """Coreness of every host in the link graph by h-index iteration
+    (Lu/Zhou/Zhang/Stanley 2016 — the fixpoint of the neighbor
+    h-operator IS the k-core number, no peel order needed, so the loop
+    distributes and reproduces across engines).  High coreness + low
+    trust marks densely inter-linked spam cores pagerank inflates;
+    coreness 1 is the crawl frontier's leaf tier.  Iterative (no SQL
+    twin): rows-only at the driver; the Spark loop is pinned EXACTLY
+    against a pure-python Batagelj-Zaversnik peel in
+    tests/test_webgraph.py."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    return WG.core_numbers(edges, max_iter=50)
+
+
+# DuckDB twin of sketches._hash_frac's numerator: the 15-hex-char
+# prefix as an EXACT BIGINT polynomial (max < 16^15 = 2^60 < 2^63), so
+# the single ::DOUBLE cast rounds once — the same rounding Spark's
+# conv(hex,16,10).cast("double") performs on its exact decimal string.
+_KMV_POLY = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (15 - i)}"
+    for i in range(1, 16)
+)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Per-language distinct-content estimate from a KMV sketch alone
+    (Bar-Yossef 2002 / the theta-sketch family): the k-th smallest md5
+    as a fraction of the hash space estimates cardinality as (k-1)/h_k
+    — a fixed 64-string summary per group no matter how many trillions
+    of keys flowed by, and (unlike HLL) the same sketch supports the
+    set operations `source_overlap` uses.  Deterministic md5 end to
+    end; the oracle rebuilds the k-th hash's value with an exact
+    BIGINT polynomial so both engines round the same double once."""
+    docs = _load(spark, sf_dir, "documents")
+    sk = SK.kmv_sketch(docs, "lang", "text", k=64)
+    return SK.kmv_estimate_distinct(sk, k=64)
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication estimated from KMV sketches ALONE (the
     theta-sketch workflow): per-source k-minimum-values sketch over
@@ -3861,6 +3901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_jaccard": q_oph_jaccard,
         "blockmax_topk": q_blockmax_topk,
         "lpa_communities": q_lpa_communities,
+        "kcore_hosts": q_kcore_hosts,
+        "kmv_distinct": q_kmv_distinct,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -6893,6 +6935,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # source_overlap: same md5 keys, list_sort/slice/intersect —
         # the KMV estimator is deterministic so values are bit-identical
+        "kmv_distinct": f"""
+            WITH per AS (
+                SELECT DISTINCT lang AS grp, md5(text) AS h FROM documents
+            ),
+            ranked AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS r,
+                       count(*) OVER (PARTITION BY grp) AS n
+                FROM per
+            )
+            SELECT grp,
+                   round(CASE WHEN n < 64 THEN n::DOUBLE
+                         ELSE 63.0 / (({_KMV_POLY})::DOUBLE
+                                      / 1152921504606846976.0)
+                         END, 2) AS est_distinct,
+                   n::BIGINT AS n_keys_seen
+            FROM ranked
+            WHERE r = CASE WHEN n < 64 THEN n ELSE 64 END
+        """,
         "source_overlap": """
             WITH snaps AS (
                 SELECT 'snap_full' AS snap, doc_id, text FROM documents

@@ -586,3 +586,160 @@ def link_reciprocity(
             ).alias("reciprocity"),
         )
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Coreness of every node by h-index iteration (Lu, Zhou, Zhang &
+    Stanley 2016, "The H-index of a network node and its relation to
+    degree and coreness"): start every node at its degree, then each
+    round replace a node's value with the H-operator over its
+    neighbors' values (the largest h such that >= h neighbors hold a
+    value >= h).  The sequence is monotonically non-increasing and its
+    fixpoint IS the k-core number, so the loop needs no peeling order
+    — every round is a pure function of the previous values, making
+    the result reproducible across engines and partitionings (the
+    classical Batagelj-Zaversnik peel walks nodes in a driver-side
+    priority order that cannot be distributed).
+
+    Coreness complements the link-quality family the way LPA does:
+    high coreness + low trustrank marks the densely inter-linked spam
+    cores that pagerank alone inflates; coreness 1 hosts are the
+    crawl frontier's leaf tier.
+
+    Returns (node, coreness, converged, rounds).  The undirected view
+    of the edge set is used (a link is a tie regardless of direction),
+    self-loops dropped.
+
+    Scale shape per round: one neighbor-value equi-join (E rows of a
+    long each), one per-node descending window sort (row_number), one
+    max agg with map-side partials — no arrays cross the shuffle, so
+    a hot host with 10^6 neighbors costs a sort spill, not an OOM.
+    Lineage is truncated per round with lazy localCheckpoint; the
+    change count driving convergence is the round's only
+    driver-visible scalar.  Rounds to converge track the graph's
+    "h-index depth" (tens on web graphs, not diameter-bounded).
+    """
+    from pyspark.sql import Window as _W
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    vals = (
+        sym.groupBy(F.col("a").alias("n"))
+        .agg(F.count("*").cast("long").alias("v"))
+        .persist()
+    )
+    vals.count()
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        neigh = sym.join(
+            vals.select(F.col("n").alias("b"), "v"), "b"
+        ).select(F.col("a").alias("n"), "v")
+        w = _W.partitionBy("n").orderBy(F.desc("v"))
+        new_vals = (
+            neigh.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("v") >= F.col("__r"))
+            .groupBy("n")
+            .agg(F.max("__r").cast("long").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_vals.alias("x")
+            .join(vals.alias("y"), "n")
+            .filter(F.col("x.v") != F.col("y.v"))
+            .count()
+        )
+        old = vals
+        vals = new_vals.persist()
+        vals.count()
+        old.unpersist()
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    return vals.select(
+        F.col("n").alias("node"),
+        F.col("v").alias("coreness"),
+        F.lit(converged).alias("converged"),
+        F.lit(rounds).alias("rounds"),
+    )
+
+
+def kcore_subgraph(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    k: int = 2,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node
+    keeps degree >= k — by synchronous peeling: each round recomputes
+    degrees WITHIN the surviving set and drops every node below k at
+    once.  Dropping all violators per round (instead of one at a time)
+    keeps the loop deterministic and needs rounds bounded by the
+    peeling depth, not |V|.
+
+    Returns (node, degree) for the surviving nodes, ``degree`` being
+    the node's degree inside the k-core.  Empty result when the graph
+    has no k-core.  Raises RuntimeError when ``max_iter`` rounds still
+    shrink the set — on real graphs peeling depth is tens; hitting the
+    cap means the cap, not the graph, is wrong.
+
+    Scale shape per round: one semi-join of the edge set against the
+    surviving nodes (edge rows carry two strings), one degree agg with
+    map-side partials, one driver-visible count.  The edge frame is
+    filtered, never rebuilt, so each round's scan is the persisted
+    symmetric edge set.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    live = sym.select(F.col("a").alias("n")).distinct().persist()
+    n_live = live.count()
+    for _ in range(max_iter):
+        kept_edges = sym.join(
+            live.select(F.col("n").alias("a")), "a", "left_semi"
+        ).join(live.select(F.col("n").alias("b")), "b", "left_semi")
+        deg = kept_edges.groupBy(F.col("a").alias("n")).agg(
+            F.count("*").cast("long").alias("degree")
+        )
+        new_live = deg.filter(F.col("degree") >= k).localCheckpoint(
+            eager=False
+        )
+        old_live, live = live, new_live.select("n").persist()
+        n_new = live.count()
+        old_live.unpersist()
+        if n_new == n_live:
+            sym.unpersist()
+            return deg.filter(F.col("degree") >= k).select(
+                "n", "degree"
+            ).withColumnRenamed("n", "node")
+        n_live = n_new
+        if n_new == 0:
+            sym.unpersist()
+            return deg.filter(F.col("degree") >= k).select(
+                F.col("n").alias("node"), "degree"
+            )
+    sym.unpersist()
+    raise RuntimeError(
+        f"kcore_subgraph did not stabilize in {max_iter} rounds"
+    )

@@ -490,6 +490,7 @@ def read_extracted(
     out_dir: str,
     as_of_run: str | None = None,
     where: list[tuple] | None = None,
+    apply_deletes: bool = True,
 ):
     """The committed view of the extracted table: rows whose run has a
     manifest.  Orphan rows from a crashed run (appended but never
@@ -499,8 +500,19 @@ def read_extracted(
     is exactly the union of runs committed up to it).  ``where`` is a
     list of ``(column, op, literal)`` conjuncts (op in ==/</<=/>/>=):
     applied as a real filter AND used to prune whole files against the
-    manifest zone maps before any file is opened."""
-    return _read_committed(spark, out_dir, "extracted", as_of_run, where)
+    manifest zone maps before any file is opened.
+
+    ``apply_deletes`` (default on) masks urls named by committed
+    equality-delete files (deletes.py) with a broadcast anti-join —
+    merge-on-read.  Deliberately retroactive across time travel: a
+    takedown must hide the url in EVERY snapshot, not just the ones
+    after it.  With no delete file committed the plan is untouched."""
+    df = _read_committed(spark, out_dir, "extracted", as_of_run, where)
+    if apply_deletes and df is not None:
+        from . import deletes as D
+
+        df = D.apply_merge_on_read(df, D.deleted_urls(spark, out_dir))
+    return df
 
 
 def read_chunks(
@@ -508,10 +520,17 @@ def read_chunks(
     out_dir: str,
     as_of_run: str | None = None,
     where: list[tuple] | None = None,
+    apply_deletes: bool = True,
 ):
     """Committed view of the chunks table (same manifest gating + time
-    travel + zone-map file pruning as ``read_extracted``)."""
-    return _read_committed(spark, out_dir, "chunks", as_of_run, where)
+    travel + zone-map file pruning + merge-on-read delete masking as
+    ``read_extracted``)."""
+    df = _read_committed(spark, out_dir, "chunks", as_of_run, where)
+    if apply_deletes and df is not None:
+        from . import deletes as D
+
+        df = D.apply_merge_on_read(df, D.deleted_urls(spark, out_dir))
+    return df
 
 
 # ------------------------------------------------------ BM25 index sink

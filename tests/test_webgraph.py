@@ -393,3 +393,112 @@ def test_lpa_reports_nonconvergence_on_oscillator(spark):
     got = {r["node"]: r["community"] for r in out.collect()}
     assert got == want
     assert out.select("converged").first()["converged"] == want_conv
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _py_core_numbers(edge_list):
+    """Batagelj-Zaversnik peel, the textbook O(E) reference: repeatedly
+    remove a minimum-degree node; its degree at removal (capped by the
+    running max) is its coreness."""
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    core = {}
+    k = 0
+    while deg:
+        n = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[n])
+        core[n] = k
+        for m in adj[n]:
+            if m in deg and m != n:
+                deg[m] -= 1
+        del deg[n]
+        for m in adj[n]:
+            adj.get(m, set()).discard(n)
+    return core
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src_host string, dst_host string"
+    )
+
+
+def test_core_numbers_matches_peel_reference(spark):
+    # clique K4 (core 3) + a triangle (core 2) bridged by a path of
+    # pendants (core 1); direction and duplicate edges must not matter
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),                         # K4
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),   # triangle
+        ("d", "p1"), ("p1", "p2"), ("p2", "t1"),    # bridge path
+        ("b", "a"), ("a", "b"),             # dupes/reverse
+        ("p2", "p2"),                       # self-loop dropped
+    ]
+    got = {
+        r.node: r.coreness
+        for r in WG.core_numbers(_edges_df(spark, pairs)).collect()
+    }
+    want = _py_core_numbers(pairs)
+    assert got == want
+    row = WG.core_numbers(_edges_df(spark, pairs)).collect()[0]
+    assert row.converged and row.rounds >= 1
+
+
+def test_core_numbers_random_graph_matches_reference(spark):
+    import random
+
+    rng = random.Random(20260819)
+    nodes = [f"h{i}" for i in range(40)]
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(160)
+        }
+    )
+    got = {
+        r.node: r.coreness
+        for r in WG.core_numbers(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _py_core_numbers(pairs)
+
+
+def test_kcore_subgraph_peels_to_the_dense_core(spark):
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),                         # K4: the 3-core
+        ("d", "p1"), ("p1", "p2"),          # pendant chain
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),   # triangle: 2-core
+    ]
+    df = _edges_df(spark, pairs)
+    got3 = {
+        r.node: r.degree for r in WG.kcore_subgraph(df, k=3).collect()
+    }
+    assert got3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    got2 = {r.node for r in WG.kcore_subgraph(df, k=2).collect()}
+    assert got2 == {"a", "b", "c", "d", "t1", "t2", "t3"}
+    assert WG.kcore_subgraph(df, k=4).count() == 0
+    with pytest.raises(ValueError):
+        WG.kcore_subgraph(df, k=0)
+
+
+def test_kcore_matches_coreness_thresholding(spark):
+    # k-core membership == {coreness >= k}, on a seeded random graph
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"h{i}" for i in range(30)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(110)}
+    )
+    df = _edges_df(spark, pairs)
+    core = _py_core_numbers(pairs)
+    for k in (1, 2, 3):
+        got = {r.node for r in WG.kcore_subgraph(df, k=k).collect()}
+        assert got == {n for n, c in core.items() if c >= k}
