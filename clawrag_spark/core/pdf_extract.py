@@ -9,8 +9,13 @@ from-scratch parser over uncompressed PDF text content streams:
 - each ``stream … endstream`` block is a page (pages in document order),
 - text ops ``BT [/Fn SIZE Tf] X Y Td (TEXT) Tj ET`` are decoded into
   positioned text spans,
-- spans are sorted into reading order (top-to-bottom by ``y`` descending
-  — PDF y grows upward — then left-to-right by ``x``),
+- span x-origins are clustered into COLUMN BLOCKS (gap > ``_COL_GAP``
+  starts a column); a full-width header band above the columns reads
+  first, then each column left-to-right (Docling-style block detection
+  + reading-order sort; single-cluster pages take the unchanged
+  single-column path),
+- within a segment spans sort into reading order (top-to-bottom by
+  ``y`` descending — PDF y grows upward — then left-to-right by ``x``),
 - consecutive lines are merged into blocks; a vertical gap larger than
   ``_PARA_GAP`` starts a new paragraph (block detection),
 - large font sizes become markdown headings (Docling-style structure).
@@ -28,6 +33,7 @@ import re
 _PARA_GAP = 20.0  # y-units; a larger gap starts a new paragraph
 _H1_SIZE = 18.0
 _H2_SIZE = 14.0
+_COL_GAP = 100.0  # x-units; a larger gap between x clusters = new column
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _TEXT_OP_RE = re.compile(
@@ -67,6 +73,42 @@ def analyze_pdf(payload: bytes) -> dict:
     }
 
 
+def _column_segments(spans: list[tuple]) -> list[list[tuple]]:
+    """Docling-style column-block detection for one page.
+
+    Clusters span x-origins (a gap > ``_COL_GAP`` starts a new column).
+    A single cluster — the overwhelmingly common case — returns the
+    whole page as one segment, which keeps single-column extraction
+    byte-for-byte what it was before multi-column support.  With 2+
+    clusters, spans strictly ABOVE the top of every non-leftmost column
+    form a full-width header band (title/abstract) read first; the
+    rest are read column by column, left to right, each column
+    top-to-bottom.  Paragraphs flowing across a column break are split
+    at the break (a simplification over true flow reconstruction —
+    deterministic and shared with the byte-identity oracle).
+    """
+    if not spans:
+        return []
+    xs = sorted({s[1] for s in spans})
+    clusters: list[list[float]] = [[xs[0]]]
+    for x in xs[1:]:
+        if x - clusters[-1][-1] > _COL_GAP:
+            clusters.append([x])
+        else:
+            clusters[-1].append(x)
+    if len(clusters) == 1:
+        return [spans]
+    col_of = {x: i for i, cl in enumerate(clusters) for x in cl}
+    top_right = max(s[0] for s in spans if col_of[s[1]] > 0)
+    header = [s for s in spans if s[0] > top_right]
+    cols: list[list[tuple]] = [[] for _ in clusters]
+    for s in spans:
+        if s[0] > top_right:
+            continue
+        cols[col_of[s[1]]].append(s)
+    return [seg for seg in ([header] + cols) if seg]
+
+
 def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
     """Extract markdown text from a PDF payload in reading order.
 
@@ -90,50 +132,54 @@ def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
             text = _unescape(m.group(4)).strip()
             if text:
                 spans.append((y, x, size, text))
-        # reading order: top-to-bottom (y desc), then left-to-right (x asc)
-        spans.sort(key=lambda s: (-s[0], s[1]))
 
-        # group spans on (nearly) the same baseline into lines
-        lines: list[tuple[float, float, str]] = []  # (y, size, text)
-        for y, x, size, text in spans:
-            if lines and abs(lines[-1][0] - y) < 2.0:
-                prev_y, prev_size, prev_text = lines[-1]
-                lines[-1] = (prev_y, max(prev_size, size), prev_text + " " + text)
-            else:
-                lines.append((y, size, text))
+        for segment in _column_segments(spans):
+            # reading order within a segment: top-to-bottom (y desc,
+            # PDF y grows upward), then left-to-right (x asc)
+            segment.sort(key=lambda s: (-s[0], s[1]))
 
-        # block detection: vertical gap > _PARA_GAP starts a new paragraph
-        cur: list[str] = []
-        cur_size = 0.0
-        prev_y: float | None = None
+            # group spans on (nearly) the same baseline into lines
+            lines: list[tuple[float, float, str]] = []  # (y, size, text)
+            for y, x, size, text in segment:
+                if lines and abs(lines[-1][0] - y) < 2.0:
+                    prev_y, prev_size, prev_text = lines[-1]
+                    lines[-1] = (prev_y, max(prev_size, size), prev_text + " " + text)
+                else:
+                    lines.append((y, size, text))
 
-        def flush() -> None:
-            nonlocal cur, cur_size, headings, paragraphs
-            if not cur:
-                return
-            text = " ".join(cur)
-            if cur_size >= _H1_SIZE:
-                blocks.append("# " + text)
-                headings += 1
-            elif cur_size >= _H2_SIZE:
-                blocks.append("## " + text)
-                headings += 1
-            else:
-                blocks.append(text)
-                paragraphs += 1
-            cur = []
+            # block detection: vertical gap > _PARA_GAP starts a new
+            # paragraph; segment boundaries always flush
+            cur: list[str] = []
             cur_size = 0.0
+            prev_y: float | None = None
 
-        for y, size, text in lines:
-            if prev_y is not None and (prev_y - y) > _PARA_GAP:
-                flush()
-            # a font-size change also separates blocks (heading boundary)
-            if cur and size != cur_size:
-                flush()
-            cur.append(text)
-            cur_size = max(cur_size, size)
-            prev_y = y
-        flush()
+            def flush() -> None:
+                nonlocal cur, cur_size, headings, paragraphs
+                if not cur:
+                    return
+                text = " ".join(cur)
+                if cur_size >= _H1_SIZE:
+                    blocks.append("# " + text)
+                    headings += 1
+                elif cur_size >= _H2_SIZE:
+                    blocks.append("## " + text)
+                    headings += 1
+                else:
+                    blocks.append(text)
+                    paragraphs += 1
+                cur = []
+                cur_size = 0.0
+
+            for y, size, text in lines:
+                if prev_y is not None and (prev_y - y) > _PARA_GAP:
+                    flush()
+                # a font-size change also separates blocks (heading boundary)
+                if cur and size != cur_size:
+                    flush()
+                cur.append(text)
+                cur_size = max(cur_size, size)
+                prev_y = y
+            flush()
 
     counts = {
         "headings_count": headings,

@@ -25,6 +25,7 @@ Per FIXTURES.md §1:
 from __future__ import annotations
 
 import random
+import zlib
 from datetime import datetime, timedelta
 
 import numpy as np
@@ -127,34 +128,62 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _pdf_page_stream(rng: random.Random, lang: str, title: str | None) -> bytes:
-    """One uncompressed content stream; ops emitted in shuffled order."""
+def _pdf_page_stream(
+    rng: random.Random, lang: str, title: str | None, layout_key: str = ""
+) -> bytes:
+    """One uncompressed content stream; ops emitted in shuffled order.
+
+    ~1 in 4 pages (chosen by a CRC of ``layout_key`` — NO extra rng
+    draw, so adding the two-column feature left every other page of a
+    seeded corpus byte-identical) lays its body out in TWO COLUMNS
+    (x=72 and x=320, title full-width above): the extractor's
+    column-block detection must segment them or the columns interleave
+    line-by-line.
+    """
+    items: list[tuple[float, float, str]] = []  # (y_step_after, size, text)
+    if title:
+        items.append((40.0, 20.0, title))
+    for _ in range(rng.randint(2, 4)):
+        if rng.random() < 0.4:
+            items.append((30.0, 15.0, _sentence(rng, lang, rng.randint(3, 6))[:-1]))
+        for _ in range(rng.randint(2, 5)):
+            items.append((14.0, 12.0, _sentence(rng, lang, rng.randint(5, 10))))
+        items[-1] = (items[-1][0] + 26.0, items[-1][1], items[-1][2])  # para gap
+
+    two_col = zlib.crc32(layout_key.encode("utf-8")) % 4 == 0 if layout_key else False
     ops: list[tuple[float, float, float, str]] = []  # (y, x, size, text)
+    body = items[1:] if title else items
     y = 720.0
     if title:
         ops.append((y, 72.0, 20.0, title))
-        y -= 40.0
-    for _ in range(rng.randint(2, 4)):
-        if rng.random() < 0.4:
-            ops.append((y, 72.0, 15.0, _sentence(rng, lang, rng.randint(3, 6))[:-1]))
-            y -= 30.0
-        for _ in range(rng.randint(2, 5)):
-            ops.append((y, 72.0, 12.0, _sentence(rng, lang, rng.randint(5, 10))))
-            y -= 14.0
-        y -= 26.0  # paragraph gap > 20
+        y -= items[0][0]
+    if two_col and len(body) >= 4:
+        mid = (len(body) + 1) // 2
+        col_top = y
+        for x, col_items in ((72.0, body[:mid]), (320.0, body[mid:])):
+            y = col_top
+            for step, size, text in col_items:
+                ops.append((y, x, size, text))
+                y -= step
+    else:
+        for step, size, text in body:
+            ops.append((y, 72.0, size, text))
+            y -= step
     shuffled = ops[:]
     rng.shuffle(shuffled)  # parser must restore reading order
-    body = "\n".join(
+    stream = "\n".join(
         f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(text)}) Tj ET"
         for (y, x, size, text) in shuffled
     )
-    return b"stream\n" + body.encode("utf-8") + b"\nendstream\n"
+    return b"stream\n" + stream.encode("utf-8") + b"\nendstream\n"
 
 
 def _pdf_doc(rng: random.Random, lang: str, title: str, content_scale: int = 1) -> bytes:
-    pages = [_pdf_page_stream(rng, lang, title)]
-    for _ in range(rng.randint(0, 2) * content_scale):
-        pages.append(_pdf_page_stream(rng, lang, None))
+    pages = [_pdf_page_stream(rng, lang, title, layout_key=title)]
+    for p in range(rng.randint(0, 2) * content_scale):
+        pages.append(
+            _pdf_page_stream(rng, lang, None, layout_key=f"{title}|p{p + 1}")
+        )
     return b"%PDF-1.4\n" + b"".join(pages) + b"%%EOF\n"
 
 
