@@ -73,6 +73,67 @@ def analyze_pdf(payload: bytes) -> dict:
     }
 
 
+def _table_bands(
+    spans: list[tuple],
+) -> tuple[list[tuple[float, float, str]], list[tuple]]:
+    """Aligned-row table detection for one page (Docling-style block
+    analysis, the grid case): group spans into rows by exact baseline,
+    take each row's x-signature (sorted distinct x origins), and call
+    >= 2 CONSECUTIVE rows with an IDENTICAL signature of >= 3 columns a
+    table band.  Three columns minimum is the disambiguator against
+    two-column LAYOUTS, whose aligned baselines produce 2-wide
+    signatures — separating a 2-column table from a 2-column layout
+    needs glyph widths this span model doesn't carry (documented
+    limitation).
+
+    Returns ``(bands, remaining_spans)``; a band is ``(top_y,
+    bottom_y, markdown)`` with the first row rendered as the header
+    row.  Cell text joins the row's spans at that x, left to right.
+    """
+    rows: dict[float, list[tuple]] = {}
+    for s in spans:
+        rows.setdefault(s[0], []).append(s)
+    ordered = [
+        (
+            y,
+            tuple(sorted({sp[1] for sp in rows[y]})),
+            rows[y],
+        )
+        for y in sorted(rows, reverse=True)
+    ]
+    bands: list[tuple[float, float, str]] = []
+    in_band: set[float] = set()
+    i = 0
+    while i < len(ordered):
+        y, sig, _row = ordered[i]
+        if len(sig) >= 3:
+            j = i + 1
+            while j < len(ordered) and ordered[j][1] == sig:
+                j += 1
+            if j - i >= 2:
+                md_rows = []
+                for yy, _s, row in ordered[i:j]:
+                    cells = [
+                        " ".join(
+                            sp[3]
+                            for sp in sorted(row, key=lambda s: s[0])
+                            if sp[1] == x
+                        )
+                        for x in sig
+                    ]
+                    md_rows.append("| " + " | ".join(cells) + " |")
+                    in_band.add(yy)
+                md_rows.insert(1, "|" + " --- |" * len(sig))
+                bands.append(
+                    (ordered[i][0], ordered[j - 1][0], "\n".join(md_rows))
+                )
+                i = j
+                continue
+        i += 1
+    rest = [s for s in spans if s[0] not in in_band]
+    return bands, rest
+
+
 def _column_segments(spans: list[tuple]) -> list[list[tuple]]:
     """Docling-style column-block detection for one page.
 
@@ -122,6 +183,7 @@ def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
     blocks: list[str] = []
     headings = 0
     paragraphs = 0
+    tables = 0
 
     for stream in _STREAM_RE.findall(payload):
         spans = []
@@ -133,7 +195,16 @@ def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
             if text:
                 spans.append((y, x, size, text))
 
-        for segment in _column_segments(spans):
+        bands, spans = _table_bands(spans)
+        segments = _column_segments(spans)
+        # tables read inline (by y) when the page is single-column;
+        # in a multi-column page a band's flow position is ambiguous
+        # without widths, so bands append after the columns
+        if not segments and bands:
+            segments = [[]]
+        inline = bands if len(segments) == 1 else []
+
+        for segment in segments:
             # reading order within a segment: top-to-bottom (y desc,
             # PDF y grows upward), then left-to-right (x asc)
             segment.sort(key=lambda s: (-s[0], s[1]))
@@ -170,7 +241,19 @@ def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
                 cur = []
                 cur_size = 0.0
 
-            for y, size, text in lines:
+            events: list[tuple] = [("line", *ln) for ln in lines]
+            events.extend(("table", top, bot, md) for top, bot, md in inline)
+            inline = []
+            events.sort(key=lambda e: -e[1])
+
+            for ev in events:
+                if ev[0] == "table":
+                    flush()
+                    blocks.append(ev[3])
+                    tables += 1
+                    prev_y = ev[2]
+                    continue
+                _, y, size, text = ev
                 if prev_y is not None and (prev_y - y) > _PARA_GAP:
                     flush()
                 # a font-size change also separates blocks (heading boundary)
@@ -181,10 +264,16 @@ def extract_pdf(payload: bytes) -> tuple[str, dict[str, int]]:
                 prev_y = y
             flush()
 
+        if bands and len(segments) > 1:
+            # multi-column page: bands were not inlined — append them
+            for _top, _bot, md in bands:
+                blocks.append(md)
+                tables += 1
+
     counts = {
         "headings_count": headings,
         "lists_count": 0,
-        "tables_count": 0,
+        "tables_count": tables,
         "paragraphs_count": paragraphs,
         "images_count": 0,
     }

@@ -150,7 +150,9 @@ def _pdf_page_stream(
             items.append((14.0, 12.0, _sentence(rng, lang, rng.randint(5, 10))))
         items[-1] = (items[-1][0] + 26.0, items[-1][1], items[-1][2])  # para gap
 
-    two_col = zlib.crc32(layout_key.encode("utf-8")) % 4 == 0 if layout_key else False
+    crc = zlib.crc32(layout_key.encode("utf-8")) if layout_key else 1
+    two_col = crc % 4 == 0
+    has_table = crc % 16 == 2  # disjoint from two_col (2 % 4 != 0)
     ops: list[tuple[float, float, float, str]] = []  # (y, x, size, text)
     body = items[1:] if title else items
     y = 720.0
@@ -169,8 +171,22 @@ def _pdf_page_stream(
         for step, size, text in body:
             ops.append((y, 72.0, size, text))
             y -= step
+    table_ops: list[tuple[float, float, float, str]] = []
+    if has_table:
+        # a 3-column table below the body; cell words recycle the text
+        # already drawn above, and the ops stay OUT of the rng shuffle
+        # (its draw count depends on len(ops)) — zero rng perturbation
+        words = " ".join(t for _, _, t in items).split() or ["cell"]
+        n_rows = 3 + (crc >> 8) % 3  # header + 2-4 data rows
+        y -= 30.0
+        for r in range(n_rows):
+            for c, x in enumerate((72.0, 220.0, 368.0)):
+                w = words[(r * 3 + c) % len(words)]
+                table_ops.append((y, x, 12.0, f"{w}{r}" if r else w))
+            y -= 18.0
     shuffled = ops[:]
     rng.shuffle(shuffled)  # parser must restore reading order
+    shuffled.extend(reversed(table_ops))  # disordered, but rng-free
     stream = "\n".join(
         f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(text)}) Tj ET"
         for (y, x, size, text) in shuffled

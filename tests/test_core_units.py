@@ -169,6 +169,56 @@ class TestPdfExtract:
         strip = lambda t: t.replace("#", "").split()[1:]  # titles differ
         assert strip(two) == strip(one)
 
+    TABLE_PDF = (
+        b"%PDF-1.4\nstream\n"
+        b"BT /F1 12 Tf 72 700 Td (intro prose) Tj ET\n"
+        b"BT /F1 12 Tf 72 650 Td (name) Tj ET\n"
+        b"BT /F1 12 Tf 220 650 Td (qty) Tj ET\n"
+        b"BT /F1 12 Tf 368 650 Td (price) Tj ET\n"
+        b"BT /F1 12 Tf 72 632 Td (apples) Tj ET\n"
+        b"BT /F1 12 Tf 220 632 Td (3) Tj ET\n"
+        b"BT /F1 12 Tf 368 632 Td (1.20) Tj ET\n"
+        b"BT /F1 12 Tf 72 600 Td (closing prose) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+
+    def test_table_band_detected_and_inlined(self):
+        # >=2 consecutive rows with an identical >=3-column x-signature
+        # become a markdown table, read inline at its y position
+        text, counts = extract_pdf(self.TABLE_PDF)
+        assert counts["tables_count"] == 1
+        assert text == (
+            "intro prose\n\n"
+            "| name | qty | price |\n"
+            "| --- | --- | --- |\n"
+            "| apples | 3 | 1.20 |\n\n"
+            "closing prose"
+        )
+
+    def test_two_wide_alignment_is_layout_not_table(self):
+        # aligned baselines with only TWO x positions are a two-column
+        # layout (the documented disambiguator), never a table
+        text, counts = extract_pdf(self.TWO_COL)
+        assert counts["tables_count"] == 0
+        assert "|" not in text
+
+    def test_corpus_table_pages_detected(self):
+        import random as _random
+        import zlib as _zlib
+
+        from clawrag_spark.corpus import _pdf_page_stream
+
+        kt = next(
+            k
+            for k in (f"t{i}" for i in range(256))
+            if _zlib.crc32(k.encode()) % 16 == 2
+        )
+        rng = _random.Random(11)
+        page = _pdf_page_stream(rng, "en", kt, layout_key=kt)
+        text, counts = extract_pdf(b"%PDF-1.4\n" + page + b"%%EOF\n")
+        assert counts["tables_count"] == 1
+        assert "| --- | --- | --- |" in text
+
 
 class TestChunkers:
     def test_fixed_window_reference_semantics(self):
