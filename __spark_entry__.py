@@ -3508,6 +3508,48 @@ def q_table_rows(spark, sf_dir):
     return WT.extract_tables(complete, "html_str")
 
 
+def q_pdf_table_rows(spark, sf_dir):
+    """PDF tables back out as structured rows: the layout parser's
+    aligned-row table bands land in extracted text as inline markdown
+    tables (core/pdf_extract.py:_table_bands); this parses them into
+    (url, table_idx, row_idx, cells) over the committed ``extracted``
+    table — the tabular-data recovery a crawl pipeline runs before
+    loading web tables into a warehouse.  Gaps-and-islands on the line
+    index (pos - row_number) segments consecutive pipe-lines into
+    tables without a UDF; the oracle twins the islands with the same
+    window arithmetic.  One scan, pure JVM expressions."""
+    from pyspark.sql import Window as _W
+
+    out = _ensure_pipeline_demo(spark)
+    ext = spark.read.parquet(os.path.join(out, "extracted")).filter(
+        (F.col("mime") == "application/pdf") & (F.col("n_tables") > 0)
+    )
+    lines = ext.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    pipe = lines.filter(F.col("line").startswith("|"))
+    w = _W.partitionBy("url").orderBy("pos")
+    island = pipe.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    tw = _W.partitionBy("url").orderBy("grp")
+    rw = _W.partitionBy("url", "grp").orderBy("pos")
+    return (
+        island.withColumn("table_idx", F.dense_rank().over(tw))
+        .filter(~F.col("line").rlike(r"^\|( --- \|)+$"))
+        .withColumn("row_idx", F.row_number().over(rw) - 1)
+        .select(
+            "url",
+            F.col("table_idx").cast("long").alias("table_idx"),
+            F.col("row_idx").cast("long").alias("row_idx"),
+            F.split(
+                F.regexp_replace(F.col("line"), r"^\| | \|$", ""),
+                r" \| ",
+            ).alias("cells"),
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -3903,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "kcore_hosts": q_kcore_hosts,
         "kmv_distinct": q_kmv_distinct,
+        "pdf_table_rows": q_pdf_table_rows,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -6935,6 +6978,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # source_overlap: same md5 keys, list_sort/slice/intersect —
         # the KMV estimator is deterministic so values are bit-identical
+        # pdf_table_rows: identical gaps-and-islands window arithmetic;
+        # generate_subscripts/unnest twins posexplode; 'g' flag makes
+        # DuckDB's regexp_replace replace-all like Spark's
+        "pdf_table_rows": f"""
+            WITH ext AS (
+                SELECT url, text
+                FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+                WHERE mime = 'application/pdf' AND n_tables > 0
+            ),
+            lines AS (
+                SELECT url,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM ext
+            ),
+            isl AS (
+                SELECT url, pos, line,
+                       pos - row_number() OVER (PARTITION BY url ORDER BY pos) AS grp
+                FROM lines WHERE starts_with(line, '|')
+            ),
+            tix AS (
+                SELECT url, pos, line, grp,
+                       dense_rank() OVER (PARTITION BY url ORDER BY grp) AS table_idx
+                FROM isl
+            )
+            SELECT url, table_idx::BIGINT AS table_idx,
+                   (row_number() OVER (PARTITION BY url, grp ORDER BY pos) - 1)::BIGINT
+                       AS row_idx,
+                   string_split(
+                       regexp_replace(line, '^\\| | \\|$', '', 'g'), ' | '
+                   ) AS cells
+            FROM tix
+            WHERE NOT regexp_matches(line, '^\\|( --- \\|)+$')
+        """,
         "kmv_distinct": f"""
             WITH per AS (
                 SELECT DISTINCT lang AS grp, md5(text) AS h FROM documents
