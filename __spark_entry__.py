@@ -3550,6 +3550,130 @@ def q_pdf_table_rows(spark, sf_dir):
     )
 
 
+#: Planted mirror-host fixtures mixed into the committed extracted
+#: table: a full mirror pair (4 shared path+digest replicas, one extra
+#: page on the larger side), a 2-replica partial overlap that must stay
+#: below the min_shared gate, and one boilerplate digest served by 20
+#: hosts that the stop-digest skew guard must drop before the join.
+_MIRROR_FIXTURES = (
+    [(f"https://mirror-a.example/{p}", f"mh_{i}")
+     for i, p in enumerate(("p1", "p2", "p3", "p4"), 1)]
+    + [("https://mirror-a.example/only-a", "mh_a5")]
+    + [(f"https://mirror-b.example/{p}", f"mh_{i}")
+       for i, p in enumerate(("p1", "p2", "p3", "p4"), 1)]
+    + [("https://mirror-c.example/p1", "mh_1"),
+       ("https://mirror-c.example/p2", "mh_2"),
+       ("https://mirror-c.example/c3", "mh_c3")]
+    + [(f"https://bp{i:02d}.example/boiler", "mh_bp") for i in range(20)]
+)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror/alias host detection (Bharat & Broder 1999) over the
+    committed extracted table ∪ planted fixtures: host pairs serving
+    the same body digest at the same path.  Shared-replica counting is
+    one (path, digest) self equi-join on 16-byte keys after the
+    stop-digest skew guard (a digest on >16 hosts is boilerplate, not
+    mirroring); containment normalizes by the smaller host so a full
+    mirror of a large site scores 1.0.  Never all-pairs over hosts."""
+    out = _ensure_pipeline_demo(spark)
+    real = spark.read.parquet(os.path.join(out, "extracted")).select(
+        "url", "doc_hash"
+    )
+    planted = spark.createDataFrame(_MIRROR_FIXTURES, ["url", "doc_hash"])
+    return WG.mirror_hosts(real.unionByName(planted))
+
+
+#: Page texts for the bitext chain: the en<->fr about pair shares all
+#: six language-independent anchors (years, counts, a URL, a decimal),
+#: the fr contact page has NO anchors (NULL overlap — nothing to
+#: verify), the de page is too long for the Gale-Church gate, and the
+#: ?lang doc pair is gutted on the fr side (stage 2 rejects it before
+#: the content verify ever sees it).
+_BITEXT_TEXT_FIXTURES = {
+    "https://site0.example.com/en/about":
+        "ACME was founded in 1998 and now employs 250 people in 12 "
+        "offices. See https://acme.example/investors for the 2024 "
+        "report: revenue up 14.5 percent.",
+    "https://site0.example.com/fr/about":
+        "Fondee en 1998, ACME emploie aujourd'hui 250 personnes dans "
+        "12 bureaux. Voir https://acme.example/investors pour le "
+        "rapport 2024 : chiffre d'affaires en hausse de 14.5 pour cent.",
+    "https://site0.example.com/de/about":
+        "ACME wurde 1998 gegruendet und beschaeftigt heute 250 "
+        "Mitarbeiter in 12 Niederlassungen. "
+        + "Die Geschichte des Unternehmens ist lang. " * 12,
+    "https://site0.example.com/en/contact":
+        "Call our office on 555:0100, open 9 to 17, Monday to Friday.",
+    "https://site0.example.com/fr/contact":
+        "Ecrivez-nous au bureau, ouvert du lundi au vendredi.",
+    "https://site1.example.com/doc?lang=en&id=3":
+        "Document 3 covers the 2019 audit, sections 4 through 9, "
+        "including appendix tables 10 and 11 with totals.",
+    "https://site1.example.com/doc?lang=fr&id=3": "Page supprimee.",
+}
+
+
+def q_bitext_verify(spark, sf_dir):
+    """ParaCrawl stage 3 — the full bitext chain composed end-to-end:
+    URL-mined candidates (stage 1 equi-join) -> Gale-Church length gate
+    on the real page lengths (stage 2 projection) -> anchor-token
+    content verify (stage 3, Resnik & Smith 2003): translation pairs
+    must share language-independent tokens (numbers, dates, URLs).
+    Jaccard over distinct anchor sets; a side with no anchors yields
+    NULL overlap (nothing to verify).  Texts broadcast into the
+    candidate pairs; every stage is expression-only."""
+    pages = spark.createDataFrame(
+        [(u,) for u in _BITEXT_URL_FIXTURES], ["url"]
+    )
+    cand = WT.bitext_url_candidates(pages)
+    texts = spark.createDataFrame(
+        list(_BITEXT_TEXT_FIXTURES.items()), ["url", "text"]
+    )
+    paired = cand.join(
+        F.broadcast(texts.select(F.col("url").alias("url_a"),
+                                 F.col("text").alias("text_a"))),
+        "url_a",
+    ).join(
+        F.broadcast(texts.select(F.col("url").alias("url_b"),
+                                 F.col("text").alias("text_b"))),
+        "url_b",
+    )
+    gated = WT.gale_church_gate(
+        paired.withColumn("len_a", F.length("text_a"))
+        .withColumn("len_b", F.length("text_b")),
+        "len_a",
+        "len_b",
+    )
+    out = WT.bitext_content_gate(
+        gated.filter(F.col("is_aligned")), "text_a", "text_b"
+    )
+    return out.select(
+        "url_a", "url_b", "lang_a", "lang_b",
+        "n_anchors_a", "n_anchors_b", "overlap", "is_verified",
+    )
+
+
+def q_nb_langid(spark, sf_dir):
+    """Corpus-fitted language identification: a multinomial Naive-Bayes
+    classifier over char trigrams (the fastText-langid design point)
+    trained ON the documents table and evaluated on it — the output is
+    the confusion matrix (true_lang, pred_lang, n_docs) a corpus
+    datasheet reports.  Training state is vocabulary-bounded and
+    broadcast; scoring inner-joins only grams the language saw (unseen
+    mass folds into one T·floor term); argmax over the 6-dp-rounded
+    score with lang-ascending tie-break so both engines agree."""
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
+    model = WT.train_nb_langid(docs, "lang", "text")
+    pred = WT.nb_classify(docs, "doc_id", "text", model)
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    return pred.join(truth, "doc_id").groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -3946,6 +4070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_hosts": q_kcore_hosts,
         "kmv_distinct": q_kmv_distinct,
         "pdf_table_rows": q_pdf_table_rows,
+        "mirror_hosts": q_mirror_hosts,
+        "bitext_verify": q_bitext_verify,
+        "nb_langid": q_nb_langid,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -8332,6 +8459,183 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{V}", _sql_values([(u,) for u in _BITEXT_URL_FIXTURES]))
            .replace("{LV}", _sql_values(list(_BITEXT_LEN_FIXTURES.items())))
            .replace("{L}", "|".join(WT._BITEXT_LANGS)),
+        # mirror_hosts: same chain — distinct replicas, stop-digest
+        # guard, (path, digest) self-join, containment over the
+        # smaller host's replica count
+        "mirror_hosts": """
+            WITH pages AS (
+                SELECT url, doc_hash
+                FROM read_parquet('{OUT}/extracted/*.parquet')
+                UNION ALL
+                SELECT * FROM (VALUES {MV}) v(url, doc_hash)
+            ),
+            rep AS (
+                SELECT DISTINCT
+                       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                       regexp_replace(url, '^https?://[^/?#]+', '') AS path,
+                       doc_hash AS digest
+                FROM pages
+                WHERE regexp_extract(url, '^https?://([^/?#]+)', 1) <> ''
+            ),
+            keep AS (
+                SELECT * FROM rep
+                WHERE digest NOT IN (
+                    SELECT digest FROM rep
+                    GROUP BY digest HAVING count(DISTINCT host) > 16)
+            ),
+            sizes AS (
+                SELECT host, count(*) AS n_pages FROM keep GROUP BY host
+            ),
+            shared AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       count(*)::BIGINT AS shared_replicas
+                FROM keep a
+                JOIN keep b ON a.path = b.path AND a.digest = b.digest
+                           AND a.host < b.host
+                GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, shared_replicas,
+                   sa.n_pages::BIGINT AS n_a, sb.n_pages::BIGINT AS n_b,
+                   round(shared_replicas::DOUBLE
+                         / least(sa.n_pages, sb.n_pages), 6) AS containment,
+                   CASE WHEN shared_replicas >= 3
+                         AND round(shared_replicas::DOUBLE
+                             / least(sa.n_pages, sb.n_pages), 6) >= 0.5
+                        THEN 1 ELSE 0 END AS is_mirror
+            FROM shared
+            JOIN sizes sa ON host_a = sa.host
+            JOIN sizes sb ON host_b = sb.host
+        """.replace("{OUT}", _DEMO_OUT)
+           .replace("{MV}", _sql_values(_MIRROR_FIXTURES)),
+        # bitext_verify: stage-1 candidate CTE shared with
+        # bitext_candidates, stage-2 gale math on length(text),
+        # stage-3 anchor-token jaccard (RE2 pattern identical to
+        # webtext._BITEXT_ANCHOR_RE)
+        "bitext_verify": r"""
+            WITH u(url) AS (VALUES {V}),
+            k0 AS (SELECT DISTINCT url,
+                regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                regexp_extract(url,
+                    '^https?://[^/?#]+/({L})(?:[/?#]|$)', 1) AS seg,
+                regexp_extract(url, '[?&]lang=({L})(?:&|#|$)', 1) AS qp
+                FROM u),
+            k AS (SELECT url, host,
+                CASE WHEN seg <> '' THEN seg ELSE qp END AS lang,
+                CASE WHEN seg <> ''
+                     THEN regexp_replace(url,
+                          '^(https?://[^/?#]+/)({L})([/?#].*|$)', '\1*\3')
+                     ELSE regexp_replace(url,
+                          '([?&]lang=)({L})(&.*|#.*|$)', '\1*\3')
+                END AS template
+                FROM k0 WHERE seg <> '' OR qp <> ''),
+            cand AS (
+                SELECT a.lang AS lang_a, a.url AS url_a,
+                       b.lang AS lang_b, b.url AS url_b
+                FROM k a JOIN k b
+                  ON a.host = b.host AND a.template = b.template
+                 AND a.lang < b.lang),
+            texts(url, text) AS (VALUES {TV}),
+            paired AS (
+                SELECT c.url_a, c.url_b, c.lang_a, c.lang_b,
+                       ta.text AS text_a, tb.text AS text_b,
+                       length(ta.text)::DOUBLE AS len_a,
+                       length(tb.text)::DOUBLE AS len_b
+                FROM cand c
+                JOIN texts ta ON ta.url = c.url_a
+                JOIN texts tb ON tb.url = c.url_b),
+            aligned AS (
+                SELECT * FROM paired
+                WHERE coalesce(abs(round((len_b - len_a)
+                      / sqrt((len_a + len_b) / 2.0 * 6.8), 6)) <= 3.0,
+                      FALSE)),
+            anch AS (
+                SELECT url_a, url_b, lang_a, lang_b,
+                       list_distinct(regexp_extract_all(lower(text_a),
+                           '{RE}', 0)) AS ta,
+                       list_distinct(regexp_extract_all(lower(text_b),
+                           '{RE}', 0)) AS tb
+                FROM aligned),
+            ov AS (
+                SELECT url_a, url_b, lang_a, lang_b,
+                       len(ta)::BIGINT AS n_anchors_a,
+                       len(tb)::BIGINT AS n_anchors_b,
+                       CASE WHEN len(ta) > 0 AND len(tb) > 0 THEN
+                           round(len(list_intersect(ta, tb))::DOUBLE
+                                 / len(list_distinct(list_concat(ta, tb))), 6)
+                       END AS overlap
+                FROM anch)
+            SELECT url_a, url_b, lang_a, lang_b,
+                   n_anchors_a, n_anchors_b, overlap,
+                   coalesce(overlap >= 0.25, FALSE) AS is_verified
+            FROM ov
+        """.replace("{V}", _sql_values([(u,) for u in _BITEXT_URL_FIXTURES]))
+           .replace("{TV}", _sql_values(list(_BITEXT_TEXT_FIXTURES.items())))
+           .replace("{L}", "|".join(WT._BITEXT_LANGS))
+           .replace("{RE}", WT._BITEXT_ANCHOR_RE.replace("'", "''")),
+        # nb_langid: the identical train->score->argmax chain; priors
+        # over ALL docs, trigrams over docs >= 3 chars, scores rounded
+        # to 6 dp BEFORE the argmax window on both engines
+        "nb_langid": """
+            WITH lo AS (
+                SELECT doc_id::VARCHAR AS doc_id, lang, lower(text) AS c
+                FROM documents WHERE length(lower(text)) >= 3
+            ),
+            g AS (
+                SELECT doc_id, lang, substr(c, i, 3) AS g
+                FROM lo, LATERAL UNNEST(generate_series(1, length(c) - 2))
+                     AS t(i)
+            ),
+            counts AS (
+                SELECT lang, g, count(*) AS c FROM g GROUP BY 1, 2
+            ),
+            vocab AS (SELECT count(DISTINCT g)::DOUBLE AS V FROM counts),
+            totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+            nd AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+            ntot AS (SELECT count(*)::DOUBLE AS N FROM documents),
+            langs AS (
+                SELECT t.lang,
+                       ln(0.5 / (t.tot + 0.5 * v.V)) AS flr,
+                       ln(n.n_l / nt.N) AS prior,
+                       (t.tot + 0.5 * v.V) AS denom
+                FROM totals t
+                CROSS JOIN vocab v
+                CROSS JOIN ntot nt
+                JOIN nd n ON n.lang = t.lang
+            ),
+            gram AS (
+                SELECT c.lang, c.g,
+                       ln((c.c + 0.5) / l.denom) - l.flr AS w
+                FROM counts c JOIN langs l USING (lang)
+            ),
+            dg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+            dt AS (
+                SELECT doc_id, sum(cnt)::DOUBLE AS T FROM dg GROUP BY 1
+            ),
+            matched AS (
+                SELECT dg.doc_id, gr.lang, sum(dg.cnt * gr.w) AS excess
+                FROM dg JOIN gram gr USING (g) GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT dt.doc_id, l.lang,
+                       round(l.prior + dt.T * l.flr
+                             + coalesce(m.excess, 0), 6) AS score
+                FROM dt CROSS JOIN langs l
+                LEFT JOIN matched m
+                  ON m.doc_id = dt.doc_id AND m.lang = l.lang
+            ),
+            pred AS (
+                SELECT doc_id, lang AS pred_lang FROM (
+                    SELECT doc_id, lang, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, lang ASC) AS rn
+                    FROM scored)
+                WHERE rn = 1
+            )
+            SELECT d.lang AS true_lang, p.pred_lang,
+                   count(*)::BIGINT AS n_docs
+            FROM pred p JOIN documents d ON p.doc_id = d.doc_id::VARCHAR
+            GROUP BY 1, 2
+        """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -743,3 +743,116 @@ def kcore_subgraph(
     raise RuntimeError(
         f"kcore_subgraph did not stabilize in {max_iter} rounds"
     )
+
+
+# ------------------------------------------------- mirror detection
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "doc_hash",
+    min_shared: int = 3,
+    containment_threshold: float = 0.5,
+    max_digest_hosts: int = 16,
+) -> DataFrame:
+    """Mirror/alias host detection: pairs of hosts serving the same
+    content at the same paths — the classic Common-Crawl pathology
+    (Bharat & Broder 1999, "Mirror, mirror on the web") where one site
+    answers under dozens of names (www/non-www, country aliases, CDN
+    hostnames, parked duplicates) and naive per-url dedup misses the
+    structural relationship the crawler should act on (pick ONE
+    canonical host, stop fetching the rest).
+
+    A shared *replica* is a (path, body-digest) pair served by both
+    hosts: same path AND same bytes — much stronger than content
+    equality alone (syndicated articles) or path equality alone
+    (every site has ``/index``).  Per host pair:
+
+    ``containment = shared / least(n_a, n_b)`` over each host's
+    distinct replica count, so a small full mirror of a large site
+    still scores 1.0.  ``is_mirror`` requires ``min_shared`` replicas
+    AND the containment threshold — singleton accidental collisions
+    never flag.
+
+    Scale shape at 10^12 pages: one distinct on (host, path, digest)
+    with map-side partials; digests served by more than
+    ``max_digest_hosts`` hosts are dropped BEFORE the self-join (the
+    stop-digest skew guard shared with the passage-dup family —
+    empty-page and boilerplate digests would otherwise explode the
+    join quadratically); the (path, digest) self equi-join then
+    shuffles 16-byte keys, never text, and host-pair counts aggregate
+    with map-side partials.  Never all-pairs over hosts.
+
+    Reference parity: the reference dedups whole uploads by file
+    sha256 (backend/src/services/docling_service.py:127-133); this is
+    the host-structural generalization a crawl corpus needs.
+    """
+    u = F.col(url_col)
+    rep = (
+        pages.select(
+            F.regexp_extract(u, r"^https?://([^/?#]+)", 1).alias("host"),
+            F.regexp_replace(u, r"^https?://[^/?#]+", "").alias("path"),
+            F.col(digest_col).alias("digest"),
+        )
+        .filter(F.col("host") != "")
+        .dropDuplicates(["host", "path", "digest"])
+    )
+    # stop-digest guard: a digest on too many hosts is boilerplate,
+    # not mirroring — and the quadratic term the join must never see
+    fanout = rep.groupBy("digest").agg(
+        F.countDistinct("host").alias("n_hosts")
+    )
+    rep = rep.join(
+        F.broadcast(fanout.filter(F.col("n_hosts") > max_digest_hosts)),
+        "digest",
+        "left_anti",
+    )
+    sizes = rep.groupBy("host").agg(F.count("*").alias("n_pages"))
+    a = rep.select(
+        "path", "digest", F.col("host").alias("host_a")
+    )
+    b = rep.select(
+        "path", "digest", F.col("host").alias("host_b")
+    )
+    shared = (
+        a.join(b, ["path", "digest"])
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared_replicas"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("host").alias("host_a"),
+                    F.col("n_pages").alias("n_a"),
+                )
+            ),
+            "host_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("host").alias("host_b"),
+                    F.col("n_pages").alias("n_b"),
+                )
+            ),
+            "host_b",
+        )
+    )
+    containment = F.round(
+        F.col("shared_replicas") / F.least("n_a", "n_b"), 6
+    )
+    return out.select(
+        "host_a",
+        "host_b",
+        "shared_replicas",
+        "n_a",
+        "n_b",
+        containment.alias("containment"),
+        (
+            (F.col("shared_replicas") >= F.lit(int(min_shared)))
+            & (containment >= F.lit(float(containment_threshold)))
+        ).cast("int").alias("is_mirror"),
+    )

@@ -3049,3 +3049,207 @@ def homoglyph_signals(
          ).alias("n_confusables"),
         mixed.alias("mixed_word_hits"),
     )
+
+
+# ------------------------------------- bitext stage 3: content verify
+
+#: language-independent anchor tokens: digit runs (with interior
+#: ./,/: separators — dates, prices, versions survive as one token)
+#: and absolute URLs.  Translations preserve these almost verbatim
+#: while sharing no ordinary vocabulary, which is exactly why the
+#: ParaCrawl-lineage pipelines verify candidate pairs on them before
+#: paying for an embedding pass.  RE2-portable (no lookaround) so the
+#: DuckDB oracle runs the identical pattern.
+_BITEXT_ANCHOR_RE = r"[0-9]+(?:[.,:][0-9]+)*|https?://[^\s\"'<>]+"
+
+
+def bitext_content_gate(
+    pairs: DataFrame,
+    text_a_col: str,
+    text_b_col: str,
+    min_overlap: float = 0.25,
+) -> DataFrame:
+    """Stage-3 content verify behind :func:`bitext_url_candidates` →
+    :func:`gale_church_gate`: candidate translation pairs must share
+    language-independent anchor tokens (numbers, dates, prices, URLs)
+    — the cheap translation-invariant signal (Resnik & Smith 2003,
+    "The web as a parallel corpus" §4.2 structural+content filtering)
+    that runs BEFORE any cross-lingual embedding model would.
+
+    ``overlap`` is the Jaccard of the two distinct anchor-token sets;
+    a pair where either side has no anchors yields NULL overlap and
+    ``is_verified = false`` (nothing to verify on — same NULL
+    semantics as the gale gate's zero-length guard).
+
+    Scale shape: expression-only projection over the stage-2
+    survivors (extract → distinct → intersect/union in-row, zero
+    shuffle); at 10^12 pages the texts of only the surviving pairs
+    were ever joined in, and this gate shrinks the embedding stage's
+    input again before the expensive model runs.
+    """
+    ta = F.array_distinct(
+        F.regexp_extract_all(
+            F.lower(F.col(text_a_col)), F.lit(_BITEXT_ANCHOR_RE), F.lit(0)
+        )
+    )
+    tb = F.array_distinct(
+        F.regexp_extract_all(
+            F.lower(F.col(text_b_col)), F.lit(_BITEXT_ANCHOR_RE), F.lit(0)
+        )
+    )
+    staged = pairs.withColumn("__ta", ta).withColumn("__tb", tb)
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size(F.array_union("__ta", "__tb"))
+    overlap = F.round(
+        F.when(
+            (F.size("__ta") > 0) & (F.size("__tb") > 0),
+            inter.cast("double") / union.cast("double"),
+        ),
+        6,
+    )
+    return (
+        staged.withColumn("n_anchors_a", F.size("__ta").cast("long"))
+        .withColumn("n_anchors_b", F.size("__tb").cast("long"))
+        .withColumn("overlap", overlap)
+        .withColumn(
+            "is_verified",
+            F.coalesce(
+                F.col("overlap") >= F.lit(float(min_overlap)), F.lit(False)
+            ),
+        )
+        .drop("__ta", "__tb")
+    )
+
+
+# ------------------------------- Naive-Bayes language identification
+
+
+def train_nb_langid(
+    train: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Train a multinomial Naive-Bayes language classifier over char
+    trigrams — the fastText-langid design point (McCandless lang-detect
+    / Cavnar & Trenkle 1994 n-gram profiles, with NB giving the proper
+    probabilistic decision rule) that every web-corpus pipeline runs
+    after the cheap heuristic: a model FITTED to the corpus's own
+    language mix instead of hand-tuned stopword lists.
+
+    Returns three vocabulary-bounded frames (broadcast at score time):
+
+    - ``gram``: (lang, g, w) where ``w = log((c+α)/(tot_l+α·V)) −
+      floor_l`` is the log-likelihood EXCESS of gram g over the
+      unseen-gram floor — storing the excess lets scoring inner-join
+      only the grams a language actually saw (missing grams contribute
+      exactly 0 extra),
+    - ``lang``: (lang, floor = log(α/(tot_l+α·V)), prior = log(n_l/N)),
+    - both derived from ONE (lang, gram) count shuffle; V (the global
+      training vocabulary) and N ride in 1-row frames via crossJoin,
+      never a driver collect.
+
+    Scale shape: training state is ≤ |langs|·V rows regardless of
+    corpus size (Heaps-bounded charset³), the classic train-once /
+    broadcast-everywhere shape shared with :func:`train_char_lm`.
+    """
+    grams = _char_trigrams(train, [lang_col], text_col)
+    counts = grams.groupBy(F.col(lang_col).alias("lang"), "g").agg(
+        F.count("*").alias("c")
+    )
+    vocab = counts.select(
+        F.countDistinct("g").cast("double").alias("V")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    n_docs = train.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_l")
+    )
+    n_total = train.select(F.count("*").cast("double").alias("N"))
+    a = F.lit(float(alpha))
+    lang = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(n_docs, "lang")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            F.log(a / (F.col("tot") + a * F.col("V"))).alias("floor"),
+            F.log(F.col("n_l") / F.col("N")).alias("prior"),
+            (F.col("tot") + a * F.col("V")).alias("denom"),
+        )
+    )
+    gram = counts.join(F.broadcast(lang), "lang").select(
+        "lang",
+        "g",
+        (
+            F.log((F.col("c") + a) / F.col("denom"))
+            - F.col("floor")
+        ).alias("w"),
+    )
+    return {"gram": gram, "lang": lang.drop("denom")}
+
+
+def nb_classify(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict[str, DataFrame],
+) -> DataFrame:
+    """Classify documents under :func:`train_nb_langid`'s model.
+
+    ``score(d, l) = prior_l + T_d·floor_l + Σ_{g∈d seen by l} cnt_{d,g}·w_{l,g}``
+
+    — algebraically identical to the full NB sum but the join touches
+    only (doc-gram, lang) rows the language actually saw; every other
+    gram is folded into the single ``T_d·floor_l`` term.  The doc ×
+    lang spine comes from a broadcast crossJoin (|langs| rows), so
+    languages sharing NO gram with a document still score (prior +
+    all-unseen) instead of silently dropping out.
+
+    Returns one row per document: (id, pred_lang, score, n_trigrams).
+    Prediction ties break on lang ascending over the 6-dp-rounded
+    score (rounded BEFORE ranking — the repo's cross-engine rule, so
+    float association drift can't flip the argmax boundary between
+    engines).
+
+    Scale shape: one (doc, gram) count aggregation with map-side
+    partials, an inner join against the BROADCAST gram table, then a
+    per-(doc, lang) partial-agg shuffle of ≤ |langs| rows per doc; the
+    argmax window runs on |docs|·|langs| narrow rows.
+    """
+    grams = _char_trigrams(docs, [id_col], text_col)
+    doc_grams = grams.groupBy(id_col, "g").agg(F.count("*").alias("cnt"))
+    doc_tot = doc_grams.groupBy(id_col).agg(
+        F.sum("cnt").cast("double").alias("T")
+    )
+    matched = (
+        doc_grams.join(F.broadcast(model["gram"]), "g")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("excess"))
+    )
+    spine = doc_tot.crossJoin(F.broadcast(model["lang"]))
+    scored = spine.join(matched, [id_col, "lang"], "left").select(
+        F.col(id_col),
+        "lang",
+        F.round(
+            F.col("prior")
+            + F.col("T") * F.col("floor")
+            + F.coalesce(F.col("excess"), F.lit(0.0)),
+            6,
+        ).alias("score"),
+        F.col("T").cast("long").alias("n_trigrams"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("pred_lang"),
+            "score",
+            "n_trigrams",
+        )
+    )

@@ -502,3 +502,57 @@ def test_kcore_matches_coreness_thresholding(spark):
     for k in (1, 2, 3):
         got = {r.node for r in WG.kcore_subgraph(df, k=k).collect()}
         assert got == {n for n, c in core.items() if c >= k}
+
+
+# ------------------------------------------------- mirror detection
+
+
+def test_mirror_hosts_full_and_partial(spark):
+    rows = (
+        # full mirror: b carries all 4 of its replicas on a
+        [(f"https://a.example/p{i}", f"d{i}") for i in range(1, 5)]
+        + [("https://a.example/extra", "d9")]
+        + [(f"https://b.example/p{i}", f"d{i}") for i in range(1, 5)]
+        # partial: only 2 shared replicas -> below min_shared
+        + [("https://c.example/p1", "d1"), ("https://c.example/p2", "d2"),
+           ("https://c.example/own", "dc")]
+    )
+    df = spark.createDataFrame(rows, ["url", "doc_hash"])
+    got = {
+        (r.host_a, r.host_b): r
+        for r in WG.mirror_hosts(df).collect()
+    }
+    ab = got[("a.example", "b.example")]
+    assert ab.shared_replicas == 4
+    assert (ab.n_a, ab.n_b) == (5, 4)
+    assert ab.containment == 1.0 and ab.is_mirror == 1
+    ac = got[("a.example", "c.example")]
+    assert ac.shared_replicas == 2 and ac.is_mirror == 0
+    assert abs(ac.containment - 2 / 3) < 1e-6
+    assert got[("b.example", "c.example")].is_mirror == 0
+
+
+def test_mirror_hosts_stop_digest_guard(spark):
+    # one boilerplate digest on 20 hosts would create 190 pairs; the
+    # guard drops it before the join, so NO pairs come out at all
+    rows = [(f"https://h{i:02d}.example/boiler", "bp") for i in range(20)]
+    df = spark.createDataFrame(rows, ["url", "doc_hash"])
+    assert WG.mirror_hosts(df).count() == 0
+    # under the fanout cap the same digest is legitimate mirroring
+    few = rows[:4]
+    got = WG.mirror_hosts(
+        spark.createDataFrame(few, ["url", "doc_hash"]),
+        min_shared=1,
+    ).collect()
+    assert len(got) == 6  # C(4,2) host pairs
+
+
+def test_mirror_hosts_same_path_different_bytes_not_shared(spark):
+    # /index everywhere with DIFFERENT bodies must never count
+    rows = [
+        ("https://x.example/index", "dx"),
+        ("https://y.example/index", "dy"),
+    ]
+    assert WG.mirror_hosts(
+        spark.createDataFrame(rows, ["url", "doc_hash"])
+    ).count() == 0

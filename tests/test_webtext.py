@@ -1492,3 +1492,74 @@ def test_canonical_consolidate_relations(spark):
     assert got["u5"] == ("u6", "chained")      # one hop only, flagged
     assert got["u6"] == ("u0", "consolidated")
     assert got["u7"] == ("zz", "external_target")
+
+
+# ------------------------------------- bitext stage-3 content verify
+
+
+def test_bitext_content_gate_anchor_overlap(spark):
+    pairs = spark.createDataFrame(
+        [
+            # translations sharing all anchors (1998, 250, url, 14.5)
+            ("p1",
+             "Founded 1998, 250 staff. See https://x.example/a — up 14.5",
+             "Fondee en 1998, 250 employes. Voir https://x.example/a : 14.5"),
+            # disjoint anchor sets -> overlap 0.0, not verified
+            ("p2", "Call 555:0100 between 9 and 17",
+             "Appelez le 555:0200 entre 8 et 18"),
+            # one side has no anchors -> NULL overlap, not verified
+            ("p3", "Totals: 10, 11 and 12", "Aucun chiffre ici"),
+        ],
+        ["pair", "text_a", "text_b"],
+    )
+    got = {r.pair: r for r in W.bitext_content_gate(
+        pairs, "text_a", "text_b").collect()}
+    assert got["p1"].overlap == 1.0 and got["p1"].is_verified
+    assert got["p2"].overlap == 0.0 and not got["p2"].is_verified
+    assert got["p3"].overlap is None and not got["p3"].is_verified
+    # decimals/dates stay ONE token ("14.5", not "14","5")
+    assert got["p1"].n_anchors_a == 4
+
+
+# ------------------------------- Naive-Bayes language identification
+
+
+def test_nb_langid_learns_separable_languages(spark):
+    docs = spark.createDataFrame(
+        [(f"a{i}", "aa", "the quick brown fox jumps over the lazy dog")
+         for i in range(4)]
+        + [(f"b{i}", "bb", "der schnelle braune fuchs springt ueber den hund")
+           for i in range(4)]
+        + [("t1", "aa", "quick brown dog"), ("t2", "bb", "der braune hund")],
+        ["doc_id", "lang", "text"],
+    )
+    model = W.train_nb_langid(docs, "lang", "text")
+    pred = {r.doc_id: r.pred_lang
+            for r in W.nb_classify(docs, "doc_id", "text", model).collect()}
+    assert pred["t1"] == "aa" and pred["t2"] == "bb"
+    assert all(pred[f"a{i}"] == "aa" for i in range(4))
+    assert all(pred[f"b{i}"] == "bb" for i in range(4))
+
+
+def test_nb_langid_all_oov_doc_still_scores(spark):
+    # a doc whose grams NO language saw must still get a prediction
+    # row (the doc x lang spine is a crossJoin, not the gram join).
+    # On pure-OOV text the score is prior + T*floor; the floor term
+    # scales with T and favors the SMALLER training mass (shallower
+    # unseen-gram floor), which outweighs the majority prior — the
+    # standard multinomial-NB length effect, pinned here so the
+    # oracle's argmax can't silently disagree.
+    train = spark.createDataFrame(
+        [("a1", "aa", "xxxxx yyyyy"), ("a2", "aa", "xxxxx zzzzz"),
+         ("b1", "bb", "qqqqq wwwww")],
+        ["doc_id", "lang", "text"],
+    )
+    model = W.train_nb_langid(train, "lang", "text")
+    probe = spark.createDataFrame(
+        [("p1", "0123456789~!@#$%^&*()")], ["doc_id", "text"]
+    )
+    out = W.nb_classify(probe, "doc_id", "text", model).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_trigrams == 19
+    assert r.pred_lang == "bb"
