@@ -3674,6 +3674,61 @@ def q_nb_langid(spark, sf_dir):
     )
 
 
+#: Wildcard robots fixtures (RFC 9309 §2.2.3): * and $ in path
+#: patterns, a longer-Allow override, a $-anchor defeated by a query
+#: string, a wildcard Allow outranking a shorter Disallow, and an
+#: equal-length tie that must break to Allow.
+_ROBOTS_WILDCARD_FIXTURES = [
+    ("wc.example",
+     "User-agent: *\n"
+     "Disallow: /search*\n"
+     "Allow: /search/help\n"
+     "Disallow: /*.pdf$\n"
+     "Disallow: /a$\n"
+     "Allow: /private/*/public\n"
+     "Disallow: /private\n"
+     "Allow: /dup*\n"
+     "Disallow: /dup$"),
+]
+
+_ROBOTS_WILDCARD_URLS = [
+    "https://wc.example/search/q",
+    "https://wc.example/search/help",
+    "https://wc.example/doc/report.pdf",
+    "https://wc.example/doc/report.pdf?x=1",
+    "https://wc.example/a",
+    "https://wc.example/ab",
+    "https://wc.example/private/x/public",
+    "https://wc.example/private/x/secret",
+    "https://wc.example/dup",
+    "https://nobots.example/anything",
+]
+
+
+def q_robots_wildcard(spark, sf_dir):
+    """RFC 9309 §2.2.3 wildcard path matching: * and $ in Allow/
+    Disallow values, translated to anchored RE2-portable regexes
+    EXPRESSION-ONLY (patterns are data — they arrive in robots.txt
+    bodies), longest-pattern-wins precedence with ties to Allow.
+    /search/help stays allowed under Disallow /search*; the $-anchored
+    /*.pdf$ blocks the bare .pdf url but not its ?query twin; the
+    wildcard Allow /private/*/public outranks Disallow /private; /dup
+    ties /dup* against /dup$ at length 5 and Allow wins."""
+    robots = spark.createDataFrame(
+        _ROBOTS_WILDCARD_FIXTURES, ["host", "robots_txt"]
+    )
+    rules = WT.parse_robots(robots)
+    frontier = spark.createDataFrame(
+        [(u,) for u in _ROBOTS_WILDCARD_URLS], ["url"]
+    )
+    out = WT.robots_wildcard_filter(frontier, rules)
+    # no-match rows keep '' (not NULL) so the contract's sorted-tuple
+    # compare never orders None against str
+    return out.withColumn(
+        "matched_pattern", F.coalesce("matched_pattern", F.lit(""))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4073,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "bitext_verify": q_bitext_verify,
         "nb_langid": q_nb_langid,
+        "robots_wildcard": q_robots_wildcard,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -8636,6 +8692,83 @@ def oracle_sql() -> dict[str, str]:
             FROM pred p JOIN documents d ON p.doc_id = d.doc_id::VARCHAR
             GROUP BY 1, 2
         """,
+        # robots_wildcard: same line grammar as robots_cte over the
+        # wildcard fixtures; pattern -> regex translation mirrors
+        # webtext.robots_pattern_regex (escape all but *, trailing $
+        # anchors, * -> .*); arg_max key identical
+        "robots_wildcard": r"""
+            WITH robots(host, txt) AS (VALUES {RV}),
+            lines AS (
+                SELECT host,
+                       generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
+                       trim(regexp_replace(
+                           unnest(string_split(txt, chr(10))), '#.*$', '')) AS line
+                FROM robots
+            ),
+            parsed AS (
+                SELECT host, ln,
+                       lower(trim(split_part(line, ':', 1))) AS d,
+                       trim(substring(line, instr(line, ':') + 1)) AS v
+                FROM lines WHERE line <> '' AND instr(line, ':') > 0
+            ),
+            grouped AS (
+                SELECT host, d, v,
+                       sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY ln) AS grp
+                FROM parsed
+            ),
+            star AS (
+                SELECT DISTINCT host, grp FROM grouped
+                WHERE d = 'user-agent' AND v = '*'
+            ),
+            rules AS (
+                SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
+                       length(g.v) AS plen
+                FROM grouped g JOIN star USING (host, grp)
+                WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
+            ),
+            rx AS (
+                SELECT host, allow, prefix, plen,
+                       '^' || regexp_replace(
+                           CASE WHEN ends_with(prefix, '$')
+                                THEN substr(e, 1, length(e) - 2)
+                                ELSE e END,
+                           '\*', '.*', 'g')
+                       || CASE WHEN ends_with(prefix, '$')
+                               THEN '$' ELSE '' END AS rx
+                FROM (SELECT *, regexp_replace(prefix,
+                          '([\.\+\?\(\)\[\]\{\}\|\^\$\\])', '\\\1', 'g') AS e
+                      FROM rules)
+            ),
+            frontier AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(url, '^[a-z]+://[^/]*', '')
+                       END AS path
+                FROM (VALUES {UV}) u(url)
+            ),
+            m AS (
+                SELECT f.url, f.host,
+                       arg_max(struct_pack(allow := r.allow,
+                                           prefix := r.prefix),
+                               coalesce(r.plen, -1) * 2
+                               + coalesce(r.allow::INT, 0)) AS best
+                FROM frontier f LEFT JOIN rx r
+                  ON f.host = r.host AND regexp_matches(f.path, r.rx)
+                GROUP BY f.url, f.host
+            )
+            SELECT url, host, coalesce(best.allow, true) AS allowed,
+                   coalesce(best.prefix, '') AS matched_pattern
+            FROM m
+        """.replace("{RV}", ", ".join(
+            "('{}', {})".format(
+                h, " || chr(10) || ".join(
+                    "'{}'".format(ln) for ln in t.split("\n"))
+            )
+            for h, t in _ROBOTS_WILDCARD_FIXTURES
+        )).replace("{UV}", _sql_values([(u,) for u in _ROBOTS_WILDCARD_URLS])),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

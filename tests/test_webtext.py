@@ -1563,3 +1563,50 @@ def test_nb_langid_all_oov_doc_still_scores(spark):
     r = out[0]
     assert r.n_trigrams == 19
     assert r.pred_lang == "bb"
+
+
+# --------------------------- RFC 9309 §2.2.3 wildcard path matching
+
+
+def test_robots_wildcard_matcher(spark):
+    robots = spark.createDataFrame(
+        [("h.example",
+          "User-agent: *\n"
+          "Disallow: /search*\n"
+          "Allow: /search/help\n"
+          "Disallow: /*.pdf$\n"
+          "Disallow: /a$\n"
+          "Allow: /dup*\n"
+          "Disallow: /dup$")],
+        ["host", "robots_txt"],
+    )
+    rules = W.parse_robots(robots)
+    urls = [
+        ("https://h.example/search/q", False),     # /search*
+        ("https://h.example/search/help", True),   # longer Allow wins
+        ("https://h.example/x/r.pdf", False),      # $-anchored
+        ("https://h.example/x/r.pdf?dl=1", True),  # query defeats $
+        ("https://h.example/a", False),            # exact anchor
+        ("https://h.example/ab", True),            # anchor must not prefix
+        ("https://h.example/dup", True),           # length tie -> Allow
+        ("https://other.example/a", True),         # no robots -> allowed
+    ]
+    frontier = spark.createDataFrame([(u,) for u, _ in urls], ["url"])
+    got = {r.url: r.allowed
+           for r in W.robots_wildcard_filter(frontier, rules).collect()}
+    for u, want in urls:
+        assert got[u] is want, u
+
+
+def test_robots_pattern_regex_escapes_metachars(spark):
+    # regex metachars inside patterns stay literal: /p+q(1) must match
+    # exactly /p+q(1)..., never treat + ( ) as regex operators
+    df = spark.createDataFrame(
+        [("/p+q(1)",), ("/w^x",), ("/*.php$",)], ["prefix"]
+    )
+    got = {r.prefix: r.rx for r in df.select(
+        "prefix", W.robots_pattern_regex(F.col("prefix")).alias("rx")
+    ).collect()}
+    assert got["/p+q(1)"] == r"^/p\+q\(1\)"
+    assert got["/w^x"] == r"^/w\^x"
+    assert got["/*.php$"] == r"^/.*\.php$"
