@@ -3729,6 +3729,21 @@ def q_robots_wildcard(spark, sf_dir):
     )
 
 
+def q_contamination_frac(spark, sf_dir):
+    """Graded benchmark contamination (Llama-2/3 appendix method):
+    per-document fraction of 8-token shingle POSITIONS found in the
+    src0 benchmark slice, tiered dirty/partial/clean — the continuous
+    upgrade of the binary decontaminate gate.  Exact duplicates of
+    benchmark docs planted by the corpus land in the dirty tier;
+    positions (not distinct grams) make repeated benchmark sentences
+    count with multiplicity.  Benchmark shingles broadcast; one corpus
+    shingle scan feeds both the total and the hit count."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return WT.contamination_fraction(corpus, bench, "doc_id", "text", n=8)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4129,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_verify": q_bitext_verify,
         "nb_langid": q_nb_langid,
         "robots_wildcard": q_robots_wildcard,
+        "contamination_frac": q_contamination_frac,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -8769,6 +8785,45 @@ def oracle_sql() -> dict[str, str]:
             )
             for h, t in _ROBOTS_WILDCARD_FIXTURES
         )).replace("{UV}", _sql_values([(u,) for u in _ROBOTS_WILDCARD_URLS])),
+        # contamination_frac: same token grammar and md5 shingle keys
+        # as decontaminate; positions counted with multiplicity, frac
+        # rounded before tiering on both engines
+        "contamination_frac": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(t[i:i+7], ' ')) AS g
+                FROM toks,
+                     LATERAL UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+                WHERE len(t) >= 8
+            ),
+            bench AS (
+                SELECT DISTINCT g FROM sh WHERE source = 'src0'
+            ),
+            corp AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'),
+            tot AS (
+                SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1
+            ),
+            hits AS (
+                SELECT c.doc_id, count(*) AS n_hits
+                FROM corp c JOIN bench b USING (g) GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_shingles::BIGINT AS n_shingles,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n_hits, 0)::DOUBLE / t.n_shingles, 6)
+                       AS frac,
+                   CASE WHEN round(coalesce(h.n_hits, 0)::DOUBLE
+                                   / t.n_shingles, 6) >= 0.8 THEN 'dirty'
+                        WHEN round(coalesce(h.n_hits, 0)::DOUBLE
+                                   / t.n_shingles, 6) > 0.2 THEN 'partial'
+                        ELSE 'clean' END AS tier
+            FROM tot t LEFT JOIN hits h USING (doc_id)
+        """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3352,3 +3352,65 @@ def robots_wildcard_filter(
         F.coalesce(F.col("best.__allow"), F.lit(True)).alias("allowed"),
         F.col("best.__prefix").alias("matched_pattern"),
     )
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    dirty_threshold: float = 0.8,
+    clean_threshold: float = 0.2,
+) -> DataFrame:
+    """Graded benchmark contamination (the Llama-2/3 appendix method):
+    instead of :func:`decontaminate`'s binary any-shingle flag, score
+    every corpus document by the FRACTION of its n-token shingle
+    positions that appear in the benchmark set, then tier:
+
+    - ``dirty``  — fraction ≥ ``dirty_threshold`` (drop, or hold out
+      as the "contaminated eval" slice the Llama reports measure),
+    - ``partial`` — between the thresholds (boilerplate/quote overlap;
+      usually kept but reported),
+    - ``clean``  — fraction ≤ ``clean_threshold``.
+
+    Positions, not distinct grams: a document that repeats one
+    benchmark sentence fifty times IS fifty-positions dirty — the
+    memorization-risk measure — while distinct-gram counting would
+    call it one hit.  Documents with fewer than ``n`` tokens have no
+    shingles and no row (same domain as ``decontaminate``; gate them
+    by length upstream).
+
+    Returns (id, n_shingles, n_hits, frac, tier).  Scale shape:
+    benchmark shingles broadcast (suites are tiny), the corpus is ONE
+    shingle scan feeding both the per-doc total and the map-side
+    semi-join hit count — two partial-agg shuffles of one row per doc,
+    never a corpus-by-benchmark join.
+    """
+    bench = (
+        _token_shingle_hashes(benchmark, [], text_col, n)
+        .select("g")
+        .distinct()
+    )
+    cs = _token_shingle_hashes(corpus, [id_col], text_col, n)
+    tot = cs.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        cs.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+        / F.col("n_shingles"),
+        6,
+    )
+    return tot.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        frac.alias("frac"),
+        F.when(frac >= F.lit(float(dirty_threshold)), F.lit("dirty"))
+        .when(frac > F.lit(float(clean_threshold)), F.lit("partial"))
+        .otherwise(F.lit("clean"))
+        .alias("tier"),
+    )

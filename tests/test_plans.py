@@ -715,3 +715,34 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_impact_pruned(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestRound4SessionPlans:
+    """Scale contracts for the mirror / bitext / NB-langid / wildcard
+    family: candidate generation stays equi-join (never cartesian),
+    models and rules broadcast, and everything is JVM-expression-only."""
+
+    def test_mirror_hosts_no_cartesian_no_python(self, spark):
+        plan = plan_of(entry_mod.q_mirror_hosts(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+
+    def test_nb_langid_model_joins_broadcast_no_python(self, spark):
+        plan = plan_of(entry_mod.q_nb_langid(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        # gram-table join + doc x lang spine both ride broadcasts
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "BroadcastNestedLoopJoin" in plan  # the |langs|-row crossJoin
+        assert "CartesianProduct" not in plan
+
+    def test_robots_wildcard_rules_broadcast_no_python(self, spark):
+        plan = plan_of(entry_mod.q_robots_wildcard(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_bitext_verify_expression_only(self, spark):
+        plan = plan_of(entry_mod.q_bitext_verify(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan

@@ -1610,3 +1610,42 @@ def test_robots_pattern_regex_escapes_metachars(spark):
     assert got["/p+q(1)"] == r"^/p\+q\(1\)"
     assert got["/w^x"] == r"^/w\^x"
     assert got["/*.php$"] == r"^/.*\.php$"
+
+
+# -------------------------- graded contamination (Llama-2/3 method)
+
+
+def test_contamination_fraction_tiers(spark):
+    # 16 benchmark tokens -> 9 distinct 8-gram shingles
+    btext = ("alpha beta gamma delta epsilon zeta eta theta "
+             "iota kappa lambda mu nu xi omicron pi")
+    bench = spark.createDataFrame([("b1", btext)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            # exact copy -> 9/9 hits -> dirty
+            ("d1", btext),
+            # benchmark quoted inside fresh text: 29 tokens -> 22
+            # shingles, 9 hits -> 0.409 -> partial
+            ("d2", "intro words here " + btext
+                   + " and then a clean tail follows with extra "
+                     "tokens here"),
+            # no overlap -> clean, zero hits, still a row
+            ("d3", "one two three four five six seven eight nine ten"),
+            # benchmark twice: 32 tokens -> 25 shingles; both copies'
+            # windows hit (2 x 9 = 18), seam windows miss -> positions
+            # count with MULTIPLICITY (distinct-gram counting would
+            # report 9)
+            ("d4", btext + " " + btext),
+            # under 8 tokens -> no shingles, NO row
+            ("d5", "too short for shingles"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in W.contamination_fraction(
+        corpus, bench, "doc_id", "text", n=8).collect()}
+    assert set(got) == {"d1", "d2", "d3", "d4"}
+    assert got["d1"].tier == "dirty" and got["d1"].frac == 1.0
+    assert got["d2"].tier == "partial" and 0.2 < got["d2"].frac < 0.8
+    assert got["d3"].tier == "clean" and got["d3"].n_hits == 0
+    assert got["d4"].n_hits == 18 and got["d4"].n_shingles == 25
+    assert got["d4"].tier == "partial"
