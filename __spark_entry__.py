@@ -3744,6 +3744,42 @@ def q_contamination_frac(spark, sf_dir):
     return WT.contamination_fraction(corpus, bench, "doc_id", "text", n=8)
 
 
+def q_audio_dups(spark, sf_dir):
+    """Perceptual audio near-dup detection — multimodal x dedup: real
+    PCM16 WAV decode -> 64-bit Haitsma-Kalker energy-delta fingerprint
+    -> the SAME pigeonhole-banded Hamming join the SimHash/image paths
+    use.  Fixture clips are synthesized deterministically (12 seeded
+    sine-mix bases x 4 variants: amplitude-scaled — fingerprint-
+    identical by construction, mild additive noise, unrelated
+    material); rows-only oracle (DuckDB cannot decode audio), pytest
+    pins the pair set against brute-force Hamming."""
+    import numpy as np
+
+    from clawrag_spark import multimodal as MM
+
+    t = np.arange(8000) / 16000.0
+    rows = []
+    for clip_id in range(48):
+        b, v = clip_id % 12, clip_id // 12
+        rng = np.random.default_rng(3000 + b)
+        f1, f2 = rng.uniform(200, 1800, 2)
+        sig = 9000 * (np.sin(2 * np.pi * f1 * t)
+                      + 0.5 * np.sin(2 * np.pi * f2 * t)
+                      + 0.2 * rng.standard_normal(len(t)))
+        if v == 1:      # amplitude scale: sign-invariant by design
+            sig = sig * 0.5
+        elif v == 2:    # mild additive noise
+            sig = sig + 300 * np.random.default_rng(4000 + b).standard_normal(len(t))
+        elif v == 3:    # unrelated material
+            rng3 = np.random.default_rng(7000 + clip_id)
+            f3 = rng3.uniform(200, 1800)
+            sig = 9000 * np.sin(2 * np.pi * f3 * t) * np.exp(-3 * t)
+        wav = MM.encode_wav(np.clip(sig, -32768, 32767).astype(np.int16))
+        rows.append((f"clip_{clip_id:02d}", bytearray(wav)))
+    media = spark.createDataFrame(rows, ["clip_id", "media"])
+    return MM.audio_near_dups(media, "clip_id", max_hamming=6)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4145,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid": q_nb_langid,
         "robots_wildcard": q_robots_wildcard,
         "contamination_frac": q_contamination_frac,
+        "audio_dups": q_audio_dups,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,

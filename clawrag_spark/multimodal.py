@@ -1405,3 +1405,108 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- audio fingerprint
+
+#: frames x (bands-1) deltas = 16 x 4 = 64 fingerprint bits
+_AFP_FRAMES = 17
+_AFP_BANDS = 5
+
+
+def afp64_py(samples: np.ndarray) -> int:
+    """64-bit perceptual audio fingerprint — the Haitsma-Kalker (2002)
+    energy-delta-sign design chromaprint descends from, sized to the
+    repo's 64-bit Hamming-join convention:
+
+    - mono-mix, split into 17 equal frames (time-normalized: the same
+      clip at any amplitude, or zero-padded to a different length by
+      ≤ one frame, keeps its bits),
+    - per frame, DCT magnitude spectrum summed into 5 log-ish bands,
+    - bit(n, m) = sign of the time-delta of the band-delta
+      ``(E(n,m) − E(n,m+1)) − (E(n−1,m) − E(n−1,m+1))`` — 16 frame
+      transitions × 4 band transitions = 64 bits.
+
+    Sign-of-difference is amplitude-invariant (uniform gain scales
+    every energy, never flips a delta) and robust to mild additive
+    noise; totally different program material flips ~half the bits.
+    Deterministic numpy, no codec dependency — the fingerprint runs on
+    anything :func:`decode_wav` yields.
+    """
+    if samples.ndim == 2:
+        mono = samples.astype(np.float64).mean(axis=1)
+    else:
+        mono = samples.astype(np.float64)
+    n = (len(mono) // _AFP_FRAMES) * _AFP_FRAMES
+    if n == 0:
+        return 0
+    frames = mono[:n].reshape(_AFP_FRAMES, -1)
+    flen = frames.shape[1]
+    basis = _dct_basis(flen) if flen <= 64 else None
+    energies = np.empty((_AFP_FRAMES, _AFP_BANDS))
+    for i, fr in enumerate(frames):
+        if basis is not None:
+            spec = np.abs(basis @ fr)
+        else:
+            # rfft magnitude is the DCT stand-in for long frames
+            spec = np.abs(np.fft.rfft(fr))
+        cuts = np.linspace(0, len(spec), _AFP_BANDS + 1).astype(int)
+        energies[i] = [
+            float((spec[a:b] ** 2).sum()) for a, b in zip(cuts[:-1], cuts[1:])
+        ]
+    band_delta = energies[:, :-1] - energies[:, 1:]          # (17, 4)
+    time_delta = band_delta[1:] - band_delta[:-1]            # (16, 4)
+    bits = (time_delta > 0).astype(np.uint64).ravel()
+    fp = np.uint64(0)
+    for b in bits:
+        fp = (fp << np.uint64(1)) | b
+    # map to signed 64-bit (Spark LongType), same convention as pHash
+    return int(np.int64(fp))
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprints(
+    media_df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """(id, afp) for every decodable WAV payload — one Arrow pass, the
+    audio twin of ``image_hashes``; undecodable payloads are skipped
+    (they belong to the metadata stand-in path, not the dedup join)."""
+
+    def run(iterator):
+        for batch in iterator:
+            ids, fps = [], []
+            for cid, payload in zip(batch[id_col], batch[media_col]):
+                try:
+                    samples, _rate = decode_wav(bytes(payload))
+                except (ValueError, IndexError, KeyError):
+                    continue
+                ids.append(str(cid))
+                fps.append(afp64_py(samples))
+            yield pd.DataFrame({"clip_id": ids, "afp": fps})
+
+    return media_df.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(media_col)
+    ).mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(
+    media_df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual audio near-dup pairs: fingerprint pass → the SAME
+    pigeonhole-banded Hamming self-join the SimHash/image paths use
+    (``dataset.hamming_band_pairs``) — at 10^12 clips the decode pass
+    is the only audio touch; the join shuffles 8-byte fingerprints."""
+    from .operators.dataset import hamming_band_pairs
+
+    hashed = audio_fingerprints(media_df, id_col, media_col)
+    return hamming_band_pairs(hashed, "clip_id", "afp", max_hamming)

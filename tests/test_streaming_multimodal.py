@@ -995,3 +995,77 @@ class TestImageNearDup:
 
         with pytest.raises(ValueError):
             MM.image_hashes(None, "img_id", method="dhash")
+
+
+class TestAudioFingerprint:
+    """64-bit Haitsma-Kalker energy-delta fingerprint + the shared
+    banded Hamming join: amplitude invariance, noise robustness, and
+    band-join completeness vs brute-force Hamming."""
+
+    @staticmethod
+    def _clip(seed, scale=1.0, noise=0.0, other=False):
+        from clawrag_spark.multimodal import encode_wav
+
+        t = np.arange(8000) / 16000.0
+        rng = np.random.default_rng(seed)
+        f1, f2 = rng.uniform(200, 1800, 2)
+        if other:
+            sig = 9000 * np.sin(2 * np.pi * (f1 / 2 + 333) * t) * np.exp(-3 * t)
+        else:
+            sig = 9000 * (np.sin(2 * np.pi * f1 * t)
+                          + 0.5 * np.sin(2 * np.pi * f2 * t)
+                          + 0.2 * rng.standard_normal(len(t)))
+        sig = sig * scale
+        if noise:
+            sig = sig + noise * np.random.default_rng(seed + 1).standard_normal(len(t))
+        return encode_wav(np.clip(sig, -32768, 32767).astype(np.int16))
+
+    def test_afp_amplitude_invariant_noise_robust(self):
+        from clawrag_spark.multimodal import afp64_py, decode_wav
+
+        base, _ = decode_wav(self._clip(11))
+        half, _ = decode_wav(self._clip(11, scale=0.5))
+        noisy, _ = decode_wav(self._clip(11, noise=300))
+        other, _ = decode_wav(self._clip(11, other=True))
+        f0, fh = afp64_py(base), afp64_py(half)
+        fn, fo = afp64_py(noisy), afp64_py(other)
+
+        def ham(a, b):
+            return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+        assert f0 == fh                      # gain never flips a sign
+        assert ham(f0, fn) <= 6              # mild noise: near-dup
+        assert ham(f0, fo) > 12              # different material: far
+
+    def test_audio_banded_pairs_match_brute_force(self, spark):
+        from clawrag_spark.multimodal import (
+            afp64_py, audio_near_dups, decode_wav,
+        )
+
+        payloads = {}
+        for b in range(6):
+            payloads[f"c{b}_base"] = self._clip(100 + b)
+            payloads[f"c{b}_half"] = self._clip(100 + b, scale=0.5)
+            payloads[f"c{b}_noisy"] = self._clip(100 + b, noise=120)
+            payloads[f"c{b}_other"] = self._clip(100 + b, other=True)
+        media = spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in payloads.items()],
+            ["clip_id", "media"],
+        )
+        got = {
+            tuple(sorted((r.doc_a, r.doc_b)))
+            for r in audio_near_dups(media, "clip_id", max_hamming=6).collect()
+        }
+        fps = {k: afp64_py(decode_wav(v)[0]) for k, v in payloads.items()}
+        keys = sorted(fps)
+        want = {
+            (a, b)
+            for i, a in enumerate(keys)
+            for b in keys[i + 1:]
+            if bin((fps[a] ^ fps[b]) & (2 ** 64 - 1)).count("1") <= 6
+        }
+        assert got == want
+        # every base pairs with its gain/noise variants
+        for b in range(6):
+            assert (f"c{b}_base", f"c{b}_half") in got
+            assert (f"c{b}_base", f"c{b}_noisy") in got
