@@ -3780,6 +3780,53 @@ def q_audio_dups(spark, sf_dir):
     return MM.audio_near_dups(media, "clip_id", max_hamming=6)
 
 
+#: Fetch statuses for the robots-status fixtures: wc.example serves
+#: its wildcard rules (200), err4 is 404 (unavailable -> allow all
+#: even with a cached Disallow-everything body), err5 is 503
+#: (unreachable -> block all despite an Allow-everything body), and
+#: nobots.example never appears (no robots fetched).
+_ROBOTS_STATUS_FIXTURES = [
+    ("wc.example", 200),
+    ("err4.example", 404),
+    ("err5.example", 503),
+]
+
+_ROBOTS_STATUS_EXTRA = [
+    ("err4.example", "User-agent: *\nDisallow: /"),
+    ("err5.example", "User-agent: *\nAllow: /"),
+]
+
+_ROBOTS_STATUS_URLS = _ROBOTS_WILDCARD_URLS + [
+    "https://err4.example/page",
+    "https://err5.example/page",
+]
+
+
+def q_robots_status(spark, sf_dir):
+    """RFC 9309 §2.3.1 fetch-status gate composed over the wildcard
+    matcher: a 4xx robots.txt is 'unavailable' (crawler MAY fetch
+    everything — the cached Disallow-/ body is void), a 5xx is
+    'unreachable' (MUST assume complete disallow — even with an
+    Allow-everything body), 2xx applies the rules, and a host with no
+    fetch record keeps the matcher's default-allow with reason
+    no_robots.  Status ledger broadcasts; one verdict scan."""
+    robots = spark.createDataFrame(
+        _ROBOTS_WILDCARD_FIXTURES + _ROBOTS_STATUS_EXTRA,
+        ["host", "robots_txt"],
+    )
+    rules = WT.parse_robots(robots)
+    frontier = spark.createDataFrame(
+        [(u,) for u in _ROBOTS_STATUS_URLS], ["url"]
+    )
+    gated = WT.robots_wildcard_filter(frontier, rules).withColumn(
+        "matched_pattern", F.coalesce("matched_pattern", F.lit(""))
+    )
+    statuses = spark.createDataFrame(
+        _ROBOTS_STATUS_FIXTURES, ["host", "status"]
+    )
+    return WT.apply_robots_status(gated, statuses).drop("status")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4182,6 +4229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard": q_robots_wildcard,
         "contamination_frac": q_contamination_frac,
         "audio_dups": q_audio_dups,
+        "robots_status": q_robots_status,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -8861,6 +8909,95 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'clean' END AS tier
             FROM tot t LEFT JOIN hits h USING (doc_id)
         """,
+        # robots_status: the wildcard chain over the extended fixtures
+        # + the §2.3.1 status override CASE
+        "robots_status": r"""
+            WITH robots(host, txt) AS (VALUES {RV}),
+            lines AS (
+                SELECT host,
+                       generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
+                       trim(regexp_replace(
+                           unnest(string_split(txt, chr(10))), '#.*$', '')) AS line
+                FROM robots
+            ),
+            parsed AS (
+                SELECT host, ln,
+                       lower(trim(split_part(line, ':', 1))) AS d,
+                       trim(substring(line, instr(line, ':') + 1)) AS v
+                FROM lines WHERE line <> '' AND instr(line, ':') > 0
+            ),
+            grouped AS (
+                SELECT host, d, v,
+                       sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY ln) AS grp
+                FROM parsed
+            ),
+            star AS (
+                SELECT DISTINCT host, grp FROM grouped
+                WHERE d = 'user-agent' AND v = '*'
+            ),
+            rules AS (
+                SELECT g.host, g.d = 'allow' AS allow, g.v AS prefix,
+                       length(g.v) AS plen
+                FROM grouped g JOIN star USING (host, grp)
+                WHERE g.d IN ('allow', 'disallow') AND g.v <> ''
+            ),
+            rx AS (
+                SELECT host, allow, prefix, plen,
+                       '^' || regexp_replace(
+                           CASE WHEN ends_with(prefix, '$')
+                                THEN substr(e, 1, length(e) - 2)
+                                ELSE e END,
+                           '\*', '.*', 'g')
+                       || CASE WHEN ends_with(prefix, '$')
+                               THEN '$' ELSE '' END AS rx
+                FROM (SELECT *, regexp_replace(prefix,
+                          '([\.\+\?\(\)\[\]\{\}\|\^\$\\])', '\\\1', 'g') AS e
+                      FROM rules)
+            ),
+            frontier AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       CASE WHEN regexp_replace(url, '^[a-z]+://[^/]*', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(url, '^[a-z]+://[^/]*', '')
+                       END AS path
+                FROM (VALUES {UV}) u(url)
+            ),
+            m AS (
+                SELECT f.url, f.host,
+                       arg_max(struct_pack(allow := r.allow,
+                                           prefix := r.prefix),
+                               coalesce(r.plen, -1) * 2
+                               + coalesce(r.allow::INT, 0)) AS best
+                FROM frontier f LEFT JOIN rx r
+                  ON f.host = r.host AND regexp_matches(f.path, r.rx)
+                GROUP BY f.url, f.host
+            ),
+            verdict AS (
+                SELECT url, host, coalesce(best.allow, true) AS allowed,
+                       coalesce(best.prefix, '') AS matched_pattern
+                FROM m
+            ),
+            st(host, status) AS (VALUES {SV})
+            SELECT v.url, v.host, v.matched_pattern,
+                   CASE WHEN s.status BETWEEN 400 AND 499 THEN true
+                        WHEN s.status BETWEEN 500 AND 599 THEN false
+                        ELSE v.allowed END AS allowed,
+                   CASE WHEN s.status BETWEEN 400 AND 499 THEN 'unavailable'
+                        WHEN s.status BETWEEN 500 AND 599 THEN 'unreachable'
+                        WHEN s.status IS NULL THEN 'no_robots'
+                        ELSE 'rules' END AS reason
+            FROM verdict v LEFT JOIN st s ON v.host = s.host
+        """.replace("{RV}", ", ".join(
+            "('{}', {})".format(
+                h, " || chr(10) || ".join(
+                    "'{}'".format(ln) for ln in t.split("\n"))
+            )
+            for h, t in _ROBOTS_WILDCARD_FIXTURES + _ROBOTS_STATUS_EXTRA
+        )).replace("{UV}", _sql_values([(u,) for u in _ROBOTS_STATUS_URLS]))
+           .replace("{SV}", ", ".join(
+               "('{}', {})".format(h, s) for h, s in _ROBOTS_STATUS_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3414,3 +3414,44 @@ def contamination_fraction(
         .otherwise(F.lit("clean"))
         .alias("tier"),
     )
+
+
+def apply_robots_status(
+    gated: DataFrame, statuses: DataFrame
+) -> DataFrame:
+    """RFC 9309 §2.3.1 fetch-status semantics over a matcher verdict
+    (:func:`robots_filter` / :func:`robots_wildcard_filter` output):
+
+    - 400–499 — robots.txt "unavailable": the crawler MAY access any
+      resource (the parsed rules, if any cached, are void) →
+      ``allowed = true``, reason ``unavailable``,
+    - 500–599 — "unreachable": MUST assume complete disallow →
+      ``allowed = false``, reason ``unreachable``,
+    - 2xx (or any other recorded status) — the rule decision stands,
+      reason ``rules``,
+    - host absent from the status table (robots never fetched — the
+      no-robots.txt host) — the matcher's default-allow stands,
+      reason ``no_robots``.
+
+    The status table is one row per HOST (fetch-ledger-sized), so it
+    broadcasts; the verdict frame is scanned once.  This is the gate
+    ordering real crawlers run: status short-circuits BEFORE any rule
+    content is consulted.
+    """
+    st = statuses.select(F.col("host").alias("__s_host"), "status")
+    joined = gated.join(
+        F.broadcast(st), gated["host"] == st["__s_host"], "left"
+    )
+    s = F.col("status")
+    return joined.select(
+        *[gated[c] for c in gated.columns if c != "allowed"],
+        F.when((s >= 400) & (s <= 499), F.lit(True))
+        .when((s >= 500) & (s <= 599), F.lit(False))
+        .otherwise(F.col("allowed"))
+        .alias("allowed"),
+        F.when((s >= 400) & (s <= 499), F.lit("unavailable"))
+        .when((s >= 500) & (s <= 599), F.lit("unreachable"))
+        .when(s.isNull(), F.lit("no_robots"))
+        .otherwise(F.lit("rules"))
+        .alias("reason"),
+    )

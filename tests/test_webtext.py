@@ -1649,3 +1649,32 @@ def test_contamination_fraction_tiers(spark):
     assert got["d3"].tier == "clean" and got["d3"].n_hits == 0
     assert got["d4"].n_hits == 18 and got["d4"].n_shingles == 25
     assert got["d4"].tier == "partial"
+
+
+def test_robots_status_semantics(spark):
+    # RFC 9309 §2.3.1: 4xx voids even a Disallow-/ body; 5xx blocks
+    # even an Allow-/ body; 200 applies rules; absent host = no_robots
+    robots = spark.createDataFrame(
+        [("ok.example", "User-agent: *\nDisallow: /x"),
+         ("gone.example", "User-agent: *\nDisallow: /"),
+         ("down.example", "User-agent: *\nAllow: /")],
+        ["host", "robots_txt"],
+    )
+    rules = W.parse_robots(robots)
+    urls = ["https://ok.example/x/1", "https://ok.example/y",
+            "https://gone.example/a", "https://down.example/a",
+            "https://never.example/a"]
+    frontier = spark.createDataFrame([(u,) for u in urls], ["url"])
+    statuses = spark.createDataFrame(
+        [("ok.example", 200), ("gone.example", 404),
+         ("down.example", 503)],
+        ["host", "status"],
+    )
+    gated = W.robots_wildcard_filter(frontier, rules)
+    got = {r.url: (r.allowed, r.reason)
+           for r in W.apply_robots_status(gated, statuses).collect()}
+    assert got["https://ok.example/x/1"] == (False, "rules")
+    assert got["https://ok.example/y"] == (True, "rules")
+    assert got["https://gone.example/a"] == (True, "unavailable")
+    assert got["https://down.example/a"] == (False, "unreachable")
+    assert got["https://never.example/a"] == (True, "no_robots")
