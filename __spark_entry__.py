@@ -3827,6 +3827,60 @@ def q_robots_status(spark, sf_dir):
     return WT.apply_robots_status(gated, statuses).drop("status")
 
 
+def q_jsonld_records(spark, sf_dir):
+    """schema.org JSON-LD record extraction — the structured-data pull
+    that turns a crawl into a news/product corpus: block regex staged
+    once, then real JSON-path probes (get_json_object, JVM-side) for
+    @type, headline/name, datePublished, offers.price, author.name.
+    The documents fixture carries no HTML, so a deterministic page
+    wraps each doc: %3==0 gets an Article (nested author), else %4==0
+    a Product (nested offers), else no block (no row) — presence,
+    absence, and NULL-field paths all exercised.  Oracle replicates
+    the construction and probes with json_extract_string under
+    json_valid guards (DuckDB raises on malformed JSON where Spark
+    yields NULL)."""
+    docs = _load(spark, sf_dir, "documents")
+    w3 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    article = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"Article","headline":"'),
+        w3,
+        F.lit('","datePublished":"'),
+        F.format_string("2024-%02d-01", (F.col("doc_id") % 12 + 1).cast("int")),
+        F.lit('","author":{"@type":"Person","name":"Author '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"}}'),
+    )
+    product = F.concat(
+        F.lit('{"@type":"Product","name":"'), w3,
+        F.lit('","offers":{"price":"'),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit('.99","priceCurrency":"USD"}}'),
+    )
+    blk = (
+        F.when(F.col("doc_id") % 3 == 0, article)
+        .when(F.col("doc_id") % 4 == 0, product)
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.when(
+            blk != "",
+            F.concat(F.lit('<script type="application/ld+json">'), blk,
+                     F.lit("</script>")),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html_str"))
+    out = WT.jsonld_records(pages, "doc_id", "html_str")
+    # absent fields -> '' so the contract's sorted-tuple compare never
+    # orders None against str (NULL semantics pinned in pytest)
+    return out.select(
+        "doc_id", "jtype", "title",
+        *[F.coalesce(c, F.lit("")).alias(c)
+          for c in ("date_published", "price", "author_name")],
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4230,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_frac": q_contamination_frac,
         "audio_dups": q_audio_dups,
         "robots_status": q_robots_status,
+        "jsonld_records": q_jsonld_records,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -8998,6 +9053,51 @@ def oracle_sql() -> dict[str, str]:
         )).replace("{UV}", _sql_values([(u,) for u in _ROBOTS_STATUS_URLS]))
            .replace("{SV}", ", ".join(
                "('{}', {})".format(h, s) for h, s in _ROBOTS_STATUS_FIXTURES)),
+        # jsonld_records: identical page construction, block regex and
+        # JSON paths; json_valid guards where Spark's get_json_object
+        # NULLs on malformed input
+        "jsonld_records": """
+            WITH docs AS (
+                SELECT doc_id,
+                       array_to_string((string_split(text, ' '))[1:3], ' ')
+                           AS w3
+                FROM documents
+            ),
+            blk AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 3 = 0 THEN
+                           '{"@context":"https://schema.org","@type":"Article","headline":"'
+                           || w3 || '","datePublished":"'
+                           || printf('2024-%02d-01', (doc_id % 12 + 1)::INT)
+                           || '","author":{"@type":"Person","name":"Author '
+                           || (doc_id % 7)::VARCHAR || '"}}'
+                         WHEN doc_id % 4 = 0 THEN
+                           '{"@type":"Product","name":"' || w3
+                           || '","offers":{"price":"'
+                           || (doc_id % 90 + 10)::VARCHAR
+                           || '.99","priceCurrency":"USD"}}'
+                         ELSE ''
+                       END AS b
+                FROM docs
+            )
+            SELECT doc_id,
+                   CASE WHEN json_valid(b)
+                        THEN json_extract_string(b, '$."@type"') END AS jtype,
+                   CASE WHEN json_valid(b) THEN
+                        coalesce(json_extract_string(b, '$.headline'),
+                                 json_extract_string(b, '$.name')) END AS title,
+                   coalesce(CASE WHEN json_valid(b)
+                        THEN json_extract_string(b, '$.datePublished') END,
+                        '') AS date_published,
+                   coalesce(CASE WHEN json_valid(b)
+                        THEN json_extract_string(b, '$.offers.price') END,
+                        '') AS price,
+                   coalesce(CASE WHEN json_valid(b)
+                        THEN json_extract_string(b, '$.author.name') END,
+                        '') AS author_name
+            FROM blk WHERE b <> ''
+        """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

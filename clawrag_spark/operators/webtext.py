@@ -3455,3 +3455,54 @@ def apply_robots_status(
         .otherwise(F.lit("rules"))
         .alias("reason"),
     )
+
+
+# --------------------------------------- schema.org JSON-LD records
+
+#: the <script type="application/ld+json"> block matcher — non-greedy
+#: body, RE2-portable (no lookaround), shared with the SQL oracle
+_JSONLD_BLOCK_RE = r'<script type="application/ld\+json">(.*?)</script>'
+
+
+def jsonld_records(
+    pages: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """Structured schema.org record extraction from embedded JSON-LD —
+    how news/product corpora get built from a crawl: pull the
+    ``application/ld+json`` block, then REAL JSON-path extraction
+    (``get_json_object``, JVM-side) for the fields a dataset keeps:
+
+    (id, jtype, title, date_published, price, author_name)
+
+    - ``jtype``: the record's ``@type`` (Article, Product, ...),
+    - ``title``: ``headline`` (articles) falling back to ``name``
+      (products and everything else),
+    - ``date_published`` / ``price`` / ``author_name``: nested paths
+      (``$.author.name``, ``$.offers.price``) — NULL when the type
+      doesn't carry them.
+
+    Pages without a JSON-LD block yield no row.  This upgrades
+    :func:`page_metadata`'s @type-only regex pull to real parsing;
+    malformed JSON yields NULLs (get_json_object's behavior), never an
+    error — crawl data is hostile.
+
+    Scale shape: one scan, two projections (block pull staged before
+    the json probes so the regex runs once per page, not once per
+    field), zero Python, zero shuffle.
+    """
+    staged = pages.select(
+        F.col(id_col),
+        F.regexp_extract(F.col(html_col), _JSONLD_BLOCK_RE, 1).alias("__b"),
+    ).filter(F.col("__b") != "")
+    b = F.col("__b")
+    return staged.select(
+        F.col(id_col),
+        F.get_json_object(b, "$['@type']").alias("jtype"),
+        F.coalesce(
+            F.get_json_object(b, "$.headline"),
+            F.get_json_object(b, "$.name"),
+        ).alias("title"),
+        F.get_json_object(b, "$.datePublished").alias("date_published"),
+        F.get_json_object(b, "$.offers.price").alias("price"),
+        F.get_json_object(b, "$.author.name").alias("author_name"),
+    )

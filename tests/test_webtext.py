@@ -1678,3 +1678,39 @@ def test_robots_status_semantics(spark):
     assert got["https://gone.example/a"] == (True, "unavailable")
     assert got["https://down.example/a"] == (False, "unreachable")
     assert got["https://never.example/a"] == (True, "no_robots")
+
+
+# ------------------------------------------ schema.org JSON-LD parse
+
+
+def test_jsonld_records_parse_and_null_semantics(spark):
+    pages = spark.createDataFrame(
+        [
+            ("p1", '<head><script type="application/ld+json">'
+                   '{"@type":"Article","headline":"big news",'
+                   '"datePublished":"2024-05-01",'
+                   '"author":{"@type":"Person","name":"Ann"}}'
+                   "</script></head>"),
+            ("p2", '<head><script type="application/ld+json">'
+                   '{"@type":"Product","name":"widget",'
+                   '"offers":{"price":"9.99"}}</script></head>'),
+            # crawl data is hostile: malformed JSON -> row with NULLs
+            ("p3", '<head><script type="application/ld+json">'
+                   "{not valid json</script></head>"),
+            # no block at all -> no row
+            ("p4", "<head><title>t</title></head>"),
+        ],
+        ["page_id", "html"],
+    )
+    got = {r.page_id: r for r in W.jsonld_records(
+        pages, "page_id", "html").collect()}
+    assert set(got) == {"p1", "p2", "p3"}
+    a = got["p1"]
+    assert (a.jtype, a.title, a.date_published, a.author_name) == (
+        "Article", "big news", "2024-05-01", "Ann")
+    assert a.price is None
+    p = got["p2"]
+    assert (p.jtype, p.title, p.price) == ("Product", "widget", "9.99")
+    assert p.date_published is None and p.author_name is None
+    bad = got["p3"]
+    assert bad.jtype is None and bad.title is None
