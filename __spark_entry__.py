@@ -3881,6 +3881,17 @@ def q_jsonld_records(spark, sf_dir):
     )
 
 
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-n corpus diversity per language (distinct-1/2/3) — the
+    dataset-card metric that catches slot-template farms per-doc dedup
+    misses: total positions vs distinct n-grams and their ratio, per
+    (lang, n).  Shares the corpus token grammar and md5 shingle keys
+    with the dedup family; exact COUNT(DISTINCT) here (bit-identical
+    oracle), approx_count_distinct at warehouse scale."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.ngram_diversity(docs, "lang", "text", ns=(1, 2, 3))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4285,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dups": q_audio_dups,
         "robots_status": q_robots_status,
         "jsonld_records": q_jsonld_records,
+        "ngram_diversity": q_ngram_diversity,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9097,6 +9109,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract_string(b, '$.author.name') END,
                         '') AS author_name
             FROM blk WHERE b <> ''
+        """,
+        # ngram_diversity: same token grammar + md5 shingles, one arm
+        # per n, exact distinct counts
+        "ngram_diversity": """
+            WITH toks AS (
+                SELECT lang,
+                       list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents
+            ),
+            arm AS (
+                SELECT lang, 1 AS n, md5(array_to_string(t[i:i], ' ')) AS g
+                FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS u(i)
+                WHERE len(t) >= 1
+                UNION ALL
+                SELECT lang, 2, md5(array_to_string(t[i:i+1], ' '))
+                FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 2
+                UNION ALL
+                SELECT lang, 3, md5(array_to_string(t[i:i+2], ' '))
+                FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+                WHERE len(t) >= 3
+            )
+            SELECT lang, n::INT AS n, count(*)::BIGINT AS total,
+                   count(DISTINCT g)::BIGINT AS n_distinct,
+                   round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
+            FROM arm GROUP BY lang, n
         """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures

@@ -3506,3 +3506,49 @@ def jsonld_records(
         F.get_json_object(b, "$.offers.price").alias("price"),
         F.get_json_object(b, "$.author.name").alias("author_name"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    ns: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n corpus diversity (Li et al. 2016's distinct-1/2,
+    generalized) per group — the dataset-card line that catches
+    template farms before training: a source whose distinct-2 ratio
+    collapses is serving the same page with substituted slot values,
+    which per-document dedup can miss entirely.
+
+    Per (group, n): total n-gram positions, distinct n-grams, and
+    ``diversity = distinct / total``.  Shares the corpus token grammar
+    (:func:`_token_shingle_hashes`, md5 keys) with the dedup family;
+    documents shorter than n tokens contribute nothing at that n.
+
+    Scale shape: one shingle scan per n feeding a (group, gram)
+    aggregate with map-side partials; the exact COUNT(DISTINCT) keeps
+    the oracle bit-identical at test scale — at warehouse scale swap
+    in approx_count_distinct (HLL, one pass, mergeable), same call
+    shape.
+    """
+    outs = []
+    for n in ns:
+        sh = _token_shingle_hashes(docs, [group_col], text_col, int(n))
+        outs.append(
+            sh.groupBy(group_col).agg(
+                F.count("*").alias("total"),
+                F.count_distinct("g").alias("n_distinct"),
+            ).select(
+                F.col(group_col),
+                F.lit(int(n)).alias("n"),
+                F.col("total"),
+                F.col("n_distinct"),
+                F.round(
+                    F.col("n_distinct").cast("double") / F.col("total"), 6
+                ).alias("diversity"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

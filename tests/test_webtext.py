@@ -1714,3 +1714,23 @@ def test_jsonld_records_parse_and_null_semantics(spark):
     assert p.date_published is None and p.author_name is None
     bad = got["p3"]
     assert bad.jtype is None and bad.title is None
+
+
+def test_ngram_diversity_catches_template_farm(spark):
+    # slot-template source: same sentence, one substituted token ->
+    # distinct-2 collapses; diverse source stays near 1.0
+    farm = [(f"f{i}", "farm",
+             f"best price and free shipping for every order of widget{i}")
+            for i in range(20)]
+    diverse = [("d0", "var", "the quick brown fox jumps over lazy dogs"),
+               ("d1", "var", "rivers carve canyons through ancient stone"),
+               ("d2", "var", "quantum sensors measure gravity with atoms")]
+    docs = spark.createDataFrame(farm + diverse,
+                                 ["doc_id", "source", "text"])
+    got = {(r.source, r.n): r for r in W.ngram_diversity(
+        docs, "source", "text", ns=(2,)).collect()}
+    assert got[("var", 2)].diversity == 1.0
+    assert got[("farm", 2)].diversity < 0.5
+    # totals: 20 farm docs x 9 bigrams; var docs carry 7 + 5 + 5
+    assert got[("farm", 2)].total == 180
+    assert got[("var", 2)].total == 17
