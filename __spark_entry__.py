@@ -3892,6 +3892,44 @@ def q_ngram_diversity(spark, sf_dir):
     return WT.ngram_diversity(docs, "lang", "text", ns=(1, 2, 3))
 
 
+#: hreflang fixture pages: a reciprocal en<->fr pair (each page also
+#: carries the spec-required self row and an x-default), a one-sided
+#: declaration (stale alternate), and a page with no alternates.
+_HREFLANG_FIXTURES = [
+    ("https://hl.example/en/home",
+     '<html><head>'
+     '<link rel="alternate" hreflang="en" href="https://hl.example/en/home">'
+     '<link rel="alternate" hreflang="fr" href="https://hl.example/fr/home">'
+     '<link rel="alternate" hreflang="x-default" href="https://hl.example/">'
+     "</head><body>home</body></html>"),
+    ("https://hl.example/fr/home",
+     '<html><head>'
+     '<link rel="alternate" hreflang="fr" href="https://hl.example/fr/home">'
+     '<link rel="alternate" hreflang="en" href="https://hl.example/en/home">'
+     "</head><body>accueil</body></html>"),
+    ("https://hl.example/en/old",
+     '<html><head>'
+     '<link rel="alternate" hreflang="de" href="https://hl.example/de/old">'
+     "</head><body>old</body></html>"),
+    ("https://hl.example/plain",
+     "<html><head><title>plain</title></head><body>x</body></html>"),
+]
+
+
+def q_hreflang_pairs(spark, sf_dir):
+    """Bitext stage 0 — site-declared language alternates: hreflang
+    link extraction (zipped two-group pull, scan-side) then ONE
+    reversed-edge self-join flags reciprocal declarations (the
+    high-confidence tier; one-sided rows are frequently stale).
+    Self rows and x-default drop out; the en<->fr pair comes back
+    reciprocal, the dangling de declaration one-sided."""
+    pages = spark.createDataFrame(
+        _HREFLANG_FIXTURES, ["url", "html_str"]
+    )
+    alts = WT.hreflang_alternates(pages, "url", "html_str")
+    return WT.hreflang_pairs(alts)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4297,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_status": q_robots_status,
         "jsonld_records": q_jsonld_records,
         "ngram_diversity": q_ngram_diversity,
+        "hreflang_pairs": q_hreflang_pairs,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9137,6 +9176,41 @@ def oracle_sql() -> dict[str, str]:
                    round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
             FROM arm GROUP BY lang, n
         """,
+        # hreflang_pairs: same fixed-attribute-order pattern, zipped
+        # group pulls, x-default/self drops, reversed-edge reciprocity
+        "hreflang_pairs": r"""
+            WITH pages(url, html_str) AS (VALUES {PV}),
+            alts AS (
+                SELECT url,
+                       lower(unnest(regexp_extract_all(html_str,
+                           '<link rel="alternate" hreflang="([a-zA-Z-]+)" href="([^"]*)"',
+                           1))) AS hreflang,
+                       unnest(regexp_extract_all(html_str,
+                           '<link rel="alternate" hreflang="([a-zA-Z-]+)" href="([^"]*)"',
+                           2)) AS href
+                FROM pages
+            ),
+            edges AS (
+                SELECT DISTINCT ON (url, href) url, hreflang, href
+                FROM alts
+                WHERE href <> '' AND hreflang <> 'x-default'
+                  AND href <> url
+                ORDER BY url, href, hreflang
+            ),
+            flagged AS (
+                SELECT e.url, e.hreflang, e.href,
+                       CASE WHEN r.url IS NOT NULL THEN 1 ELSE 0 END
+                           AS recip
+                FROM edges e
+                LEFT JOIN edges r ON r.url = e.href AND r.href = e.url
+            )
+            SELECT least(url, href) AS url_a,
+                   greatest(url, href) AS url_b,
+                   min(hreflang) AS declared_lang,
+                   max(recip)::INT AS is_reciprocal
+            FROM flagged
+            GROUP BY 1, 2
+        """.replace("{PV}", _sql_values(_HREFLANG_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3552,3 +3552,93 @@ def ngram_diversity(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------- hreflang alternates (bitext stage 0)
+
+#: <link rel="alternate" hreflang=".." href=".."> matcher — fixed
+#: attribute order (the emitted-by-CMS common case; the same
+#: documented bound as webgraph._ANCHOR_PATTERN), RE2-portable
+_HREFLANG_RE = (
+    r'<link rel="alternate" hreflang="([a-zA-Z-]+)" href="([^"]*)"'
+)
+
+
+def hreflang_alternates(
+    pages: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """(url, hreflang, href) — one row per declared language alternate.
+
+    ``rel=alternate hreflang`` is the bitext stage-0 signal: the SITE
+    ITSELF declares which url is the French edition of this page, so
+    pairs mined here carry far higher precision than URL-structure
+    guessing (:func:`bitext_url_candidates` is the recall fallback for
+    sites that don't annotate).  Two capture groups pulled as parallel
+    arrays by the same pattern and zipped positionally (the
+    anchor-text extraction shape); ``x-default`` rows pass through —
+    the pair stage ignores them.  Scan-side only, zero shuffle.
+    """
+    h = F.col(html_col)
+    pat = F.lit(_HREFLANG_RE)
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all(h, pat, F.lit(1)).alias("hreflang"),
+                    F.regexp_extract_all(h, pat, F.lit(2)).alias("href"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "url",
+            F.lower(F.col("p.hreflang")).alias("hreflang"),
+            F.col("p.href").alias("href"),
+        )
+        .filter(F.col("href") != "")
+    )
+
+
+def hreflang_pairs(alternates: DataFrame) -> DataFrame:
+    """Declared translation-pair candidates from hreflang alternates:
+    one row per (url_a < url_b) with the declared target language and
+    a reciprocity flag — ``is_reciprocal`` (B also declares A) is the
+    high-confidence tier real bitext pipelines keep when mining at
+    crawl scale (one-sided declarations are frequently stale or
+    misconfigured).
+
+    Self-references (a page declaring its own url, the hreflang spec's
+    required self-row) and ``x-default`` rows are dropped.  Scale
+    shape: ONE self equi-join of the declaration edge list on the
+    reversed pair — edges are (url, url) strings, orders of magnitude
+    below page bytes; never a similarity scan.
+    """
+    edges = (
+        alternates.filter(
+            (F.col("hreflang") != "x-default")
+            & (F.col("href") != F.col("url"))
+        )
+        # min() not dropDuplicates: a (url, href) declared under two
+        # langs must keep a DETERMINISTIC one on every engine
+        .groupBy("url", "href")
+        .agg(F.min("hreflang").alias("hreflang"))
+    )
+    rev = edges.select(
+        F.col("href").alias("url"), F.col("url").alias("href")
+    )
+    flagged = edges.join(
+        rev.withColumn("__recip", F.lit(1)), ["url", "href"], "left"
+    )
+    return (
+        flagged.select(
+            F.least("url", "href").alias("url_a"),
+            F.greatest("url", "href").alias("url_b"),
+            F.col("hreflang").alias("declared_lang"),
+            F.coalesce(F.col("__recip"), F.lit(0)).alias("is_reciprocal"),
+        )
+        .groupBy("url_a", "url_b")
+        .agg(
+            F.min("declared_lang").alias("declared_lang"),
+            F.max("is_reciprocal").cast("int").alias("is_reciprocal"),
+        )
+    )

@@ -1734,3 +1734,28 @@ def test_ngram_diversity_catches_template_farm(spark):
     # totals: 20 farm docs x 9 bigrams; var docs carry 7 + 5 + 5
     assert got[("farm", 2)].total == 180
     assert got[("var", 2)].total == 17
+
+
+def test_hreflang_pairs_reciprocity(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://s.ex/en",
+             '<link rel="alternate" hreflang="en" href="https://s.ex/en">'
+             '<link rel="alternate" hreflang="fr" href="https://s.ex/fr">'
+             '<link rel="alternate" hreflang="x-default" href="https://s.ex/">'),
+            ("https://s.ex/fr",
+             '<link rel="alternate" hreflang="en" href="https://s.ex/en">'),
+            ("https://s.ex/stale",
+             '<link rel="alternate" hreflang="de" href="https://s.ex/gone">'),
+        ],
+        ["url", "html_str"],
+    )
+    alts = W.hreflang_alternates(pages, "url", "html_str")
+    # self row and x-default never reach the pair stage
+    assert alts.filter(F.col("hreflang") == "x-default").count() == 1
+    got = {(r.url_a, r.url_b): r for r in W.hreflang_pairs(alts).collect()}
+    rec = got[("https://s.ex/en", "https://s.ex/fr")]
+    assert rec.is_reciprocal == 1
+    stale = got[("https://s.ex/gone", "https://s.ex/stale")]
+    assert stale.is_reciprocal == 0 and stale.declared_lang == "de"
+    assert len(got) == 2
