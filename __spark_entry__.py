@@ -3930,6 +3930,44 @@ def q_hreflang_pairs(spark, sf_dir):
     return WT.hreflang_pairs(alts)
 
 
+#: Pagination fixtures: a 4-page article, a 2-page article whose tail
+#: is also reached from a converging head, and a 2-cycle with no entry
+#: point (must vanish — no head).
+_REL_NEXT_FIXTURES = [
+    ("https://pg.example/a/1",
+     '<link rel="next" href="https://pg.example/a/2">'),
+    ("https://pg.example/a/2",
+     '<link rel="next" href="https://pg.example/a/3">'),
+    ("https://pg.example/a/3",
+     '<link rel="next" href="https://pg.example/a/4">'),
+    ("https://pg.example/a/4", "<p>last page</p>"),
+    ("https://pg.example/b/1",
+     '<link rel="next" href="https://pg.example/b/2">'),
+    ("https://pg.example/conv",
+     '<link rel="next" href="https://pg.example/b/2">'),
+    ("https://pg.example/loop/x",
+     '<link rel="next" href="https://pg.example/loop/y">'),
+    ("https://pg.example/loop/y",
+     '<link rel="next" href="https://pg.example/loop/x">'),
+]
+
+
+def q_pagination_chains(spark, sf_dir):
+    """rel=next pagination-chain assembly — the stitching signal that
+    rebuilds multi-page articles before chunking: heads (no incoming
+    edge) via one anti-join, then a bounded per-hop equi-join walk
+    emitting (head, url, position).  The 4-page article comes back in
+    order, the converging head shares the b-chain tail, and the
+    entry-less 2-cycle vanishes (loops distrusted, as with
+    rel=canonical).  Oracle is the identical walk as a DuckDB
+    WITH RECURSIVE."""
+    pages = spark.createDataFrame(
+        _REL_NEXT_FIXTURES, ["url", "html_str"]
+    )
+    edges = WT.extract_rel_next(pages, "url", "html_str")
+    return WT.pagination_chains(edges, max_hops=10)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4336,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_records": q_jsonld_records,
         "ngram_diversity": q_ngram_diversity,
         "hreflang_pairs": q_hreflang_pairs,
+        "pagination_chains": q_pagination_chains,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9211,6 +9250,34 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY 1, 2
         """.replace("{PV}", _sql_values(_HREFLANG_FIXTURES)),
+        # pagination_chains: same edge grammar; the walk as a
+        # recursive CTE bounded by the same hop cap
+        "pagination_chains": r"""
+            WITH RECURSIVE pages(url, html_str) AS (VALUES {PV}),
+            raw AS (
+                SELECT url,
+                       regexp_extract(html_str,
+                           '<link rel="next" href="([^"]*)"', 1) AS next_url
+                FROM pages
+            ),
+            edges AS (
+                SELECT url, min(next_url) AS next_url
+                FROM raw WHERE next_url <> '' AND next_url <> url
+                GROUP BY url
+            ),
+            heads AS (
+                SELECT url AS head FROM edges
+                WHERE url NOT IN (SELECT next_url FROM edges)
+            ),
+            walk(head, url, position) AS (
+                SELECT head, head, 0 FROM heads
+                UNION ALL
+                SELECT w.head, e.next_url, w.position + 1
+                FROM walk w JOIN edges e ON e.url = w.url
+                WHERE w.position < 10
+            )
+            SELECT head, url, position::INT AS position FROM walk
+        """.replace("{PV}", _sql_values(_REL_NEXT_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3642,3 +3642,73 @@ def hreflang_pairs(alternates: DataFrame) -> DataFrame:
             F.max("is_reciprocal").cast("int").alias("is_reciprocal"),
         )
     )
+
+
+# ------------------------------------ rel=next pagination chains
+
+#: <link rel="next" href=".."> matcher — fixed attribute order (the
+#: documented CMS-emission bound shared with _HREFLANG_RE)
+_REL_NEXT_RE = r'<link rel="next" href="([^"]*)"'
+
+
+def extract_rel_next(
+    pages: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """(url, next_url) pagination edges from ``rel=next`` links — the
+    signal corpus builders use to stitch multi-page articles back into
+    one document before chunking (a 5-page article ingested as 5 docs
+    near-dups against itself and truncates context).  Scan-side, one
+    edge per page (min() collapses duplicate declarations so every
+    engine picks the same one)."""
+    edges = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(html_col), _REL_NEXT_RE, 1).alias("next_url"),
+    ).filter((F.col("next_url") != "") & (F.col("next_url") != F.col("url")))
+    return edges.groupBy("url").agg(F.min("next_url").alias("next_url"))
+
+
+def pagination_chains(
+    edges: DataFrame, max_hops: int = 20
+) -> DataFrame:
+    """Assemble pagination chains from (url, next_url) edges: every
+    page with no INCOMING next-edge is a chain head, and the chain is
+    the bounded walk from it — (head, url, position) rows the stitcher
+    groups on to rebuild full articles in reading order.
+
+    Cycles (a↔b ring with no entry point) have no head and drop out
+    entirely — the same loops-distrusted stance as the rel=canonical
+    consolidator; a cycle REACHED from a head is cut by the
+    ``max_hops`` bound.  Converging edges are legal: a tail shared by
+    two heads appears in both chains.
+
+    Scale shape: heads via one anti-join, then one equi-join per hop
+    (chains are article-sized — the loop runs ~5 rounds, bounded by
+    ``max_hops``); the frontier shrinks every round and the edge list
+    carries two url strings per PAGE-WITH-A-NEXT, orders of magnitude
+    below corpus bytes.  The walk is the DuckDB recursive CTE's exact
+    semantics, so the oracle twins it with WITH RECURSIVE.
+    """
+    e = edges.select("url", "next_url")
+    heads = e.join(
+        e.select(F.col("next_url").alias("url")).distinct(),
+        "url",
+        "left_anti",
+    ).select(F.col("url").alias("head"))
+    frontier = heads.select(
+        "head", F.col("head").alias("url"), F.lit(0).alias("position")
+    )
+    out = frontier
+    for _ in range(int(max_hops)):
+        frontier = (
+            frontier.join(e, "url")
+            .select(
+                "head",
+                F.col("next_url").alias("url"),
+                (F.col("position") + 1).alias("position"),
+            )
+        )
+        frontier = frontier.localCheckpoint(eager=False)
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out.select("head", "url", F.col("position").cast("int"))

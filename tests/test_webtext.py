@@ -1759,3 +1759,21 @@ def test_hreflang_pairs_reciprocity(spark):
     stale = got[("https://s.ex/gone", "https://s.ex/stale")]
     assert stale.is_reciprocal == 0 and stale.declared_lang == "de"
     assert len(got) == 2
+
+
+def test_pagination_chains_walk(spark):
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"),            # 3-page chain
+         ("x", "y"), ("y", "x"),                # entry-less cycle
+         ("h", "ring1"), ("ring1", "ring2"),    # head INTO a cycle:
+         ("ring2", "ring1")],                   # cut by the hop cap
+        ["url", "next_url"],
+    )
+    got = {(r.head, r.position): r.url
+           for r in W.pagination_chains(edges, max_hops=4).collect()}
+    assert [got[("a1", i)] for i in range(3)] == ["a1", "a2", "a3"]
+    assert ("x", 0) not in got and ("y", 0) not in got
+    # the reached ring alternates until the cap: positions 0..4
+    ring = [got[("h", i)] for i in range(5)]
+    assert ring == ["h", "ring1", "ring2", "ring1", "ring2"]
+    assert ("h", 5) not in got
