@@ -3968,6 +3968,50 @@ def q_pagination_chains(spark, sf_dir):
     return WT.pagination_chains(edges, max_hops=10)
 
 
+def q_stitched_articles(spark, sf_dir):
+    """Pagination-chain consumer: chain members' texts concatenated in
+    position order into ONE document per head — the stitch that stops
+    a 5-page article ingesting as five self-near-dup fragments.
+    Ordering rides array_sort over (position, text) structs inside the
+    aggregation (engine-stable, no extra window shuffle); one url
+    equi-join + one head groupBy."""
+    pages = spark.createDataFrame(
+        _REL_NEXT_FIXTURES, ["url", "html_str"]
+    )
+    edges = WT.extract_rel_next(pages, "url", "html_str")
+    chains = WT.pagination_chains(edges, max_hops=10)
+    texts = spark.createDataFrame(
+        [(u, "content of " + u.rsplit("/", 1)[-1] + " .")
+         for u, _ in _REL_NEXT_FIXTURES],
+        ["url", "text"],
+    )
+    return WT.stitch_chains(chains, texts)
+
+
+def q_doc_outline(spark, sf_dir):
+    """Document-structure recovery over the committed extracted table:
+    markdown heading lines back out as (url, heading_idx, level,
+    heading) rows — the outline a corpus viewer or heading-aware
+    chunk router consumes.  One scan, posexplode + a per-url window;
+    level = length of the leading #-run."""
+    from pyspark.sql import Window as _W
+
+    out = _ensure_pipeline_demo(spark)
+    ext = spark.read.parquet(os.path.join(out, "extracted")).filter(
+        F.col("n_headings") > 0
+    )
+    lines = ext.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).filter(F.col("line").rlike(r"^#{1,6} "))
+    w = _W.partitionBy("url").orderBy("pos")
+    return lines.select(
+        "url",
+        (F.row_number().over(w) - 1).cast("int").alias("heading_idx"),
+        F.length(F.regexp_extract("line", r"^(#+) ", 1)).cast("int").alias("level"),
+        F.regexp_replace("line", r"^#+ ", "").alias("heading"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4375,6 +4419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "hreflang_pairs": q_hreflang_pairs,
         "pagination_chains": q_pagination_chains,
+        "stitched_articles": q_stitched_articles,
+        "doc_outline": q_doc_outline,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9278,6 +9324,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT head, url, position::INT AS position FROM walk
         """.replace("{PV}", _sql_values(_REL_NEXT_FIXTURES)),
+        # stitched_articles: recursive walk shared with
+        # pagination_chains + ORDER BY position string_agg
+        "stitched_articles": r"""
+            WITH RECURSIVE pages(url, html_str) AS (VALUES {PV}),
+            raw AS (
+                SELECT url,
+                       regexp_extract(html_str,
+                           '<link rel="next" href="([^"]*)"', 1) AS next_url
+                FROM pages
+            ),
+            edges AS (
+                SELECT url, min(next_url) AS next_url
+                FROM raw WHERE next_url <> '' AND next_url <> url
+                GROUP BY url
+            ),
+            heads AS (
+                SELECT url AS head FROM edges
+                WHERE url NOT IN (SELECT next_url FROM edges)
+            ),
+            walk(head, url, position) AS (
+                SELECT head, head, 0 FROM heads
+                UNION ALL
+                SELECT w.head, e.next_url, w.position + 1
+                FROM walk w JOIN edges e ON e.url = w.url
+                WHERE w.position < 10
+            ),
+            texts AS (
+                SELECT url,
+                       'content of ' || regexp_extract(url, '([^/]+)$', 1)
+                       || ' .' AS text
+                FROM pages
+            )
+            SELECT w.head, count(*)::BIGINT AS n_pages,
+                   string_agg(t.text, chr(10) || chr(10)
+                              ORDER BY w.position) AS stitched_text
+            FROM walk w JOIN texts t USING (url)
+            GROUP BY w.head
+        """.replace("{PV}", _sql_values(_REL_NEXT_FIXTURES)),
+        # doc_outline: same line explode + leading-#-run grammar over
+        # the committed extracted table
+        "doc_outline": f"""
+            WITH ext AS (
+                SELECT url, text
+                FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+                WHERE n_headings > 0
+            ),
+            lines AS (
+                SELECT url,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM ext
+            ),
+            h AS (
+                SELECT url, pos, line FROM lines
+                WHERE regexp_matches(line, '^#{{1,6}} ')
+            )
+            SELECT url,
+                   (row_number() OVER (PARTITION BY url ORDER BY pos) - 1)::INT
+                       AS heading_idx,
+                   length(regexp_extract(line, '^(#+) ', 1))::INT AS level,
+                   regexp_replace(line, '^#+ ', '') AS heading
+            FROM h
+        """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

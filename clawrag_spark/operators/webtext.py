@@ -3712,3 +3712,30 @@ def pagination_chains(
             break
         out = out.unionByName(frontier)
     return out.select("head", "url", F.col("position").cast("int"))
+
+
+def stitch_chains(
+    chains: DataFrame, texts: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Rebuild one document per pagination chain: join the chain
+    members' extracted texts and concatenate them in position order —
+    the consumer of :func:`pagination_chains` that turns a 5-page
+    article back into ONE training document (instead of five
+    self-near-dup fragments with truncated context).
+
+    Ordering is engine-stable: the (position, text) structs sort by
+    position inside the aggregation (``array_sort`` over structs), so
+    no window or secondary shuffle is needed — one equi-join on url +
+    one groupBy(head) with map-side partials.  Returns
+    (head, n_pages, stitched_text).
+    """
+    joined = chains.join(texts.select("url", text_col), "url")
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("position"), F.col(text_col)))
+    )
+    return joined.groupBy("head").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.array_join(
+            F.transform(parts, lambda s: s[text_col]), "\n\n"
+        ).alias("stitched_text"),
+    )

@@ -1777,3 +1777,20 @@ def test_pagination_chains_walk(spark):
     ring = [got[("h", i)] for i in range(5)]
     assert ring == ["h", "ring1", "ring2", "ring1", "ring2"]
     assert ("h", 5) not in got
+
+
+def test_stitch_chains_order_and_counts(spark):
+    chains = spark.createDataFrame(
+        [("a1", "a1", 0), ("a1", "a2", 1), ("a1", "a3", 2),
+         ("b1", "b1", 0)],
+        ["head", "url", "position"],
+    )
+    texts = spark.createDataFrame(
+        [("a1", "first"), ("a2", "second"), ("a3", "third"),
+         ("b1", "solo")],
+        ["url", "text"],
+    )
+    got = {r.head: r for r in W.stitch_chains(chains, texts).collect()}
+    assert got["a1"].stitched_text == "first\n\nsecond\n\nthird"
+    assert got["a1"].n_pages == 3
+    assert got["b1"].stitched_text == "solo" and got["b1"].n_pages == 1
