@@ -4012,6 +4012,41 @@ def q_doc_outline(spark, sf_dir):
     )
 
 
+#: Meta-refresh fixtures: a 2-hop chain to a real page, a single hop,
+#: an entry-less 2-ring (vanishes), and a 3-ring reached from outside
+#: (unresolved at the cap).
+_META_REFRESH_FIXTURES = [
+    ("https://rd.example/old",
+     '<meta http-equiv="refresh" content="0; url=https://rd.example/moved">'),
+    ("https://rd.example/moved",
+     '<meta http-equiv="refresh" content="5; url=https://rd.example/final">'),
+    ("https://rd.example/final", "<p>the real page</p>"),
+    ("https://rd.example/promo",
+     '<meta http-equiv="refresh" content="0; url=https://rd.example/final">'),
+    ("https://rd.example/ring/a",
+     '<meta http-equiv="refresh" content="0; url=https://rd.example/ring/b">'),
+    ("https://rd.example/ring/b",
+     '<meta http-equiv="refresh" content="0; url=https://rd.example/ring/a">'),
+    ("https://rd.example/into-ring",
+     '<meta http-equiv="refresh" content="0; url=https://rd.example/ring/a">'),
+]
+
+
+def q_redirect_chains(spark, sf_dir):
+    """Meta-refresh redirect resolution — the html-side 3xx a crawler
+    must follow before indexing: chains walked by the shared bounded
+    equi-join walk, reduced to (src_url, final_url, hops, resolved)
+    per head.  The 2-hop chain lands on the real page, the entry-less
+    ring vanishes, and the ring reached from outside comes back
+    resolved=false at the hop cap.  Oracle: the same recursive-CTE
+    walk + arg_max per head."""
+    pages = spark.createDataFrame(
+        _META_REFRESH_FIXTURES, ["url", "html_str"]
+    )
+    edges = WT.extract_meta_refresh(pages, "url", "html_str")
+    return WT.resolve_redirects(edges, max_hops=6)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4421,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": q_pagination_chains,
         "stitched_articles": q_stitched_articles,
         "doc_outline": q_doc_outline,
+        "redirect_chains": q_redirect_chains,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9387,6 +9423,38 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(line, '^#+ ', '') AS heading
             FROM h
         """,
+        # redirect_chains: shared recursive walk + arg_max final hop
+        "redirect_chains": r"""
+            WITH RECURSIVE pages(url, html_str) AS (VALUES {PV}),
+            raw AS (
+                SELECT url,
+                       regexp_extract(html_str,
+                           '<meta http-equiv="refresh" content="[0-9]+;\s*url=([^"]*)"',
+                           1) AS target
+                FROM pages
+            ),
+            edges AS (
+                SELECT url, min(target) AS next_url
+                FROM raw WHERE target <> '' AND target <> url
+                GROUP BY url
+            ),
+            heads AS (
+                SELECT url AS head FROM edges
+                WHERE url NOT IN (SELECT next_url FROM edges)
+            ),
+            walk(head, url, position) AS (
+                SELECT head, head, 0 FROM heads
+                UNION ALL
+                SELECT w.head, e.next_url, w.position + 1
+                FROM walk w JOIN edges e ON e.url = w.url
+                WHERE w.position < 6
+            )
+            SELECT head AS src_url,
+                   arg_max(url, position) AS final_url,
+                   max(position)::INT AS hops,
+                   max(position) < 6 AS resolved
+            FROM walk GROUP BY head
+        """.replace("{PV}", _sql_values(_META_REFRESH_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3739,3 +3739,56 @@ def stitch_chains(
             F.transform(parts, lambda s: s[text_col]), "\n\n"
         ).alias("stitched_text"),
     )
+
+
+# ------------------------------------ meta-refresh redirect chains
+
+#: <meta http-equiv="refresh" content="N;url=..."> matcher — the
+#: html-side redirect a crawler must resolve like a 3xx; RE2-portable,
+#: case-stable on the fixture grammar (documented bound)
+_META_REFRESH_RE = (
+    r'<meta http-equiv="refresh" content="[0-9]+;\s*url=([^"]*)"'
+)
+
+
+def extract_meta_refresh(
+    pages: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """(url, target) html meta-refresh redirect edges — the soft
+    redirects crawl corpora must resolve exactly like HTTP 3xx: the
+    page body is a stub, the TARGET carries the content, and indexing
+    the stub both wastes budget and splits link equity.  Scan-side;
+    min() collapses duplicate declarations deterministically."""
+    edges = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(html_col), _META_REFRESH_RE, 1).alias(
+            "target"
+        ),
+    ).filter((F.col("target") != "") & (F.col("target") != F.col("url")))
+    return edges.groupBy("url").agg(F.min("target").alias("target"))
+
+
+def resolve_redirects(
+    edges: DataFrame, max_hops: int = 10
+) -> DataFrame:
+    """Resolve redirect chains to their final target: the bounded walk
+    of :func:`pagination_chains` over (url, target) edges, reduced to
+    one row per chain head — (src_url, final_url, hops, resolved).
+
+    ``resolved`` is false when the walk hit the hop cap (a redirect
+    ring reached from outside, or a chain longer than any legitimate
+    site emits — crawlers treat both as dead).  Entry-less rings have
+    no head and vanish, the loops-distrusted stance shared with
+    rel=canonical.  Scale shape: the chain walk's one-equi-join-per-
+    hop on an edge list orders of magnitude below corpus bytes, then
+    one max_by per head.
+    """
+    chains = pagination_chains(
+        edges.select("url", F.col("target").alias("next_url")),
+        max_hops=max_hops,
+    )
+    return chains.groupBy(F.col("head").alias("src_url")).agg(
+        F.max_by("url", "position").alias("final_url"),
+        F.max("position").cast("int").alias("hops"),
+        (F.max("position") < F.lit(int(max_hops))).alias("resolved"),
+    )

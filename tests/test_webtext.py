@@ -1794,3 +1794,19 @@ def test_stitch_chains_order_and_counts(spark):
     assert got["a1"].stitched_text == "first\n\nsecond\n\nthird"
     assert got["a1"].n_pages == 3
     assert got["b1"].stitched_text == "solo" and got["b1"].n_pages == 1
+
+
+def test_resolve_redirects_chain_ring_cap(spark):
+    edges = spark.createDataFrame(
+        [("old", "mid"), ("mid", "final"),     # 2-hop chain
+         ("ra", "rb"), ("rb", "ra"),           # entry-less ring
+         ("in", "ra")],                        # into the ring
+        ["url", "target"],
+    )
+    got = {r.src_url: r for r in W.resolve_redirects(
+        edges, max_hops=4).collect()}
+    assert got["old"].final_url == "final" and got["old"].hops == 2
+    assert got["old"].resolved
+    assert "ra" not in got and "rb" not in got
+    r = got["in"]
+    assert not r.resolved and r.hops == 4
