@@ -4047,6 +4047,39 @@ def q_redirect_chains(spark, sf_dir):
     return WT.resolve_redirects(edges, max_hops=6)
 
 
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language consistency — the CCNet-style
+    drop signal for pages whose <html lang> attribute disagrees with
+    content-detected language (mislabeled templates, copy-pasted CMS
+    scaffolding, machine-translated shells): the complete-document
+    binary gate (shared with the link graph) keeps decode byte-exact
+    on both engines, the declared attr is one anchored regex, and the
+    detected side joins in from the committed extracted table.
+    Returns the (declared, detected) confusion rollup with an
+    agreement flag."""
+    out = _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    gated = WG._complete_html(pages, "html")
+    decl = F.regexp_extract(
+        F.col("html").cast("string"), r'<html lang="([a-z]+)"', 1
+    )
+    declared = gated.select(
+        "url", decl.alias("declared_lang")
+    ).filter(F.col("declared_lang") != "")
+    detected = spark.read.parquet(os.path.join(out, "extracted")).select(
+        "url", F.col("language").alias("detected_lang")
+    )
+    return (
+        declared.join(detected, "url")
+        .groupBy("declared_lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn(
+            "is_match",
+            (F.col("declared_lang") == F.col("detected_lang")).cast("int"),
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4457,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitched_articles": q_stitched_articles,
         "doc_outline": q_doc_outline,
         "redirect_chains": q_redirect_chains,
+        "lang_mismatch": q_lang_mismatch,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9455,6 +9489,34 @@ def oracle_sql() -> dict[str, str]:
                    max(position) < 6 AS resolved
             FROM walk GROUP BY head
         """.replace("{PV}", _sql_values(_META_REFRESH_FIXTURES)),
+        # lang_mismatch: the shared complete-document decode gate +
+        # anchored lang-attr regex, joined to the committed extracted
+        # table's detected language
+        "lang_mismatch": f"""
+            WITH gated AS (
+                SELECT url, decode(html) AS h
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                WHERE starts_with(html::VARCHAR, '<!DOCTYPE html>')
+                  AND ends_with(html::VARCHAR, '</html>')
+            ),
+            declared AS (
+                SELECT url,
+                       regexp_extract(h, '<html lang="([a-z]+)"', 1)
+                           AS declared_lang
+                FROM gated
+            ),
+            detected AS (
+                SELECT url, language AS detected_lang
+                FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+            )
+            SELECT d.declared_lang, x.detected_lang,
+                   count(*)::BIGINT AS n_docs,
+                   CASE WHEN d.declared_lang = x.detected_lang
+                        THEN 1 ELSE 0 END AS is_match
+            FROM declared d JOIN detected x USING (url)
+            WHERE d.declared_lang <> ''
+            GROUP BY 1, 2
+        """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""
