@@ -4080,6 +4080,51 @@ def q_lang_mismatch(spark, sf_dir):
     )
 
 
+def q_pub_dates(spark, sf_dir):
+    """Publication-date recovery over deterministically wrapped
+    documents: JSON-LD datePublished > article:published_time meta >
+    first <time datetime>, first-10-chars ISO parse via try_to_date
+    (malformed dates keep their row with a NULL date — the template-
+    breakage monitoring surface).  %3==0 docs carry JSON-LD (reusing
+    the jsonld_records construction), else %4==0 carry the og meta,
+    else %5==0 a <time> element (with one malformed-date cohort at
+    %25==10), else no signal (no row)."""
+    docs = _load(spark, sf_dir, "documents")
+    jl = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Article","datePublished":"'),
+        F.format_string("2024-%02d-0%d", (F.col("doc_id") % 12 + 1).cast("int"),
+                        (F.col("doc_id") % 9 + 1).cast("int")),
+        F.lit('"}</script>'),
+    )
+    og = F.concat(
+        F.lit('<meta property="article:published_time" content="'),
+        F.format_string("2023-%02d-11T08:30:00Z",
+                        (F.col("doc_id") % 12 + 1).cast("int")),
+        F.lit('">'),
+    )
+    tm = F.when(
+        F.col("doc_id") % 25 == 10,
+        F.lit('<time datetime="not-a-date">broken</time>'),
+    ).otherwise(
+        F.concat(
+            F.lit('<time datetime="'),
+            F.format_string("2022-%02d-15", (F.col("doc_id") % 12 + 1).cast("int")),
+            F.lit('">posted</time>'),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 3 == 0, jl)
+        .when(F.col("doc_id") % 4 == 0, og)
+        .when(F.col("doc_id") % 5 == 0, tm)
+        .otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html_str"))
+    return WT.publication_dates(pages, "doc_id", "html_str")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4491,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_outline": q_doc_outline,
         "redirect_chains": q_redirect_chains,
         "lang_mismatch": q_lang_mismatch,
+        "pub_dates": q_pub_dates,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9516,6 +9562,38 @@ def oracle_sql() -> dict[str, str]:
             FROM declared d JOIN detected x USING (url)
             WHERE d.declared_lang <> ''
             GROUP BY 1, 2
+        """,
+        # pub_dates: identical page construction + precedence chain;
+        # try_cast twins try_to_date on the 10-char ISO prefix
+        "pub_dates": """
+            WITH docs AS (SELECT doc_id FROM documents),
+            built AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           printf('2024-%02d-0%d', (doc_id % 12 + 1)::INT,
+                                  (doc_id % 9 + 1)::INT)
+                       END AS jl,
+                       CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 = 0 THEN
+                           printf('2023-%02d-11T08:30:00Z',
+                                  (doc_id % 12 + 1)::INT)
+                       END AS og,
+                       CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 <> 0
+                                 AND doc_id % 5 = 0 THEN
+                           CASE WHEN doc_id % 25 = 10 THEN 'not-a-date'
+                                ELSE printf('2022-%02d-15',
+                                            (doc_id % 12 + 1)::INT)
+                           END
+                       END AS tm
+                FROM docs
+            )
+            SELECT doc_id,
+                   try_cast(substr(coalesce(jl, og, tm), 1, 10) AS DATE)
+                       AS pub_date,
+                   CASE WHEN jl IS NOT NULL THEN 'jsonld'
+                        WHEN og IS NOT NULL THEN 'meta'
+                        ELSE 'time' END AS date_source
+            FROM built
+            WHERE coalesce(jl, og, tm) IS NOT NULL
         """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures

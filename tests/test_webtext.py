@@ -1810,3 +1810,38 @@ def test_resolve_redirects_chain_ring_cap(spark):
     assert "ra" not in got and "rb" not in got
     r = got["in"]
     assert not r.resolved and r.hops == 4
+
+
+def test_publication_dates_precedence_and_malformed(spark):
+    pages = spark.createDataFrame(
+        [
+            # all three signals -> JSON-LD wins
+            ("p1", '<script type="application/ld+json">'
+                   '{"@type":"Article","datePublished":"2024-05-01"}'
+                   '</script>'
+                   '<meta property="article:published_time" '
+                   'content="2023-01-02T00:00:00Z">'
+                   '<time datetime="2022-03-04">x</time>'),
+            # meta beats <time>
+            ("p2", '<meta property="article:published_time" '
+                   'content="2023-06-07T08:00:00Z">'
+                   '<time datetime="2022-03-04">x</time>'),
+            # <time> alone; timestamp tail trimmed by the 10-char parse
+            ("p3", '<time datetime="2022-09-10T12:00:00+02:00">x</time>'),
+            # malformed date keeps the row, NULL date
+            ("p4", '<time datetime="yesterday-ish">x</time>'),
+            # no signal -> no row
+            ("p5", "<p>undated</p>"),
+        ],
+        ["page_id", "html"],
+    )
+    got = {r.page_id: r for r in W.publication_dates(
+        pages, "page_id", "html").collect()}
+    assert set(got) == {"p1", "p2", "p3", "p4"}
+    assert str(got["p1"].pub_date) == "2024-05-01"
+    assert got["p1"].date_source == "jsonld"
+    assert str(got["p2"].pub_date) == "2023-06-07"
+    assert got["p2"].date_source == "meta"
+    assert str(got["p3"].pub_date) == "2022-09-10"
+    assert got["p3"].date_source == "time"
+    assert got["p4"].pub_date is None and got["p4"].date_source == "time"
