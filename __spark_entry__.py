@@ -4125,6 +4125,38 @@ def q_pub_dates(spark, sf_dir):
     return WT.publication_dates(pages, "doc_id", "html_str")
 
 
+#: Microdata fixture pages: a Product with meta + span props, an
+#: Article with a span headline, and a page with itemprops but NO
+#: itemscope (yields nothing — props without a type are noise).
+_MICRODATA_FIXTURES = [
+    ("https://md.example/prod",
+     '<div itemscope itemtype="https://schema.org/Product">'
+     '<span itemprop="name">Blue Widget</span>'
+     '<meta itemprop="price" content="19.99">'
+     '<meta itemprop="priceCurrency" content="USD">'
+     "</div>"),
+    ("https://md.example/story",
+     '<article itemscope itemtype="https://schema.org/Article">'
+     '<span itemprop="headline">Quiet News Day</span>'
+     "</article>"),
+    ("https://md.example/orphan",
+     '<span itemprop="name">No Scope</span>'),
+]
+
+
+def q_microdata(spark, sf_dir):
+    """schema.org microdata extraction — the itemscope/itemprop half
+    of structured markup (jsonld_records covers JSON-LD): one property
+    row per (page, itemprop) from both emission forms (meta content =
+    hidden values, span text = visible values), the page's first
+    itemtype carried along; itemprops outside an itemscope yield
+    nothing.  Zipped two-group pulls, scan-side only."""
+    pages = spark.createDataFrame(
+        _MICRODATA_FIXTURES, ["url", "html_str"]
+    )
+    return WT.microdata_records(pages, "url", "html_str")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4537,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_chains": q_redirect_chains,
         "lang_mismatch": q_lang_mismatch,
         "pub_dates": q_pub_dates,
+        "microdata": q_microdata,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9595,6 +9628,42 @@ def oracle_sql() -> dict[str, str]:
             FROM built
             WHERE coalesce(jl, og, tm) IS NOT NULL
         """,
+        # microdata: same patterns, aligned unnest pairs = the zip
+        "microdata": r"""
+            WITH pages(url, html_str) AS (VALUES {PV}),
+            base AS (
+                SELECT url,
+                       regexp_extract(html_str,
+                           'itemscope itemtype="https://schema\.org/([A-Za-z]+)"',
+                           1) AS itemtype,
+                       html_str AS h
+                FROM pages
+            ),
+            typed AS (SELECT * FROM base WHERE itemtype <> ''),
+            meta AS (
+                SELECT url, itemtype,
+                       unnest(regexp_extract_all(h,
+                           '<meta itemprop="([a-zA-Z]+)" content="([^"]*)">',
+                           1)) AS prop,
+                       unnest(regexp_extract_all(h,
+                           '<meta itemprop="([a-zA-Z]+)" content="([^"]*)">',
+                           2)) AS value,
+                       'meta' AS form
+                FROM typed
+            ),
+            span AS (
+                SELECT url, itemtype,
+                       unnest(regexp_extract_all(h,
+                           '<span itemprop="([a-zA-Z]+)">([^<]*)</span>',
+                           1)) AS prop,
+                       unnest(regexp_extract_all(h,
+                           '<span itemprop="([a-zA-Z]+)">([^<]*)</span>',
+                           2)) AS value,
+                       'span' AS form
+                FROM typed
+            )
+            SELECT * FROM meta UNION ALL SELECT * FROM span
+        """.replace("{PV}", _sql_values(_MICRODATA_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3846,3 +3846,57 @@ def publication_dates(
             .alias("date_source"),
         )
     )
+
+
+# ---------------------------------------- schema.org microdata
+
+_MICRODATA_TYPE_RE = r'itemscope itemtype="https://schema\.org/([A-Za-z]+)"'
+_MICRODATA_META_RE = r'<meta itemprop="([a-zA-Z]+)" content="([^"]*)">'
+_MICRODATA_SPAN_RE = r'<span itemprop="([a-zA-Z]+)">([^<]*)</span>'
+
+
+def microdata_records(
+    pages: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """schema.org MICRODATA extraction — the other half of structured
+    markup (:func:`jsonld_records` covers JSON-LD; large retail/news
+    templates still emit itemscope/itemprop attributes): one property
+    row per (page, itemprop), with the page's first declared itemtype
+    carried alongside.
+
+    Two emission forms, each a zipped two-group pull over one pattern
+    (the anchor-text shape): ``<meta itemprop content>`` (hidden
+    values: prices, ISO dates) and ``<span itemprop>text</span>``
+    (visible values).  Values are verbatim; the span form's
+    markup-free-text bound matches ``_ANCHOR_PATTERN``'s documented
+    limitation.  Pages without an itemtype yield no rows.  Scan-side
+    only, zero Python, zero shuffle.
+    """
+    h = F.col(html_col)
+    itype = F.regexp_extract(h, _MICRODATA_TYPE_RE, 1)
+    base = pages.select(
+        F.col(id_col), itype.alias("itemtype"), h.alias("__h")
+    ).filter(F.col("itemtype") != "")
+    parts = []
+    for pat, form in ((_MICRODATA_META_RE, "meta"),
+                      (_MICRODATA_SPAN_RE, "span")):
+        p = F.lit(pat)
+        parts.append(
+            base.select(
+                F.col(id_col),
+                "itemtype",
+                F.explode(
+                    F.arrays_zip(
+                        F.regexp_extract_all(F.col("__h"), p, F.lit(1)).alias("prop"),
+                        F.regexp_extract_all(F.col("__h"), p, F.lit(2)).alias("value"),
+                    )
+                ).alias("kv"),
+            ).select(
+                F.col(id_col),
+                "itemtype",
+                F.col("kv.prop").alias("prop"),
+                F.col("kv.value").alias("value"),
+                F.lit(form).alias("form"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -1845,3 +1845,23 @@ def test_publication_dates_precedence_and_malformed(spark):
     assert str(got["p3"].pub_date) == "2022-09-10"
     assert got["p3"].date_source == "time"
     assert got["p4"].pub_date is None and got["p4"].date_source == "time"
+
+
+def test_microdata_records_forms_and_scope_gate(spark):
+    pages = spark.createDataFrame(
+        [
+            ("p1", '<div itemscope itemtype="https://schema.org/Product">'
+                   '<span itemprop="name">Gadget</span>'
+                   '<meta itemprop="price" content="5.00"></div>'),
+            ("p2", '<span itemprop="name">orphan prop, no scope</span>'),
+        ],
+        ["url", "html_str"],
+    )
+    got = {(r.url, r.prop): r for r in W.microdata_records(
+        pages, "url", "html_str").collect()}
+    assert set(got) == {("p1", "name"), ("p1", "price")}
+    assert got[("p1", "name")].value == "Gadget"
+    assert got[("p1", "name")].form == "span"
+    assert got[("p1", "price")].value == "5.00"
+    assert got[("p1", "price")].form == "meta"
+    assert got[("p1", "name")].itemtype == "Product"
