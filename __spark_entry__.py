@@ -4157,6 +4157,34 @@ def q_microdata(spark, sf_dir):
     return WT.microdata_records(pages, "url", "html_str")
 
 
+#: Image-frontier fixtures: plain src, a srcset resolution ladder
+#: (density + width descriptors), a descriptor-less candidate, and a
+#: duplicate src repeated across the page (collapses to one row).
+_IMG_FRONTIER_FIXTURES = [
+    ("https://im.example/a",
+     '<img src="https://cdn.example/hero.jpg" '
+     'srcset="https://cdn.example/hero-320.jpg 320w, '
+     'https://cdn.example/hero-640.jpg 640w, '
+     'https://cdn.example/hero-2x.jpg 2x">'),
+    ("https://im.example/b",
+     '<img src="/logo.png"><img src="/logo.png">'
+     '<source srcset="/banner.webp">'),
+    ("https://im.example/c", "<p>no images</p>"),
+]
+
+
+def q_image_frontier(spark, sf_dir):
+    """Image-fetch frontier mining from the text crawl — how a
+    multimodal corpus finds its image URLs: <img src> plus the srcset
+    resolution ladder (320w/640w/2x candidate strings, comma-split
+    in-row), descriptor-less candidates keeping ''.  Expression-only
+    pulls + one explode; duplicates collapse; frontier-sized output."""
+    pages = spark.createDataFrame(
+        _IMG_FRONTIER_FIXTURES, ["url", "html_str"]
+    )
+    return WT.image_frontier(pages, "url", "html_str")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4570,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "pub_dates": q_pub_dates,
         "microdata": q_microdata,
+        "image_frontier": q_image_frontier,
         "encoding_report": q_encoding_report,
         "feed_urls": q_feed_urls,
         "bitext_candidates": q_bitext_candidates,
@@ -9664,6 +9693,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM meta UNION ALL SELECT * FROM span
         """.replace("{PV}", _sql_values(_MICRODATA_FIXTURES)),
+        # image_frontier: same pulls; string_split + trim twins the
+        # in-row transform, list indexing twins F.get
+        "image_frontier": r"""
+            WITH pages(url, html_str) AS (VALUES {PV}),
+            src_rows AS (
+                SELECT url AS page_url,
+                       unnest(regexp_extract_all(html_str,
+                           '<img src="([^"]*)"', 1)) AS img_url,
+                       '' AS descriptor
+                FROM pages
+            ),
+            ss AS (
+                SELECT url AS page_url,
+                       unnest(regexp_extract_all(html_str,
+                           'srcset="([^"]*)"', 1)) AS ssv
+                FROM pages
+            ),
+            cand AS (
+                SELECT page_url, trim(unnest(string_split(ssv, ','))) AS c
+                FROM ss
+            ),
+            srcset_rows AS (
+                SELECT page_url,
+                       string_split_regex(c, '\s+')[1] AS img_url,
+                       coalesce(string_split_regex(c, '\s+')[2], '')
+                           AS descriptor
+                FROM cand WHERE c <> ''
+            )
+            SELECT DISTINCT page_url, img_url, descriptor
+            FROM (SELECT * FROM src_rows UNION ALL
+                  SELECT * FROM srcset_rows)
+            WHERE img_url <> ''
+        """.replace("{PV}", _sql_values(_IMG_FRONTIER_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -3900,3 +3900,60 @@ def microdata_records(
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ------------------------------------ image frontier (src + srcset)
+
+_IMG_SRC_RE = r'<img src="([^"]*)"'
+_SRCSET_RE = r'srcset="([^"]*)"'
+
+
+def image_frontier(
+    pages: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """(page_url, img_url, descriptor) image-fetch frontier rows from
+    ``<img src>`` and ``srcset`` attributes — how a multimodal corpus
+    mines its image URLs from the text crawl it already has: srcset
+    carries the resolution ladder (``url 2x`` / ``url 640w``
+    candidate strings, comma-separated per the HTML spec), and the
+    corpus builder usually keeps one rung per ladder.
+
+    ``descriptor`` is the srcset candidate's density/width token
+    (``''`` for plain ``src`` rows and descriptor-less candidates).
+    Expression-only: attribute pulls, an in-row comma split + trim,
+    one explode; duplicate (page, img, descriptor) rows collapse.
+    Scan-side, zero Python; the output is frontier-sized (urls), never
+    payload bytes.
+    """
+    h = F.col(html_col)
+    src_rows = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(
+            F.regexp_extract_all(h, F.lit(_IMG_SRC_RE), F.lit(1))
+        ).alias("img_url"),
+    ).select("page_url", "img_url", F.lit("").alias("descriptor"))
+    cand = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(
+            F.regexp_extract_all(h, F.lit(_SRCSET_RE), F.lit(1))
+        ).alias("ss"),
+    ).select(
+        "page_url",
+        F.explode(
+            F.transform(F.split("ss", ","), lambda x: F.trim(x))
+        ).alias("c"),
+    ).filter(F.col("c") != "")
+    srcset_rows = cand.select(
+        "page_url",
+        # F.get (0-based) is NULL-safe out of bounds under ANSI mode,
+        # where element_at would raise on descriptor-less candidates
+        F.get(F.split("c", r"\s+"), 0).alias("img_url"),
+        F.coalesce(
+            F.get(F.split("c", r"\s+"), 1), F.lit("")
+        ).alias("descriptor"),
+    )
+    return (
+        src_rows.unionByName(srcset_rows)
+        .filter(F.col("img_url") != "")
+        .dropDuplicates(["page_url", "img_url", "descriptor"])
+    )

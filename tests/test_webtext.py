@@ -1865,3 +1865,20 @@ def test_microdata_records_forms_and_scope_gate(spark):
     assert got[("p1", "price")].value == "5.00"
     assert got[("p1", "price")].form == "meta"
     assert got[("p1", "name")].itemtype == "Product"
+
+
+def test_image_frontier_srcset_ladder(spark):
+    pages = spark.createDataFrame(
+        [("p1", '<img src="/a.jpg" srcset="/a-320.jpg 320w, /a.jpg 2x, '
+                '/bare.jpg">'),
+         ("p2", '<img src="/x.png"><img src="/x.png">')],
+        ["url", "html_str"],
+    )
+    got = {(r.page_url, r.img_url, r.descriptor)
+           for r in W.image_frontier(pages, "url", "html_str").collect()}
+    assert ("p1", "/a-320.jpg", "320w") in got
+    assert ("p1", "/a.jpg", "2x") in got
+    assert ("p1", "/a.jpg", "") in got          # the plain src row
+    assert ("p1", "/bare.jpg", "") in got       # descriptor-less
+    # duplicate src collapses
+    assert sum(1 for g in got if g[0] == "p2") == 1
