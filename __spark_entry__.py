@@ -4185,6 +4185,59 @@ def q_image_frontier(spark, sf_dir):
     return WT.image_frontier(pages, "url", "html_str")
 
 
+#: Access-gate fixtures: one page per classifier branch plus the
+#: precedence and case-folding edges.  All-ASCII, no single quotes
+#: (keeps the VALUES-inlined oracle literal simple).
+_PAYWALL_FIXTURES = [
+    # declared-false JSON-LD, no gated-section selector -> paywall
+    ("https://news.example.com/a",
+     '<script type="application/ld+json">{"@type": "NewsArticle", '
+     '"isAccessibleForFree": false}</script><p>Teaser text.</p>'),
+    # declared-false + hasPart cssSelector -> metered (teaser is real)
+    ("https://news.example.com/b",
+     '<script type="application/ld+json">{"@type": "NewsArticle", '
+     '"isAccessibleForFree": "false", "hasPart": {"@type": '
+     '"WebPageElement", "isAccessibleForFree": "false", '
+     '"cssSelector": ".paywalled-content"}}</script>'
+     '<div class="free-teaser">Lede.</div>'),
+    # vendor wall markup, no JSON-LD -> paywall
+    ("https://mag.example.com/c",
+     '<div class="tp-modal"><p>Subscribe now for full access.</p></div>'),
+    # password form, no wall markup -> login
+    ("https://portal.example.com/d",
+     '<form action="/session"><input name="u">'
+     '<input type="password" name="p"></form>'),
+    # two CTA phrases, no structural wall -> soft
+    ("https://blog.example.com/e",
+     "<p>Subscribe Now for updates. Already a subscriber? "
+     "Great.</p>"),
+    # declared-true JSON-LD -> free, jsonld_free kept as declared
+    ("https://open.example.com/f",
+     '<script type="application/ld+json">'
+     '{"isAccessibleForFree": true}</script><p>Open article.</p>'),
+    # plain article -> free
+    ("https://open.example.com/g", "<p>Nothing gated here.</p>"),
+    # a single CTA phrase stays free (n_sub_cta = 1)
+    ("https://blog.example.com/h",
+     "<p>Start your free trial of the newsletter.</p>"),
+    # login form AND vendor wall -> paywall wins the precedence
+    ("https://news.example.com/i",
+     '<div id="piano-offer-root"></div>'
+     '<input type="password" name="p">'),
+]
+
+
+def q_paywall_gate(spark, sf_dir):
+    """Access-gate (paywall / login-wall) classification — the
+    pre-extraction filter a web training corpus runs so gated teaser
+    pages and subscription chrome never reach the text pipeline:
+    schema.org isAccessibleForFree + hasPart.cssSelector (the metered
+    convention), vendor wall class/id tokens, password forms, and CTA
+    phrase density.  Expression-only over one scan, zero shuffle."""
+    pages = spark.createDataFrame(_PAYWALL_FIXTURES, ["url", "html_str"])
+    return WT.access_gate_signals(pages, "url", "html_str")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4644,6 +4697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_gale": q_bitext_gale,
         "embedding_sanity": q_embedding_sanity,
         "robots_ua_gate": q_robots_ua_gate,
+        "paywall_gate": q_paywall_gate,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -9726,6 +9780,42 @@ def oracle_sql() -> dict[str, str]:
                   SELECT * FROM srcset_rows)
             WHERE img_url <> ''
         """.replace("{PV}", _sql_values(_IMG_FRONTIER_FIXTURES)),
+        # paywall_gate: identical RE2-safe patterns; regexp_matches
+        # twins rlike, len(regexp_extract_all) twins regexp_count
+        "paywall_gate": r"""
+            WITH pages(url, html_str) AS (VALUES {PV}),
+            sig AS (
+                SELECT url,
+                       regexp_extract(url, '^https?://([^/?#]+)', 1)
+                           AS host,
+                       regexp_extract(html_str,
+                           '"isAccessibleForFree"\s*:\s*"?(false|true)"?',
+                           1) AS jsonld_free,
+                       regexp_extract(html_str,
+                           '"cssSelector"\s*:\s*"\.([A-Za-z0-9_-]+)"',
+                           1) AS metered_selector,
+                       regexp_matches(html_str,
+                           '(?:class|id)="[^"]*(paywall|regwall|piano-offer|tp-modal|meteredContent|subscription-wall)')
+                           AS paywall_marker,
+                       regexp_matches(html_str,
+                           '<input[^>]*type="password"') AS login_form,
+                       len(regexp_extract_all(lower(html_str),
+                           '(subscribe now|already a subscriber|sign in to continue|start your free trial|to continue reading)'))
+                           AS n_sub_cta
+                FROM pages
+            )
+            SELECT url, host,
+                   CASE WHEN jsonld_free = 'false'
+                             AND metered_selector <> '' THEN 'metered'
+                        WHEN jsonld_free = 'false' OR paywall_marker
+                             THEN 'paywall'
+                        WHEN login_form THEN 'login'
+                        WHEN n_sub_cta >= 2 THEN 'soft'
+                        ELSE 'free' END AS access_class,
+                   jsonld_free, metered_selector, paywall_marker,
+                   login_form, n_sub_cta::INT AS n_sub_cta
+            FROM sig
+        """.replace("{PV}", _sql_values(_PAYWALL_FIXTURES)),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

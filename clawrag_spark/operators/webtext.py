@@ -3957,3 +3957,87 @@ def image_frontier(
         .filter(F.col("img_url") != "")
         .dropDuplicates(["page_url", "img_url", "descriptor"])
     )
+
+
+# Access-gate (paywall) detection patterns — all RE2-safe (no
+# lookaround, no backrefs) so the DuckDB oracle runs the identical
+# regex.  The JSON-LD marker is the schema.org paywall convention
+# Google requires for flexible-sampling publishers: a top-level
+# "isAccessibleForFree": false plus a hasPart cssSelector naming the
+# gated section (partial / metered gating).
+_JSONLD_FREE_RE = r'"isAccessibleForFree"\s*:\s*"?(false|true)"?'
+_METERED_SEL_RE = r'"cssSelector"\s*:\s*"\.([A-Za-z0-9_-]+)"'
+_PAYWALL_CLASS_RE = (
+    r'(?:class|id)="[^"]*'
+    r"(paywall|regwall|piano-offer|tp-modal|meteredContent|subscription-wall)"
+)
+_LOGIN_FORM_RE = r'<input[^>]*type="password"'
+_SUB_CTA_RE = (
+    r"(subscribe now|already a subscriber|sign in to continue"
+    r"|start your free trial|to continue reading)"
+)
+
+
+def access_gate_signals(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """Per-page access-gate classification from raw HTML — the
+    paywall/login-wall filter every open-web training corpus runs
+    before extraction: gated pages carry teaser text plus subscription
+    chrome, and keeping them pollutes the corpus with truncated
+    articles and CTA boilerplate.
+
+    Signals (each one projection over the single page scan):
+
+    - ``jsonld_free`` — the declared schema.org
+      ``isAccessibleForFree`` value (``'false'`` / ``'true'`` /
+      ``''`` when undeclared); publishers gate crawl sampling on it.
+    - ``metered_selector`` — the ``hasPart.cssSelector`` class naming
+      the gated section (schema.org partial/metered convention).
+    - ``paywall_marker`` — known vendor wall class/id tokens (Piano
+      ``tp-modal`` / ``piano-offer``, generic ``paywall`` /
+      ``regwall`` / ``meteredContent`` / ``subscription-wall``).
+    - ``login_form`` — a password input anywhere on the page.
+    - ``n_sub_cta`` — subscription call-to-action phrase count over
+      the lowercased page.
+
+    ``access_class`` precedence: a declared-false page whose gated
+    section is named is ``'metered'`` (the extractable teaser is
+    legitimate text); declared-false or vendor-wall pages are
+    ``'paywall'``; otherwise a password form is ``'login'``; two or
+    more CTA phrases with no structural wall is ``'soft'``; else
+    ``'free'``.
+
+    Scale shape: expression-only (regexp extracts + rlike + count)
+    over one scan — JVM-side, whole-stage-codegen'd, zero Python,
+    zero shuffle; at 10^12 pages this is scan-bound.  Reference
+    parity: ClawRag's ingestion validates/filters documents before
+    conversion (backend/src/services/extraction_service.py); on a
+    web corpus the access gate is that pre-conversion filter.
+    """
+    h = F.col(html_col)
+    low = F.lower(h)
+    jsonld_free = F.regexp_extract(h, _JSONLD_FREE_RE, 1)
+    metered_sel = F.regexp_extract(h, _METERED_SEL_RE, 1)
+    paywall_marker = h.rlike(_PAYWALL_CLASS_RE)
+    login_form = h.rlike(_LOGIN_FORM_RE)
+    n_cta = F.regexp_count(low, F.lit(_SUB_CTA_RE))
+    cls = (
+        F.when((jsonld_free == "false") & (metered_sel != ""), "metered")
+        .when((jsonld_free == "false") | paywall_marker, "paywall")
+        .when(login_form, "login")
+        .when(n_cta >= 2, "soft")
+        .otherwise("free")
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias(
+            "host"
+        ),
+        cls.alias("access_class"),
+        jsonld_free.alias("jsonld_free"),
+        metered_sel.alias("metered_selector"),
+        paywall_marker.cast("boolean").alias("paywall_marker"),
+        login_form.cast("boolean").alias("login_form"),
+        n_cta.cast("int").alias("n_sub_cta"),
+    )

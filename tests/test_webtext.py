@@ -1882,3 +1882,52 @@ def test_image_frontier_srcset_ladder(spark):
     assert ("p1", "/bare.jpg", "") in got       # descriptor-less
     # duplicate src collapses
     assert sum(1 for g in got if g[0] == "p2") == 1
+
+
+def test_access_gate_classes_and_precedence(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://n.ex/a",
+             '<script type="application/ld+json">'
+             '{"isAccessibleForFree": false}</script>'),
+            ("https://n.ex/b",
+             '{"isAccessibleForFree": "false", '
+             '"cssSelector": ".gated-body"}'),
+            ("https://n.ex/c", '<div class="tp-modal"></div>'),
+            ("https://n.ex/d", '<input type="password">'),
+            # CTA counting is case-folded; two phrases => soft
+            ("https://n.ex/e",
+             "Subscribe Now. Already a subscriber? ok"),
+            ("https://n.ex/f",
+             '{"isAccessibleForFree": true}<p>open</p>'),
+            ("https://n.ex/g", "<p>plain</p>"),
+            # wall marker beats the login form in the precedence
+            ("https://n.ex/h",
+             '<div id="piano-offer"></div><input type="password">'),
+            # one CTA alone stays free
+            ("https://n.ex/i", "start your free trial"),
+        ],
+        ["url", "html_str"],
+    )
+    got = {r.url.rsplit("/", 1)[1]: r
+           for r in W.access_gate_signals(pages).collect()}
+    assert got["a"].access_class == "paywall"
+    assert got["b"].access_class == "metered"
+    assert got["b"].metered_selector == "gated-body"
+    assert got["c"].access_class == "paywall"
+    assert got["d"].access_class == "login" and got["d"].login_form
+    assert got["e"].access_class == "soft" and got["e"].n_sub_cta == 2
+    assert got["f"].access_class == "free"
+    assert got["f"].jsonld_free == "true"
+    assert got["g"].access_class == "free" and got["g"].jsonld_free == ""
+    assert got["h"].access_class == "paywall"
+    assert got["i"].access_class == "free" and got["i"].n_sub_cta == 1
+    assert all(r.host == "n.ex" for r in got.values())
+
+
+def test_access_gate_plan_is_expression_only(spark):
+    pages = spark.createDataFrame([("u", "<p>x</p>")], ["url", "html_str"])
+    plan = (W.access_gate_signals(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
