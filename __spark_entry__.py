@@ -4238,6 +4238,52 @@ def q_paywall_gate(spark, sf_dir):
     return WT.access_gate_signals(pages, "url", "html_str")
 
 
+#: Deterministic ASCII payload for the CDC fixtures (no RNG: content
+#: derives from the index arithmetic).  ~840 chars — enough for the
+#: 32/64/192 chunk parameters to produce several content-defined cuts.
+_CDC_TEXT = " ".join(
+    "w%dtok%d" % ((i * i) % 97, i % 13) for i in range(120)
+)
+
+#: CDC fixtures: a base payload, a prefix-insertion copy (chunks
+#: re-align after the next surviving boundary — most hashes shared),
+#: a middle edit (one chunk re-keys), an exact copy (every chunk
+#: duplicated), a sub-window tiny payload, and a zero-entropy run
+#: (constant window hash: either every position cuts at min_size or
+#: none does and max_size forces the cuts — deterministic either way).
+#: The CDC window hash as DuckDB SQL over 1-based substr codepoints —
+#: cut position i (0-based) hashes chars i-7..i; term k multiplies
+#: codepoint i-7+k by 257^(7-k) mod 1e9+7, exactly the numpy kernel.
+_CDC_HASH_SQL = "(" + " + ".join(
+    "unicode(substr(s, i + %d, 1))::BIGINT * %d"
+    % (k - 6, pow(257, 7 - k, 1_000_000_007))
+    for k in range(8)
+) + ") % 1000000007"
+
+_CDC_FIXTURES = [
+    ("https://cdc.example/base", _CDC_TEXT),
+    ("https://cdc.example/insert", "XY" + _CDC_TEXT),
+    ("https://cdc.example/edit", _CDC_TEXT[:300] + "QQQ" + _CDC_TEXT[303:]),
+    ("https://cdc.example/copy", _CDC_TEXT),
+    ("https://cdc.example/tiny", "tiny"),
+    ("https://cdc.example/runs", "a" * 300),
+]
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin-window CDC) + chunk-level dedup
+    over near-copy payloads: polynomial window hash -> cut candidates,
+    greedy min/max-bounded cuts, md5 per chunk, corpus-wide copy count.
+    The insertion fixture shows the CDC property: boundaries re-align
+    after one chunk, unlike fixed-offset blocking.  Vectorized Arrow
+    kernel for boundary detection; md5 JVM-side pre-shuffle; the only
+    exchange carries (id, span, hash) rows."""
+    docs = spark.createDataFrame(_CDC_FIXTURES, ["url", "text"])
+    return DS.cdc_chunk_spans(
+        docs, "url", "text", min_size=32, avg_size=64, max_size=192
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4698,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sanity": q_embedding_sanity,
         "robots_ua_gate": q_robots_ua_gate,
         "paywall_gate": q_paywall_gate,
+        "cdc_chunks": q_cdc_chunks,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -9816,6 +9863,48 @@ def oracle_sql() -> dict[str, str]:
                    login_form, n_sub_cta::INT AS n_sub_cta
             FROM sig
         """.replace("{PV}", _sql_values(_PAYWALL_FIXTURES)),
+        # cdc_chunks: the identical polynomial window hash recomputed
+        # over codepoints (unicode(substr)) with inlined P^k mod M
+        # constants; the greedy min/max cut walk is a recursive CTE
+        # carrying (prev, last) cut state; md5 + copy-count twin the
+        # Spark side exactly
+        "cdc_chunks": r"""
+            WITH RECURSIVE docs(url, s) AS (VALUES {PV}),
+            d AS (SELECT url, s, length(s) AS n FROM docs),
+            pos AS (SELECT url, s, n, unnest(range(7, n)) AS i FROM d),
+            hp AS (SELECT url, i, {HEXPR} AS h FROM pos),
+            cand AS (
+                SELECT url, list_sort(list(i)) AS cs
+                FROM hp WHERE h % 64 = 0 GROUP BY url
+            ),
+            d2 AS (SELECT d.url, d.s, d.n, coalesce(c.cs, []) AS cs
+                   FROM d LEFT JOIN cand c USING (url)),
+            cuts AS (
+                SELECT url, s, n, cs, -1 AS prev, -1 AS last, 0 AS idx
+                FROM d2 WHERE n > 0
+                UNION ALL
+                SELECT url, s, n, cs, last AS prev,
+                       least(
+                           coalesce(
+                               list_min(list_filter(cs,
+                                   x -> x >= last + 32)),
+                               last + 192),
+                           last + 192, n - 1) AS last,
+                       idx + 1
+                FROM cuts WHERE last < n - 1
+            ),
+            chunks AS (
+                SELECT url, idx - 1 AS chunk_idx, prev + 1 AS start,
+                       last - prev AS length,
+                       md5(substr(s, prev + 2, last - prev)) AS chunk_md5
+                FROM cuts WHERE idx >= 1
+            )
+            SELECT url, chunk_idx::INT AS chunk_idx, start::INT AS start,
+                   length::INT AS length, chunk_md5,
+                   count(*) OVER (PARTITION BY chunk_md5) AS n_copies
+            FROM chunks
+        """.replace("{PV}", _sql_values(_CDC_FIXTURES))
+           .replace("{HEXPR}", _CDC_HASH_SQL),
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

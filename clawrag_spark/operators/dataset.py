@@ -2306,3 +2306,124 @@ def dedup_representatives(
         "quality",
         F.first(id_col).over(w).alias("rep_id"),
     ).withColumn("is_rep", (F.col(id_col) == F.col("rep_id")).cast("int"))
+
+
+# Content-defined chunking constants — shared by the numpy kernel and
+# the DuckDB oracle (which recomputes the identical polynomial hash
+# with SQL arithmetic over codepoints).  Prime modulus keeps every
+# intermediate in int64 on both engines; window=8 is the classic
+# Rabin-CDC window width.
+_CDC_WINDOW = 8
+_CDC_PRIME = 257
+_CDC_MOD = 1_000_000_007
+
+
+def cdc_chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_size: int = 32,
+    avg_size: int = 64,
+    max_size: int = 192,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-window CDC, the LBFS/FastCDC
+    family) over a payload column, for chunk-level dedup of near-copy
+    payloads: a fixed 8-codepoint rolling window is polynomial-hashed
+    at every position, a position is a *cut candidate* when
+    ``hash % avg_size == 0``, and cuts are chosen greedily left-to-
+    right subject to ``min_size``/``max_size``.  Because boundaries
+    depend only on local content, an insertion near the front of a
+    copied payload shifts ONE chunk — every chunk after the next
+    surviving boundary re-aligns and keeps its hash, which is the
+    whole point versus fixed-offset chunking (where one inserted byte
+    re-keys every downstream block).
+
+    Returns one row per chunk: ``(id, chunk_idx, start, length,
+    chunk_md5, n_copies)`` with char-offset spans, the md5 of the
+    chunk text, and the corpus-wide copy count per chunk hash.
+
+    Scale shape: boundary detection is a vectorized Arrow-batched
+    kernel (codepoints via one ``utf-32`` reinterpret, all window
+    hashes in one strided matmul — no per-byte Python), per-document
+    and embarrassingly parallel; chunk md5s are computed JVM-side
+    BEFORE the shuffle, so the only exchange is (id, span ints,
+    16-byte hash) rows for the copy-count aggregation — payload bytes
+    never cross the wire.  At 10^12 documents the dedup join is one
+    hash-partitioned count over ~len/avg_size short rows per doc.
+
+    Reference parity: ClawRag chunks extracted text with
+    offset-tracked splitters (backend/src/core/chunker.py); CDC is
+    the content-addressed variant a crawl store runs on raw payloads
+    where near-copies dominate.
+    """
+    if not (0 < min_size <= max_size) or avg_size <= 0:
+        raise ValueError("require 0 < min_size <= max_size, avg_size > 0")
+    w, p, m = _CDC_WINDOW, _CDC_PRIME, _CDC_MOD
+    d_mod, mn, mx = int(avg_size), int(min_size), int(max_size)
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("start", T.IntegerType()),
+                    T.StructField("length", T.IntegerType()),
+                ]
+            )
+        )
+    )
+    def spans(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        pows = np.array(
+            [pow(p, w - 1 - k, m) for k in range(w)], dtype=np.int64
+        )
+
+        def one(t):
+            if not t:
+                return []
+            vals = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(vals)
+            if n >= w:
+                wins = np.lib.stride_tricks.sliding_window_view(vals, w)
+                h = (wins * pows).sum(axis=1) % m
+                # window ending at position i = w-1+row
+                cands = np.nonzero(h % d_mod == 0)[0] + (w - 1)
+            else:
+                cands = np.empty(0, dtype=np.int64)
+            cuts, last = [], -1
+            while last < n - 1:
+                j = np.searchsorted(cands, last + mn)
+                nxt = int(cands[j]) if j < len(cands) else last + mx
+                nxt = min(nxt, last + mx, n - 1)
+                cuts.append(nxt)
+                last = nxt
+            out, prev = [], -1
+            for c in cuts:
+                out.append({"start": prev + 1, "length": c - prev})
+                prev = c
+            return out
+
+        return texts.map(one)
+
+    text = F.col(text_col)
+    exploded = (
+        df.select(F.col(id_col), text.alias("__t"), spans(text).alias("__s"))
+        .select(id_col, "__t", F.posexplode("__s").alias("chunk_idx", "sp"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("sp.start").alias("start"),
+            F.col("sp.length").alias("length"),
+            F.md5(
+                F.substring(F.col("__t"), F.col("sp.start") + 1, F.col("sp.length"))
+            ).alias("chunk_md5"),
+        )
+    )
+    from pyspark.sql import Window
+
+    return exploded.withColumn(
+        "n_copies",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_md5")).cast("long"),
+    )

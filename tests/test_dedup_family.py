@@ -942,3 +942,80 @@ def test_oph_jaccard_identical_docs_estimate_one(spark):
         for r in DS.oph_estimate_jaccard(df, "doc_id", "text", 16, 2).collect()
     }
     assert est[(0, 1)] == 1.0
+
+
+class TestCdcChunks:
+    """Content-defined chunking: span tiling, size bounds, and the
+    re-alignment property that motivates CDC over fixed blocking."""
+
+    MN, AVG, MX = 32, 64, 192
+
+    def _chunks(self, spark, rows):
+        df = spark.createDataFrame(rows, ["url", "text"])
+        out = DS.cdc_chunk_spans(
+            df, "url", "text", self.MN, self.AVG, self.MX
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.url, []).append(r)
+        for v in by.values():
+            v.sort(key=lambda r: r.chunk_idx)
+        return by
+
+    def _base_text(self):
+        return " ".join(
+            "t%dq%d" % ((i * 7) % 53, (i * i) % 11) for i in range(160)
+        )
+
+    def test_spans_tile_text_within_bounds(self, spark):
+        t = self._base_text()
+        ch = self._chunks(spark, [("u", t), ("tiny", "abc"), ("e", "")])
+        spans = ch["u"]
+        assert spans[0].start == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b.start == a.start + a.length  # gap/overlap-free
+        assert spans[-1].start + spans[-1].length == len(t)
+        # every chunk except possibly the last respects min/max
+        for s in spans[:-1]:
+            assert self.MN <= s.length <= self.MX
+        assert spans[-1].length <= self.MX
+        # reassembled text round-trips
+        assert "".join(t[s.start:s.start + s.length] for s in spans) == t
+        assert len(ch["tiny"]) == 1 and ch["tiny"][0].length == 3
+        assert "e" not in ch  # empty text yields no chunks
+
+    def test_insertion_realigns_chunk_hashes(self, spark):
+        t = self._base_text()
+        ch = self._chunks(spark, [("base", t), ("ins", "XYZ" + t)])
+        base_h = {r.chunk_md5 for r in ch["base"]}
+        ins_h = {r.chunk_md5 for r in ch["ins"]}
+        # boundaries are content-local: after the first surviving cut
+        # the chunk stream re-aligns, so most hashes are shared (a
+        # fixed-offset blocker would share none)
+        shared = len(base_h & ins_h)
+        assert shared >= len(base_h) - 2
+        assert shared < len(base_h) or len(ins_h) != len(base_h)
+
+    def test_exact_copy_counts_as_duplicate(self, spark):
+        t = self._base_text()
+        ch = self._chunks(spark, [("a", t), ("b", t)])
+        assert [r.chunk_md5 for r in ch["a"]] == [
+            r.chunk_md5 for r in ch["b"]
+        ]
+        assert all(r.n_copies >= 2 for r in ch["a"])
+
+    def test_zero_entropy_run_is_deterministic(self, spark):
+        ch = self._chunks(spark, [("r", "z" * 500)])
+        spans = ch["r"]
+        # constant window hash: cuts land at min_size or max_size
+        # strides, uniformly
+        lens = {s.length for s in spans[:-1]}
+        assert lens <= {self.MN, self.MX}
+        assert sum(s.length for s in spans) == 500
+
+    def test_rejects_bad_params(self, spark):
+        df = spark.createDataFrame([("u", "x")], ["url", "text"])
+        with pytest.raises(ValueError):
+            DS.cdc_chunk_spans(df, "url", "text", 0, 64, 192)
+        with pytest.raises(ValueError):
+            DS.cdc_chunk_spans(df, "url", "text", 300, 64, 192)
