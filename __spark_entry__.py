@@ -4284,6 +4284,19 @@ def q_cdc_chunks(spark, sf_dir):
     )
 
 
+def q_cdc_near_dups(spark, sf_dir):
+    """Near-duplicate payloads by exact Jaccard over CDC chunk-hash
+    sets (the storage-dedup similarity view): candidates from a chunk
+    equi-join (never all-pairs), exact intersection via a second
+    hash-only join; the base/insert/edit/copy fixtures pair up, tiny
+    and the zero-entropy run find no partner above threshold."""
+    docs = spark.createDataFrame(_CDC_FIXTURES, ["url", "text"])
+    return DS.cdc_near_dups(
+        docs, "url", "text",
+        min_size=32, avg_size=64, max_size=192, threshold=0.3,
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the event log: one shuffle
     on user, lag + running-sum windows, per-session aggregate rows.
@@ -4376,6 +4389,47 @@ def _sql_values(rows) -> str:
         "(" + ", ".join("'" + str(c).replace("'", "''") + "'" for c in r) + ")"
         for r in rows
     )
+
+
+#: Shared DuckDB CTE for the CDC family oracles: window-hash cut
+#: candidates, the recursive greedy min(32)/avg(64)/max(192) cut walk,
+#: and per-chunk md5 spans — both cdc_chunks and cdc_near_dups append
+#: their own final SELECT.
+_CDC_ORACLE_CTE = (
+    r"""
+            WITH RECURSIVE docs(url, s) AS (VALUES {PV}),
+            d AS (SELECT url, s, length(s) AS n FROM docs),
+            pos AS (SELECT url, s, n, unnest(range(7, n)) AS i FROM d),
+            hp AS (SELECT url, i, {HEXPR} AS h FROM pos),
+            cand AS (
+                SELECT url, list_sort(list(i)) AS cs
+                FROM hp WHERE h % 64 = 0 GROUP BY url
+            ),
+            d2 AS (SELECT d.url, d.s, d.n, coalesce(c.cs, []) AS cs
+                   FROM d LEFT JOIN cand c USING (url)),
+            cuts AS (
+                SELECT url, s, n, cs, -1 AS prev, -1 AS last, 0 AS idx
+                FROM d2 WHERE n > 0
+                UNION ALL
+                SELECT url, s, n, cs, last AS prev,
+                       least(
+                           coalesce(
+                               list_min(list_filter(cs,
+                                   x -> x >= last + 32)),
+                               last + 192),
+                           last + 192, n - 1) AS last,
+                       idx + 1
+                FROM cuts WHERE last < n - 1
+            ),
+            chunks AS (
+                SELECT url, idx - 1 AS chunk_idx, prev + 1 AS start,
+                       last - prev AS length,
+                       md5(substr(s, prev + 2, last - prev)) AS chunk_md5
+                FROM cuts WHERE idx >= 1
+            )
+    """.replace("{PV}", _sql_values(_CDC_FIXTURES))
+    .replace("{HEXPR}", _CDC_HASH_SQL)
+)
 
 
 #: Feed fixtures (RSS 2.0 + Atom) for q_feed_urls — exercises element
@@ -4745,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_ua_gate": q_robots_ua_gate,
         "paywall_gate": q_paywall_gate,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_near_dups": q_cdc_near_dups,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -9868,43 +9923,41 @@ def oracle_sql() -> dict[str, str]:
         # constants; the greedy min/max cut walk is a recursive CTE
         # carrying (prev, last) cut state; md5 + copy-count twin the
         # Spark side exactly
-        "cdc_chunks": r"""
-            WITH RECURSIVE docs(url, s) AS (VALUES {PV}),
-            d AS (SELECT url, s, length(s) AS n FROM docs),
-            pos AS (SELECT url, s, n, unnest(range(7, n)) AS i FROM d),
-            hp AS (SELECT url, i, {HEXPR} AS h FROM pos),
-            cand AS (
-                SELECT url, list_sort(list(i)) AS cs
-                FROM hp WHERE h % 64 = 0 GROUP BY url
-            ),
-            d2 AS (SELECT d.url, d.s, d.n, coalesce(c.cs, []) AS cs
-                   FROM d LEFT JOIN cand c USING (url)),
-            cuts AS (
-                SELECT url, s, n, cs, -1 AS prev, -1 AS last, 0 AS idx
-                FROM d2 WHERE n > 0
-                UNION ALL
-                SELECT url, s, n, cs, last AS prev,
-                       least(
-                           coalesce(
-                               list_min(list_filter(cs,
-                                   x -> x >= last + 32)),
-                               last + 192),
-                           last + 192, n - 1) AS last,
-                       idx + 1
-                FROM cuts WHERE last < n - 1
-            ),
-            chunks AS (
-                SELECT url, idx - 1 AS chunk_idx, prev + 1 AS start,
-                       last - prev AS length,
-                       md5(substr(s, prev + 2, last - prev)) AS chunk_md5
-                FROM cuts WHERE idx >= 1
-            )
+        "cdc_chunks": _CDC_ORACLE_CTE + r"""
             SELECT url, chunk_idx::INT AS chunk_idx, start::INT AS start,
                    length::INT AS length, chunk_md5,
                    count(*) OVER (PARTITION BY chunk_md5) AS n_copies
             FROM chunks
-        """.replace("{PV}", _sql_values(_CDC_FIXTURES))
-           .replace("{HEXPR}", _CDC_HASH_SQL),
+        """,
+        # cdc_near_dups: the same chunks CTE -> distinct chunk-hash
+        # sets -> candidate pairs from shared hashes -> exact set
+        # Jaccard, thresholded; twins the two-join Spark plan
+        "cdc_near_dups": _CDC_ORACLE_CTE + r"""
+            , sets AS (SELECT DISTINCT url, chunk_md5 FROM chunks),
+            sizes AS (SELECT url, count(*) AS nc FROM sets GROUP BY url),
+            pairs AS (
+                SELECT DISTINCT a.url AS url_a, b.url AS url_b
+                FROM sets a JOIN sets b ON a.chunk_md5 = b.chunk_md5
+                WHERE a.url < b.url
+            ),
+            shared AS (
+                SELECT p.url_a, p.url_b, count(*) AS n_shared
+                FROM pairs p
+                JOIN sets a ON a.url = p.url_a
+                JOIN sets b ON b.url = p.url_b
+                           AND b.chunk_md5 = a.chunk_md5
+                GROUP BY p.url_a, p.url_b
+            )
+            SELECT s.url_a, s.url_b,
+                   s.n_shared::BIGINT AS n_shared,
+                   sa.nc::BIGINT AS n_chunks_a, sb.nc::BIGINT AS n_chunks_b,
+                   round(s.n_shared * 1.0
+                         / (sa.nc + sb.nc - s.n_shared), 6) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.url = s.url_a
+            JOIN sizes sb ON sb.url = s.url_b
+            WHERE s.n_shared * 1.0 / (sa.nc + sb.nc - s.n_shared) >= 0.3
+        """,
         # soft404: same phrase set, same 600-char gate over
         # documents ∪ planted fixtures
         "soft404": r"""

@@ -2318,7 +2318,7 @@ _CDC_PRIME = 257
 _CDC_MOD = 1_000_000_007
 
 
-def cdc_chunk_spans(
+def _cdc_exploded(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -2339,8 +2339,8 @@ def cdc_chunk_spans(
     re-keys every downstream block).
 
     Returns one row per chunk: ``(id, chunk_idx, start, length,
-    chunk_md5, n_copies)`` with char-offset spans, the md5 of the
-    chunk text, and the corpus-wide copy count per chunk hash.
+    chunk_md5)`` with char-offset spans and the md5 of the chunk
+    text (:func:`cdc_chunk_spans` adds the corpus-wide copy count).
 
     Scale shape: boundary detection is a vectorized Arrow-batched
     kernel (codepoints via one ``utf-32`` reinterpret, all window
@@ -2408,7 +2408,7 @@ def cdc_chunk_spans(
         return texts.map(one)
 
     text = F.col(text_col)
-    exploded = (
+    return (
         df.select(F.col(id_col), text.alias("__t"), spans(text).alias("__s"))
         .select(id_col, "__t", F.posexplode("__s").alias("chunk_idx", "sp"))
         .select(
@@ -2421,9 +2421,107 @@ def cdc_chunk_spans(
             ).alias("chunk_md5"),
         )
     )
+
+
+def cdc_chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_size: int = 32,
+    avg_size: int = 64,
+    max_size: int = 192,
+) -> DataFrame:
+    """Chunk rows from :func:`_cdc_exploded` plus the corpus-wide copy
+    count per chunk hash — one hash-partitioned window over short
+    (id, span, 16-byte hash) rows; payload bytes never shuffle."""
+    exploded = _cdc_exploded(df, id_col, text_col, min_size, avg_size, max_size)
     from pyspark.sql import Window
 
     return exploded.withColumn(
         "n_copies",
         F.count(F.lit(1)).over(Window.partitionBy("chunk_md5")).cast("long"),
+    )
+
+
+def cdc_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_size: int = 32,
+    avg_size: int = 64,
+    max_size: int = 192,
+    threshold: float = 0.5,
+    hot_chunk_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate payload pairs by exact Jaccard over content-
+    defined chunk-hash SETS — the storage-dedup view of document
+    similarity: two pages sharing most CDC chunks are near-copies even
+    when a prefix insertion shifted every fixed offset.
+
+    Candidate pairs come from an equi-join on chunk hash (never
+    all-pairs); the exact set intersection for candidates is a second
+    equi-join, so both shuffles carry only (id, 16-byte hash) rows.
+    ``hot_chunk_cap`` is the skew guard at corpus scale: a boilerplate
+    chunk shared by millions of pages would fan the candidate join
+    quadratically, so hashes appearing in more than ``cap`` documents
+    are excluded from candidate GENERATION (the exact intersection
+    still counts them for any pair that became a candidate — the
+    Jaccard itself is unbiased, only recall of pairs linked SOLELY by
+    mega-hot chunks is traded away, the same bargain stopword removal
+    makes).
+
+    Returns ``(url_a, url_b, n_shared, n_chunks_a, n_chunks_b,
+    jaccard)`` for pairs with Jaccard >= ``threshold``.
+    """
+    ex = _cdc_exploded(df, id_col, text_col, min_size, avg_size, max_size)
+    sets = ex.select(F.col(id_col).alias("__id"), "chunk_md5").distinct()
+    sizes = sets.groupBy("__id").agg(F.count(F.lit(1)).alias("nc"))
+    gen = sets
+    if hot_chunk_cap is not None:
+        freq = sets.groupBy("chunk_md5").agg(
+            F.count(F.lit(1)).alias("__docs")
+        )
+        gen = sets.join(
+            freq.filter(F.col("__docs") <= hot_chunk_cap).select("chunk_md5"),
+            "chunk_md5",
+        )
+    pairs = (
+        gen.select(F.col("__id").alias("url_a"), "chunk_md5")
+        .join(gen.select(F.col("__id").alias("url_b"), "chunk_md5"), "chunk_md5")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+        .distinct()
+    )
+    shared = (
+        pairs.join(
+            sets.select(F.col("__id").alias("url_a"), "chunk_md5"), "url_a"
+        )
+        .join(
+            sets.select(F.col("__id").alias("url_b"), "chunk_md5"),
+            ["url_b", "chunk_md5"],
+        )
+        .groupBy("url_a", "url_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (
+        F.col("n_chunks_a") + F.col("n_chunks_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("__id").alias("url_a"), F.col("nc").alias("n_chunks_a")),
+            "url_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("url_b"), F.col("nc").alias("n_chunks_b")),
+            "url_b",
+        )
+        .filter(jac >= threshold)
+        .select(
+            "url_a",
+            "url_b",
+            "n_shared",
+            "n_chunks_a",
+            "n_chunks_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
     )

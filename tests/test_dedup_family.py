@@ -1019,3 +1019,60 @@ class TestCdcChunks:
             DS.cdc_chunk_spans(df, "url", "text", 0, 64, 192)
         with pytest.raises(ValueError):
             DS.cdc_chunk_spans(df, "url", "text", 300, 64, 192)
+
+
+class TestCdcNearDups:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, ["url", "text"])
+        return {
+            (r.url_a, r.url_b): r
+            for r in DS.cdc_near_dups(
+                df, "url", "text", 32, 64, 192, **kw
+            ).collect()
+        }
+
+    def _base_text(self):
+        return " ".join(
+            "t%dq%d" % ((i * 7) % 53, (i * i) % 11) for i in range(160)
+        )
+
+    def test_copy_and_insertion_pair_up(self, spark):
+        t = self._base_text()
+        got = self._run(
+            spark,
+            [("a", t), ("b", t), ("ins", "XYZ" + t), ("other", "zz" * 40)],
+            threshold=0.3,
+        )
+        assert got[("a", "b")].jaccard == 1.0
+        assert got[("a", "b")].n_shared == got[("a", "b")].n_chunks_a
+        assert ("a", "ins") in got and got[("a", "ins")].jaccard >= 0.3
+        assert not any("other" in k for k in got)
+
+    def test_hot_chunk_cap_drops_boilerplate_only_links(self, spark):
+        # shared high-entropy prefix: CDC cuts it identically in every
+        # doc, producing chunk hashes common to all six (mega-hot)
+        boiler = self._base_text()[:300]
+        rows = [
+            (
+                f"d{i}",
+                boiler
+                + " ".join(
+                    "d%dw%dx%d" % (i, j, (j * j + 17 * i) % 89)
+                    for j in range(60)
+                ),
+            )
+            for i in range(6)
+        ]
+        uncapped = self._run(spark, rows, threshold=0.01)
+        capped = self._run(spark, rows, threshold=0.01, hot_chunk_cap=3)
+        # pairs linked solely by the mega-hot boilerplate chunk vanish
+        assert len(capped) < len(uncapped)
+
+    def test_plan_has_no_cartesian(self, spark):
+        df = spark.createDataFrame([("u", "x" * 100)], ["url", "text"])
+        plan = (
+            DS.cdc_near_dups(df, "url", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
