@@ -454,11 +454,53 @@ def label_propagation_communities(
     )
 
 
+def _hits_driver(spark, edge_rows, k: int) -> DataFrame:
+    """Driver-side numpy twin of the distributed HITS loop: identical
+    synchronous schedule (auth' = L2norm(Aᵀ·hub), then
+    hub' = L2norm(A·auth')), identical zero-norm handling.  Runs when
+    the distinct host-edge count fits one task — 5·k shuffles on a
+    tiny graph is scheduler latency, not computation."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    nodes = sorted({r[0] for r in edge_rows} | {r[1] for r in edge_rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.array([idx[r[0]] for r in edge_rows], dtype=np.int64)
+    di = np.array([idx[r[1]] for r in edge_rows], dtype=np.int64)
+    n = len(nodes)
+    auth = np.ones(n)
+    hub = np.ones(n)
+    for _ in range(k):
+        auth = np.zeros(n)
+        np.add.at(auth, di, hub[si])
+        norm = float(np.sqrt((auth * auth).sum()))
+        auth = auth / norm if norm > 0 else np.zeros(n)
+        hub = np.zeros(n)
+        np.add.at(hub, si, auth[di])
+        norm = float(np.sqrt((hub * hub).sum()))
+        hub = hub / norm if norm > 0 else np.zeros(n)
+    node_type = (
+        T.LongType() if nodes and isinstance(nodes[0], int) else T.StringType()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n", node_type),
+            T.StructField("authority", T.DoubleType()),
+            T.StructField("hub", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(nd, float(auth[i]), float(hub[i])) for i, nd in enumerate(nodes)],
+        schema,
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src_host",
     dst: str = "dst_host",
     k: int = 10,
+    small_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """HITS hub/authority scores (Kleinberg 1999) — PageRank's
     complement for crawl seeding: authorities are the pages worth
@@ -472,12 +514,26 @@ def hits(
     ``localCheckpoint`` and small graphs iterate at reduced width (the
     repo's iterative-width rule).
 
+    Adaptive execution (the :func:`~clawrag_spark.operators.dataset.
+    connected_components` precedent): a HOST graph below
+    ``small_edge_threshold`` distinct edges runs the identical k-round
+    synchronous power iteration as one numpy kernel on the driver —
+    5 × k chained shuffles on a graph that fits in one task is pure
+    scheduler latency, and the host graph (not the page graph) is
+    routinely this small even for large crawls.  Above the threshold
+    the distributed path runs unchanged; both paths share the same
+    update schedule and L2 norms, pinned against each other in pytest.
+
     Returns (n, authority, hub).
     """
     if k < 1:
         raise ValueError(f"hits needs k >= 1, got {k}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
     n_edges = e.count()
+    if n_edges <= small_edge_threshold:
+        rows = e.collect()
+        e.unpersist()
+        return _hits_driver(edges.sparkSession, rows, k)
     nodes = (
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))

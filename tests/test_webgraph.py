@@ -261,6 +261,27 @@ def test_hits_matches_numpy_reference(spark):
         hits(df, k=0)
 
 
+def test_hits_driver_and_distributed_paths_agree(spark):
+    """The adaptive driver kernel (small_edge_threshold) and the
+    distributed loop share the synchronous schedule exactly."""
+    from clawrag_spark.operators.webgraph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"),
+        ("c", "e"), ("d", "e"), ("e", "a"), ("f", "a"),
+        ("iso_src", "iso_dst"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    drv = {r["n"]: (r["authority"], r["hub"])
+           for r in hits(df, k=7).collect()}
+    dist = {r["n"]: (r["authority"], r["hub"])
+            for r in hits(df, k=7, small_edge_threshold=0).collect()}
+    assert set(drv) == set(dist)
+    for n in drv:
+        assert abs(drv[n][0] - dist[n][0]) < 1e-9
+        assert abs(drv[n][1] - dist[n][1]) < 1e-9
+
+
 def test_trustrank_spam_farm_scores_zero(spark):
     """Seeded pagerank = TrustRank: a link farm unreachable from the
     seeds gets exactly zero trust no matter how densely it interlinks,
