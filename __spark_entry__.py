@@ -2015,6 +2015,18 @@ def q_phrase_search(spark, sf_dir):
     return R.phrase_match(post, "doc_id", "hash join")
 
 
+def q_proximity_rank(spark, sf_dir):
+    """Exact minimum-cover proximity scoring (Indri-style MinDist)
+    over the positional postings: smallest token window per document
+    containing all three query terms, score = k/min_window.  One
+    descending running-min window pass computes every term's
+    next-position — one shuffle total, no as-of join chain; the probe
+    filter is the same term-bucket prune as phrase_search."""
+    docs = _load(spark, sf_dir, "documents")
+    post = R.positional_postings(docs, "doc_id", "text")
+    return R.proximity_windows(post, "doc_id", ["hash", "join", "stream"])
+
+
 def q_hll_user_days(spark, sf_dir):
     """Deterministic HyperLogLog (b=6, md5-bit-pinned) distinct-user
     estimate per event day, joined against the exact count so the
@@ -4800,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paywall_gate": q_paywall_gate,
         "cdc_chunks": q_cdc_chunks,
         "cdc_near_dups": q_cdc_near_dups,
+        "proximity_rank": q_proximity_rank,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6066,6 +6079,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
             WHERE t0.term = 'hash' AND t1.term = 'join'
             GROUP BY t0.doc_id
+        """,
+        # proximity_rank: identical one-pass running-min window over
+        # descending positions (1-based subscripts vs Spark's 0-based
+        # posexplode cancel in the window-length difference)
+        "proximity_rank": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''), 1) AS pos,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            sub AS (
+                SELECT doc_id, pos, term FROM toks
+                WHERE term IN ('hash', 'join', 'stream')
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       min(CASE WHEN term = 'hash' THEN pos END)
+                           OVER w AS n0,
+                       min(CASE WHEN term = 'join' THEN pos END)
+                           OVER w AS n1,
+                       min(CASE WHEN term = 'stream' THEN pos END)
+                           OVER w AS n2
+                FROM sub
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ),
+            wins AS (
+                SELECT doc_id, greatest(n0, n1, n2) - pos + 1 AS wlen
+                FROM marked
+                WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+                      AND n2 IS NOT NULL
+            )
+            SELECT doc_id, min(wlen)::BIGINT AS min_window,
+                   round(3.0 / min(wlen), 6) AS score
+            FROM wins GROUP BY doc_id
         """,
         # deterministic HLL (b=6): same 60-bit md5, register max, exact
         # integer Z-sum, identical double literals — the whole point is

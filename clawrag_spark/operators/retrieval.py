@@ -818,3 +818,69 @@ def wand_topk(
         .orderBy(F.desc("impact_score"), id_col)
         .limit(k)
     )
+
+
+def proximity_windows(
+    postings: DataFrame, id_col: str, terms: list[str]
+) -> DataFrame:
+    """Exact minimum-cover proximity scoring (the Indri/INQUERY
+    "MinDist" family) over positional postings: per document, the
+    length of the SMALLEST token window containing every query term at
+    least once, and score = k / min_window (1.0 when the terms are
+    adjacent-packed).  Phrase search demands exact adjacency; this is
+    its relaxation — the standard second-stage lexical signal between
+    bag-of-words BM25 and full phrase match.
+
+    Exactness: the optimal cover's leftmost token is an occurrence of
+    some query term, and for an anchor position p the smallest cover
+    starting at p has length ``max_t (next position of t >= p) − p +
+    1`` — so minimizing that expression over all query-term positions
+    p is the true minimum.  All k "next >= p" values come from ONE
+    descending-order running-min window pass (running min of each
+    term's positions seen so far from the right), never k as-of joins.
+
+    Scale shape: the postings filter to the k query terms is a
+    partition prune on a term-bucketed index (same probe shape as
+    :func:`phrase_match`); then exactly ONE shuffle on the doc id for
+    the window pass + the final per-doc min (map-side partial).  Rows
+    carry (id, pos, term) — no text.
+
+    Returns (id, min_window, score) for documents containing ALL
+    terms.
+    """
+    uniq = list(dict.fromkeys(terms))
+    if len(uniq) < 2:
+        raise ValueError(f"proximity needs >= 2 distinct terms, got {uniq!r}")
+    sub = postings.filter(F.col("term").isin(uniq))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt_cols = [
+        F.min(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"__n{i}")
+        for i, t in enumerate(uniq)
+    ]
+    anchored = sub.select(F.col(id_col), F.col("pos"), *nxt_cols)
+    present = None
+    for i in range(len(uniq)):
+        c = F.col(f"__n{i}").isNotNull()
+        present = c if present is None else (present & c)
+    wlen = (
+        F.greatest(*[F.col(f"__n{i}") for i in range(len(uniq))])
+        - F.col("pos")
+        + 1
+    )
+    return (
+        anchored.filter(present)
+        .select(F.col(id_col), wlen.alias("__w"))
+        .groupBy(id_col)
+        .agg(F.min("__w").cast("long").alias("min_window"))
+        .select(
+            id_col,
+            "min_window",
+            F.round(F.lit(float(len(uniq))) / F.col("min_window"), 6).alias(
+                "score"
+            ),
+        )
+    )

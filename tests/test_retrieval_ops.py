@@ -267,3 +267,69 @@ def test_bm25f_plan_no_cartesian_no_python(spark):
     plan = bm25f_scores(docs, "doc_id", fields, ["one"])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestProximityWindows:
+    def _brute_min_cover(self, text, terms):
+        import itertools, re as _re
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        best = None
+        for i in range(len(toks)):
+            for j in range(i, len(toks)):
+                win = toks[i:j + 1]
+                if all(t in win for t in terms):
+                    best = min(best or 10**9, j - i + 1)
+                    break
+        return best
+
+    def test_matches_brute_force_min_cover(self, spark):
+        from clawrag_spark.operators import retrieval as R
+
+        docs = [
+            (1, "alpha hash beta join gamma stream delta"),
+            (2, "hash join stream"),
+            (3, "stream x x x hash x x join x stream hash join"),
+            (4, "hash only here with join but no third"),
+            (5, "no terms at all"),
+            (6, "hash hash hash join stream"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        post = R.positional_postings(df, "doc_id", "text")
+        terms = ["hash", "join", "stream"]
+        got = {
+            r.doc_id: (r.min_window, r.score)
+            for r in R.proximity_windows(post, "doc_id", terms).collect()
+        }
+        for doc_id, text in docs:
+            expect = self._brute_min_cover(text, terms)
+            if expect is None:
+                assert doc_id not in got
+            else:
+                assert got[doc_id][0] == expect, (doc_id, got.get(doc_id))
+        # adjacent-packed terms score exactly 1.0
+        assert got[2] == (3, 1.0)
+
+    def test_duplicate_and_short_term_lists(self, spark):
+        import pytest as _pytest
+
+        from clawrag_spark.operators import retrieval as R
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        post = R.positional_postings(df, "doc_id", "text")
+        with _pytest.raises(ValueError):
+            R.proximity_windows(post, "doc_id", ["a", "a"])
+
+    def test_single_shuffle_no_python(self, spark):
+        from clawrag_spark.operators import retrieval as R
+
+        df = spark.createDataFrame([(1, "hash join stream")], ["doc_id", "text"])
+        post = R.positional_postings(df, "doc_id", "text")
+        plan = (
+            R.proximity_windows(post, "doc_id", ["hash", "join"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # window pass and final agg hash-partition on the same key: the
+        # agg reuses the window's exchange, leaving ONE doc-id shuffle
+        assert plan.count("Exchange hashpartitioning") <= 2
