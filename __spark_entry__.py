@@ -2027,6 +2027,18 @@ def q_proximity_rank(spark, sf_dir):
     return R.proximity_windows(post, "doc_id", ["hash", "join", "stream"])
 
 
+def q_ql_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed query likelihood (Zhai-Lafferty) — the
+    language-model ranking family beside BM25: one groupBy computes
+    doc length + every query-term tf map-side-partially, collection
+    stats broadcast back as one row, per-term ln contributions summed
+    in fixed order so the DuckDB oracle reproduces the float exactly."""
+    docs = _load(spark, sf_dir, "documents")
+    return R.lm_dirichlet_scores(
+        docs, "doc_id", "text", ["hash", "join", "stream"], mu=50.0
+    )
+
+
 def q_hll_user_days(spark, sf_dir):
     """Deterministic HyperLogLog (b=6, md5-bit-pinned) distinct-user
     estimate per event day, joined against the exact count so the
@@ -4813,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "cdc_near_dups": q_cdc_near_dups,
         "proximity_rank": q_proximity_rank,
+        "ql_dirichlet": q_ql_dirichlet,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6120,6 +6133,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(wlen)::BIGINT AS min_window,
                    round(3.0 / min(wlen), 6) AS score
             FROM wins GROUP BY doc_id
+        """,
+        # ql_dirichlet: identical per-doc tf/dl pass, identical
+        # collection model, same fixed left-to-right ln sum and mu=50
+        "ql_dirichlet": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            pd AS (
+                SELECT doc_id, count(*) AS dl,
+                       sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+                           AS tf0,
+                       sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END)
+                           AS tf1,
+                       sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)
+                           AS tf2
+                FROM toks GROUP BY doc_id
+            ),
+            c AS (SELECT sum(dl) AS c_len, sum(tf0) AS ctf0,
+                         sum(tf1) AS ctf1, sum(tf2) AS ctf2 FROM pd)
+            SELECT doc_id, dl::BIGINT AS doc_len,
+                   round(
+                       ln((tf0 + 50.0 * ctf0 / c_len) / (dl + 50.0))
+                     + ln((tf1 + 50.0 * ctf1 / c_len) / (dl + 50.0))
+                     + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
+                   6) AS ql_score
+            FROM pd CROSS JOIN c
         """,
         # deterministic HLL (b=6): same 60-bit md5, register max, exact
         # integer Z-sum, identical double literals — the whole point is

@@ -884,3 +884,57 @@ def proximity_windows(
             ),
         )
     )
+
+
+def lm_dirichlet_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
+    Lafferty 2001) — the standard language-model alternative to BM25:
+    ``score(d) = Σ_t ln((tf_dt + μ·P(t|C)) / (|d| + μ))`` with the
+    collection model ``P(t|C) = ctf_t / |C|``.  Every document gets a
+    finite score for corpus-present terms (smoothing is the point);
+    longer documents pay through the ``|d| + μ`` denominator.
+
+    Scale shape: ONE groupBy(doc) over the exploded tokens computes
+    doc length and every query-term tf in the same map-side-partial
+    pass; collection stats reduce that per-doc frame to one row that
+    broadcasts back (never a driver round-trip).  The per-term log
+    contributions are summed as a fixed left-to-right expression —
+    not a shuffle-order-dependent aggregation — so the float result
+    is bit-stable and the DuckDB oracle can reproduce it exactly.
+
+    Returns (id, doc_len, ql_score) over all documents.
+    """
+    uniq = list(dict.fromkeys(query_terms))
+    if not uniq:
+        raise ValueError("need at least one query term")
+    toks = docs.select(
+        F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
+    )
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+        for i, t in enumerate(uniq)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    coll = per_doc.agg(
+        F.sum("dl").alias("c_len"),
+        *[F.sum(f"tf{i}").alias(f"ctf{i}") for i in range(len(uniq))],
+    )
+    joined = per_doc.crossJoin(F.broadcast(coll))
+    score = None
+    for i in range(len(uniq)):
+        contrib = F.log(
+            (F.col(f"tf{i}") + F.lit(float(mu)) * F.col(f"ctf{i}") / F.col("c_len"))
+            / (F.col("dl") + F.lit(float(mu)))
+        )
+        score = contrib if score is None else score + contrib
+    return joined.select(
+        F.col(id_col),
+        F.col("dl").cast("long").alias("doc_len"),
+        F.round(score, 6).alias("ql_score"),
+    )

@@ -333,3 +333,54 @@ class TestProximityWindows:
         # window pass and final agg hash-partition on the same key: the
         # agg reuses the window's exchange, leaving ONE doc-id shuffle
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestDirichletQL:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from clawrag_spark.operators import retrieval as R
+
+        docs = [
+            (1, "hash join hash"),
+            (2, "join stream other other"),
+            (3, "other other other"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.doc_len, r.ql_score)
+            for r in R.lm_dirichlet_scores(
+                df, "doc_id", "text", ["hash", "join"], mu=10.0
+            ).collect()
+        }
+        c_len = 10
+        ctf = {"hash": 2, "join": 2}
+        tfs = {
+            1: {"hash": 2, "join": 1},
+            2: {"hash": 0, "join": 1},
+            3: {"hash": 0, "join": 0},
+        }
+        dls = {1: 3, 2: 4, 3: 3}
+        for d in (1, 2, 3):
+            exp = sum(
+                math.log(
+                    (tfs[d][t] + 10.0 * ctf[t] / c_len) / (dls[d] + 10.0)
+                )
+                for t in ("hash", "join")
+            )
+            assert got[d][0] == dls[d]
+            assert abs(got[d][1] - round(exp, 6)) < 1e-6
+        # the doc containing both terms outranks the partial match,
+        # which outranks the smoothing-only doc
+        assert got[1][1] > got[2][1] > got[3][1]
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        from clawrag_spark.operators import retrieval as R
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        plan = (
+            R.lm_dirichlet_scores(df, "doc_id", "text", ["a"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan  # 1-row stats side broadcasts
