@@ -2039,6 +2039,17 @@ def q_ql_dirichlet(spark, sf_dir):
     )
 
 
+def q_snippet_spans(spark, sf_dir):
+    """Search-result snippet selection: the 0-based token span of the
+    smallest window covering all query terms per document (earliest
+    start on ties) — the argmin companion of proximity_rank, sharing
+    its single-shuffle anchor pass; a renderer slices this span out of
+    stored text, the ranking shuffles never carry text."""
+    docs = _load(spark, sf_dir, "documents")
+    post = R.positional_postings(docs, "doc_id", "text")
+    return R.best_snippet_windows(post, "doc_id", ["hash", "join", "stream"])
+
+
 def q_hll_user_days(spark, sf_dir):
     """Deterministic HyperLogLog (b=6, md5-bit-pinned) distinct-user
     estimate per event day, joined against the exact count so the
@@ -4826,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_near_dups": q_cdc_near_dups,
         "proximity_rank": q_proximity_rank,
         "ql_dirichlet": q_ql_dirichlet,
+        "snippet_spans": q_snippet_spans,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6163,6 +6175,53 @@ def oracle_sql() -> dict[str, str]:
                      + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
                    6) AS ql_score
             FROM pd CROSS JOIN c
+        """,
+        # snippet_spans: the proximity anchor CTE + row_number argmin;
+        # DuckDB's 1-based subscripts emit pos - 1 so spans match the
+        # Spark side's 0-based posexplode offsets
+        "snippet_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''), 1) AS pos,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            sub AS (
+                SELECT doc_id, pos, term FROM toks
+                WHERE term IN ('hash', 'join', 'stream')
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       min(CASE WHEN term = 'hash' THEN pos END)
+                           OVER w AS n0,
+                       min(CASE WHEN term = 'join' THEN pos END)
+                           OVER w AS n1,
+                       min(CASE WHEN term = 'stream' THEN pos END)
+                           OVER w AS n2
+                FROM sub
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ),
+            wins AS (
+                SELECT doc_id, pos,
+                       greatest(n0, n1, n2) - pos + 1 AS wlen,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY greatest(n0, n1, n2)
+                                                   - pos + 1 ASC,
+                                                   pos ASC) AS rn
+                FROM marked
+                WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+                      AND n2 IS NOT NULL
+            )
+            SELECT doc_id, (pos - 1)::BIGINT AS start_pos,
+                   (pos - 1 + wlen - 1)::BIGINT AS end_pos,
+                   wlen::BIGINT AS window_len
+            FROM wins WHERE rn = 1
         """,
         # deterministic HLL (b=6): same 60-bit md5, register max, exact
         # integer Z-sum, identical double literals — the whole point is

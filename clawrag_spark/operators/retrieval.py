@@ -849,6 +849,30 @@ def proximity_windows(
     terms.
     """
     uniq = list(dict.fromkeys(terms))
+    anchors = _min_cover_anchors(postings, id_col, uniq)
+    return (
+        anchors.select(F.col(id_col), F.col("__w"))
+        .groupBy(id_col)
+        .agg(F.min("__w").cast("long").alias("min_window"))
+        .select(
+            id_col,
+            "min_window",
+            F.round(F.lit(float(len(uniq))) / F.col("min_window"), 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def _min_cover_anchors(
+    postings: DataFrame, id_col: str, uniq: list[str]
+) -> DataFrame:
+    """Shared core of :func:`proximity_windows` / :func:`best_snippet_
+    windows`: per query-term occurrence (the anchor), the length
+    ``__w`` of the smallest window starting there that covers every
+    term — all next-positions from ONE descending running-min window
+    pass.  Rows where some term never appears at-or-after the anchor
+    are dropped."""
     if len(uniq) < 2:
         raise ValueError(f"proximity needs >= 2 distinct terms, got {uniq!r}")
     sub = postings.filter(F.col("term").isin(uniq))
@@ -871,17 +895,39 @@ def proximity_windows(
         - F.col("pos")
         + 1
     )
+    return anchored.filter(present).select(
+        F.col(id_col), F.col("pos"), wlen.alias("__w")
+    )
+
+
+def best_snippet_windows(
+    postings: DataFrame, id_col: str, terms: list[str]
+) -> DataFrame:
+    """The argmin companion of :func:`proximity_windows` — search-
+    result snippet selection: for each document containing every query
+    term, the 0-based token span ``[start_pos, end_pos]`` of the
+    SMALLEST window covering all terms (ties broken by the earliest
+    start, deterministically).  A result renderer slices exactly this
+    span (± context) out of the stored text; the engine never ships
+    the text itself through the ranking shuffles.
+
+    Same single doc-id shuffle as proximity (the row_number pick runs
+    on the same partitioning as the anchor window — no extra
+    exchange).  Returns (id, start_pos, end_pos, window_len).
+    """
+    uniq = list(dict.fromkeys(terms))
+    anchors = _min_cover_anchors(postings, id_col, uniq)
+    pick = Window.partitionBy(id_col).orderBy(
+        F.col("__w").asc(), F.col("pos").asc()
+    )
     return (
-        anchored.filter(present)
-        .select(F.col(id_col), wlen.alias("__w"))
-        .groupBy(id_col)
-        .agg(F.min("__w").cast("long").alias("min_window"))
+        anchors.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
         .select(
-            id_col,
-            "min_window",
-            F.round(F.lit(float(len(uniq))) / F.col("min_window"), 6).alias(
-                "score"
-            ),
+            F.col(id_col),
+            F.col("pos").cast("long").alias("start_pos"),
+            (F.col("pos") + F.col("__w") - 1).cast("long").alias("end_pos"),
+            F.col("__w").cast("long").alias("window_len"),
         )
     )
 

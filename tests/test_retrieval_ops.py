@@ -384,3 +384,41 @@ class TestDirichletQL:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan  # 1-row stats side broadcasts
+
+
+class TestBestSnippetWindows:
+    def test_picks_smallest_earliest_window(self, spark):
+        from clawrag_spark.operators import retrieval as R
+
+        docs = [
+            # min cover is the trailing "hash join" + stream at pos 9:
+            # window [8..10]; the leading spread-out cover is larger
+            (1, "hash a b join c d stream e hash join stream"),
+            (2, "join stream hash"),              # whole doc, len 3
+            (3, "hash x join"),                   # missing stream
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        post = R.positional_postings(df, "doc_id", "text")
+        got = {
+            r.doc_id: (r.start_pos, r.end_pos, r.window_len)
+            for r in R.best_snippet_windows(
+                post, "doc_id", ["hash", "join", "stream"]
+            ).collect()
+        }
+        assert got[1] == (8, 10, 3)
+        assert got[2] == (0, 2, 3)
+        assert 3 not in got
+        # the span really contains all terms
+        toks = docs[0][1].split()
+        s, e, _ = got[1]
+        assert {"hash", "join", "stream"} <= set(toks[s:e + 1])
+
+    def test_tie_breaks_to_earliest_start(self, spark):
+        from clawrag_spark.operators import retrieval as R
+
+        df = spark.createDataFrame(
+            [(1, "hash join x x hash join")], ["doc_id", "text"]
+        )
+        post = R.positional_postings(df, "doc_id", "text")
+        r = R.best_snippet_windows(post, "doc_id", ["hash", "join"]).collect()
+        assert (r[0].start_pos, r[0].end_pos) == (0, 1)
