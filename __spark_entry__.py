@@ -2039,6 +2039,33 @@ def q_ql_dirichlet(spark, sf_dir):
     )
 
 
+#: Title fixtures for q_symspell_dedup: a deletion typo, an insertion,
+#: a doubled letter, a substitution, an exact duplicate, a
+#: distance-2 decoy (never even a candidate), and an unrelated title.
+_TITLE_FIXTURES = [
+    ("t1", "spark shuffle tuning guide"),
+    ("t2", "spark shufle tuning guide"),
+    ("t3", "spark shuffle tuning guides"),
+    ("t4", "spark shuffle tunning guide"),
+    ("t5", "apark shuffle tuning guide"),
+    ("t6", "completely different title"),
+    ("t7", "spark shuffle tuning guide"),
+    ("t8", "sparc shuffle tuning guode"),
+]
+
+
+def q_symspell_dedup(spark, sf_dir):
+    """Edit-distance near-dup pairs for short strings (titles /
+    anchors / queries) via SymSpell deletion neighborhoods: an
+    equi-join on {self} + one-char-deletion variants finds every
+    distance<=1 pair without n^2 comparisons or shingles; exact
+    levenshtein verifies candidates.  Expression-only variant
+    generation (in-row transform over sequence), identical DuckDB
+    plan."""
+    titles = spark.createDataFrame(_TITLE_FIXTURES, ["id", "title"])
+    return DS.symspell_pairs(titles, "id", "title", max_edits=1)
+
+
 def q_snippet_spans(spark, sf_dir):
     """Search-result snippet selection: the 0-based token span of the
     smallest window covering all query terms per document (earliest
@@ -4838,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_rank": q_proximity_rank,
         "ql_dirichlet": q_ql_dirichlet,
         "snippet_spans": q_snippet_spans,
+        "symspell_dedup": q_symspell_dedup,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6223,6 +6251,29 @@ def oracle_sql() -> dict[str, str]:
                    wlen::BIGINT AS window_len
             FROM wins WHERE rn = 1
         """,
+        # symspell_dedup: identical deletion-neighborhood grammar
+        # (list_prepend self + one-char deletions), same equi-join +
+        # exact levenshtein verify
+        "symspell_dedup": r"""
+            WITH t(id, s) AS (VALUES {V}),
+            ex AS (
+                SELECT DISTINCT id, s,
+                       unnest(list_distinct(list_prepend(s,
+                           list_transform(range(1, length(s) + 1),
+                               i -> substr(s, 1, i - 1)
+                                    || substr(s, i + 1, length(s)))
+                       ))) AS v
+                FROM t
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.s AS text_a, b.s AS text_b
+                FROM ex a JOIN ex b ON a.v = b.v AND a.id < b.id
+            )
+            SELECT id_a, id_b, text_a, text_b,
+                   levenshtein(text_a, text_b)::INT AS distance
+            FROM cand WHERE levenshtein(text_a, text_b) <= 1
+        """.replace("{V}", _sql_values(_TITLE_FIXTURES)),
         # deterministic HLL (b=6): same 60-bit md5, register max, exact
         # integer Z-sum, identical double literals — the whole point is
         # that a foreign engine can re-derive the estimate bit-for-bit

@@ -2525,3 +2525,68 @@ def cdc_near_dups(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def symspell_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs for SHORT strings (titles,
+    anchor texts, queries) via deletion neighborhoods (the SymSpell
+    insight): two strings within Damerau/Levenshtein distance 1 share
+    a member of their {self} ∪ {one-char-deletions} sets, so an
+    equi-join on deletion variants finds every candidate — no n²
+    comparisons, no shingles (which need longer text to discriminate).
+    Candidates are verified with the exact ``levenshtein`` distance.
+
+    ``max_edits`` currently supports 1 (each extra edit multiplies the
+    variant fan-out by |s|; distance-1 covers the typo/near-alias
+    dedup this exists for).
+
+    Scale shape: variant generation is an in-row ``transform`` over a
+    ``sequence`` (expression-only, no Python); the candidate join
+    carries (variant, id, string) rows — strings here are short by
+    contract; one distinct + one equi-join + the verify projection.
+    Identical plan in the DuckDB oracle.
+
+    Returns (id_a, id_b, text_a, text_b, distance) with
+    ``distance <= max_edits``, each unordered pair once.
+    """
+    if max_edits != 1:
+        raise ValueError("symspell_pairs supports max_edits=1")
+    s = F.col(text_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, F.length(s)),
+            ),
+        ),
+    )
+    ex = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            s.alias("__s"),
+            F.explode(variants).alias("__v"),
+        )
+        .distinct()
+    )
+    a = ex.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("text_a"), "__v"
+    )
+    b = ex.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("text_b"), "__v"
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+        .withColumn("distance", dist.cast("int"))
+        .filter(F.col("distance") <= max_edits)
+    )

@@ -1076,3 +1076,49 @@ class TestCdcNearDups:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestSymspellPairs:
+    def test_complete_vs_brute_force_distance1(self, spark):
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[-1]
+
+        rows = [
+            ("a", "crawl"), ("b", "crawI"), ("c", "craw"),
+            ("d", "crawls"), ("e", "brawl"), ("f", "totally other"),
+            ("g", "crawl"), ("h", "rawl"), ("i", "cawl"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "s"])
+        got = {
+            (r.id_a, r.id_b): r.distance
+            for r in DS.symspell_pairs(df, "id", "s").collect()
+        }
+        expect = {
+            (x[0], y[0]): lev(x[1], y[1])
+            for i, x in enumerate(rows)
+            for y in rows[i + 1:]
+            if lev(x[1], y[1]) <= 1
+        }
+        assert got == expect  # zero recall loss at distance <= 1
+        assert got[("a", "g")] == 0  # exact dups included
+
+    def test_rejects_multi_edit_budget(self, spark):
+        df = spark.createDataFrame([("a", "x")], ["id", "s"])
+        with pytest.raises(ValueError):
+            DS.symspell_pairs(df, "id", "s", max_edits=2)
+
+    def test_plan_expression_only_no_cartesian(self, spark):
+        df = spark.createDataFrame([("a", "xy")], ["id", "s"])
+        plan = (
+            DS.symspell_pairs(df, "id", "s")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
