@@ -2054,6 +2054,19 @@ _TITLE_FIXTURES = [
 ]
 
 
+def q_rate_anomalies(spark, sf_dir):
+    """Robust daily-rate anomaly flags per event type (crawl-ops spike
+    detection): modified z-score 0.6745*(x-median)/MAD with |z|>3.5
+    flagged — median/MAD from explicit order statistics so the spike
+    itself cannot corrupt the baseline (and so both engines agree
+    without relying on median() interpolation conventions)."""
+    ev = _load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return S.mad_anomalies(daily, "event_type", "cnt", z_thresh=3.5)
+
+
 def q_symspell_dedup(spark, sf_dir):
     """Edit-distance near-dup pairs for short strings (titles /
     anchors / queries) via SymSpell deletion neighborhoods: an
@@ -4866,6 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_dirichlet": q_ql_dirichlet,
         "snippet_spans": q_snippet_spans,
         "symspell_dedup": q_symspell_dedup,
+        "rate_anomalies": q_rate_anomalies,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6274,6 +6288,53 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(text_a, text_b)::INT AS distance
             FROM cand WHERE levenshtein(text_a, text_b) <= 1
         """.replace("{V}", _sql_values(_TITLE_FIXTURES)),
+        # rate_anomalies: identical explicit order-statistic medians
+        # (rn*2 in {n, n+1, n+2}), same 0.6745 constant, round before
+        # the 3.5 flag exactly as the Spark side does
+        "rate_anomalies": """
+            WITH d AS (
+                SELECT event_type, ts::DATE AS event_date,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r1 AS (
+                SELECT event_type, event_date, cnt,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d
+            ),
+            med AS (
+                SELECT event_type, avg(cnt) AS med
+                FROM r1 WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY 1
+            ),
+            dv AS (
+                SELECT d.event_type, d.event_date, d.cnt, m.med,
+                       abs(d.cnt - m.med) AS dev
+                FROM d JOIN med m USING (event_type)
+            ),
+            r2 AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY dev, cnt) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dv
+            ),
+            mad AS (
+                SELECT event_type, avg(dev) AS mad
+                FROM r2 WHERE rn * 2 IN (n, n + 1, n + 2) GROUP BY 1
+            ),
+            z AS (
+                SELECT v.event_type, v.event_date, v.cnt::BIGINT AS cnt,
+                       v.med, a.mad,
+                       CASE WHEN a.mad > 0 THEN
+                           round(0.6745 * (v.cnt - v.med) / a.mad, 6)
+                       END AS robust_z
+                FROM dv v JOIN mad a USING (event_type)
+            )
+            SELECT event_type, event_date, cnt, med, mad, robust_z,
+                   coalesce(abs(robust_z) > 3.5, FALSE) AS is_spike
+            FROM z
+        """,
         # deterministic HLL (b=6): same 60-bit md5, register max, exact
         # integer Z-sum, identical double literals — the whole point is
         # that a foreign engine can re-derive the estimate bit-for-bit

@@ -72,3 +72,77 @@ def chunk_stats(chunks: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.round(F.avg(F.length(text_col)), 4).alias("avg_chunk_chars"),
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust per-key anomaly flags via the modified z-score
+    (Iglewicz-Hoaglin): ``z = 0.6745 · (x − median) / MAD`` with
+    ``|z| > 3.5`` flagged — the crawl-ops spike detector (a host whose
+    daily fetch count explodes is a crawler trap or an incident, and
+    mean/stddev z-scores are exactly what the spike itself corrupts;
+    median/MAD do not move).
+
+    Median and MAD are computed EXPLICITLY from order statistics (the
+    mean of ranks ``(n+1) div 2`` and ``(n+2) div 2``), never from an
+    engine ``median()`` builtin — interpolation conventions differ
+    across engines, order statistics do not, so the DuckDB oracle is
+    exact.  A key whose MAD is 0 (over half its values identical)
+    yields NULL z and no flag — the standard degenerate-case answer.
+
+    Scale shape: two rank-window passes partitioned by key (the second
+    re-uses the first's hash partitioning) plus two small per-key
+    aggregate joins; rows carry (key, value) only.
+
+    Returns the input's (key, value) rows plus
+    (med, mad, robust_z, is_spike).
+    """
+    from pyspark.sql import Window
+
+    def _per_key_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(F.col(col), F.col(value_col))
+        wn = Window.partitionBy(key_col)
+        ranked = (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+        )
+        return (
+            # middle order statistics: odd n -> rn*2 == n+1; even n ->
+            # the two ranks with rn*2 == n and rn*2 == n+2
+            ranked.filter(
+                (F.col("__rn") * 2 == F.col("__n"))
+                | (F.col("__rn") * 2 == F.col("__n") + 1)
+                | (F.col("__rn") * 2 == F.col("__n") + 2)
+            )
+            .groupBy(key_col)
+            .agg(F.avg(col).alias(out))
+        )
+    # rank twice: medians of the values, then of |value - med|
+    med = (
+        df.select(key_col, value_col)
+        .transform(lambda fr: _per_key_median(fr, value_col, "med"))
+    )
+    with_med = df.join(med, key_col)
+    dev = with_med.withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = _per_key_median(dev, "__dev", "mad")
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return (
+        dev.drop("__dev")
+        .join(mad, key_col)
+        .withColumn(
+            "robust_z",
+            F.when(F.col("mad") > 0, F.round(z, 6)),
+        )
+        .withColumn(
+            "is_spike",
+            F.coalesce(
+                F.abs(F.col("robust_z")) > F.lit(float(z_thresh)), F.lit(False)
+            ),
+        )
+    )

@@ -452,3 +452,42 @@ def test_embedder_fallback_chain():
     vecs = E.embed_with_model(["alpha beta"], "hash-32:v1")
     assert vecs.shape == (1, 32)
     assert np.allclose(vecs, E.embed_many_np(["alpha beta"], 32))
+
+
+class TestMadAnomalies:
+    def test_hand_computed_spike_and_degenerate_key(self, spark):
+        from clawrag_spark.operators import stats as S
+
+        rows = (
+            # key "a": values 10,12,11,13,11,400 -> med 11.5, spike at 400
+            [("a", f"d{i}", v) for i, v in
+             enumerate([10, 12, 11, 13, 11, 400])]
+            # key "b": constant values -> MAD 0 -> null z, never flagged
+            + [("b", f"d{i}", 5) for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, ["k", "day", "cnt"])
+        got = {(r.k, r.day): r for r in
+               S.mad_anomalies(df, "k", "cnt").collect()}
+        import statistics
+        vals = [10, 12, 11, 13, 11, 400]
+        med = statistics.median(vals)           # order-stat mean = 11.5
+        mad = statistics.median(sorted(abs(v - med) for v in vals))
+        spike = got[("a", "d5")]
+        assert spike.med == med and spike.mad == mad
+        assert spike.robust_z == round(0.6745 * (400 - med) / mad, 6)
+        assert spike.is_spike
+        normal = got[("a", "d0")]
+        assert not normal.is_spike
+        degen = got[("b", "d0")]
+        assert degen.mad == 0 and degen.robust_z is None
+        assert degen.is_spike is False
+
+    def test_odd_count_median_is_exact_order_stat(self, spark):
+        from clawrag_spark.operators import stats as S
+
+        df = spark.createDataFrame(
+            [("k", str(i), v) for i, v in enumerate([7, 1, 9])],
+            ["k", "day", "cnt"],
+        )
+        r = S.mad_anomalies(df, "k", "cnt").collect()[0]
+        assert r.med == 7.0
