@@ -2054,6 +2054,40 @@ _TITLE_FIXTURES = [
 ]
 
 
+#: Z-order bit-interleave as DuckDB SQL (bit i of a -> 2i, of b ->
+#: 2i+1), constants precomputed so the oracle is pure int arithmetic.
+_ZORDER_SQL = " + ".join(
+    f"((a >> {i}) & 1) * {1 << (2 * i)} + ((b >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Linear vs Z-order file layout, measured: assign the demo crawl
+    to fixed-size files under each sort order and report the expected
+    files a point query on host-bucket / day must scan against the
+    per-file zone maps.  Linear (ORDER BY host, day) prunes perfectly
+    on the leading column and scans ~everything for a day predicate;
+    Morton interleave prunes on both — the Iceberg rewrite_data_files
+    sort-order decision, quantified.  Distributed two-phase rank for
+    file assignment (no single-partition window)."""
+    from clawrag_spark import zonemaps as ZM
+
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    dims = pages.select(
+        (F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long") % 64)
+        .alias("host_bucket"),
+        (
+            F.datediff(F.to_date("warc_ts"), F.lit("1970-01-01").cast("date"))
+            % 256
+        ).alias("day_idx"),
+    )
+    return ZM.layout_pruning_report(
+        dims, "host_bucket", "day_idx", rows_per_file=20, bits=8
+    )
+
+
 def q_rate_anomalies(spark, sf_dir):
     """Robust daily-rate anomaly flags per event type (crawl-ops spike
     detection): modified z-score 0.6745*(x-median)/MAD with |z|>3.5
@@ -4880,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_spans": q_snippet_spans,
         "symspell_dedup": q_symspell_dedup,
         "rate_anomalies": q_rate_anomalies,
+        "zorder_layout": q_zorder_layout,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6335,6 +6370,57 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(abs(robust_z) > 3.5, FALSE) AS is_spike
             FROM z
         """,
+        # zorder_layout: same md5 bucket + epoch-day dims, same Morton
+        # interleave constants, same 20-row files; global rank via
+        # row_number (ties are equal (a,b) values — any tie order
+        # yields identical per-file bounds)
+        "zorder_layout": f"""
+            WITH p AS (
+                SELECT ('0x' || substr(md5(url), 1, 8))::BIGINT % 64 AS a,
+                       date_diff('day', DATE '1970-01-01',
+                                 warc_ts::DATE) % 256 AS b
+                FROM read_parquet('{{DEMO}}/pages.parquet')
+            ),
+            zz AS (SELECT a, b, {{ZEXPR}} AS z FROM p),
+            lin AS (SELECT a, b,
+                           (row_number() OVER (ORDER BY a, b, z) - 1)
+                               // 20 AS file_id
+                    FROM zz),
+            zor AS (SELECT a, b,
+                           (row_number() OVER (ORDER BY z, a, b) - 1)
+                               // 20 AS file_id
+                    FROM zz),
+            flin AS (SELECT file_id, min(a) AS min_a, max(a) AS max_a,
+                            min(b) AS min_b, max(b) AS max_b
+                     FROM lin GROUP BY 1),
+            fzor AS (SELECT file_id, min(a) AS min_a, max(a) AS max_a,
+                            min(b) AS min_b, max(b) AS max_b
+                     FROM zor GROUP BY 1),
+            va AS (SELECT DISTINCT a AS v FROM zz),
+            vb AS (SELECT DISTINCT b AS v FROM zz),
+            probes AS (
+                SELECT 'linear' AS layout, 'host_bucket' AS dim, v,
+                       count(*) AS nf,
+                       (SELECT count(*) FROM flin) AS n_files
+                FROM va JOIN flin ON v BETWEEN min_a AND max_a GROUP BY v
+                UNION ALL
+                SELECT 'linear', 'day_idx', v, count(*),
+                       (SELECT count(*) FROM flin)
+                FROM vb JOIN flin ON v BETWEEN min_b AND max_b GROUP BY v
+                UNION ALL
+                SELECT 'zorder', 'host_bucket', v, count(*),
+                       (SELECT count(*) FROM fzor)
+                FROM va JOIN fzor ON v BETWEEN min_a AND max_a GROUP BY v
+                UNION ALL
+                SELECT 'zorder', 'day_idx', v, count(*),
+                       (SELECT count(*) FROM fzor)
+                FROM vb JOIN fzor ON v BETWEEN min_b AND max_b GROUP BY v
+            )
+            SELECT layout, dim, any_value(n_files)::BIGINT AS n_files,
+                   round(avg(nf), 6) AS avg_files_scanned,
+                   round(avg(nf) / any_value(n_files), 6) AS scan_frac
+            FROM probes GROUP BY layout, dim
+        """.replace("{DEMO}", _DEMO_DIR).replace("{ZEXPR}", _ZORDER_SQL),
         # deterministic HLL (b=6): same 60-bit md5, register max, exact
         # integer Z-sum, identical double literals — the whole point is
         # that a foreign engine can re-derive the estimate bit-for-bit

@@ -256,3 +256,103 @@ def invalidate_file_lists(out_dir: str, tables) -> int:
         os.replace(tmp, path)
         n += 1
     return n
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleave of two non-negative ints (bit i of
+    ``a`` → bit 2i, bit i of ``b`` → bit 2i+1) — the multi-dimensional
+    clustering key Iceberg's ``rewrite_data_files`` sorts by so the
+    per-file zone maps above prune on EVERY interleaved dimension, not
+    just the leading sort column.  Pure bit arithmetic (shift/and),
+    expression-only, reproducible bit-for-bit in the DuckDB oracle."""
+    out = None
+    for i in range(bits):
+        ta = F.shiftleft(
+            F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        tb = F.shiftleft(
+            F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = ta + tb  # disjoint bit positions: + == bitwise OR
+        out = term if out is None else out + term
+    return out
+
+
+def layout_pruning_report(
+    df,
+    a_col: str,
+    b_col: str,
+    rows_per_file: int = 50,
+    bits: int = 16,
+):
+    """Measured zone-map effectiveness of linear vs Z-order file
+    layout: assign rows to fixed-size files under each sort order,
+    collect per-file [min, max] bounds of BOTH dimensions, and report
+    the expected number of files a point query on each dimension must
+    scan (mean over the dimension's distinct values of files whose
+    bounds cover the value).
+
+    The number this surfaces is the 100 TB layout decision: a linear
+    ``ORDER BY a, b`` layout prunes perfectly on ``a`` and scans ~all
+    files for a ``b`` predicate; the Z-order layout prunes well on
+    both.  File ranking uses the repo's distributed two-phase prefix
+    core (range partition + per-partition window + P-row offsets),
+    never a single-partition global window; the per-value coverage
+    probe joins the distinct values against the (tiny, broadcast)
+    file-stats frame.
+
+    Returns (layout, dim, n_files, avg_files_scanned, scan_frac).
+    """
+    from pyspark.sql import functions as SF
+
+    from .operators.packing import _exclusive_prefix
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).withColumn("z", zorder_key(F.col("a"), F.col("b"), bits))
+    rows = []
+    for layout, order in (
+        ("linear", [F.col("a").asc(), F.col("b").asc(), F.col("z").asc()]),
+        ("zorder", [F.col("z").asc(), F.col("a").asc(), F.col("b").asc()]),
+    ):
+        pref = _exclusive_prefix(
+            base.withColumn("__w", F.lit(1)), order, "__w", with_rank=True
+        )
+        files = (
+            pref.withColumn(
+                "file_id",
+                ((F.col("__rank") - 1) / rows_per_file).cast("long"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.min("a").alias("min_a"),
+                F.max("a").alias("max_a"),
+                F.min("b").alias("min_b"),
+                F.max("b").alias("max_b"),
+            )
+        )
+        for dim, lo, hi in (("a", "min_a", "max_a"), ("b", "min_b", "max_b")):
+            vals = base.select(F.col(dim).alias("v")).distinct()
+            cover = vals.join(
+                SF.broadcast(files),
+                (F.col("v") >= F.col(lo)) & (F.col("v") <= F.col(hi)),
+            ).groupBy("v").agg(F.count(F.lit(1)).alias("nf"))
+            agg = files.agg(F.count(F.lit(1)).alias("n_files")).crossJoin(
+                cover.agg(F.avg("nf").alias("avg_files"))
+            ).first()
+            rows.append(
+                (
+                    layout,
+                    {"a": a_col, "b": b_col}[dim],
+                    int(agg["n_files"]),
+                    round(float(agg["avg_files"]), 6),
+                    round(float(agg["avg_files"]) / agg["n_files"], 6),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "layout string, dim string, n_files long, "
+        "avg_files_scanned double, scan_frac double",
+    )

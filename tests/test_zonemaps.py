@@ -244,3 +244,50 @@ class TestOrphanVacuum:
         assert rep["deleted"] == 0
         assert rep["tables"]["chunks"]["skipped"] == "incomplete_file_lists"
         assert os.path.exists(os.path.join(vac, "chunks", "part-orphan.parquet"))
+
+
+class TestZorderLayout:
+    def test_morton_interleave_known_values(self, spark):
+        from clawrag_spark import zonemaps as Z
+
+        df = spark.createDataFrame(
+            [(0, 0), (3, 1), (1, 3), (255, 0), (0, 255)], ["a", "b"]
+        )
+        got = [
+            r.z
+            for r in df.select(
+                Z.zorder_key(F.col("a"), F.col("b"), bits=8).alias("z")
+            ).collect()
+        ]
+
+        def morton(a, b):
+            out = 0
+            for i in range(8):
+                out |= ((a >> i) & 1) << (2 * i)
+                out |= ((b >> i) & 1) << (2 * i + 1)
+            return out
+
+        assert got == [morton(a, b) for a, b in
+                       [(0, 0), (3, 1), (1, 3), (255, 0), (0, 255)]]
+        # locality sanity: z is monotone along each axis from origin
+        assert morton(3, 1) == 0b0111
+
+    def test_zorder_balances_pruning_across_dims(self, spark):
+        from clawrag_spark import zonemaps as Z
+
+        # a 16x16 grid: linear layout sorts a-major, so b-point queries
+        # touch every file; z-order keeps both dims clustered
+        rows = [(a, b) for a in range(16) for b in range(16)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        rep = {
+            (r.layout, r.dim): r
+            for r in Z.layout_pruning_report(
+                df, "x", "y", rows_per_file=16, bits=4
+            ).collect()
+        }
+        lin_y = rep[("linear", "y")].scan_frac
+        zor_y = rep[("zorder", "y")].scan_frac
+        zor_x = rep[("zorder", "x")].scan_frac
+        assert lin_y == 1.0            # a-major layout: y never prunes
+        assert zor_y < 0.5 and zor_x < 0.5  # Morton prunes both dims
+        assert rep[("linear", "x")].scan_frac < 0.15
