@@ -2039,6 +2039,46 @@ def q_ql_dirichlet(spark, sf_dir):
     )
 
 
+def q_rm3_terms(spark, sf_dir):
+    """RM3 pseudo-relevance feedback expansion (Lavrenko-Croft relevance
+    models, Anserini interpolation): QL top-10 feedback docs ->
+    exp-normalized doc weights -> RM1 term distribution -> truncate to
+    10 terms (round-9 tie-break) -> alpha=0.5 interpolation with the
+    uniform original query.  One lazy DAG, every feedback/term frame
+    broadcast."""
+    docs = _load(spark, sf_dir, "documents")
+    ex = R.rm3_expansion(
+        docs,
+        "doc_id",
+        "text",
+        ["hash", "join", "stream"],
+        mu=50.0,
+        fb_docs=10,
+        fb_terms=10,
+        alpha=0.5,
+    )
+    return ex["terms"].select("term", F.round("p_w", 6).alias("p_w"))
+
+
+def q_rm3_rerank(spark, sf_dir):
+    """Second-pass weighted-QL ranking with the RM3 expanded query via
+    the Indri decomposition: only matched (doc, term) pairs do
+    corpus-shaped work, unmatched docs still rank through the length
+    term; top-20 by (score DESC, id ASC) TakeOrderedAndProject."""
+    docs = _load(spark, sf_dir, "documents")
+    ex = R.rm3_expansion(
+        docs,
+        "doc_id",
+        "text",
+        ["hash", "join", "stream"],
+        mu=50.0,
+        fb_docs=10,
+        fb_terms=10,
+        alpha=0.5,
+    )
+    return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
+
+
 #: Title fixtures for q_symspell_dedup: a deletion typo, an insertion,
 #: a doubled letter, a substitution, an exact duplicate, a
 #: distance-2 decoy (never even a candidate), and an unrelated title.
@@ -4915,6 +4955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_dedup": q_symspell_dedup,
         "rate_anomalies": q_rate_anomalies,
         "zorder_layout": q_zorder_layout,
+        "rm3_terms": q_rm3_terms,
+        "rm3_rerank": q_rm3_rerank,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -5059,6 +5101,64 @@ bm25 AS (
     GROUP BY p.doc_id
     HAVING bm25_score > 0
 )
+"""
+
+#: RM3 expansion as DuckDB CTEs (shared by rm3_terms / rm3_rerank):
+#: QL scores are rounded to 6dp BEFORE feedback selection and doc
+#: weighting — mirroring lm_dirichlet_scores' rounded output — so the
+#: top-10 cut and exp() weights are bit-identical cross-engine.
+_RM3_CTE = """
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS term
+        FROM documents
+    ),
+    pd AS (
+        SELECT doc_id, count(*) AS dl,
+               sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf0,
+               sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf1,
+               sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS tf2
+        FROM toks GROUP BY doc_id
+    ),
+    c AS (SELECT sum(dl) AS c_len, sum(tf0) AS ctf0,
+                 sum(tf1) AS ctf1, sum(tf2) AS ctf2 FROM pd),
+    ql AS (
+        SELECT doc_id, dl,
+               round(
+                   ln((tf0 + 50.0 * ctf0 / c_len) / (dl + 50.0))
+                 + ln((tf1 + 50.0 * ctf1 / c_len) / (dl + 50.0))
+                 + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
+               6) AS s
+        FROM pd CROSS JOIN c
+    ),
+    fb AS (SELECT doc_id, s FROM ql ORDER BY s DESC, doc_id LIMIT 10),
+    mxw AS (SELECT max(s) AS mx FROM fb),
+    w0 AS (SELECT doc_id, exp(s - mx) AS w_raw FROM fb CROSS JOIN mxw),
+    ws AS (SELECT sum(w_raw) AS wsum FROM w0),
+    wts AS (SELECT doc_id, w_raw / wsum AS w_d FROM w0 CROSS JOIN ws),
+    fbt AS (SELECT t.doc_id, t.term, w_d
+            FROM toks t JOIN wts USING (doc_id)),
+    fdl AS (SELECT doc_id, count(*) AS fdl FROM fbt GROUP BY doc_id),
+    rm1 AS (
+        SELECT term, sum(tf / fdl * w_d) AS rm1
+        FROM (SELECT doc_id, term, w_d, count(*) AS tf
+              FROM fbt GROUP BY 1, 2, 3) x
+        JOIN fdl USING (doc_id)
+        GROUP BY term
+    ),
+    topt AS (SELECT term, rm1 FROM rm1
+             ORDER BY round(rm1, 9) DESC, term LIMIT 10),
+    tsm AS (SELECT sum(rm1) AS tsum FROM topt),
+    expn AS (SELECT term, rm1 / tsum AS rm1n FROM topt CROSS JOIN tsm),
+    orig AS (SELECT * FROM (VALUES ('hash', 1.0 / 3), ('join', 1.0 / 3),
+                                   ('stream', 1.0 / 3)) AS o(term, q_w)),
+    terms AS (
+        SELECT coalesce(o.term, e.term) AS term,
+               0.5 * coalesce(q_w, 0) + 0.5 * coalesce(rm1n, 0) AS p_w
+        FROM orig o FULL OUTER JOIN expn e ON o.term = e.term
+    )
 """
 
 _VEC_CTE = """
@@ -6252,6 +6352,41 @@ def oracle_sql() -> dict[str, str]:
                      + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
                    6) AS ql_score
             FROM pd CROSS JOIN c
+        """,
+        "rm3_terms": "WITH " + _RM3_CTE + """
+            SELECT term, round(p_w, 6) AS p_w FROM terms
+        """,
+        "rm3_rerank": "WITH " + _RM3_CTE + """,
+            ctfs AS (
+                SELECT term, count(*) AS ctf
+                FROM toks JOIN (SELECT term FROM terms) USING (term)
+                GROUP BY term
+            ),
+            tstats AS (
+                SELECT t.term, t.p_w, ctf / c_len AS p_wc
+                FROM terms t JOIN ctfs USING (term) CROSS JOIN c
+            ),
+            konst AS (
+                SELECT sum(p_w * ln(50.0 * p_wc)) AS const_sum,
+                       sum(p_w) AS p_tot
+                FROM tstats
+            ),
+            m0 AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks JOIN (SELECT term FROM tstats) USING (term)
+                GROUP BY 1, 2
+            ),
+            matched AS (
+                SELECT doc_id,
+                       sum(p_w * ln(1.0 + tf / (50.0 * p_wc))) AS match_sum
+                FROM m0 JOIN tstats USING (term)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, dl::BIGINT AS doc_len,
+                   round(const_sum + coalesce(match_sum, 0)
+                         - p_tot * ln(dl + 50.0), 6) AS rm3_score
+            FROM pd LEFT JOIN matched USING (doc_id) CROSS JOIN konst
+            ORDER BY rm3_score DESC, doc_id LIMIT 20
         """,
         # snippet_spans: the proximity anchor CTE + row_number argmin;
         # DuckDB's 1-based subscripts emit pos - 1 so spans match the

@@ -984,3 +984,194 @@ def lm_dirichlet_scores(
         F.col("dl").cast("long").alias("doc_len"),
         F.round(score, 6).alias("ql_score"),
     )
+
+
+def rm3_expansion(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+) -> dict[str, DataFrame]:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    models + the Anserini/Indri RM3 interpolation) — the standard
+    query-expansion stage the reference's retrieval stack lacks
+    entirely (query.py runs the raw user query; SURVEY §2 E6 lists
+    HyDE-style expansion as the LLM path — this is the classical,
+    deterministic counterpart):
+
+    1. First pass: Dirichlet query likelihood over the corpus
+       (``lm_dirichlet_scores``); the top ``fb_docs`` by
+       (score DESC, id ASC) form the feedback set F.
+    2. RM1 relevance model over F:
+       ``P(w|R) ∝ Σ_{d∈F} (tf_wd/|d|) · P(Q|d)`` with doc weights
+       ``P(Q|d) = exp(score_d − max_F score)`` normalized over F
+       (the max-shift keeps exp in range; normalization cancels it).
+    3. Truncate to the top ``fb_terms`` terms by
+       (round(rm1, 9) DESC, term ASC) — the 9-dp round makes
+       mathematically-tied weights compare equal cross-engine —
+       then renormalize over the survivors (Anserini truncate-first).
+    4. RM3 interpolation over original ∪ expansion terms:
+       ``p(w) = α·1/|Q|·[w∈Q] + (1−α)·rm1'(w)``.
+
+    Everything is one lazy DAG — no driver round-trip: the feedback
+    top-k is TakeOrderedAndProject, F and the term frames are tiny and
+    broadcast into every downstream join; the only corpus-shaped work
+    is the token scan the first pass already does.
+
+    Returns {"feedback": (id, ql_score, fb_rank),
+             "terms": (term, p_w)} — ``terms`` has ≤ |Q| + fb_terms
+    rows, the whole expanded weighted query.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not uniq:
+        raise ValueError("need at least one query term")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    scored = lm_dirichlet_scores(docs, id_col, text_col, uniq, mu=mu)
+    fb = (
+        scored.orderBy(F.desc("ql_score"), F.col(id_col))
+        .limit(fb_docs)
+        .select(id_col, "ql_score")
+    )
+    # P(Q|d) over F: exp(score - max), normalized.  max/sum are
+    # aggregates over <= fb_docs rows — broadcast one-row frames.
+    mx = fb.agg(F.max("ql_score").alias("mx"))
+    w = fb.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col), F.exp(F.col("ql_score") - F.col("mx")).alias("w_raw")
+    )
+    wsum = w.agg(F.sum("w_raw").alias("wsum"))
+    w = w.crossJoin(F.broadcast(wsum)).select(
+        id_col, (F.col("w_raw") / F.col("wsum")).alias("w_d")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
+    )
+    fb_toks = toks.join(F.broadcast(w.select(id_col, "w_d")), id_col)
+    dl = fb_toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    rm1 = (
+        fb_toks.groupBy(id_col, "term", "w_d")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(dl), id_col)
+        .groupBy("term")
+        .agg(F.sum(F.col("tf") / F.col("dl") * F.col("w_d")).alias("rm1"))
+    )
+    top = (
+        rm1.orderBy(F.desc(F.round("rm1", 9)), "term")
+        .limit(fb_terms)
+    )
+    tsum = top.agg(F.sum("rm1").alias("tsum"))
+    expansion = top.crossJoin(F.broadcast(tsum)).select(
+        "term", (F.col("rm1") / F.col("tsum")).alias("rm1n")
+    )
+    orig = docs.sparkSession.createDataFrame(
+        [(t, 1.0 / len(uniq)) for t in uniq], ["term", "q_w"]
+    )
+    terms = (
+        orig.join(expansion, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.lit(alpha) * F.coalesce("q_w", F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.coalesce("rm1n", F.lit(0.0))
+            ).alias("p_w"),
+        )
+    )
+    fb_ranked = fb.select(
+        id_col,
+        "ql_score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ql_score"), F.col(id_col)))
+        .alias("fb_rank"),
+    )
+    return {"feedback": fb_ranked, "terms": terms}
+
+
+def rm3_rerank(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: DataFrame,
+    mu: float = 2000.0,
+    k: int = 20,
+) -> DataFrame:
+    """Second-pass weighted query-likelihood ranking with the RM3
+    expanded query (``terms`` = (term, p_w) from ``rm3_expansion``):
+
+    ``score(d) = Σ_w p_w · ln((tf_wd + μ·P(w|C)) / (|d| + μ))``
+
+    computed via the Indri decomposition so only MATCHED (doc, term)
+    pairs do corpus-shaped work::
+
+        score(d) = Σ_w p_w·ln(μ·P_wC)            (scalar, one row)
+                 − (Σ_w p_w) · ln(|d| + μ)        (per doc, no join)
+                 + Σ_{tf>0} p_w·ln(1 + tf/(μ·P_wC))   (matched only)
+
+    Scale shape: the term frame (≤ ~20 rows, with collection stats
+    attached) broadcasts into the single token-scan join; docs that
+    match no expansion term still score via the length term, so the
+    result ranks the WHOLE corpus exactly as the naive formula would.
+    Top-k is (score DESC, id ASC) TakeOrderedAndProject.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    clen = doclen.agg(F.sum("dl").alias("c_len"))
+    ctf = (
+        toks.join(F.broadcast(terms.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+    )
+    # corpus-absent expansion terms would make P(w|C)=0 and ln blow up;
+    # RM1 terms always come from the corpus, but guard original query
+    # terms the corpus never saw by dropping them (their QL contribution
+    # is -inf for every doc equally — rank-neutral).
+    tstats = (
+        terms.join(ctf, "term")
+        .crossJoin(F.broadcast(clen))
+        .select(
+            "term",
+            "p_w",
+            (F.col("ctf") / F.col("c_len")).alias("p_wc"),
+        )
+    )
+    const = tstats.agg(
+        F.sum(F.col("p_w") * F.log(F.lit(float(mu)) * F.col("p_wc"))).alias(
+            "const_sum"
+        ),
+        F.sum("p_w").alias("p_tot"),
+    )
+    matched = (
+        toks.join(F.broadcast(tstats), "term")
+        .groupBy(id_col, "term", "p_w", "p_wc")
+        .agg(F.count("*").alias("tf"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("p_w")
+                * F.log(
+                    1.0
+                    + F.col("tf") / (F.lit(float(mu)) * F.col("p_wc"))
+                )
+            ).alias("match_sum")
+        )
+    )
+    scored = (
+        doclen.join(matched, id_col, "left")
+        .crossJoin(F.broadcast(const))
+        .select(
+            F.col(id_col),
+            F.col("dl").cast("long").alias("doc_len"),
+            F.round(
+                F.col("const_sum")
+                + F.coalesce(F.col("match_sum"), F.lit(0.0))
+                - F.col("p_tot") * F.log(F.col("dl") + F.lit(float(mu))),
+                6,
+            ).alias("rm3_score"),
+        )
+    )
+    return scored.orderBy(F.desc("rm3_score"), F.col(id_col)).limit(k)

@@ -422,3 +422,93 @@ class TestBestSnippetWindows:
         post = R.positional_postings(df, "doc_id", "text")
         r = R.best_snippet_windows(post, "doc_id", ["hash", "join"]).collect()
         assert (r[0].start_pos, r[0].end_pos) == (0, 1)
+
+
+class TestRM3:
+    """RM3 pseudo-relevance feedback: expansion distribution properties
+    and the Indri-decomposition rerank pinned against the naive
+    full-formula weighted QL computed in plain Python."""
+
+    Q = ["solar", "panel"]
+
+    def _fixture(self, spark):
+        rows = [
+            (0, "solar panel subsidy rebate solar panel grid inverter"),
+            (1, "solar panel installation rooftop inverter grid battery"),
+            (2, "cats dogs pets veterinary care grooming"),
+            (3, "solar subsidy policy grid expansion rebate"),
+            (4, "pasta tomato sauce cooking recipe dinner"),
+            (5, "panel grid battery storage inverter rooftop"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_terms_distribution(self, spark):
+        from clawrag_spark.operators.retrieval import rm3_expansion
+
+        docs = self._fixture(spark)
+        ex = rm3_expansion(
+            docs, "doc_id", "text", self.Q, mu=10.0, fb_docs=3, fb_terms=5,
+            alpha=0.5,
+        )
+        terms = {r["term"]: r["p_w"] for r in ex["terms"].collect()}
+        # a proper distribution: alpha·1 + (1-alpha)·1
+        assert abs(sum(terms.values()) - 1.0) < 1e-9
+        # original terms keep at least their interpolated query mass
+        for t in self.Q:
+            assert terms[t] >= 0.5 / len(self.Q) - 1e-12
+        # expansion picked feedback-doc vocabulary, not the cats/pasta docs
+        assert "grid" in terms or "inverter" in terms or "rebate" in terms
+        assert "cats" not in terms and "pasta" not in terms
+        fb_ids = [r["doc_id"] for r in ex["feedback"].collect()]
+        assert set(fb_ids) <= {0, 1, 3, 5} and len(fb_ids) == 3
+
+    def test_rerank_matches_naive_formula(self, spark):
+        import math
+
+        from clawrag_spark.operators.retrieval import (
+            rm3_expansion,
+            rm3_rerank,
+            sql_tokens,  # noqa: F401  (tokenizer contract shared below)
+        )
+
+        docs = self._fixture(spark)
+        mu = 10.0
+        ex = rm3_expansion(
+            docs, "doc_id", "text", self.Q, mu=mu, fb_docs=3, fb_terms=5,
+            alpha=0.5,
+        )
+        got = {
+            r["doc_id"]: r["rm3_score"]
+            for r in rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=mu, k=10).collect()
+        }
+        p_w = {r["term"]: r["p_w"] for r in ex["terms"].collect()}
+        import re
+
+        toks = {
+            i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            for i, txt in [(r["doc_id"], r["text"]) for r in docs.collect()]
+        }
+        c_len = sum(len(v) for v in toks.values())
+        ctf = {
+            w: sum(ts.count(w) for ts in toks.values()) for w in p_w
+        }
+        for d, ts in toks.items():
+            naive = sum(
+                pw
+                * math.log((ts.count(w) + mu * ctf[w] / c_len) / (len(ts) + mu))
+                for w, pw in p_w.items()
+            )
+            assert abs(got[d] - naive) < 1e-5, (d, got[d], naive)
+        # and the matched-terms docs outrank the no-overlap docs
+        assert got[4] < min(got[0], got[1], got[3], got[5])
+
+    def test_rerank_plan_no_python_no_cartesian(self, spark):
+        from clawrag_spark.operators.retrieval import rm3_expansion, rm3_rerank
+
+        docs = self._fixture(spark)
+        ex = rm3_expansion(docs, "doc_id", "text", self.Q, mu=10.0, fb_docs=3)
+        plan = rm3_rerank(
+            docs, "doc_id", "text", ex["terms"], mu=10.0
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
