@@ -2079,6 +2079,63 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def _dust_fixture(spark) -> DataFrame:
+    """Deterministic DUST evidence corpus built from the demo pages:
+    every url gets 11 captures — param-free, two ``sid`` values, two
+    ``utm`` values (content digest unchanged -> irrelevant), two
+    ``page`` values (digest CHANGES -> must be kept), and sid/utm
+    experiments repeated under ``page=2`` so each irrelevant key has
+    two supporting groups.  Digests are md5 stand-ins derived from the
+    url so the DuckDB oracle fabricates the identical corpus."""
+    _ensure_pipeline_demo(spark)
+    base = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet")).select(
+        "url",
+        F.md5("url").alias("d0"),
+        F.md5(F.concat(F.col("url"), F.lit("p2"))).alias("d2"),
+        F.md5(F.concat(F.col("url"), F.lit("p3"))).alias("d3"),
+    )
+
+    def cap(suffix: str, dcol: str) -> DataFrame:
+        return base.select(
+            F.concat(F.col("url"), F.lit(suffix)).alias("url"),
+            F.col(dcol).alias("digest"),
+        )
+
+    return (
+        cap("", "d0")
+        .unionByName(cap("?sid=a1", "d0"))
+        .unionByName(cap("?sid=b2", "d0"))
+        .unionByName(cap("?utm=x", "d0"))
+        .unionByName(cap("?utm=y", "d0"))
+        .unionByName(cap("?page=2", "d2"))
+        .unionByName(cap("?page=3", "d3"))
+        .unionByName(cap("?page=2&sid=c3", "d2"))
+        .unionByName(cap("?page=2&sid=d4", "d2"))
+        .unionByName(cap("?page=2&utm=z", "d2"))
+        .unionByName(cap("?page=2&utm=w", "d2"))
+    )
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST param-rule mining (Bar-Yossef et al. WWW'07): per (host,
+    key), held-everything-else-fixed experiment groups where the key's
+    value varies; one digest across the group supports irrelevance, two
+    contradict.  sid/utm earn >= 2 clean supporting groups per url;
+    page contradicts (digest changes) and stays."""
+    return WT.dust_param_rules(
+        _dust_fixture(spark), "url", "digest", min_support=2
+    )
+
+
+def q_dust_apply(spark, sf_dir):
+    """Apply the mined DUST rules: drop each host's learned-irrelevant
+    params, sort survivors, and report per-host distinct-URL reduction
+    (11 captures/url collapse to 3 canonical urls)."""
+    captures = _dust_fixture(spark)
+    rules = WT.dust_param_rules(captures, "url", "digest", min_support=2)
+    return WT.apply_param_rules(captures, rules, "url")
+
+
 #: Title fixtures for q_symspell_dedup: a deletion typo, an insertion,
 #: a doubled letter, a substitution, an exact duplicate, a
 #: distance-2 decoy (never even a candidate), and an unrelated title.
@@ -4957,6 +5014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "rm3_terms": q_rm3_terms,
         "rm3_rerank": q_rm3_rerank,
+        "dust_rules": q_dust_rules,
+        "dust_apply": q_dust_apply,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -5158,6 +5217,72 @@ _RM3_CTE = """
         SELECT coalesce(o.term, e.term) AS term,
                0.5 * coalesce(q_w, 0) + 0.5 * coalesce(rm1n, 0) AS p_w
         FROM orig o FULL OUTER JOIN expn e ON o.term = e.term
+    )
+"""
+
+#: DUST param-mining as DuckDB CTEs (shared by dust_rules /
+#: dust_apply): fabricates the same 11-captures-per-url evidence
+#: corpus from the demo pages, parses params with first-'?' semantics,
+#: and groups experiments by the raw (host, key, base, others) tuple —
+#: the Spark side groups by md5 of the same tuple, an identical
+#: partition of the rows.
+_DUST_CTE = f"""
+    pg AS (
+        SELECT url, md5(url) AS d0,
+               md5(url || 'p2') AS d2,
+               md5(url || 'p3') AS d3
+        FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+    ),
+    caps AS (
+                  SELECT url, d0 AS digest FROM pg
+        UNION ALL SELECT url || '?sid=a1', d0 FROM pg
+        UNION ALL SELECT url || '?sid=b2', d0 FROM pg
+        UNION ALL SELECT url || '?utm=x', d0 FROM pg
+        UNION ALL SELECT url || '?utm=y', d0 FROM pg
+        UNION ALL SELECT url || '?page=2', d2 FROM pg
+        UNION ALL SELECT url || '?page=3', d3 FROM pg
+        UNION ALL SELECT url || '?page=2&sid=c3', d2 FROM pg
+        UNION ALL SELECT url || '?page=2&sid=d4', d2 FROM pg
+        UNION ALL SELECT url || '?page=2&utm=z', d2 FROM pg
+        UNION ALL SELECT url || '?page=2&utm=w', d2 FROM pg
+    ),
+    parsed AS (
+        SELECT url, digest,
+               regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+               CASE WHEN position('?' IN nf) > 0
+                    THEN substr(nf, 1, position('?' IN nf) - 1)
+                    ELSE nf END AS base_u,
+               list_filter(string_split(
+                   CASE WHEN position('?' IN nf) > 0
+                        THEN substr(nf, position('?' IN nf) + 1)
+                        ELSE '' END, '&'), x -> x <> '') AS params
+        FROM (SELECT url, digest, split_part(url, '#', 1) AS nf FROM caps)
+    ),
+    prow AS (
+        SELECT host, digest, base_u, params, unnest(params) AS p
+        FROM parsed
+    ),
+    evid AS (
+        SELECT host, digest, split_part(p, '=', 1) AS key, p AS kv,
+               base_u,
+               array_to_string(
+                   list_sort(list_filter(params, x -> x <> p)), '&') AS others
+        FROM prow
+    ),
+    grp AS (
+        SELECT host, key, base_u, others,
+               count(DISTINCT kv) AS nvals,
+               count(DISTINCT digest) AS ndig
+        FROM evid GROUP BY 1, 2, 3, 4
+    ),
+    rules AS (
+        SELECT host, key,
+               count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN ndig = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_support,
+               sum(CASE WHEN ndig > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_contra
+        FROM grp WHERE nvals >= 2 GROUP BY 1, 2
     )
 """
 
@@ -6352,6 +6477,36 @@ def oracle_sql() -> dict[str, str]:
                      + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
                    6) AS ql_score
             FROM pd CROSS JOIN c
+        """,
+        "dust_rules": "WITH " + _DUST_CTE + """
+            SELECT host, key, n_groups, n_support, n_contra,
+                   (n_support >= 2 AND n_contra = 0) AS irrelevant
+            FROM rules
+        """,
+        "dust_apply": "WITH " + _DUST_CTE + """,
+            badk AS (
+                SELECT host, list(key) AS bad_keys
+                FROM rules WHERE n_support >= 2 AND n_contra = 0
+                GROUP BY host
+            ),
+            app AS (
+                SELECT host, url,
+                       CASE WHEN len(kept) > 0
+                            THEN base_u || '?' || array_to_string(kept, '&')
+                            ELSE base_u END AS canon
+                FROM (
+                    SELECT host, url, base_u,
+                           list_sort(list_filter(params,
+                               x -> NOT list_contains(
+                                   coalesce(bad_keys, []),
+                                   split_part(x, '=', 1)))) AS kept
+                    FROM parsed LEFT JOIN badk USING (host)
+                )
+            )
+            SELECT host,
+                   count(DISTINCT url)::BIGINT AS urls_before,
+                   count(DISTINCT canon)::BIGINT AS urls_after
+            FROM app GROUP BY host
         """,
         "rm3_terms": "WITH " + _RM3_CTE + """
             SELECT term, round(p_w, 6) AS p_w FROM terms

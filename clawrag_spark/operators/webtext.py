@@ -58,6 +58,8 @@ __all__ = [
     "pmi_collocations",
     "heaps_fit",
     "url_path_templates",
+    "dust_param_rules",
+    "apply_param_rules",
     "dsir_importance",
     "gopher_quality_gate",
     "politeness_schedule",
@@ -4040,4 +4042,176 @@ def access_gate_signals(
         paywall_marker.cast("boolean").alias("paywall_marker"),
         login_form.cast("boolean").alias("login_form"),
         n_cta.cast("int").alias("n_sub_cta"),
+    )
+
+
+def _url_param_parts(url_col: str):
+    """Shared URL decomposition for the DUST family: fragment-stripped
+    base (text before the FIRST '?'), the non-empty ``key=value`` param
+    list, and the host."""
+    no_frag = F.substring_index(F.col(url_col), "#", 1)
+    has_q = no_frag.contains("?")
+    base = F.when(
+        has_q, F.substr(no_frag, F.lit(1), F.instr(no_frag, "?") - 1)
+    ).otherwise(no_frag)
+    query = F.when(
+        has_q, F.substr(no_frag, F.instr(no_frag, "?") + 1)
+    ).otherwise(F.lit(""))
+    params = F.filter(F.split(query, "&"), lambda x: x != F.lit(""))
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1)
+    return base, params, host
+
+
+def dust_param_rules(
+    captures: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_support: int = 2,
+) -> DataFrame:
+    """Mine content-irrelevant URL query parameters per host from crawl
+    evidence — the DUST problem ("Do Not Crawl in the DUST: Different
+    URLs with Similar Text", Bar-Yossef et al., WWW'07), solved the way
+    production crawlers do: by testing whether VARYING a parameter's
+    value ever changes the content digest while everything else about
+    the URL is held fixed.
+
+    For every capture and every ``key=value`` pair on it, the capture
+    joins the evidence group ``(host, key, base?sorted-other-params)``.
+    A group with >= 2 distinct values of the key is an experiment:
+    one distinct digest across them supports "key is irrelevant",
+    more than one contradicts it.  A (host, key) is ruled irrelevant
+    iff it has >= ``min_support`` supporting groups and ZERO
+    contradictions — session ids, tracking params and cache busters
+    fall out; pagination/variant params survive because their value
+    changes the digest.  (A constant-valued param never forms an
+    experiment and is conservatively kept.)
+
+    Returns (host, key, n_groups, n_support, n_contra, irrelevant).
+
+    Scale shape: one explode to (capture x its-params) rows, one
+    groupBy keyed on md5(host|key|base|others) — 32 bytes regardless
+    of URL length — with both distinct-counts computed in the same
+    two-phase aggregation, then a tiny (host, key) rollup.  No
+    self-join, no all-pairs: cost is linear in total param
+    occurrences.
+
+    Reference parity: ClawRag normalizes URLs with a static tracking-
+    param blocklist at ingest (`canonicalize_url` here mirrors it);
+    this operator LEARNS the blocklist from the corpus instead.
+    """
+    base, params, host = _url_param_parts(url_col)
+    rows = (
+        captures.select(
+            host.alias("host"),
+            base.alias("base"),
+            params.alias("params"),
+            F.col(digest_col).alias("digest"),
+        )
+        .select(
+            "host",
+            "base",
+            "digest",
+            "params",
+            F.explode("params").alias("p"),
+        )
+        .select(
+            "host",
+            "digest",
+            F.substring_index("p", "=", 1).alias("key"),
+            F.col("p").alias("kv"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("host"),
+                    F.substring_index("p", "=", 1),
+                    F.col("base"),
+                    F.array_join(
+                        F.array_sort(F.array_remove("params", F.col("p"))),
+                        "&",
+                    ),
+                )
+            ).alias("gk"),
+        )
+    )
+    groups = rows.groupBy("host", "key", "gk").agg(
+        F.countDistinct("kv").alias("nvals"),
+        F.countDistinct("digest").alias("ndig"),
+    )
+    evidence = groups.filter(F.col("nvals") >= 2)
+    return (
+        evidence.groupBy("host", "key")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("ndig") == 1, 1).otherwise(0)).alias(
+                "n_support"
+            ),
+            F.sum(F.when(F.col("ndig") > 1, 1).otherwise(0)).alias(
+                "n_contra"
+            ),
+        )
+        .select(
+            "host",
+            "key",
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_support").cast("long").alias("n_support"),
+            F.col("n_contra").cast("long").alias("n_contra"),
+            (
+                (F.col("n_support") >= min_support)
+                & (F.col("n_contra") == 0)
+            ).alias("irrelevant"),
+        )
+    )
+
+
+def apply_param_rules(
+    captures: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply mined DUST rules: rewrite every URL with its host's
+    irrelevant params dropped (surviving params sorted so param-order
+    variants collapse too) and report the per-host URL-space reduction.
+
+    Returns (host, urls_before, urls_after): distinct raw URLs vs
+    distinct canonical URLs — the crawl/dedup savings the rules buy.
+
+    Scale shape: the rules frame is (hosts x params) — tiny — rolled up
+    to one ``bad_keys`` array per host and broadcast; the rewrite is a
+    pure array expression per capture; the report is one groupBy(host)
+    with two distinct-counts sharing the aggregation.
+    """
+    base, params, host = _url_param_parts(url_col)
+    bad = (
+        rules.filter(F.col("irrelevant"))
+        .groupBy("host")
+        .agg(F.collect_set("key").alias("bad_keys"))
+    )
+    enriched = captures.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        base.alias("base"),
+        params.alias("params"),
+    ).join(F.broadcast(bad), "host", "left")
+    kept = F.array_sort(
+        F.filter(
+            F.col("params"),
+            lambda x: ~F.coalesce(
+                F.array_contains(
+                    F.col("bad_keys"), F.substring_index(x, "=", 1)
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+    canon = F.when(
+        F.size(kept) > 0,
+        F.concat(F.col("base"), F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.col("base"))
+    return (
+        enriched.select("host", "url", canon.alias("canon"))
+        .groupBy("host")
+        .agg(
+            F.countDistinct("url").alias("urls_before"),
+            F.countDistinct("canon").alias("urls_after"),
+        )
     )

@@ -1931,3 +1931,67 @@ def test_access_gate_plan_is_expression_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+class TestDustParamRules:
+    """DUST param mining: value-varying experiments with fixed context
+    separate session/tracking params from content params."""
+
+    def _caps(self, spark):
+        u = "https://s.ex/a"
+        v = "https://s.ex/b"
+        rows = [
+            # sid: two experiments (bare and under page=2), digest stable
+            (u + "?sid=1", "dA"), (u + "?sid=2", "dA"),
+            (u + "?page=2&sid=3", "dB"), (u + "?page=2&sid=4", "dB"),
+            # page: digest changes with the value -> contradiction
+            (u + "?page=2", "dB"), (u + "?page=3", "dC"),
+            # ref: varies on url v but the digest varies WITH it once ->
+            # one support on u, one contradiction on v => kept
+            (u + "?ref=x", "dA"), (u + "?ref=y", "dA"),
+            (v + "?ref=x", "dD"), (v + "?ref=y", "dE"),
+            (u, "dA"), (v, "dD"),
+        ]
+        return spark.createDataFrame(rows, ["url", "digest"])
+
+    def test_rules(self, spark):
+        rules = {
+            r["key"]: r
+            for r in W.dust_param_rules(
+                self._caps(spark), "url", "digest", min_support=2
+            ).collect()
+        }
+        assert rules["sid"]["irrelevant"]
+        assert rules["sid"]["n_support"] == 2 and rules["sid"]["n_contra"] == 0
+        assert not rules["page"]["irrelevant"]
+        assert rules["page"]["n_contra"] == 1
+        # one supporting group is below min_support; the contradiction
+        # alone would also veto
+        assert not rules["ref"]["irrelevant"]
+        assert rules["ref"]["n_support"] == 1 and rules["ref"]["n_contra"] == 1
+
+    def test_apply_collapses_url_space(self, spark):
+        caps = self._caps(spark)
+        rules = W.dust_param_rules(caps, "url", "digest", min_support=2)
+        rep = {r["host"]: r for r in W.apply_param_rules(caps, rules).collect()}
+        r = rep["s.ex"]
+        # sid dropped: u?sid=1/2 and u merge; page/ref survive
+        assert r["urls_before"] == 12
+        # canon set: u, u?page=2, u?page=3, u?ref=x, u?ref=y,
+        #            v, v?ref=x, v?ref=y
+        assert r["urls_after"] == 8
+
+    def test_constant_param_never_ruled(self, spark):
+        # a constant-valued param forms no experiment: conservatively kept
+        rows = [("https://s.ex/a?v=1", "d1"), ("https://s.ex/b?v=1", "d2")]
+        caps = spark.createDataFrame(rows, ["url", "digest"])
+        assert W.dust_param_rules(caps, "url", "digest").count() == 0
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        caps = self._caps(spark)
+        rules = W.dust_param_rules(caps, "url", "digest")
+        plan = (W.apply_param_rules(caps, rules)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
