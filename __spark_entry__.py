@@ -2079,6 +2079,16 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_pl2_scores(spark, sf_dir):
+    """PL2 Divergence-from-Randomness ranking (Amati-van Rijsbergen:
+    Poisson model, Laplace after-effect, H2 normalization) — the third
+    ranking family beside BM25 and Dirichlet QL, probing the same
+    index tables; only matched postings do corpus-shaped work."""
+    docs = _load(spark, sf_dir, "documents")
+    idx = R.bm25_build_index(docs, "doc_id", "text")
+    return R.pl2_scores(idx, "doc_id", ["hash", "join", "stream"], c=1.0)
+
+
 def _dust_fixture(spark) -> DataFrame:
     """Deterministic DUST evidence corpus built from the demo pages:
     every url gets 11 captures — param-free, two ``sid`` values, two
@@ -5016,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_rerank": q_rm3_rerank,
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
+        "pl2_scores": q_pl2_scores,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6477,6 +6488,39 @@ def oracle_sql() -> dict[str, str]:
                      + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
                    6) AS ql_score
             FROM pd CROSS JOIN c
+        """,
+        "pl2_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            post AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            corp AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            hits AS (
+                SELECT doc_id, term, tf FROM post
+                WHERE term IN ('hash', 'join', 'stream')
+            ),
+            lamt AS (SELECT term, sum(tf) AS ctf FROM hits GROUP BY 1),
+            sc AS (
+                SELECT doc_id,
+                       tf * log2(1.0 + 1.0 * avgdl / dl) AS tfn,
+                       ctf / n_docs AS lam
+                FROM hits JOIN dl USING (doc_id) JOIN lamt USING (term)
+                CROSS JOIN corp
+            )
+            SELECT doc_id,
+                   round(sum(
+                       (tfn * log2(tfn / lam)
+                        + (lam - tfn) * 1.4426950408889634
+                        + 0.5 * log2(6.283185307179586 * tfn))
+                       / (tfn + 1.0)), 6) AS pl2_score
+            FROM sc GROUP BY doc_id
         """,
         "dust_rules": "WITH " + _DUST_CTE + """
             SELECT host, key, n_groups, n_support, n_contra,

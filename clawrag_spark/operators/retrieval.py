@@ -986,6 +986,71 @@ def lm_dirichlet_scores(
     )
 
 
+#: Cross-engine float parity: log2(e) and 2π as fixed double literals
+#: (both engines' ln() agree to the ulp in practice, but constants in
+#: the formula are pinned so neither side depends on it).
+_LOG2_E = 1.4426950408889634
+_TWO_PI = 6.283185307179586
+
+
+def pl2_scores(
+    index: dict[str, DataFrame],
+    id_col: str,
+    query_terms: list[str],
+    c: float = 1.0,
+) -> DataFrame:
+    """PL2 Divergence-from-Randomness ranking (Amati & van Rijsbergen
+    2002): Poisson randomness model, Laplace after-effect, H2 length
+    normalization — the third classical ranking family beside BM25
+    (``bm25_score_index``) and Dirichlet QL (``lm_dirichlet_scores``),
+    probing the same persisted index tables::
+
+        tfn      = tf · log2(1 + c·avgdl/dl)
+        λ_t      = ctf_t / N
+        score(d) = Σ_t  (tfn·log2(tfn/λ_t) + (λ_t − tfn)·log2(e)
+                         + 0.5·log2(2π·tfn)) / (tfn + 1)
+
+    Only matched (doc, term) postings do work — the postings slice for
+    the query terms is the single corpus-shaped input; per-term λ and
+    the corpus row broadcast.  Docs matching no query term are absent
+    (their PL2 mass is zero by convention).
+
+    Returns (id, pl2_score) over matched documents, score rounded to
+    6 dp for cross-engine hash stability.
+    """
+    q = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not q:
+        raise ValueError("need at least one query term")
+    hits = index["postings"].filter(F.col("term").isin(q))
+    corpus = index["doclen"].agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    lam = hits.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    tfn = F.col("tf") * F.log2(
+        1.0 + F.lit(float(c)) * F.col("avgdl") / F.col("dl")
+    )
+    scored = (
+        hits.join(index["doclen"], id_col)
+        .join(F.broadcast(lam), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("tfn", tfn)
+        .withColumn("lam", F.col("ctf") / F.col("n_docs"))
+        .withColumn(
+            "contrib",
+            (
+                F.col("tfn") * F.log2(F.col("tfn") / F.col("lam"))
+                + (F.col("lam") - F.col("tfn")) * F.lit(_LOG2_E)
+                + 0.5 * F.log2(F.lit(_TWO_PI) * F.col("tfn"))
+            )
+            / (F.col("tfn") + 1.0),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("pl2_score"))
+    )
+
+
 def rm3_expansion(
     docs: DataFrame,
     id_col: str,

@@ -512,3 +512,67 @@ class TestRM3:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPL2:
+    """PL2 DFR scoring pinned against a plain-Python computation of the
+    Poisson/Laplace/H2 formula on a tiny corpus."""
+
+    def test_matches_hand_formula(self, spark):
+        import math
+        import re
+
+        from clawrag_spark.operators.retrieval import (
+            bm25_build_index,
+            pl2_scores,
+        )
+
+        rows = [
+            (0, "solar panel solar grid"),
+            (1, "solar rooftop battery storage grid inverter"),
+            (2, "cats dogs pets"),
+            (3, "panel panel panel grid"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = bm25_build_index(docs, "doc_id", "text")
+        got = {
+            r["doc_id"]: r["pl2_score"]
+            for r in pl2_scores(idx, "doc_id", ["solar", "panel"], c=1.0).collect()
+        }
+        toks = {i: re.split(r"\s+", t) for i, t in rows}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        for d, ts in toks.items():
+            s = 0.0
+            for term in ("solar", "panel"):
+                tf = ts.count(term)
+                if tf == 0:
+                    continue
+                tfn = tf * math.log2(1.0 + avgdl / len(ts))
+                lam = sum(v.count(term) for v in toks.values()) / n
+                s += (
+                    tfn * math.log2(tfn / lam)
+                    + (lam - tfn) * math.log2(math.e)
+                    + 0.5 * math.log2(2 * math.pi * tfn)
+                ) / (tfn + 1.0)
+            if d == 2:
+                assert d not in got  # no match -> absent
+            else:
+                assert abs(got[d] - s) < 1e-5, (d, got[d], s)
+
+    def test_plan_matched_only_no_python(self, spark):
+        from clawrag_spark.operators.retrieval import (
+            bm25_build_index,
+            pl2_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "b c")], "doc_id long, text string"
+        )
+        idx = bm25_build_index(docs, "doc_id", "text")
+        plan = (
+            pl2_scores(idx, "doc_id", ["b"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
