@@ -2079,6 +2079,33 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Measured LSH design check: the deployed (b=4, r=2) banding vs
+    exact 3-gram Jaccard > 0.8 ground truth on a bounded 120-doc
+    sample — one row of (n_truth, n_cand, tp, fn, fp, recall,
+    precision).  Complements lsh_plan's THEORETICAL collision curve
+    with what the banding achieves on real shingle distributions.
+    Every third sampled doc gets a planted 90%-prefix near-copy
+    (id + 10^6) so ground truth is non-empty at every sf."""
+    base = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    tk = base.select("doc_id", R.sql_tokens(F.col("text")).alias("tk"))
+    copies = tk.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.col("tk"),
+                1,
+                F.greatest(F.lit(3), F.expr("(9 * size(tk)) div 10")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(copies)
+    return DS.lsh_recall_report(
+        corpus, "doc_id", "text", n_bands=4, rows_per_band=2, threshold=0.8
+    )
+
+
 def q_pl2_scores(spark, sf_dir):
     """PL2 Divergence-from-Randomness ranking (Amati-van Rijsbergen:
     Poisson model, Laplace after-effect, H2 normalization) — the third
@@ -5027,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": q_dust_rules,
         "dust_apply": q_dust_apply,
         "pl2_scores": q_pl2_scores,
+        "lsh_recall": q_lsh_recall,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6488,6 +6516,92 @@ def oracle_sql() -> dict[str, str]:
                      + ln((tf2 + 50.0 * ctf2 / c_len) / (dl + 50.0)),
                    6) AS ql_score
             FROM pd CROSS JOIN c
+        """,
+        "lsh_recall": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 120
+            ),
+            tk0 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM base
+            ),
+            copies AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(list_slice(tk, 1,
+                           greatest(3, (9 * len(tk)) // 10)), ' ') AS text
+                FROM tk0 WHERE doc_id % 3 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM base
+                UNION ALL SELECT doc_id, text FROM copies
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM corpus
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                           AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3))
+                     AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(band::VARCHAR || '.0|' || shingle))
+                       || min(md5(band::VARCHAR || '.1|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM shingles a JOIN shingles b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            truth AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sz za ON za.doc_id = inter.doc_a
+                JOIN sz zb ON zb.doc_id = inter.doc_b
+                WHERE inter / (za.sz + zb.sz - inter) > 0.8
+            ),
+            j AS (
+                SELECT t.doc_a IS NOT NULL AS has_t,
+                       c.doc_a IS NOT NULL AS has_c
+                FROM truth t FULL OUTER JOIN cand c
+                  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+            ),
+            agg AS (
+                SELECT sum(CASE WHEN has_t THEN 1 ELSE 0 END)::BIGINT
+                           AS n_truth,
+                       sum(CASE WHEN has_c THEN 1 ELSE 0 END)::BIGINT
+                           AS n_cand,
+                       sum(CASE WHEN has_t AND has_c THEN 1 ELSE 0 END)::BIGINT
+                           AS tp,
+                       sum(CASE WHEN has_t AND NOT has_c THEN 1 ELSE 0 END)::BIGINT
+                           AS fn,
+                       sum(CASE WHEN NOT has_t AND has_c THEN 1 ELSE 0 END)::BIGINT
+                           AS fp
+                FROM j
+            )
+            SELECT n_truth, n_cand, tp, fn, fp,
+                   round(CASE WHEN n_truth > 0 THEN tp / n_truth
+                              ELSE 1.0 END, 6) AS recall,
+                   round(CASE WHEN n_cand > 0 THEN tp / n_cand
+                              ELSE 1.0 END, 6) AS precision
+            FROM agg
         """,
         "pl2_scores": """
             WITH toks AS (

@@ -2590,3 +2590,102 @@ def symspell_pairs(
         .withColumn("distance", dist.cast("int"))
         .filter(F.col("distance") <= max_edits)
     )
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Measure — don't guess — the MinHash-LSH design against exact
+    ground truth on a SAMPLE: the banding theory says candidate
+    probability is ``1-(1-j^r)^b`` (``lsh_parameter_plan`` tabulates
+    it); this operator reports what the deployed (b, r) actually
+    achieves on real shingle distributions, where duplicate-skew and
+    tiny vocabularies break the independence assumptions the curve
+    bakes in.
+
+    Ground truth is exact n-gram Jaccard > ``threshold`` over every
+    pair sharing at least one shingle (pairs sharing none have J = 0
+    and can be neither truth nor — up to md5 collisions — candidates).
+    The gram equi-join is quadratic in per-shingle document frequency:
+    run this on a bounded sample (10^4-10^5 docs), never the full
+    corpus — the operator exists precisely so the full corpus only
+    ever pays the banded path.
+
+    Returns ONE row: (n_truth, n_cand, tp, fn, fp, recall,
+    precision) — fn are missed near-dups (recall loss), fp are wasted
+    exact verifies (precision cost).
+    """
+    sh = shingle_rows(docs, id_col, text_col).persist()
+    sh.count()  # materialize before the plan forks (cand + gram sides)
+    cand = minhash_candidate_pairs(
+        docs, id_col, text_col, n_bands, rows_per_band, shingles=sh
+    )
+    gh = sh.select(F.col(id_col), F.md5("shingle").alias("gh")).distinct()
+    sizes = gh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = gh.select(F.col(id_col).alias("doc_a"), "gh")
+    b = gh.select(F.col(id_col).alias("doc_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            > threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    joined = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    out = joined.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(F.col("t").isNull() & F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+    )
+    sh.unpersist()
+    return out.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        "fn",
+        "fp",
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("tp") / F.col("n_truth")).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_cand") > 0, F.col("tp") / F.col("n_cand")).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("precision"),
+    )

@@ -1122,3 +1122,41 @@ class TestSymspellPairs:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_report_classification(spark):
+    """The harness classifies planted near-dups / decoys exactly: one
+    high-Jaccard pair (truth, and banded r=2 catches it), one disjoint
+    pair (neither), and the counts reconcile (tp+fn = n_truth,
+    tp+fp = n_cand)."""
+    words = [f"w{i}" for i in range(40)]
+    near_a = " ".join(words)
+    near_b = " ".join(words[:36])  # ~0.87 shingle Jaccard vs near_a
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, other)], ["doc_id", "text"]
+    )
+    row = DS.lsh_recall_report(
+        docs, "doc_id", "text", n_bands=4, rows_per_band=2, threshold=0.8
+    ).collect()[0]
+    assert row["n_truth"] == 1 and row["tp"] == 1 and row["fn"] == 0
+    assert row["tp"] + row["fp"] == row["n_cand"]
+    assert row["recall"] == 1.0
+    # exact ground truth check: shingle sets of sizes 38 and 34 share 34
+    j = 34 / (38 + 34 - 34)
+    assert j > 0.8  # the planted pair really is above threshold
+
+
+def test_lsh_recall_report_counts_misses(spark):
+    """A pair above threshold that the banding CAN miss is still
+    counted in n_truth — fn + tp always equals the exact truth count
+    (here: verify bookkeeping on a borderline ~0.82 pair)."""
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:35])  # 33/38 ≈ 0.868 — above threshold
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    row = DS.lsh_recall_report(
+        docs, "doc_id", "text", n_bands=4, rows_per_band=2, threshold=0.8
+    ).collect()[0]
+    assert row["n_truth"] == 1
+    assert row["tp"] + row["fn"] == 1
