@@ -2079,6 +2079,22 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_query_clarity(spark, sf_dir):
+    """Clarity score (Cronen-Townsend QPP): per-term KL contributions
+    of the truncated RM1 relevance model against the collection model
+    — query-difficulty triage before paying for expensive rerank."""
+    docs = _load(spark, sf_dir, "documents")
+    return R.query_clarity(
+        docs,
+        "doc_id",
+        "text",
+        ["hash", "join", "stream"],
+        mu=50.0,
+        fb_docs=10,
+        fb_terms=10,
+    )
+
+
 def q_lsh_recall(spark, sf_dir):
     """Measured LSH design check: the deployed (b=4, r=2) banding vs
     exact 3-gram Jaccard > 0.8 ground truth on a bounded 120-doc
@@ -5055,6 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_apply": q_dust_apply,
         "pl2_scores": q_pl2_scores,
         "lsh_recall": q_lsh_recall,
+        "query_clarity": q_query_clarity,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6665,6 +6682,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "query_clarity": "WITH " + _RM3_CTE + """,
+            ctfs AS (
+                SELECT term, count(*) AS ctf
+                FROM toks JOIN (SELECT term FROM expn) USING (term)
+                GROUP BY term
+            )
+            SELECT term, round(rm1n, 6) AS p_rm,
+                   round(ctf / c_len, 6) AS p_coll,
+                   round(rm1n * log2(rm1n / (ctf / c_len)), 6)
+                       AS clarity_bits
+            FROM expn JOIN ctfs USING (term) CROSS JOIN c
         """,
         "rm3_terms": "WITH " + _RM3_CTE + """
             SELECT term, round(p_w, 6) AS p_w FROM terms

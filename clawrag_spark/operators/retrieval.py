@@ -1152,7 +1152,72 @@ def rm3_expansion(
         .over(Window.orderBy(F.desc("ql_score"), F.col(id_col)))
         .alias("fb_rank"),
     )
-    return {"feedback": fb_ranked, "terms": terms}
+    return {"feedback": fb_ranked, "terms": terms, "rm1": expansion}
+
+
+def query_clarity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+) -> DataFrame:
+    """Clarity score (Cronen-Townsend, Zhou & Croft 2002) — query
+    performance prediction: the KL divergence between the query's
+    relevance language model and the collection model,
+    ``Σ_w P(w|R) · log2(P(w|R) / P(w|C))``.  High clarity = the
+    feedback docs speak a vocabulary distinct from the background (a
+    focused query); near-zero = the query retrieves "more collection"
+    (ambiguous / unanswerable) — the standard cheap pre-retrieval
+    triage before spending on expensive rerank stages.
+
+    ``P(w|R)`` is the truncated+renormalized RM1 model from
+    ``rm3_expansion`` (documented estimator choice: truncation keeps
+    the sum finite and the score comparable across queries);
+    ``P(w|C) = ctf_w / |C|``.
+
+    Returns one row per model term: (term, p_rm, p_coll, clarity_bits)
+    with clarity_bits the term's KL contribution — sum for the scalar;
+    the per-term frame is the diagnostic (WHICH vocabulary carries the
+    signal).  Scale shape: the rm1 frame is ≤ fb_terms rows broadcast
+    into one ctf aggregation over the token scan.
+    """
+    ex = rm3_expansion(
+        docs,
+        id_col,
+        text_col,
+        query_terms,
+        mu=mu,
+        fb_docs=fb_docs,
+        fb_terms=fb_terms,
+        alpha=0.5,
+    )
+    rm1 = ex["rm1"]
+    toks = docs.select(
+        F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
+    )
+    clen = toks.agg(F.count("*").alias("c_len"))
+    ctf = (
+        toks.join(F.broadcast(rm1.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+    )
+    return (
+        rm1.join(ctf, "term")
+        .crossJoin(F.broadcast(clen))
+        .select(
+            "term",
+            F.round("rm1n", 6).alias("p_rm"),
+            F.round(F.col("ctf") / F.col("c_len"), 6).alias("p_coll"),
+            F.round(
+                F.col("rm1n")
+                * F.log2(F.col("rm1n") / (F.col("ctf") / F.col("c_len"))),
+                6,
+            ).alias("clarity_bits"),
+        )
+    )
 
 
 def rm3_rerank(

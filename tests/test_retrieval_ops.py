@@ -576,3 +576,52 @@ class TestPL2:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestQueryClarity:
+    """Clarity (KL of relevance vs collection model) separates a
+    focused query from a background-shaped one."""
+
+    def test_focused_beats_diffuse(self, spark):
+        from clawrag_spark.operators.retrieval import query_clarity
+
+        rows = [
+            (0, "quantum entanglement qubit decoherence quantum qubit"),
+            (1, "quantum qubit superposition entanglement gate"),
+            (2, "the cat sat on the mat and the dog sat too"),
+            (3, "the rain in spain falls mainly on the plain"),
+            (4, "the the the cat dog mat rain plain gate"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        focused = sum(
+            r["clarity_bits"]
+            for r in query_clarity(
+                docs, "doc_id", "text", ["quantum"], mu=5.0, fb_docs=2,
+                fb_terms=5,
+            ).collect()
+        )
+        diffuse = sum(
+            r["clarity_bits"]
+            for r in query_clarity(
+                docs, "doc_id", "text", ["the"], mu=5.0, fb_docs=2,
+                fb_terms=5,
+            ).collect()
+        )
+        assert focused > diffuse
+
+    def test_kl_nonnegative_terms_sum(self, spark):
+        from clawrag_spark.operators.retrieval import query_clarity
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma{i} delta epsilon") for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = query_clarity(
+            docs, "doc_id", "text", ["alpha", "beta"], mu=5.0, fb_docs=3,
+            fb_terms=4,
+        ).collect()
+        assert 1 <= len(out) <= 4
+        # p_rm is a (truncated, renormalized) distribution
+        assert abs(sum(r["p_rm"] for r in out) - 1.0) < 1e-4
+        # terms the model concentrates on have p_rm > p_coll -> positive KL
+        assert sum(r["clarity_bits"] for r in out) > 0
