@@ -464,8 +464,21 @@ def _read_committed(spark, out_dir, table, as_of_run, where):
     prove completeness; the run_id gate and the real ``where`` filter
     are re-applied on the frame either way, so pruning can only cost
     speed, never change results."""
+    from . import schema_evolution as SE
+
     done = completed_run_ids(out_dir, as_of_run=as_of_run)
-    plan = zonemaps.plan_scan(out_dir, table, done, predicates=where)
+    # schema evolution is table-level metadata: every snapshot —
+    # including time travel into pre-evolution history — presents the
+    # CURRENT schema (the Iceberg rule).  Zone-map pruning happens on
+    # PHYSICAL column names, so current-schema predicates are mapped
+    # back through the rename chain first.
+    schema_log = SE.read_schema_log(out_dir, table)
+    plan = zonemaps.plan_scan(
+        out_dir,
+        table,
+        done,
+        predicates=SE.physical_predicates(where, schema_log),
+    )
     df = None
     if plan.paths:
         try:
@@ -480,7 +493,11 @@ def _read_committed(spark, out_dir, table, as_of_run, where):
         if df is None:
             return None
     df = df.filter(F.col("run_id").isin(done))
+    if schema_log:
+        df = SE.apply_to_frame(df, schema_log)
     if where:
+        # current-schema names — applied AFTER evolution so predicates
+        # are written against the schema the caller actually sees
         df = df.filter(zonemaps.where_expr(where))
     return df
 
