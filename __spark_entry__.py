@@ -2079,6 +2079,57 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def _augmented_host_edges(spark) -> DataFrame:
+    """The demo crawl's REAL extracted host edges are deliberately
+    sparse (host-level out-degree 1 — one outbound host per site), so
+    the common-neighbor ops would be vacuously empty.  Densify with two
+    deterministic md5-derived pseudo-links per page (both engines
+    fabricate the identical edges), keeping the real edges in."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    real = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
+
+    def tgt(start: int) -> F.Column:
+        idx = (
+            F.conv(F.substring(F.md5("url"), start, 6), 16, 10).cast("long")
+            % 40
+        ).cast("int")
+        return F.concat(
+            F.lit("host"),
+            F.lpad(idx.cast("string"), 3, "0"),
+            F.lit(".example.com"),
+        )
+
+    def aug(start: int) -> DataFrame:
+        return pages.select(
+            host.alias("src_host"),
+            tgt(start).alias("dst_host"),
+            F.lit(1).cast("long").alias("n_links"),
+        )
+
+    return real.unionByName(aug(1)).unionByName(aug(7))
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation relatedness (Small 1973) over the (densified) host
+    graph: host pairs sharing >= 2 distinct co-citing sources, sources
+    above the out-degree cap excluded before the self-join (the C(k,2)
+    hub guard)."""
+    return WG.cocitation_pairs(
+        _augmented_host_edges(spark), max_out_degree=50, min_count=2
+    )
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963) — co-citation's transpose:
+    host pairs sharing >= 2 distinct link targets; the cold-start side
+    of related-host discovery (works from a new host's own out-links)."""
+    return WG.bib_coupling_pairs(
+        _augmented_host_edges(spark), max_in_degree=50, min_count=2
+    )
+
+
 def q_query_clarity(spark, sf_dir):
     """Clarity score (Cronen-Townsend QPP): per-term KL contributions
     of the truncated RM1 relevance model against the collection model
@@ -5072,6 +5123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_scores": q_pl2_scores,
         "lsh_recall": q_lsh_recall,
         "query_clarity": q_query_clarity,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6971,6 +7024,74 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": f"""
             WITH {_webgraph_edges_cte()}
             SELECT src_host, dst_host, n_links FROM edges
+        """,
+        "cocitation": f"""
+            WITH {_webgraph_edges_cte()},
+            aug AS (
+                SELECT regexp_extract(url, '^https?://([^/?#]+)', 1)
+                           AS src_host,
+                       'host' || lpad(
+                           ((('0x' || substr(md5(url), 1, 6))::BIGINT % 40)
+                            )::VARCHAR, 3, '0') || '.example.com'
+                           AS dst_host
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                UNION ALL
+                SELECT regexp_extract(url, '^https?://([^/?#]+)', 1),
+                       'host' || lpad(
+                           ((('0x' || substr(md5(url), 7, 6))::BIGINT % 40)
+                            )::VARCHAR, 3, '0') || '.example.com'
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            ),
+            alledges AS (
+                SELECT src_host, dst_host FROM edges
+                UNION ALL SELECT src_host, dst_host FROM aug
+            ),
+            e AS (
+                SELECT DISTINCT src_host AS s, dst_host AS t FROM alledges
+                WHERE src_host <> dst_host
+            ),
+            deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+            kc AS (
+                SELECT e.s, e.t FROM e JOIN deg USING (s) WHERE d <= 50
+            )
+            SELECT x.t AS host_a, y.t AS host_b,
+                   count(*)::BIGINT AS n_common
+            FROM kc x JOIN kc y ON x.s = y.s AND x.t < y.t
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "bib_coupling": f"""
+            WITH {_webgraph_edges_cte()},
+            aug AS (
+                SELECT regexp_extract(url, '^https?://([^/?#]+)', 1)
+                           AS src_host,
+                       'host' || lpad(
+                           ((('0x' || substr(md5(url), 1, 6))::BIGINT % 40)
+                            )::VARCHAR, 3, '0') || '.example.com'
+                           AS dst_host
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                UNION ALL
+                SELECT regexp_extract(url, '^https?://([^/?#]+)', 1),
+                       'host' || lpad(
+                           ((('0x' || substr(md5(url), 7, 6))::BIGINT % 40)
+                            )::VARCHAR, 3, '0') || '.example.com'
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+            ),
+            alledges AS (
+                SELECT src_host, dst_host FROM edges
+                UNION ALL SELECT src_host, dst_host FROM aug
+            ),
+            e AS (
+                SELECT DISTINCT src_host AS s, dst_host AS t FROM alledges
+                WHERE src_host <> dst_host
+            ),
+            deg AS (SELECT t, count(*) AS d FROM e GROUP BY t),
+            kc AS (
+                SELECT e.s, e.t FROM e JOIN deg USING (t) WHERE d <= 50
+            )
+            SELECT x.s AS host_a, y.s AS host_b,
+                   count(*)::BIGINT AS n_common
+            FROM kc x JOIN kc y ON x.t = y.t AND x.s < y.s
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "pagerank_hosts": _pagerank_oracle(k=3, damping=0.85),
         "trustrank_hosts": _trustrank_oracle(k=3, damping=0.85),

@@ -912,3 +912,85 @@ def mirror_hosts(
             & (containment >= F.lit(float(containment_threshold)))
         ).cast("int").alias("is_mirror"),
     )
+
+
+def _common_neighbor_pairs(
+    e: DataFrame,
+    key: str,
+    val: str,
+    max_degree: int,
+    min_count: int,
+) -> DataFrame:
+    """Shared core of co-citation / bibliographic coupling: pairs of
+    ``val`` nodes sharing >= ``min_count`` distinct ``key`` neighbors,
+    with ``key`` nodes of degree > ``max_degree`` excluded BEFORE the
+    self-join.  The cap is the scale guard: a key node of degree k
+    yields C(k, 2) pairs, so the quadratic blow-up concentrates in
+    mega-hubs — whose links also carry the least discrimination (the
+    idf argument) — and removing them bounds the join output by
+    |edges| · max_degree / 2."""
+    deg = e.groupBy(key).agg(F.count("*").alias("_d"))
+    kept = e.join(
+        F.broadcast(deg.filter(F.col("_d") <= max_degree).select(key)),
+        key,
+        "left_semi",
+    )
+    x = kept.select(F.col(key).alias("_k"), F.col(val).alias("host_a"))
+    y = kept.select(F.col(key).alias("_k"), F.col(val).alias("host_b"))
+    return (
+        x.join(y, "_k")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_count)
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_out_degree: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Co-citation relatedness (Small 1973): two hosts are related when
+    many common SOURCES link to both — the classic related-page signal
+    (and, inverted, a link-farm detector: a clique of hosts co-cited
+    exclusively by one spam network).  Returns (host_a, host_b,
+    n_common) = distinct co-citing sources per pair.
+
+    Scale shape: distinct host-pair edges, a broadcast degree filter
+    dropping sources above ``max_out_degree`` (see
+    ``_common_neighbor_pairs`` for the C(k,2) bound), ONE self
+    equi-join on the source key, one count aggregation.  Shuffles
+    carry host-string pairs only.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    return _common_neighbor_pairs(e, "s", "t", max_out_degree, min_count)
+
+
+def bib_coupling_pairs(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_in_degree: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963) — the transpose of
+    co-citation: two hosts are related when they link to many common
+    TARGETS.  Where co-citation needs others to have noticed the pair,
+    coupling works for brand-new hosts from their own out-links — the
+    cold-start side of related-host discovery.  Returns (host_a,
+    host_b, n_common) = distinct shared targets; targets with
+    in-degree > ``max_in_degree`` are excluded (same hub/idf logic).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    return _common_neighbor_pairs(e, "t", "s", max_in_degree, min_count)

@@ -577,3 +577,66 @@ def test_mirror_hosts_same_path_different_bytes_not_shared(spark):
     assert WG.mirror_hosts(
         spark.createDataFrame(rows, ["url", "doc_hash"])
     ).count() == 0
+
+
+class TestCommonNeighborPairs:
+    """Co-citation / bibliographic coupling: hand-checkable graph with
+    a hub that must be excluded by the degree cap."""
+
+    def _edges(self, spark):
+        rows = [
+            # s1 and s2 both cite a and b -> (a,b) co-cited by 2
+            ("s1", "a"), ("s1", "b"),
+            ("s2", "a"), ("s2", "b"),
+            # s3 cites a and c -> (a,c) co-cited once only
+            ("s3", "a"), ("s3", "c"),
+            # hub cites everything: must NOT create pairs when capped
+            ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+            ("hub", "e"),
+            # self-loop ignored
+            ("a", "a"),
+        ]
+        return spark.createDataFrame(rows, ["src_host", "dst_host"]).withColumn(
+            "n_links", F.lit(1).cast("long")
+        )
+
+    def test_cocitation_counts_and_hub_cap(self, spark):
+        got = {
+            (r["host_a"], r["host_b"]): r["n_common"]
+            for r in WG.cocitation_pairs(
+                self._edges(spark), max_out_degree=4, min_count=2
+            ).collect()
+        }
+        assert got == {("a", "b"): 2}
+        # with the hub admitted, its C(5,2) pairs flood in
+        loose = WG.cocitation_pairs(
+            self._edges(spark), max_out_degree=10, min_count=2
+        ).count()
+        assert loose > 1
+
+    def test_coupling_transpose(self, spark):
+        got = {
+            (r["host_a"], r["host_b"]): r["n_common"]
+            for r in WG.bib_coupling_pairs(
+                self._edges(spark), max_in_degree=2, min_count=2
+            ).collect()
+        }
+        # s1 and s2 share targets a and b, but a has in-degree 4 (s1,
+        # s2, s3, hub) > 2 -> excluded; b has in-degree 3 > 2 too.
+        assert got == {}
+        got2 = {
+            (r["host_a"], r["host_b"]): r["n_common"]
+            for r in WG.bib_coupling_pairs(
+                self._edges(spark), max_in_degree=10, min_count=2
+            ).collect()
+        }
+        assert got2[("s1", "s2")] == 2
+        assert ("hub", "s1") in got2  # hub shares a and b with s1
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        plan = (
+            WG.cocitation_pairs(self._edges(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
