@@ -2079,6 +2079,18 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometry: each document's distance to its
+    SOURCE group's function-word z-profile centroid — the
+    same-generator / template-farm signal.  Sparse-zeros formulation:
+    absent-term z-scores are doc-independent, so the dense doc x MFW
+    grid never materializes (see burrows_delta_outliers)."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.burrows_delta_outliers(
+        docs, "doc_id", "text", "source", n_mfw=30
+    )
+
+
 def _augmented_host_edges(spark) -> DataFrame:
     """The demo crawl's REAL extracted host edges are deliberately
     sparse (host-level out-degree 1 — one outbound host per site), so
@@ -5125,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_clarity": q_query_clarity,
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
+        "burrows_delta": q_burrows_delta,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6735,6 +6748,80 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "burrows_delta": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            dl AS (
+                SELECT doc_id, source, count(*) AS dl FROM toks GROUP BY 1, 2
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM dl),
+            mfw AS (
+                SELECT term FROM (
+                    SELECT term, count(*) AS ctf FROM toks GROUP BY 1
+                ) ORDER BY ctf DESC, term LIMIT 30
+            ),
+            tf AS (
+                SELECT doc_id, source, term, count(*) AS tf
+                FROM toks JOIN mfw USING (term) GROUP BY 1, 2, 3
+            ),
+            rf AS (
+                SELECT tf.doc_id, tf.source, term, tf / d.dl AS rf
+                FROM tf JOIN (SELECT doc_id, dl FROM dl) d USING (doc_id)
+            ),
+            st2 AS (
+                SELECT term, mu, sigma, -mu / sigma AS z0 FROM (
+                    SELECT term, s1 / n_docs AS mu,
+                           sqrt(s2 / n_docs
+                                - (s1 / n_docs) * (s1 / n_docs)) AS sigma
+                    FROM (SELECT term, sum(rf) AS s1,
+                                 sum(rf * rf) AS s2 FROM rf GROUP BY term)
+                    CROSS JOIN nd
+                ) WHERE sigma > 0
+            ),
+            mt AS (SELECT count(*) AS m FROM st2),
+            z AS (
+                SELECT doc_id, source, term,
+                       (rf - mu) / sigma AS z
+                FROM rf JOIN st2 USING (term)
+            ),
+            ng AS (SELECT source, count(*) AS ng FROM dl GROUP BY source),
+            gsum AS (
+                SELECT source, term, sum(z) AS sz, count(*) AS npres
+                FROM z GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT ng.source, ng.ng, st2.term, st2.z0
+                FROM ng CROSS JOIN st2
+            ),
+            cent AS (
+                SELECT source, term, z0,
+                       (coalesce(sz, 0) + (ng - coalesce(npres, 0)) * z0)
+                           / ng AS c
+                FROM grid LEFT JOIN gsum USING (source, term)
+            ),
+            gconst AS (
+                SELECT source, sum(abs(z0 - c)) AS base
+                FROM cent GROUP BY source
+            ),
+            adj AS (
+                SELECT z.doc_id, z.source,
+                       sum(abs(z.z - c2.c) - abs(c2.z0 - c2.c)) AS adj
+                FROM z JOIN cent c2
+                  ON c2.source = z.source AND c2.term = z.term
+                GROUP BY 1, 2
+            )
+            SELECT dl.doc_id, dl.source,
+                   round((base + coalesce(adj.adj, 0)) / m, 6) AS delta
+            FROM dl
+            LEFT JOIN adj ON adj.doc_id = dl.doc_id
+            JOIN gconst ON gconst.source = dl.source
+            CROSS JOIN mt
         """,
         "query_clarity": "WITH " + _RM3_CTE + """,
             ctfs AS (

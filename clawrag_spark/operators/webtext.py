@@ -59,6 +59,7 @@ __all__ = [
     "heaps_fit",
     "url_path_templates",
     "dust_param_rules",
+    "burrows_delta_outliers",
     "apply_param_rules",
     "dsir_importance",
     "gopher_quality_gate",
@@ -4213,5 +4214,142 @@ def apply_param_rules(
         .agg(
             F.countDistinct("url").alias("urls_before"),
             F.countDistinct("canon").alias("urls_after"),
+        )
+    )
+
+
+def burrows_delta_outliers(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_mfw: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometry (Burrows 2002; Evert et al. 2017):
+    distance between a document's function-word profile and its
+    group's centroid profile — same-generator detection for the web:
+    documents emitted by one template engine / SEO farm share
+    near-identical most-frequent-word (MFW) distributions even when
+    their content words all differ, and a human page dropped into a
+    farm (or vice versa) surfaces as a Delta outlier within its host
+    or source group.
+
+    Method: the ``n_mfw`` corpus-wide most frequent words (ties broken
+    by term — deterministic cross-engine); per-document relative
+    frequencies; per-term z-scores over ALL documents (zero counts
+    included); ``Delta(d) = mean_t |z_dt − c_gt|`` against the doc's
+    group centroid ``c_gt``.
+
+    Scale shape — the zeros never materialize: for a term a document
+    lacks, ``z = (0 − μ_t)/σ_t = z0_t`` is DOC-INDEPENDENT, so
+
+    - per-term μ, σ come from sparse sums (zeros add nothing to Σrf or
+      Σrf², and N counts all docs),
+    - the group centroid is ``(Σ_present z + (N_g − n_present)·z0)/N_g``,
+    - ``Σ_t |z_dt − c_gt|`` splits into a per-GROUP constant
+      ``Σ_t |z0_t − c_gt|`` plus a sparse per-doc correction
+      ``Σ_{t present} (|z_dt − c_gt| − |z0_t − c_gt|)``.
+
+    So the only doc-scaled frames are the (doc, mfw-term) postings; the
+    dense doc×term grid (3·10^13 rows at corpus scale for 30 MFW) is
+    never built.  Terms with σ = 0 are dropped from the profile.
+
+    Returns (id, group, delta) for every document with at least one
+    token, delta rounded to 6 dp (docs matching no MFW still score via
+    the group constant).
+    """
+    from .retrieval import sql_tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.explode(sql_tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy(id_col, "grp").agg(F.count("*").alias("dl"))
+    n_docs = dl.agg(F.count("*").alias("n_docs"))
+    mfw = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+        .orderBy(F.desc("ctf"), "term")
+        .limit(n_mfw)
+        .select("term")
+    )
+    rf = (
+        toks.join(F.broadcast(mfw), "term")
+        .groupBy(id_col, "grp", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(dl.select(id_col, "dl"), id_col)
+        .select(id_col, "grp", "term", (F.col("tf") / F.col("dl")).alias("rf"))
+    )
+    stats = (
+        rf.groupBy("term")
+        .agg(F.sum("rf").alias("s1"), F.sum(F.col("rf") * F.col("rf")).alias("s2"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.col("s1") / F.col("n_docs")).alias("mu"),
+            F.sqrt(
+                F.col("s2") / F.col("n_docs")
+                - (F.col("s1") / F.col("n_docs"))
+                * (F.col("s1") / F.col("n_docs"))
+            ).alias("sigma"),
+        )
+        .filter(F.col("sigma") > 0)
+        .withColumn("z0", -F.col("mu") / F.col("sigma"))
+    )
+    m_terms = stats.agg(F.count("*").alias("m"))
+    z = rf.join(F.broadcast(stats), "term").select(
+        id_col,
+        "grp",
+        "term",
+        ((F.col("rf") - F.col("mu")) / F.col("sigma")).alias("z"),
+        "z0",
+    )
+    ng = dl.groupBy("grp").agg(F.count("*").alias("ng"))
+    gsum = z.groupBy("grp", "term").agg(
+        F.sum("z").alias("sz"), F.count("*").alias("npres")
+    )
+    # tiny dense grid: groups x MFW terms (both broadcast-scale)
+    grid = ng.crossJoin(F.broadcast(stats.select("term", "z0")))
+    cent = grid.join(gsum, ["grp", "term"], "left").select(
+        "grp",
+        "term",
+        "z0",
+        (
+            (
+                F.coalesce(F.col("sz"), F.lit(0.0))
+                + (F.col("ng") - F.coalesce(F.col("npres"), F.lit(0)))
+                * F.col("z0")
+            )
+            / F.col("ng")
+        ).alias("c"),
+    )
+    gconst = cent.groupBy("grp").agg(
+        F.sum(F.abs(F.col("z0") - F.col("c"))).alias("base")
+    )
+    adj = (
+        z.join(
+            F.broadcast(cent.select("grp", "term", "c")), ["grp", "term"]
+        )
+        .groupBy(id_col, "grp")
+        .agg(
+            F.sum(
+                F.abs(F.col("z") - F.col("c")) - F.abs(F.col("z0") - F.col("c"))
+            ).alias("adj")
+        )
+    )
+    return (
+        dl.select(id_col, "grp")
+        .join(adj, [id_col, "grp"], "left")
+        .join(F.broadcast(gconst), "grp")
+        .crossJoin(F.broadcast(m_terms))
+        .select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            F.round(
+                (F.col("base") + F.coalesce(F.col("adj"), F.lit(0.0)))
+                / F.col("m"),
+                6,
+            ).alias("delta"),
         )
     )

@@ -1995,3 +1995,85 @@ class TestDustParamRules:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+class TestBurrowsDelta:
+    """Sparse-zeros Burrows' Delta pinned against a dense plain-Python
+    computation, plus the outlier story it exists for."""
+
+    def _docs(self, spark):
+        farm = [
+            (i, "the of and to in for on is the of and a b c"
+                f" w{i} x{i} y{i}", "farm")
+            for i in range(6)
+        ]
+        human = [
+            (100, "quantum chromodynamics lattice gauge simulation "
+                  "renormalization flows emerge naturally here", "farm"),
+        ]
+        other = [
+            (200 + i, "the of and to in for on is plain text about "
+                      f"topic{i}", "blog")
+            for i in range(4)
+        ]
+        return spark.createDataFrame(
+            farm + human + other, "doc_id long, text string, source string"
+        )
+
+    def test_matches_dense_computation(self, spark):
+        import re
+        from collections import Counter
+
+        import numpy as np
+
+        docs = self._docs(spark)
+        got = {
+            r["doc_id"]: r["delta"]
+            for r in W.burrows_delta_outliers(
+                docs, "doc_id", "text", "source", n_mfw=8
+            ).collect()
+        }
+        rows = [(r["doc_id"], r["text"], r["source"]) for r in docs.collect()]
+        toks = {i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+                for i, s, _ in rows}
+        grp = {i: g for i, _, g in rows}
+        corpus = Counter()
+        for ts in toks.values():
+            corpus.update(ts)
+        mfw = sorted(corpus, key=lambda t: (-corpus[t], t))[:8]
+        ids = sorted(toks)
+        rfm = np.array(
+            [[toks[i].count(t) / len(toks[i]) for t in mfw] for i in ids]
+        )
+        mu, sd = rfm.mean(axis=0), rfm.std(axis=0)
+        keep = sd > 0
+        zm = (rfm[:, keep] - mu[keep]) / sd[keep]
+        for gname in {"farm", "blog"}:
+            rows_g = [k for k, i in enumerate(ids) if grp[i] == gname]
+            cent = zm[rows_g].mean(axis=0)
+            for k in rows_g:
+                want = np.abs(zm[k] - cent).mean()
+                assert abs(got[ids[k]] - want) < 1e-5, (ids[k], got[ids[k]], want)
+
+    def test_outlier_surfaces(self, spark):
+        docs = self._docs(spark)
+        got = {
+            (r["doc_id"], r["source"]): r["delta"]
+            for r in W.burrows_delta_outliers(
+                docs, "doc_id", "text", "source", n_mfw=8
+            ).collect()
+        }
+        farm_deltas = {i: d for (i, g), d in got.items() if g == "farm"}
+        # the human page planted in the farm is the clear style outlier
+        assert farm_deltas[100] == max(farm_deltas.values())
+        assert farm_deltas[100] > 2 * min(
+            d for i, d in farm_deltas.items() if i != 100
+        )
+
+    def test_plan_no_python_no_cartesian_beyond_grid(self, spark):
+        docs = self._docs(spark)
+        plan = (
+            W.burrows_delta_outliers(docs, "doc_id", "text", "source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
