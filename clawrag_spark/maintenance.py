@@ -321,3 +321,106 @@ def remove_orphan_files(
         report["bytes_reclaimed"] += freed
     report["dry_run"] = dry_run
     return report
+
+
+# ----------------------------------------------------------- snapshot refs
+
+def _refs_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "refs.json")
+
+
+def list_refs(out_dir: str) -> dict:
+    """All named refs: {name: {"run_id", "type", "created_at",
+    "updated_at"}}.  Missing or torn file reads as no refs."""
+    import json
+
+    try:
+        with open(_refs_path(out_dir)) as fh:
+            refs = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return refs if isinstance(refs, dict) else {}
+
+
+def set_ref(
+    out_dir: str,
+    name: str,
+    run_id: str,
+    kind: str = "tag",
+    force: bool = False,
+) -> dict:
+    """Name a committed snapshot — Iceberg refs for the parquet
+    stand-in.  ``kind="tag"`` is immutable (re-pointing raises unless
+    ``force``): audit markers like ``eval-2026-08``.  ``kind="branch"``
+    is movable: a deployment pointer like ``prod`` that fast-forwards
+    run to run.  The target must be a COMMITTED run id (manifest
+    present) at set time; the write is tmp + one atomic rename, so
+    readers only ever see a fully-committed refs table.
+
+    Why this matters at 10^12 docs: "train against exactly the corpus
+    eval saw" is a ref resolve, not a copied table.
+    """
+    import json
+    import time
+
+    from .pipeline import completed_run_ids
+
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be 'tag' or 'branch', got {kind!r}")
+    done = completed_run_ids(out_dir)
+    if run_id not in done:
+        raise ValueError(f"run {run_id!r} is not a committed snapshot")
+    refs = list_refs(out_dir)
+    prev = refs.get(name)
+    if prev is not None:
+        if prev.get("type") == "tag" and not force:
+            raise ValueError(
+                f"tag {name!r} already points at {prev['run_id']!r}; "
+                "tags are immutable (use force=True to retarget)"
+            )
+    now = time.time()
+    refs[name] = {
+        "run_id": run_id,
+        "type": kind,
+        "created_at": prev["created_at"] if prev else now,
+        "updated_at": now,
+    }
+    path = _refs_path(out_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, indent=2)
+    os.rename(tmp, path)  # the single commit point
+    return refs[name]
+
+
+def resolve_ref(out_dir: str, name: str) -> str:
+    """Ref name -> run id.  Raises if the ref doesn't exist or its
+    target snapshot is no longer committed (expired lineage) — a stale
+    ref must fail loudly, not silently read a different state."""
+    from .pipeline import completed_run_ids
+
+    refs = list_refs(out_dir)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} in {out_dir}")
+    run_id = refs[name]["run_id"]
+    if run_id not in completed_run_ids(out_dir):
+        raise ValueError(
+            f"ref {name!r} points at expired/uncommitted run {run_id!r}"
+        )
+    return run_id
+
+
+def drop_ref(out_dir: str, name: str) -> None:
+    """Remove a ref (atomic rewrite).  Unknown names raise."""
+    import json
+
+    refs = list_refs(out_dir)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} in {out_dir}")
+    del refs[name]
+    path = _refs_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh, indent=2)
+    os.rename(tmp, path)

@@ -502,12 +502,26 @@ def _read_committed(spark, out_dir, table, as_of_run, where):
     return df
 
 
+def _resolve_as_of(out_dir, as_of_run, as_of_ref):
+    """Named-ref resolution for the committed readers: ``as_of_ref``
+    (an Iceberg-style tag/branch from ``maintenance.set_ref``) resolves
+    to its run id; passing both pins is ambiguous and raises."""
+    if as_of_ref is None:
+        return as_of_run
+    if as_of_run is not None:
+        raise ValueError("pass as_of_run OR as_of_ref, not both")
+    from . import maintenance as M
+
+    return M.resolve_ref(out_dir, as_of_ref)
+
+
 def read_extracted(
     spark: SparkSession,
     out_dir: str,
     as_of_run: str | None = None,
     where: list[tuple] | None = None,
     apply_deletes: bool = True,
+    as_of_ref: str | None = None,
 ):
     """The committed view of the extracted table: rows whose run has a
     manifest.  Orphan rows from a crashed run (appended but never
@@ -524,6 +538,7 @@ def read_extracted(
     merge-on-read.  Deliberately retroactive across time travel: a
     takedown must hide the url in EVERY snapshot, not just the ones
     after it.  With no delete file committed the plan is untouched."""
+    as_of_run = _resolve_as_of(out_dir, as_of_run, as_of_ref)
     df = _read_committed(spark, out_dir, "extracted", as_of_run, where)
     if apply_deletes and df is not None:
         from . import deletes as D
@@ -538,10 +553,12 @@ def read_chunks(
     as_of_run: str | None = None,
     where: list[tuple] | None = None,
     apply_deletes: bool = True,
+    as_of_ref: str | None = None,
 ):
     """Committed view of the chunks table (same manifest gating + time
     travel + zone-map file pruning + merge-on-read delete masking as
-    ``read_extracted``)."""
+    ``read_extracted``; ``as_of_ref`` reads at a named tag/branch)."""
+    as_of_run = _resolve_as_of(out_dir, as_of_run, as_of_ref)
     df = _read_committed(spark, out_dir, "chunks", as_of_run, where)
     if apply_deletes and df is not None:
         from . import deletes as D
