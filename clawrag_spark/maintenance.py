@@ -424,3 +424,104 @@ def drop_ref(out_dir: str, name: str) -> None:
     with open(tmp, "w") as fh:
         json.dump(refs, fh, indent=2)
     os.rename(tmp, path)
+
+
+# ------------------------------------------------- BM25 delete purging
+
+def purge_bm25_deletes(spark: SparkSession, out_dir: str) -> dict:
+    """Physically remove taken-down documents from the persisted BM25
+    index — the segment-merge half of the Lucene deletes model: until
+    this runs, ``bm25_query_index`` masks deleted urls at query time
+    (merge-on-read) but the postings rows and the df/doclen/stats
+    snapshot still count them.  After the purge, the index is
+    bit-equivalent to one built from scratch on the surviving corpus
+    (chunk ids are deterministic functions of the url, so the
+    equivalence is testable, and tested).
+
+    Steps, crash-safe in commit order:
+
+    1. deleted chunk ids = doclen ⋉ committed delete urls (broadcast —
+       doclen carries urls precisely so this needs no chunks scan);
+    2. every per-run postings/doclen delta dir is rewritten filtered,
+       each swapped in with the compaction module's two-rename window;
+    3. df/stats are recomputed IN FULL from the retained postings into
+       new snapshot dirs;
+    4. the pointer swaps atomically (``_current.json``) — readers see
+       the old consistent snapshot until the swap, the new one after.
+
+    Cost is one pass over the postings/doclen tables — run it with the
+    regular compaction cadence, not per delete.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from . import deletes as D
+    from .pipeline import _bm25_commit_pointer, _bm25_current
+
+    index_dir = os.path.join(out_dir, "bm25_index")
+    current = _bm25_current(index_dir)
+    if current is None:
+        return {"purged": False, "reason": "no committed index"}
+    dels = D.deleted_urls(spark, out_dir)
+    if dels is None:
+        return {"purged": False, "reason": "no deletes"}
+    doclen_dir = os.path.join(index_dir, "doclen")
+    postings_dir = os.path.join(index_dir, "postings")
+    doclen = spark.read.parquet(doclen_dir)
+    if "url" not in doclen.columns:
+        raise ValueError(
+            "this BM25 index predates url-carrying doclen deltas; "
+            "rebuild it (build_bm25_index on a fresh index_dir) before "
+            "purging deletes"
+        )
+    dead = (
+        doclen.join(
+            F.broadcast(dels.select("url").distinct()), "url", "left_semi"
+        )
+        .select("chunk_id")
+        .persist()
+    )
+    n_dead = dead.count()
+    if n_dead == 0:
+        dead.unpersist()
+        return {"purged": False, "reason": "no indexed chunks deleted"}
+
+    def rewrite(table_dir: str) -> None:
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith("run_id="):
+                continue
+            part = os.path.join(table_dir, name)
+            kept = spark.read.parquet(part).join(dead, "chunk_id", "left_anti")
+            tmp, old = part + ".purge_tmp", part + ".purge_old"
+            kept.write.mode("overwrite").parquet(tmp)
+            os.rename(part, old)
+            os.rename(tmp, part)  # same two-rename window as compaction
+            shutil.rmtree(old)
+
+    rewrite(postings_dir)
+    rewrite(doclen_dir)
+    committed_runs = current.get("runs")
+    post = spark.read.parquet(postings_dir)
+    dl = spark.read.parquet(doclen_dir)
+    if committed_runs is not None:
+        post = post.filter(F.col("run_id").isin(committed_runs))
+        dl = dl.filter(F.col("run_id").isin(committed_runs))
+    df_new = post.groupBy("term").agg(
+        F.countDistinct("chunk_id").alias("doc_freq")
+    )
+    stats_new = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_name = f"df_purge_{current.get('run_id', 'x')}_{n_dead}"
+    stats_name = f"stats_purge_{current.get('run_id', 'x')}_{n_dead}"
+    df_new.write.mode("overwrite").parquet(os.path.join(index_dir, df_name))
+    stats_new.write.mode("overwrite").parquet(
+        os.path.join(index_dir, stats_name)
+    )
+    pointer = dict(current)
+    pointer["df"] = df_name
+    pointer["stats"] = stats_name
+    _bm25_commit_pointer(index_dir, pointer)
+    dead.unpersist()
+    return {"purged": True, "n_dead_chunks": n_dead, "pointer": pointer}

@@ -619,13 +619,22 @@ def build_bm25_index(
         return {"index_dir": index_dir, "pointer": current, "n_new_runs": 0}
     for rid in todo:
         delta = chunks.filter(F.col("run_id") == F.lit(rid)).select(
-            "chunk_id", "text"
+            "chunk_id", "url", "text"
         )
         tokens = delta.select(
             "chunk_id", F.explode(sql_tokens(F.col("text"))).alias("term")
         )
         postings = tokens.groupBy("chunk_id", "term").agg(F.count("*").alias("tf"))
-        doclen = postings.groupBy("chunk_id").agg(F.sum("tf").alias("dl"))
+        # doclen carries the chunk's url so takedown masking
+        # (bm25_query_index) and the physical purge
+        # (maintenance.purge_bm25_deletes) never need a chunks scan —
+        # one string column on the per-chunk table buys delete support
+        # on the query path for a broadcast anti-join
+        doclen = (
+            postings.groupBy("chunk_id")
+            .agg(F.sum("tf").alias("dl"))
+            .join(delta.select("chunk_id", "url"), "chunk_id")
+        )
         # per-run partition dirs written with overwrite: a retry after a
         # crash replaces its own delta instead of appending a duplicate
         # (run_id comes back as the partition-discovery column on read)
@@ -756,6 +765,20 @@ def bm25_query_index(
     if committed_runs is not None:
         postings = postings.filter(F.col("run_id").isin(committed_runs))
         doclen = doclen.filter(F.col("run_id").isin(committed_runs))
+    # merge-on-read takedown masking (Lucene live-docs semantics): the
+    # doclen table carries each chunk's url, so deleted urls drop out
+    # of the scoring join via one broadcast anti-join — the postings
+    # rows and the df/avgdl STATS stay physically untouched (stale)
+    # until maintenance.purge_bm25_deletes rewrites them, exactly like
+    # deleted docs still counting in Lucene's collection stats until a
+    # segment merge.  Indexes built before the url column exist are
+    # read unmasked (guarded) — rebuild or purge to upgrade.
+    if "url" in doclen.columns:
+        from . import deletes as D
+
+        doclen = D.apply_merge_on_read(
+            doclen, D.deleted_urls(spark, out_dir)
+        )
     return (
         postings.join(F.broadcast(idf), "term")
         .join(doclen, "chunk_id")
