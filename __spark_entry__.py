@@ -2079,6 +2079,38 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_budget_selection(spark, sf_dir):
+    """Greedy token-budget corpus selection: rank docs by lexical
+    diversity (distinct/total token ratio, doc_id tiebreak) and admit
+    until the exclusive token prefix crosses 20k — the quality-ranked
+    'spend the budget on the best data first' cut, via the distributed
+    two-phase prefix sum (no single-partition window; the oracle IS
+    the naive window)."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = R.sql_tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("density"),
+    ).filter(F.col("n_tokens") > 0)
+    out = PK.budget_selection(
+        d,
+        "doc_id",
+        "n_tokens",
+        [F.col("density").desc(), F.col("doc_id")],
+        token_budget=20000,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("density", 6).alias("density"),
+        "cum_before",
+        "selected",
+    )
+
+
 def q_burrows_delta(spark, sf_dir):
     """Burrows' Delta stylometry: each document's distance to its
     SOURCE group's function-word z-profile centroid — the
@@ -5138,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
         "burrows_delta": q_burrows_delta,
+        "budget_selection": q_budget_selection,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6748,6 +6781,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "budget_selection": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, len(tk) AS n_tokens,
+                       len(list_distinct(tk)) / len(tk) AS density
+                FROM t WHERE len(tk) > 0
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   round(density, 6) AS density,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY density DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS cum_before,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY density DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) < 20000 AS selected
+            FROM d
         """,
         "burrows_delta": """
             WITH toks AS (

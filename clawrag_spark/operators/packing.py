@@ -343,3 +343,39 @@ def shard_manifest(
             F.bit_xor(digest).alias("content_xor"),
         )
     )
+
+
+def budget_selection(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    order_cols: list,
+    token_budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy corpus selection under a global token budget: order the
+    corpus by the caller's value-density score (``order_cols`` — a
+    TOTAL order, tiebreakers included) and keep every document whose
+    EXCLUSIVE prefix of token mass is still under ``token_budget`` —
+    "spend the 10B-token budget on the best data first", the
+    quality-ranked selection step of DsDm/QuRating-style pipelines.
+    The greedy prefix cut is the standard knapsack relaxation: the
+    overshoot is bounded by one document.
+
+    Returns the input columns plus ``cum_before`` (tokens admitted
+    before this doc under the order) and ``selected``.
+
+    Scale shape: the same two-phase distributed prefix sum as
+    ``pack_sequences`` (range partition on the order, partition-local
+    window, P broadcast offsets) — never a single-partition global
+    window; the oracle IS that naive window.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    keyed = df.withColumn("__tok", F.col(tokens_col).cast("long"))
+    pref = _exclusive_prefix(keyed, order_cols, "__tok", num_partitions)
+    return (
+        pref.withColumn("cum_before", F.col("__pfx").cast("long"))
+        .withColumn("selected", F.col("__pfx") < F.lit(int(token_budget)))
+        .drop("__tok", "__pfx")
+    )

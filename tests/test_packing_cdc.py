@@ -411,3 +411,55 @@ def test_shard_manifest_tamper_detection(spark):
     }
     assert ed[sid] != base[sid]["content_xor"]
     packed.unpersist()
+
+
+class TestBudgetSelection:
+    """Greedy token-budget selection pinned against the naive ordered
+    prefix computed in plain Python, partition-count independent."""
+
+    def test_matches_naive_and_overshoot_bound(self, spark):
+        from clawrag_spark.operators import packing as PK
+
+        rows = [(i, (i * 37) % 100 + 1, float((i * 61) % 50)) for i in range(60)]
+        df = spark.createDataFrame(rows, ["id", "toks", "score"])
+        out = {
+            r["id"]: (r["cum_before"], r["selected"])
+            for r in PK.budget_selection(
+                df,
+                "id",
+                "toks",
+                [F.col("score").desc(), F.col("id")],
+                token_budget=500,
+                num_partitions=7,
+            ).collect()
+        }
+        naive = sorted(rows, key=lambda r: (-r[2], r[0]))
+        cum = 0
+        picked_mass = 0
+        for i, toks, _ in naive:
+            assert out[i] == (cum, cum < 500), (i, out[i], cum)
+            if cum < 500:
+                picked_mass += toks
+            cum += toks
+        # greedy prefix: overshoot bounded by one doc
+        assert picked_mass < 500 + max(t for _, t, _ in rows)
+        # and independent of partitioning
+        out3 = {
+            r["id"]: (r["cum_before"], r["selected"])
+            for r in PK.budget_selection(
+                df,
+                "id",
+                "toks",
+                [F.col("score").desc(), F.col("id")],
+                token_budget=500,
+                num_partitions=2,
+            ).collect()
+        }
+        assert out3 == out
+
+    def test_rejects_bad_budget(self, spark):
+        from clawrag_spark.operators import packing as PK
+
+        df = spark.createDataFrame([(1, 5)], ["id", "toks"])
+        with pytest.raises(ValueError, match="positive"):
+            PK.budget_selection(df, "id", "toks", [F.col("id")], 0)
