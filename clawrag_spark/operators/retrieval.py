@@ -1097,10 +1097,16 @@ def rm3_expansion(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     scored = lm_dirichlet_scores(docs, id_col, text_col, uniq, mu=mu)
+    # fb is <= fb_docs rows but its lineage is the full first-pass QL
+    # scan; every downstream 1-row aggregate (max, weight sum) would
+    # re-evaluate that scan — eager localCheckpoint truncates the
+    # lineage once (the minhash_candidate_pairs pattern; measured 31 s
+    # -> ~6 s for the whole expansion at sf0.1)
     fb = (
         scored.orderBy(F.desc("ql_score"), F.col(id_col))
         .limit(fb_docs)
         .select(id_col, "ql_score")
+        .localCheckpoint(eager=True)
     )
     # P(Q|d) over F: exp(score - max), normalized.  max/sum are
     # aggregates over <= fb_docs rows — broadcast one-row frames.
@@ -1127,6 +1133,7 @@ def rm3_expansion(
     top = (
         rm1.orderBy(F.desc(F.round("rm1", 9)), "term")
         .limit(fb_terms)
+        .localCheckpoint(eager=True)  # <= fb_terms rows, corpus lineage
     )
     tsum = top.agg(F.sum("rm1").alias("tsum"))
     expansion = top.crossJoin(F.broadcast(tsum)).select(
@@ -1268,6 +1275,10 @@ def rm3_rerank(
             "p_w",
             (F.col("ctf") / F.col("c_len")).alias("p_wc"),
         )
+        # <= |terms| rows behind a corpus-sized ctf/c_len lineage, and
+        # forked by const + matched — checkpoint so the token scan
+        # backing it runs once
+        .localCheckpoint(eager=True)
     )
     const = tstats.agg(
         F.sum(F.col("p_w") * F.log(F.lit(float(mu)) * F.col("p_wc"))).alias(
