@@ -2079,6 +2079,16 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_crawl_equity(spark, sf_dir):
+    """Crawl-allocation equity over the Zipf-skewed demo crawl: Gini
+    (sorted-rank identity, distributed two-phase rank), Shannon
+    entropy in bits, and top-1/top-10 host shares — the datasheet
+    numbers behind 'is this crawl a few mega-hosts in a trenchcoat'."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    return WT.crawl_equity(pages, "url")
+
+
 def q_budget_selection(spark, sf_dir):
     """Greedy token-budget corpus selection: rank docs by lexical
     diversity (distinct/total token ratio, doc_id tiebreak) and admit
@@ -5171,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bib_coupling": q_bib_coupling,
         "burrows_delta": q_burrows_delta,
         "budget_selection": q_budget_selection,
+        "crawl_equity": q_crawl_equity,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6781,6 +6792,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "crawl_equity": f"""
+            WITH hosts AS (
+                SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                       count(*) AS cnt
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                GROUP BY 1
+            ),
+            ranked AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt, host) AS rk
+                FROM hosts
+            ),
+            tot AS (
+                SELECT count(*) AS n_hosts, sum(cnt) AS n_pages,
+                       sum(rk * cnt) AS ssum, max(cnt) AS top1
+                FROM ranked
+            ),
+            ent AS (
+                SELECT sum(-(cnt / t.n_pages) * log2(cnt / t.n_pages))
+                           AS entropy_bits
+                FROM hosts CROSS JOIN tot t
+            ),
+            t10 AS (
+                SELECT sum(cnt) AS top10 FROM (
+                    SELECT cnt FROM hosts
+                    ORDER BY cnt DESC, host LIMIT 10
+                )
+            )
+            SELECT n_hosts::BIGINT AS n_hosts, n_pages::BIGINT AS n_pages,
+                   round(2.0 * ssum / (n_hosts * n_pages)
+                         - (n_hosts + 1.0) / n_hosts, 6) AS gini,
+                   round(entropy_bits, 6) AS entropy_bits,
+                   round(top1 / n_pages, 6) AS top1_share,
+                   round(top10 / n_pages, 6) AS top10_share
+            FROM tot CROSS JOIN ent CROSS JOIN t10
         """,
         "budget_selection": """
             WITH t AS (

@@ -60,6 +60,7 @@ __all__ = [
     "url_path_templates",
     "dust_param_rules",
     "burrows_delta_outliers",
+    "crawl_equity",
     "apply_param_rules",
     "dsir_importance",
     "gopher_quality_gate",
@@ -4351,5 +4352,84 @@ def burrows_delta_outliers(
                 / F.col("m"),
                 6,
             ).alias("delta"),
+        )
+    )
+
+
+def crawl_equity(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-allocation equity report: how concentrated is the corpus
+    across hosts?  One row of (n_hosts, n_pages, gini, entropy_bits,
+    top1_share, top10_share) — the dataset-datasheet numbers behind
+    "is this crawl a few mega-hosts in a trenchcoat": Gini of the
+    per-host page counts (0 = perfectly even, ->1 = one host owns the
+    crawl), Shannon entropy of the host distribution in bits, and the
+    share of the biggest host / biggest ten.
+
+    Gini uses the sorted-rank identity ``G = 2·Σ i·x_i / (n·Σx)
+    − (n+1)/n`` with x ascending — rank ties between equal counts don't
+    change the sum, so the value is deterministic.  The rank comes from
+    the distributed two-phase ``global_rank`` (range partition +
+    partition-local row_number + broadcast offsets), never a
+    single-partition window: hosts are corpus-small but at 10^12 pages
+    still tens of millions of rows.
+
+    Scale shape: one groupBy(host) over the page scan, then every
+    aggregate is over the host table; the top-10 is
+    TakeOrderedAndProject.
+    """
+    from .packing import global_rank
+
+    hosts = (
+        pages.select(
+            F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias(
+                "host"
+            )
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = global_rank(
+        hosts, [F.col("cnt").asc(), F.col("host")], rank_col="rk"
+    )
+    totals = ranked.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("cnt").alias("n_pages"),
+        F.sum(F.col("rk") * F.col("cnt")).alias("ssum"),
+        F.max("cnt").alias("top1"),
+    )
+    # entropy needs p per host: one more pass over the host table
+    ent = (
+        hosts.crossJoin(
+            F.broadcast(hosts.agg(F.sum("cnt").alias("tot")))
+        )
+        .select(
+            (
+                -(F.col("cnt") / F.col("tot"))
+                * F.log2(F.col("cnt") / F.col("tot"))
+            ).alias("h")
+        )
+        .agg(F.sum("h").alias("entropy_bits"))
+    )
+    top10 = (
+        hosts.orderBy(F.desc("cnt"), "host")
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.round(
+                2.0 * F.col("ssum") / (F.col("n_hosts") * F.col("n_pages"))
+                - (F.col("n_hosts") + 1.0) / F.col("n_hosts"),
+                6,
+            ).alias("gini"),
+            F.round("entropy_bits", 6).alias("entropy_bits"),
+            F.round(F.col("top1") / F.col("n_pages"), 6).alias("top1_share"),
+            F.round(F.col("top10") / F.col("n_pages"), 6).alias(
+                "top10_share"
+            ),
         )
     )

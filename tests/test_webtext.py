@@ -2077,3 +2077,40 @@ class TestBurrowsDelta:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCrawlEquity:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        counts = {"a.ex": 6, "b.ex": 3, "c.ex": 1}
+        rows = [
+            (f"https://{h}/p{i}",) for h, n in counts.items() for i in range(n)
+        ]
+        pages = spark.createDataFrame(rows, ["url"])
+        r = W.crawl_equity(pages, "url").collect()[0]
+        xs = sorted(counts.values())
+        n, s = len(xs), sum(xs)
+        gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (
+            n + 1
+        ) / n
+        ent = -sum(x / s * math.log2(x / s) for x in xs)
+        assert r["n_hosts"] == 3 and r["n_pages"] == 10
+        assert abs(r["gini"] - gini) < 1e-6
+        assert abs(r["entropy_bits"] - ent) < 1e-6
+        assert r["top1_share"] == 0.6 and r["top10_share"] == 1.0
+
+    def test_uniform_is_zero_gini(self, spark):
+        pages = spark.createDataFrame(
+            [(f"https://h{i}.ex/p{j}",) for i in range(5) for j in range(4)],
+            ["url"],
+        )
+        r = W.crawl_equity(pages, "url").collect()[0]
+        assert r["gini"] == 0.0
+        assert abs(r["entropy_bits"] - math_log2_5()) < 1e-6
+
+
+def math_log2_5():
+    import math
+
+    return math.log2(5)
