@@ -2079,6 +2079,20 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity rerank (Carbonell-Goldstein) of the cosine top-40:
+    greedy lambda-tradeoff between relevance and max similarity to the
+    already-picked set.  Iterative/greedy -> rows-only at the driver;
+    pytest pins the numpy reference and the planted-redundancy story."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = R.cosine_topk(emb, "vec_id", "embedding", qv, 40, exclude_id=0)
+    cand = top.join(emb.select("vec_id", "embedding"), "vec_id")
+    return R.mmr_rerank(
+        cand, "vec_id", "cos_sim", "embedding", k=10, lam=0.7
+    )
+
+
 def q_crawl_equity(spark, sf_dir):
     """Crawl-allocation equity over the Zipf-skewed demo crawl: Gini
     (sorted-rank identity, distributed two-phase rank), Shannon
@@ -5195,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dups": q_image_phash_dups,
         "tokenizer_fertility": q_tokenizer_fertility,
         "hits_hosts": q_hits_hosts,
+        "mmr_rerank": q_mmr_rerank,
         # -- (4) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,

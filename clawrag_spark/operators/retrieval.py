@@ -1316,3 +1316,73 @@ def rm3_rerank(
         )
     )
     return scored.orderBy(F.desc("rm3_score"), F.col(id_col)).limit(k)
+
+
+def mmr_rerank(
+    candidates,
+    id_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)`` — the diversity
+    stage that stops a near-duplicate cluster from monopolizing the
+    top-k (the reference returns raw similarity order; query.py:225).
+
+    Contract and scale shape: ``candidates`` is a TOP-N frame (the
+    output of ``cosine_topk``/BM25 with its embedding column joined
+    back), k-bounded BY CONSTRUCTION — so the greedy loop runs on the
+    driver over N rows (numpy, one collect of N·d floats), exactly the
+    adaptive small-side pattern ``hits()`` uses below its graph
+    threshold.  The corpus-shaped work (scoring, top-N cut) happened
+    upstream; MMR's sequential data dependency (each pick conditions
+    the next) makes per-step Spark jobs pure overhead at N ≤ a few
+    hundred.  Ties break (score desc, id asc); vectors are cosine-
+    normalized once up front; zero vectors contribute similarity 0.
+
+    Returns a DataFrame (id, mmr_rank, rel, mmr_score) of the k picks.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    rows = candidates.select(id_col, rel_col, vec_col).collect()
+    if not rows:
+        return candidates.sparkSession.createDataFrame(
+            [], f"{id_col} long, mmr_rank int, rel double, mmr_score double"
+        )
+    ids = [r[0] for r in rows]
+    rel = np.array([float(r[1]) for r in rows])
+    mat = np.array([list(map(float, r[2])) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = np.divide(
+        mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] > 0
+    )
+    sims = unit @ unit.T
+    # deterministic order-independence: process candidates in (rel
+    # desc, id asc) order so argmax ties resolve identically regardless
+    # of the collect()'s partition order
+    order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
+    rel, mat, sims = rel[order], mat[order], sims[np.ix_(order, order)]
+    ids = [ids[i] for i in order]
+    selected: list[int] = []
+    picks = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            penalty = np.zeros(len(remaining))
+        scores = lam * rel[remaining] - (1.0 - lam) * penalty
+        best = int(np.argmax(scores))  # first max = lowest index =
+        # highest rel / smallest id under the presort — deterministic
+        j = remaining[best]
+        picks.append((ids[j], rank, float(rel[j]), float(scores[best])))
+        selected.append(j)
+        remaining.pop(best)
+    return candidates.sparkSession.createDataFrame(
+        picks, f"{id_col} long, mmr_rank int, rel double, mmr_score double"
+    )

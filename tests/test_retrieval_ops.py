@@ -625,3 +625,100 @@ class TestQueryClarity:
         assert abs(sum(r["p_rm"] for r in out) - 1.0) < 1e-4
         # terms the model concentrates on have p_rm > p_coll -> positive KL
         assert sum(r["clarity_bits"] for r in out) > 0
+
+
+class TestMMR:
+    """MMR rerank: numpy-reference equality and the diversity story a
+    planted near-duplicate cluster tells."""
+
+    def _cands(self, spark):
+        # 1 and 2 are near-identical top hits; 3 is diverse but a bit
+        # less relevant; 4 is diverse and weak
+        rows = [
+            (1, 0.95, [1.0, 0.0, 0.0, 0.0]),
+            (2, 0.94, [0.999, 0.01, 0.0, 0.0]),
+            (3, 0.80, [0.0, 1.0, 0.0, 0.0]),
+            (4, 0.40, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, cos_sim double, embedding array<double>"
+        )
+
+    def test_diversity_beats_redundancy(self, spark):
+        from clawrag_spark.operators.retrieval import mmr_rerank
+
+        picks = [
+            r["vec_id"]
+            for r in mmr_rerank(
+                self._cands(spark), "vec_id", "cos_sim", "embedding",
+                k=3, lam=0.5,
+            ).orderBy("mmr_rank").collect()
+        ]
+        # raw order would be [1, 2, 3]; MMR demotes the near-dup 2
+        assert picks[0] == 1
+        assert picks[1] == 3
+        assert picks[2] in (2, 4)
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from clawrag_spark.operators.retrieval import mmr_rerank
+
+        picks = [
+            r["vec_id"]
+            for r in mmr_rerank(
+                self._cands(spark), "vec_id", "cos_sim", "embedding",
+                k=4, lam=1.0,
+            ).orderBy("mmr_rank").collect()
+        ]
+        assert picks == [1, 2, 3, 4]
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from clawrag_spark.operators.retrieval import mmr_rerank
+
+        rng_rows = [
+            (i, float((i * 37 % 19) / 19.0), [float((i * j) % 7 - 3) for j in range(1, 6)])
+            for i in range(1, 21)
+        ]
+        df = spark.createDataFrame(
+            rng_rows, "vec_id long, cos_sim double, embedding array<double>"
+        )
+        lam = 0.6
+        got = [
+            (r["vec_id"], r["mmr_score"])
+            for r in mmr_rerank(df, "vec_id", "cos_sim", "embedding", k=8, lam=lam)
+            .orderBy("mmr_rank").collect()
+        ]
+        ids = [r[0] for r in rng_rows]
+        rel = np.array([r[1] for r in rng_rows])
+        mat = np.array([r[2] for r in rng_rows])
+        n = np.linalg.norm(mat, axis=1)
+        unit = np.divide(mat, n[:, None], out=np.zeros_like(mat), where=n[:, None] > 0)
+        sims = unit @ unit.T
+        order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
+        rel, sims = rel[order], sims[np.ix_(order, order)]
+        ids = [ids[i] for i in order]
+        sel, rem, want = [], list(range(len(ids))), []
+        for _ in range(8):
+            pen = sims[np.ix_(rem, sel)].max(axis=1) if sel else np.zeros(len(rem))
+            sc = lam * rel[rem] - (1 - lam) * pen
+            b = int(np.argmax(sc))
+            want.append((ids[rem[b]], float(sc[b])))
+            sel.append(rem[b]); rem.pop(b)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12
+
+    def test_empty_and_zero_vectors(self, spark):
+        from clawrag_spark.operators.retrieval import mmr_rerank
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, cos_sim double, embedding array<double>"
+        )
+        assert mmr_rerank(empty, "vec_id", "cos_sim", "embedding").count() == 0
+        zed = spark.createDataFrame(
+            [(1, 0.5, [0.0, 0.0]), (2, 0.4, [1.0, 0.0])],
+            "vec_id long, cos_sim double, embedding array<double>",
+        )
+        out = mmr_rerank(zed, "vec_id", "cos_sim", "embedding", k=2)
+        assert out.count() == 2  # zero vector scores sim 0, no NaN
