@@ -62,6 +62,7 @@ __all__ = [
     "burrows_delta_outliers",
     "crawl_equity",
     "apply_param_rules",
+    "rewrite_urls",
     "dsir_importance",
     "gopher_quality_gate",
     "politeness_schedule",
@@ -4165,22 +4166,19 @@ def dust_param_rules(
     )
 
 
-def apply_param_rules(
+def rewrite_urls(
     captures: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
 ) -> DataFrame:
-    """Apply mined DUST rules: rewrite every URL with its host's
-    irrelevant params dropped (surviving params sorted so param-order
-    variants collapse too) and report the per-host URL-space reduction.
-
-    Returns (host, urls_before, urls_after): distinct raw URLs vs
-    distinct canonical URLs — the crawl/dedup savings the rules buy.
+    """The DUST rewrite itself: (host, url, canon) with each host's
+    learned-irrelevant params dropped and survivors sorted (param-order
+    variants collapse too).  Canonical urls are fixed points — applying
+    the rewrite to its own output changes nothing (pinned by test).
 
     Scale shape: the rules frame is (hosts x params) — tiny — rolled up
     to one ``bad_keys`` array per host and broadcast; the rewrite is a
-    pure array expression per capture; the report is one groupBy(host)
-    with two distinct-counts sharing the aggregation.
+    pure array expression per capture.
     """
     base, params, host = _url_param_parts(url_col)
     bad = (
@@ -4209,8 +4207,22 @@ def apply_param_rules(
         F.size(kept) > 0,
         F.concat(F.col("base"), F.lit("?"), F.array_join(kept, "&")),
     ).otherwise(F.col("base"))
+    return enriched.select("host", "url", canon.alias("canon"))
+
+
+def apply_param_rules(
+    captures: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply mined DUST rules and report the per-host URL-space
+    reduction: (host, urls_before, urls_after) = distinct raw URLs vs
+    distinct canonical URLs (``rewrite_urls``) — the crawl/dedup
+    savings the rules buy.  One groupBy(host) with two distinct-counts
+    sharing the aggregation.
+    """
     return (
-        enriched.select("host", "url", canon.alias("canon"))
+        rewrite_urls(captures, rules, url_col)
         .groupBy("host")
         .agg(
             F.countDistinct("url").alias("urls_before"),

@@ -2114,3 +2114,49 @@ def math_log2_5():
     import math
 
     return math.log2(5)
+
+
+class TestDustInvariants:
+    def test_rewrite_idempotent(self, spark):
+        """Canonical urls are fixed points: rewriting the rewritten
+        corpus changes nothing, and re-mining rules on it finds no
+        further irrelevant params (all evidence collapsed)."""
+        u = "https://s.ex/a"
+        rows = [
+            (u + "?sid=1", "dA"), (u + "?sid=2", "dA"), (u, "dA"),
+            (u + "?page=2&sid=3", "dB"), (u + "?page=2&sid=4", "dB"),
+            (u + "?page=2", "dB"), (u + "?page=3", "dC"),
+        ]
+        caps = spark.createDataFrame(rows, ["url", "digest"])
+        rules = W.dust_param_rules(caps, "url", "digest", min_support=2)
+        once = W.rewrite_urls(caps, rules).select(
+            F.col("canon").alias("url")
+        )
+        twice = W.rewrite_urls(once, rules).select("url", "canon")
+        assert twice.filter(F.col("url") != F.col("canon")).count() == 0
+        # the rewritten corpus (with digests re-attached) yields no rules
+        re_caps = W.rewrite_urls(caps, rules).join(
+            caps, "url"
+        ).select(F.col("canon").alias("url"), "digest")
+        re_rules = W.dust_param_rules(re_caps, "url", "digest", min_support=2)
+        assert re_rules.filter(F.col("irrelevant")).count() == 0
+
+
+class TestBudgetMonotonic:
+    def test_selected_set_monotone_in_budget(self, spark):
+        from clawrag_spark.operators import packing as PK
+
+        rows = [(i, (i * 13) % 40 + 1, float(i % 9)) for i in range(40)]
+        df = spark.createDataFrame(rows, ["id", "toks", "score"])
+
+        def sel(budget):
+            return {
+                r["id"]
+                for r in PK.budget_selection(
+                    df, "id", "toks",
+                    [F.col("score").desc(), F.col("id")], budget,
+                ).filter("selected").collect()
+            }
+
+        s1, s2, s3 = sel(50), sel(200), sel(800)
+        assert s1 <= s2 <= s3
