@@ -2079,6 +2079,26 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_margin_bitext(spark, sf_dir):
+    """CCMatrix/LASER margin-criterion bitext mining over embeddings:
+    mutual-best-by-margin pairs above 1.05, with planted exact copies
+    (every 3rd src vector re-ided on the target side) as ground-truth
+    alignments the hubness-cancelling ratio must recover."""
+    emb = _load(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    nat = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+        .select("vec_id", "embedding")
+    )
+    planted = src.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    tgt = nat.unionByName(planted)
+    return DS.margin_bitext_pairs(
+        src, tgt, "vec_id", "embedding", k=4, threshold=1.05
+    )
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversity rerank (Carbonell-Goldstein) of the cosine top-40:
     greedy lambda-tradeoff between relevance and max similarity to the
@@ -5196,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "budget_selection": q_budget_selection,
         "crawl_equity": q_crawl_equity,
+        "margin_bitext": q_margin_bitext,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6807,6 +6828,58 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "margin_bitext": """
+            WITH s AS (
+                SELECT vec_id AS src_id, embedding AS sv
+                FROM embeddings WHERE vec_id < 200
+            ),
+            t AS (
+                SELECT vec_id AS tgt_id, embedding AS tv
+                FROM embeddings WHERE vec_id >= 200 AND vec_id < 400
+                UNION ALL
+                SELECT vec_id + 10000, embedding
+                FROM embeddings WHERE vec_id < 200 AND vec_id % 3 = 0
+            ),
+            pairs AS (
+                SELECT src_id, tgt_id,
+                       list_cosine_similarity(sv::DOUBLE[], tv::DOUBLE[])
+                           AS cos_sim
+                FROM t CROSS JOIN s
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY round(cos_sim, 9) DESC, tgt_id) AS rx,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY round(cos_sim, 9) DESC, src_id) AS ry
+                FROM pairs
+            ),
+            dx AS (
+                SELECT src_id, sum(cos_sim) / 8.0 AS dx
+                FROM ranked WHERE rx <= 4 GROUP BY src_id
+            ),
+            dy AS (
+                SELECT tgt_id, sum(cos_sim) / 8.0 AS dy
+                FROM ranked WHERE ry <= 4 GROUP BY tgt_id
+            ),
+            scored AS (
+                SELECT r.src_id, r.tgt_id, r.cos_sim,
+                       r.cos_sim / (dx.dx + dy.dy) AS margin
+                FROM ranked r JOIN dx USING (src_id) JOIN dy USING (tgt_id)
+            ),
+            best AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY round(margin, 9) DESC, tgt_id) AS bx,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY round(margin, 9) DESC, src_id) AS by
+                FROM scored
+            )
+            SELECT src_id, tgt_id, round(cos_sim, 6) AS cos_sim,
+                   round(margin, 6) AS margin
+            FROM best
+            WHERE bx = 1 AND by = 1 AND margin > 1.05
         """,
         "crawl_equity": f"""
             WITH hosts AS (

@@ -2689,3 +2689,99 @@ def lsh_recall_report(
             6,
         ).alias("precision"),
     )
+
+
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    threshold: float = 1.05,
+) -> DataFrame:
+    """Embedding-space bitext mining with the margin criterion
+    (Artetxe & Schwenk 2019; the CCMatrix/LASER mining rule): a
+    source-target pair is aligned when its cosine stands out from each
+    side's neighborhood, not merely when it is high —
+
+        margin(x, y) = cos(x, y) /
+            (Σ_{z∈NNk(x)} cos(x,z)/(2k) + Σ_{z∈NNk(y)} cos(y,z)/(2k))
+
+    which cancels the hubness that makes raw-cosine thresholds pick the
+    same "central" sentences for everything.  Pairs are kept when both
+    directions agree (mutual best by margin) and margin > threshold.
+
+    This operator is the SCORER on a candidate pair table it builds by
+    broadcasting the smaller side (the exact-kNN-join shape, fine while
+    one side fits a broadcast); at 10^12 scale feed it banded/IVF ANN
+    candidates instead — the margin math downstream is identical.
+    Complements the lexical bitext chain (`hreflang` → URL templates →
+    Gale-Church → anchor tokens) with the embedding-space miner.
+
+    Determinism: every rank (kNN membership, best-per-node) orders by
+    (round(value, 9) DESC, id) so float-noise ties resolve identically
+    cross-engine.  Returns (src_id, tgt_id, cos_sim, margin).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    # float32 inputs are widened BEFORE the fold: element products in
+    # float32 carry ~1e-9 noise that flips 6-dp rounding against a
+    # double-math oracle; all-double folds agree to ~1e-15
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).cast("array<double>").alias("sv"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).cast("array<double>").alias("tv"),
+    )
+    pairs = t.join(F.broadcast(s)).select(
+        "src_id", "tgt_id", cosine(F.col("sv"), F.col("tv")).alias("cos_sim")
+    )
+    wx = Window.partitionBy("src_id").orderBy(
+        F.desc(F.round("cos_sim", 9)), "tgt_id"
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.desc(F.round("cos_sim", 9)), "src_id"
+    )
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    dx = (
+        ranked.filter(F.col("rx") <= k)
+        .groupBy("src_id")
+        .agg((F.sum("cos_sim") / (2.0 * k)).alias("dx"))
+    )
+    dy = (
+        ranked.filter(F.col("ry") <= k)
+        .groupBy("tgt_id")
+        .agg((F.sum("cos_sim") / (2.0 * k)).alias("dy"))
+    )
+    scored = (
+        ranked.join(dx, "src_id")
+        .join(dy, "tgt_id")
+        .withColumn("margin", F.col("cos_sim") / (F.col("dx") + F.col("dy")))
+    )
+    bx = Window.partitionBy("src_id").orderBy(
+        F.desc(F.round("margin", 9)), "tgt_id"
+    )
+    by = Window.partitionBy("tgt_id").orderBy(
+        F.desc(F.round("margin", 9)), "src_id"
+    )
+    return (
+        scored.withColumn("bx", F.row_number().over(bx))
+        .withColumn("by", F.row_number().over(by))
+        .filter(
+            (F.col("bx") == 1)
+            & (F.col("by") == 1)
+            & (F.col("margin") > threshold)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )

@@ -1160,3 +1160,89 @@ def test_lsh_recall_report_counts_misses(spark):
     ).collect()[0]
     assert row["n_truth"] == 1
     assert row["tp"] + row["fn"] == 1
+
+
+class TestMarginBitext:
+    """CCMatrix margin criterion: planted translations are mined,
+    hub vectors (high raw cosine to everything) are not."""
+
+    def _sides(self, spark):
+        import numpy as np
+
+        rng_free = []
+        # 6 well-separated source vectors (one-hot-ish in 8 dims)
+        for i in range(6):
+            v = [0.05] * 8
+            v[i] = 1.0
+            rng_free.append((i, [float(x) for x in v]))
+        src = spark.createDataFrame(
+            rng_free, "vec_id long, embedding array<double>"
+        )
+        tgt_rows = []
+        # planted translations of sources 0..2 (slightly perturbed)
+        for i in range(3):
+            v = [0.05] * 8
+            v[i] = 0.97
+            v[(i + 1) % 8] += 0.02
+            tgt_rows.append((100 + i, [float(x) for x in v]))
+        # a hub: moderately similar to EVERY source
+        tgt_rows.append((999, [0.5] * 8))
+        # two unrelated targets
+        tgt_rows.append((200, [0.0] * 7 + [1.0]))
+        tgt_rows.append((201, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]))
+        tgt = spark.createDataFrame(
+            tgt_rows, "vec_id long, embedding array<double>"
+        )
+        return src, tgt
+
+    def test_planted_mined_hub_suppressed(self, spark):
+        src, tgt = self._sides(spark)
+        got = {
+            (r["src_id"], r["tgt_id"]): r["margin"]
+            for r in DS.margin_bitext_pairs(
+                src, tgt, "vec_id", "embedding", k=3, threshold=1.02
+            ).collect()
+        }
+        for i in range(3):
+            assert (i, 100 + i) in got, got
+        # hubness suppression: raw forward-best would hand the hub to
+        # ALL THREE mateless sources (it is their highest cosine);
+        # mutual-best-by-margin admits it at most once
+        from clawrag_spark.operators.retrieval import cosine
+
+        raw = (
+            tgt.alias("t")
+            .join(F.broadcast(src.alias("s")))
+            .select(
+                F.col("s.vec_id").alias("src_id"),
+                F.col("t.vec_id").alias("tgt_id"),
+                cosine(F.col("s.embedding"), F.col("t.embedding")).alias("c"),
+            )
+        )
+        from pyspark.sql import Window
+
+        fwd = raw.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src_id").orderBy(F.desc("c"), "tgt_id")
+            ),
+        ).filter("rn = 1")
+        raw_hub = fwd.filter(F.col("tgt_id") == 999).count()
+        assert raw_hub == 3
+        mined_hub = sum(1 for _, t in got if t == 999)
+        assert mined_hub <= 1
+
+    def test_mutuality_is_enforced(self, spark):
+        src, tgt = self._sides(spark)
+        out = DS.margin_bitext_pairs(
+            src, tgt, "vec_id", "embedding", k=3, threshold=0.0
+        ).collect()
+        # each src and each tgt appears at most once (mutual best)
+        srcs = [r["src_id"] for r in out]
+        tgts = [r["tgt_id"] for r in out]
+        assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+
+    def test_k_validation(self, spark):
+        src, tgt = self._sides(spark)
+        with pytest.raises(ValueError, match="k must be"):
+            DS.margin_bitext_pairs(src, tgt, "vec_id", "embedding", k=0)
