@@ -2079,6 +2079,16 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal annotation-budget allocation across document
+    sources: n_h proportional to N_h * sigma_h over n_chars, floored
+    by largest-remainder rounding to integers summing exactly to the
+    200-label budget — the eval-set design step of a curation
+    pipeline."""
+    docs = _load(spark, sf_dir, "documents")
+    return S.neyman_allocation(docs, "source", "n_chars", sample_n=200)
+
+
 def q_margin_bitext(spark, sf_dir):
     """CCMatrix/LASER margin-criterion bitext mining over embeddings:
     mutual-best-by-margin pairs above 1.05, with planted exact copies
@@ -5217,6 +5227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_selection": q_budget_selection,
         "crawl_equity": q_crawl_equity,
         "margin_bitext": q_margin_bitext,
+        "neyman_allocation": q_neyman_allocation,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6828,6 +6839,41 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "neyman_allocation": """
+            WITH st AS (
+                SELECT source AS stratum, count(*) AS n_docs,
+                       sqrt(greatest(0.0,
+                           sum(n_chars::DOUBLE * n_chars::DOUBLE) / count(*)
+                           - (sum(n_chars::DOUBLE) / count(*))
+                             * (sum(n_chars::DOUBLE) / count(*))))
+                           AS sigma
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(n_docs * sigma) AS w_tot FROM st),
+            alloc AS (
+                SELECT stratum, n_docs, sigma,
+                       CASE WHEN w_tot > 0
+                            THEN n_docs * sigma / w_tot
+                            ELSE 0.0 END AS alloc_frac
+                FROM st CROSS JOIN tot
+            ),
+            parts AS (
+                SELECT *,
+                       floor(alloc_frac * 200.0)::BIGINT AS base_n,
+                       alloc_frac * 200.0
+                           - floor(alloc_frac * 200.0) AS rem
+                FROM alloc
+            ),
+            sh AS (SELECT 200 - sum(base_n) AS short FROM parts)
+            SELECT stratum, n_docs::BIGINT AS n_docs,
+                   round(sigma, 6) AS sigma,
+                   round(alloc_frac, 6) AS alloc_frac,
+                   least(n_docs,
+                         base_n + CASE WHEN row_number() OVER (
+                             ORDER BY round(rem, 9) DESC, stratum)
+                             <= short THEN 1 ELSE 0 END)::BIGINT AS alloc_n
+            FROM parts CROSS JOIN sh
         """,
         "margin_bitext": """
             WITH s AS (

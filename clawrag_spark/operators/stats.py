@@ -146,3 +146,101 @@ def mad_anomalies(
             ),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    sample_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): to
+    estimate the corpus mean of ``value_col`` with minimum variance
+    from ``sample_n`` labeled examples, stratum h gets
+
+        n_h ∝ N_h · σ_h
+
+    — big AND internally-varied strata get the labels; a huge but
+    homogeneous stratum (one template farm) needs few.  This is the
+    eval-set design step of a curation pipeline: where to spend a
+    fixed human-annotation budget across sources/languages.
+
+    σ_h is the population std from sparse sums (E[x²] − E[x]²,
+    clamped at 0 against float cancellation); zero-variance strata get
+    no optimal share but the largest-remainder rounding still floors
+    every allocation into integers that sum EXACTLY to ``sample_n``
+    (quota method; remainder ties break by stratum ascending), capped
+    at the stratum's own size (excess redistributed by the same
+    remainder order is deliberately NOT done — a capped stratum
+    reports ``alloc_n = n_docs`` and the caller rebalances, keeping
+    the operator a pure projection of the stats).
+
+    Returns (stratum, n_docs, sigma, alloc_frac, alloc_n).  Scale
+    shape: one groupBy(stratum) over the scan; everything after is
+    strata-sized (windows over the tiny stratum table).
+    """
+    from pyspark.sql import Window
+
+    if sample_n <= 0:
+        raise ValueError(f"sample_n must be positive, got {sample_n}")
+    st = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(value_col).cast("double")).alias("s1"),
+        F.sum(
+            F.col(value_col).cast("double") * F.col(value_col).cast("double")
+        ).alias("s2"),
+    )
+    st = st.select(
+        "stratum",
+        "n_docs",
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("s2") / F.col("n_docs")
+                - (F.col("s1") / F.col("n_docs"))
+                * (F.col("s1") / F.col("n_docs")),
+            )
+        ).alias("sigma"),
+    )
+    tot = st.agg(F.sum(F.col("n_docs") * F.col("sigma")).alias("w_tot"))
+    alloc = st.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "sigma",
+        F.when(
+            F.col("w_tot") > 0,
+            F.col("n_docs") * F.col("sigma") / F.col("w_tot"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alloc_frac"),
+    )
+    # largest-remainder rounding to integers summing to sample_n —
+    # strata tables are tiny, the single-partition windows here are
+    # over |strata| rows, never the corpus
+    raw = F.col("alloc_frac") * F.lit(float(sample_n))
+    with_parts = alloc.select(
+        "*",
+        F.floor(raw).cast("long").alias("base_n"),
+        (raw - F.floor(raw)).alias("rem"),
+    )
+    short = with_parts.agg(
+        (F.lit(sample_n) - F.sum("base_n")).alias("short")
+    )
+    w = Window.orderBy(F.desc(F.round("rem", 9)), "stratum")
+    return (
+        with_parts.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(w))
+        .select(
+            "stratum",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("sigma", 6).alias("sigma"),
+            F.round("alloc_frac", 6).alias("alloc_frac"),
+            F.least(
+                F.col("n_docs"),
+                F.col("base_n")
+                + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0),
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )

@@ -2160,3 +2160,53 @@ class TestBudgetMonotonic:
 
         s1, s2, s3 = sel(50), sel(200), sel(800)
         assert s1 <= s2 <= s3
+class TestNeymanAllocation:
+    """Neyman allocation: proportional-to-N*sigma shares, exact-sum
+    largest-remainder rounding, zero-variance and cap edges."""
+
+    def test_matches_hand_computation_and_sums_exactly(self, spark):
+        import math
+
+        from clawrag_spark.operators.stats import neyman_allocation
+
+        rows = (
+            [("a", v) for v in [0, 10, 20, 30]]       # varied, N=4
+            + [("b", v) for v in [5, 5, 5, 5, 5, 5]]  # constant, N=6
+            + [("c", v) for v in [0, 100]]            # tiny, very varied
+        )
+        df = spark.createDataFrame(rows, ["src", "x"])
+        out = {r["stratum"]: r for r in neyman_allocation(df, "src", "x", 10).collect()}
+        def pstd(xs):
+            m = sum(xs) / len(xs)
+            return math.sqrt(sum((x - m) ** 2 for x in xs) / len(xs))
+        w = {"a": 4 * pstd([0, 10, 20, 30]), "b": 0.0, "c": 2 * pstd([0, 100])}
+        tot = sum(w.values())
+        for k in w:
+            assert abs(out[k]["alloc_frac"] - w[k] / tot) < 1e-6
+        assert out["b"]["alloc_n"] == 0  # zero variance -> no labels
+        # the capped stratum never exceeds its own size (c's optimal
+        # share is ~7 of 10 but it only HAS 2 docs; the documented
+        # contract reports the cap and leaves rebalancing to the caller)
+        assert out["c"]["alloc_n"] == 2
+
+    def test_exact_sum_without_caps(self, spark):
+        from clawrag_spark.operators.stats import neyman_allocation
+
+        rows = (
+            [("a", v) for v in [0, 10, 20, 30, 40, 50, 60, 70]]
+            + [("b", v) for v in [0, 3, 6, 9, 12, 15, 18, 21]]
+            + [("c", v) for v in [0, 1, 2, 3, 4, 5, 6, 7]]
+        )
+        df = spark.createDataFrame(rows, ["src", "x"])
+        out = neyman_allocation(df, "src", "x", 7).collect()
+        assert sum(r["alloc_n"] for r in out) == 7
+        assert all(r["alloc_n"] >= 0 for r in out)
+
+    def test_rejects_bad_n(self, spark):
+        import pytest
+
+        from clawrag_spark.operators.stats import neyman_allocation
+
+        df = spark.createDataFrame([("a", 1)], ["src", "x"])
+        with pytest.raises(ValueError, match="positive"):
+            neyman_allocation(df, "src", "x", 0)
