@@ -2079,6 +2079,15 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_source_novelty(spark, sf_dir):
+    """Per-source novelty: distinct 3-gram yield, corpus-exclusive gram
+    share, and within-source exact-duplicate rate — the mix-design
+    complement of volume weighting (big mirror sources score low
+    unique_share)."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.source_novelty(docs, "doc_id", "text", "source")
+
+
 def q_neyman_allocation(spark, sf_dir):
     """Neyman-optimal annotation-budget allocation across document
     sources: n_h proportional to N_h * sigma_h over n_chars, floored
@@ -5228,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_equity": q_crawl_equity,
         "margin_bitext": q_margin_bitext,
         "neyman_allocation": q_neyman_allocation,
+        "source_novelty": q_source_novelty,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -6839,6 +6849,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT url)::BIGINT AS urls_before,
                    count(DISTINCT canon)::BIGINT AS urls_after
             FROM app GROUP BY host
+        """,
+        "source_novelty": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT source,
+                       md5(toks[i + 1] || ' ' || toks[i + 2] || ' '
+                           || toks[i + 3]) AS g
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3))
+                     AS gg(i)
+                WHERE len(toks) >= 3
+            ),
+            spread AS (SELECT g, count(*) AS n_sources FROM sh GROUP BY g),
+            gs AS (
+                SELECT source, count(*) AS n_grams,
+                       sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                           AS n_unique_grams
+                FROM sh JOIN spread USING (g) GROUP BY source
+            ),
+            ds AS (
+                SELECT source, count(*) AS n_docs,
+                       count(DISTINCT md5(text)) AS n_distinct
+                FROM documents GROUP BY source
+            )
+            SELECT ds.source, n_docs::BIGINT AS n_docs,
+                   round(1.0 - n_distinct / n_docs, 6) AS dup_doc_frac,
+                   coalesce(n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(n_unique_grams, 0)::BIGINT AS n_unique_grams,
+                   round(CASE WHEN coalesce(n_grams, 0) > 0
+                              THEN n_unique_grams / n_grams
+                              ELSE 0.0 END, 6) AS unique_share
+            FROM ds LEFT JOIN gs USING (source)
         """,
         "neyman_allocation": """
             WITH st AS (

@@ -61,6 +61,7 @@ __all__ = [
     "dust_param_rules",
     "burrows_delta_outliers",
     "crawl_equity",
+    "source_novelty",
     "apply_param_rules",
     "rewrite_urls",
     "dsir_importance",
@@ -4443,5 +4444,82 @@ def crawl_equity(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.round(F.col("top10") / F.col("n_pages"), 6).alias(
                 "top10_share"
             ),
+        )
+    )
+
+
+def source_novelty(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source novelty report — what each source actually ADDS to
+    the corpus, the mix-design complement of volume-weighted sampling:
+    a source can be huge yet contribute nothing the rest of the corpus
+    doesn't already say.
+
+    Per source: ``n_docs``, ``dup_doc_frac`` (exact within-source
+    duplicate rate by text digest), ``n_grams`` (distinct 3-token
+    shingles), ``n_unique_grams`` (shingles appearing in NO other
+    source), and ``unique_share`` — the fraction of the source's
+    vocabulary that is corpus-exclusive.  Sources with high volume and
+    low unique_share are mirrors/template farms of the rest of the
+    corpus; high unique_share marks the sources a temperature-scaled
+    mix should up-weight.
+
+    Scale shape: shingles reduce to (source, md5) pairs — 32-byte keys
+    — deduped per source before any counting; exclusivity is one
+    groupBy(gram) counting distinct sources with a map-side partial;
+    never a self-join.
+    """
+    from ..operators.dataset import shingle_rows  # shared 3-gram explode
+
+    sh = shingle_rows(docs, id_col, text_col)
+    # shingle_rows keeps only (id, shingle); re-attach source by id
+    src_map = docs.select(F.col(id_col), F.col(source_col).alias("__src"))
+    per_src_gram = (
+        sh.join(src_map, id_col)
+        .select("__src", F.md5("shingle").alias("g"))
+        .distinct()
+    )
+    spread = per_src_gram.groupBy("g").agg(
+        F.count("*").alias("n_sources")
+    )
+    gram_stats = (
+        per_src_gram.join(spread, "g")
+        .groupBy("__src")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0)).alias(
+                "n_unique_grams"
+            ),
+        )
+    )
+    doc_stats = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(text_col)).alias("n_distinct_texts"),
+    )
+    return (
+        doc_stats.join(gram_stats, "__src", "left")
+        .select(
+            F.col("__src").alias(source_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6
+            ).alias("dup_doc_frac"),
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_unique_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_unique_grams"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                    F.col("n_unique_grams") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("unique_share"),
         )
     )

@@ -2210,3 +2210,37 @@ class TestNeymanAllocation:
         df = spark.createDataFrame([("a", 1)], ["src", "x"])
         with pytest.raises(ValueError, match="positive"):
             neyman_allocation(df, "src", "x", 0)
+
+
+class TestSourceNovelty:
+    def test_mirror_scores_zero_unique(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta", "orig"),
+            (2, "alpha beta gamma delta epsilon zeta", "mirror"),
+            (3, "alpha beta gamma delta epsilon zeta", "mirror"),
+            (4, "one two three four five six", "fresh"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {
+            r["source"]: r
+            for r in W.source_novelty(docs, "doc_id", "text", "source").collect()
+        }
+        # mirror shares every gram with orig -> zero exclusives, and its
+        # two identical docs make dup_doc_frac 0.5
+        assert got["mirror"]["unique_share"] == 0.0
+        assert got["mirror"]["dup_doc_frac"] == 0.5
+        assert got["orig"]["unique_share"] == 0.0  # mirrored right back
+        assert got["fresh"]["unique_share"] == 1.0
+        assert got["fresh"]["n_grams"] == 4  # 6 tokens -> 4 shingles
+
+    def test_short_doc_source_zero_grams(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "just two", "tiny"), (2, "a b c d", "ok")],
+            ["doc_id", "text", "source"],
+        )
+        got = {
+            r["source"]: r
+            for r in W.source_novelty(docs, "doc_id", "text", "source").collect()
+        }
+        assert got["tiny"]["n_grams"] == 0 and got["tiny"]["unique_share"] == 0.0
+        assert got["ok"]["n_grams"] == 2
