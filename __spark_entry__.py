@@ -2079,6 +2079,16 @@ def q_rm3_rerank(spark, sf_dir):
     return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """Gonzalez farthest-point k-center coreset over the embedding
+    candidates: the diversity-first selection pool (no two near-dups,
+    every region covered, 2-approx radius).  Sequential greedy ->
+    rows-only at the driver; pytest pins the numpy reference, the
+    2-approximation story and determinism."""
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return DS.kcenter_coreset(emb, "vec_id", "embedding", k=15)
+
+
 def q_source_novelty(spark, sf_dir):
     """Per-source novelty: distinct 3-gram yield, corpus-exclusive gram
     share, and within-source exact-duplicate rate — the mix-design
@@ -5252,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "hits_hosts": q_hits_hosts,
         "mmr_rerank": q_mmr_rerank,
+        "kcenter_coreset": q_kcenter_coreset,
         # -- (4) verified r2, outside the r3 window --------------------
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,

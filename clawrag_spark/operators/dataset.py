@@ -2785,3 +2785,71 @@ def margin_bitext_pairs(
             F.round("margin", 6).alias("margin"),
         )
     )
+
+
+def kcenter_coreset(
+    points: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed_id=None,
+):
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point
+    traversal) over an embedding candidate set — the diversity-first
+    selector of the data-selection family (``budget_selection`` is
+    quality-first, ``weighted_sample`` volume-first): each round picks
+    the point with the LARGEST cosine distance to its nearest
+    already-picked center, giving the classic 2-approximation to the
+    optimal k-center cover.  The picked set is the "spanning" subset
+    annotation / few-shot pools want: no two near-duplicates, every
+    region of the space represented.
+
+    Same contract and shape as ``mmr_rerank``: the input is a BOUNDED
+    candidate frame (a per-bucket sample, a top-N, an IVF cell), the
+    sequential pick-by-pick dependency runs on the driver over numpy —
+    at 10^12 scale run it per IVF cell / stratum and union the picks.
+    Determinism: the seed is ``seed_id`` if given else the
+    lexicographically smallest id; argmax ties break to the smallest
+    id via a (distance, -id) presort-free argmax on round-9-stable
+    floats.
+
+    Returns (id, pick_rank, dist_at_pick): dist_at_pick is the cosine
+    distance to the nearest prior center when picked (the coverage
+    radius achieved after rank r is the NEXT pick's distance) — rank 1
+    (the seed) reports 0.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = points.select(id_col, vec_col).collect()
+    if not rows:
+        return points.sparkSession.createDataFrame(
+            [], f"{id_col} long, pick_rank int, dist_at_pick double"
+        )
+    ids = [r[0] for r in rows]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids = [ids[i] for i in order]
+    mat = np.array([list(map(float, rows[i][1])) for i in order])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = np.divide(
+        mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] > 0
+    )
+    if seed_id is None:
+        seed = 0  # smallest id after the presort
+    else:
+        if seed_id not in ids:
+            raise ValueError(f"seed_id {seed_id!r} not in candidate set")
+        seed = ids.index(seed_id)
+    picks = [(ids[seed], 1, 0.0)]
+    # min cosine distance to the picked set, maintained incrementally
+    mind = 1.0 - unit @ unit[seed]
+    mind[seed] = -1.0  # never re-picked
+    for rank in range(2, min(k, len(ids)) + 1):
+        best = int(np.argmax(np.round(mind, 9)))  # ties -> smallest id
+        picks.append((ids[best], rank, float(mind[best])))
+        mind = np.minimum(mind, 1.0 - unit @ unit[best])
+        mind[best] = -1.0
+    return points.sparkSession.createDataFrame(
+        picks, f"{id_col} long, pick_rank int, dist_at_pick double"
+    )

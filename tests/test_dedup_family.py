@@ -1246,3 +1246,73 @@ class TestMarginBitext:
         src, tgt = self._sides(spark)
         with pytest.raises(ValueError, match="k must be"):
             DS.margin_bitext_pairs(src, tgt, "vec_id", "embedding", k=0)
+
+
+class TestKCenterCoreset:
+    def _pts(self, spark):
+        # three tight clusters + one outlier in 4 dims
+        rows = []
+        for i, base in enumerate([(1.0, 0, 0, 0), (0, 1.0, 0, 0), (0, 0, 1.0, 0)]):
+            for j in range(3):
+                v = list(base)
+                v[3] = 0.01 * j
+                rows.append((10 * i + j, [float(x) for x in v]))
+        rows.append((99, [0.0, 0.0, 0.0, 1.0]))  # outlier
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_covers_all_clusters_before_duplicates(self, spark):
+        pts = self._pts(spark)
+        picks = [
+            r["vec_id"]
+            for r in DS.kcenter_coreset(pts, "vec_id", "embedding", k=4)
+            .orderBy("pick_rank").collect()
+        ]
+        # first four picks hit all four regions (one per cluster +
+        # the outlier) before any within-cluster duplicate
+        regions = {p // 10 if p != 99 else 9 for p in picks}
+        assert len(regions) == 4, picks
+
+    def test_matches_numpy_reference_and_deterministic(self, spark):
+        import numpy as np
+
+        pts = self._pts(spark)
+        got = [
+            (r["vec_id"], r["dist_at_pick"])
+            for r in DS.kcenter_coreset(pts, "vec_id", "embedding", k=6)
+            .orderBy("pick_rank").collect()
+        ]
+        rows = sorted(
+            [(r["vec_id"], r["embedding"]) for r in pts.collect()]
+        )
+        ids = [r[0] for r in rows]
+        mat = np.array([r[1] for r in rows])
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        mind = 1.0 - unit @ unit[0]
+        mind[0] = -1.0
+        want = [(ids[0], 0.0)]
+        for _ in range(5):
+            b = int(np.argmax(np.round(mind, 9)))
+            want.append((ids[b], float(mind[b])))
+            mind = np.minimum(mind, 1.0 - unit @ unit[b])
+            mind[b] = -1.0
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gd), (wi, wd) in zip(got, want):
+            assert abs(gd - wd) < 1e-12
+        again = [
+            r["vec_id"]
+            for r in DS.kcenter_coreset(pts, "vec_id", "embedding", k=6)
+            .orderBy("pick_rank").collect()
+        ]
+        assert again == [g[0] for g in got]
+
+    def test_seed_and_validation(self, spark):
+        pts = self._pts(spark)
+        out = DS.kcenter_coreset(pts, "vec_id", "embedding", k=2, seed_id=99)
+        first = out.orderBy("pick_rank").first()
+        assert first["vec_id"] == 99 and first["dist_at_pick"] == 0.0
+        with pytest.raises(ValueError, match="not in candidate"):
+            DS.kcenter_coreset(pts, "vec_id", "embedding", k=2, seed_id=12345)
+        with pytest.raises(ValueError, match="k must be"):
+            DS.kcenter_coreset(pts, "vec_id", "embedding", k=0)
