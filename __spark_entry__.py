@@ -12,6 +12,7 @@ name.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -114,8 +115,32 @@ _DEMO_QUERY = "renard boilerplate extraction heuristics"
 _DEMO_EMBED_DIM = 64
 
 
+def _demo_artifacts_valid() -> bool:
+    """True iff the committed demo manifest's file list is fully present
+    on disk.  A checkout (or an interrupted session) can carry the
+    manifest + _SUCCESS markers without the parquet part files — trust
+    the manifest only after verifying every file it names exists."""
+    manifest = os.path.join(_DEMO_OUT, "manifest", "run_demo.json")
+    if not os.path.exists(manifest):
+        return False
+    try:
+        with open(manifest) as fh:
+            meta = json.load(fh)
+        for table, files in (meta.get("files") or {}).items():
+            for f in files:
+                rel = f["path"] if isinstance(f, dict) else f
+                if not os.path.exists(os.path.join(_DEMO_OUT, table, rel)):
+                    return False
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
+    return True
+
+
 def _ensure_pipeline_demo(spark: SparkSession) -> str:
-    if not os.path.exists(os.path.join(_DEMO_OUT, "manifest", "run_demo.json")):
+    if not _demo_artifacts_valid():
+        import shutil
+
+        shutil.rmtree(_DEMO_OUT, ignore_errors=True)
         from clawrag_spark.corpus import write_pages_parquet
         from clawrag_spark.pipeline import run_pipeline
 
