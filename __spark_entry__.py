@@ -4760,6 +4760,45 @@ def q_sessionize(spark, sf_dir):
     return sessionize(ev, "user_id", "ts", gap_minutes=30)
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered-step conversion funnel view→click→purchase with a 24 h
+    conversion window from step 1: each later step is the user's first
+    qualifying event strictly after the previous step and within the
+    window (whole-second epoch compare ≡ date_diff on both engines).
+    Per-step shuffles bounded by that event type's rows; the frontier
+    join broadcasts as it shrinks."""
+    from clawrag_spark.operators.temporal import event_funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return event_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_minutes=1440,
+    )
+
+
+def q_burst_detect(spark, sf_dir):
+    """Kleinberg two-state burst detection over hourly per-event-type
+    counts (s=2, gamma=1): Poisson emission costs rounded to 6 dp
+    before accumulation make the per-key Viterbi path bit-reproducible
+    cross-engine; the DuckDB oracle is a recursive CTE carrying both
+    state costs AND both argmin paths through the recursion.  One
+    groupBy(key) feeds the rate aggregate and one applyInPandas DP —
+    keys distribute, per-key state is two doubles."""
+    from clawrag_spark.operators.temporal import kleinberg_bursts
+
+    ev = _load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    return kleinberg_bursts(
+        hourly, "event_type", "h", "cnt", s=2.0, gamma=1.0
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Day-cohort retention triangle (cohort_day, day_k, n_active):
     per-user first-seen day (bounded by |users|), distinct (user, day)
@@ -5273,6 +5312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_bitext": q_margin_bitext,
         "neyman_allocation": q_neyman_allocation,
         "source_novelty": q_source_novelty,
+        "event_funnel": q_event_funnel,
+        "burst_detect": q_burst_detect,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -7693,6 +7734,92 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM numbered
             GROUP BY user_id, session_idx
+        """,
+        # event_funnel: same frontier-chain construction; steps that
+        # reach zero users emit no row on either engine
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t, min(ts) AS t0
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t, min(s.t0) AS t0
+                FROM events e JOIN s1 s ON e.user_id = s.user_id
+                WHERE e.event_type = 'click' AND e.ts > s.t
+                  AND date_diff('second', s.t0, e.ts) <= 86400
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t, min(s.t0) AS t0
+                FROM events e JOIN s2 s ON e.user_id = s.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s.t
+                  AND date_diff('second', s.t0, e.ts) <= 86400
+                GROUP BY 1
+            ),
+            u AS (
+                SELECT 1 AS step_idx, 'view' AS step,
+                       (SELECT count(*) FROM s1) AS users_reached
+                UNION ALL
+                SELECT 2, 'click', (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ),
+            nz AS (SELECT * FROM u WHERE users_reached > 0)
+            SELECT step_idx, step, users_reached,
+                   round(users_reached / coalesce(
+                       lag(users_reached) OVER (ORDER BY step_idx),
+                       users_reached), 6) AS conv_from_prev,
+                   round(users_reached / first_value(users_reached)
+                         OVER (ORDER BY step_idx), 6) AS conv_from_first
+            FROM nz
+        """,
+        # burst_detect: recursive-CTE Viterbi — both state costs and
+        # both argmin paths carried through the recursion; emissions
+        # rounded to 6 dp before accumulation exactly as the Spark DP
+        "burst_detect": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type AS k, date_trunc('hour', ts) AS t,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            seq AS (
+                SELECT k, t, cnt,
+                       row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+                FROM hourly
+            ),
+            rates AS (SELECT k, avg(cnt) AS r0 FROM seq GROUP BY 1),
+            dp AS (
+                SELECT s.k, s.rn,
+                       round(r.r0 - s.cnt * ln(r.r0), 6) AS c0,
+                       1.0 + round(2 * r.r0 - s.cnt * ln(2 * r.r0), 6)
+                           AS c1,
+                       '0' AS p0, '1' AS p1
+                FROM seq s JOIN rates r ON r.k = s.k
+                WHERE s.rn = 1
+                UNION ALL
+                SELECT s.k, s.rn,
+                       least(d.c0, d.c1)
+                           + round(r.r0 - s.cnt * ln(r.r0), 6) AS c0,
+                       least(d.c0 + 1.0, d.c1)
+                           + round(2 * r.r0 - s.cnt * ln(2 * r.r0), 6)
+                           AS c1,
+                       (CASE WHEN d.c0 <= d.c1 THEN d.p0 ELSE d.p1 END)
+                           || '0' AS p0,
+                       (CASE WHEN d.c0 + 1.0 <= d.c1 THEN d.p0 ELSE d.p1
+                        END) || '1' AS p1
+                FROM dp d
+                JOIN seq s ON s.k = d.k AND s.rn = d.rn + 1
+                JOIN rates r ON r.k = s.k
+            ),
+            fin AS (
+                SELECT k,
+                       arg_max(CASE WHEN c0 <= c1 THEN p0 ELSE p1 END,
+                               rn) AS path
+                FROM dp GROUP BY k
+            )
+            SELECT s.k AS event_type, s.t AS h, s.cnt AS cnt,
+                   CAST(substr(f.path, s.rn, 1) AS INT) AS state
+            FROM seq s JOIN fin f ON f.k = s.k
         """,
         # retention_cohorts: per-user min day + distinct (user, day)
         # activity joined back — identical day/offset arithmetic

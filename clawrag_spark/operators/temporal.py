@@ -213,3 +213,180 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_k")
         .agg(F.countDistinct(user_col).alias("n_active"))
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_minutes: int | None = None,
+) -> DataFrame:
+    """Ordered-step funnel: how many users completed step k after
+    having completed steps 1..k-1, in order?  A user "reaches" step k
+    at the EARLIEST event of that type strictly after their step-k-1
+    time (the standard product-analytics funnel rule; re-orderings
+    don't count, repeats pick the first qualifying occurrence).  With
+    ``within_minutes`` set, every later step must also land within that
+    many minutes of the user's step-1 time (the conversion window —
+    without one, any sufficiently long log converts everybody).
+
+    Returns one row per step: (step_idx, step, users_reached,
+    conv_from_prev, conv_from_first), conversions rounded to 6 dp.
+
+    Scale shape: step 1 is one groupBy(user) over the step-1 slice;
+    every later step is a groupBy(user) over ITS slice joined to the
+    previous frontier — each shuffle is bounded by that event type's
+    row count, never the whole log, and the user-key partitioning is
+    reused across the chain (AQE broadcasts the frontier once it's
+    small, which funnels make monotonically true).  The step count is
+    a literal (funnels are 3-6 steps), so the chain length is fixed at
+    plan time — no iteration state.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    # frontier_k: (user, t) = users who reached step k, at what time.
+    # All frontiers stay LAZY — one union'd plan, one job, no per-step
+    # driver actions.
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+        .withColumn("t0", F.col("t"))
+    )
+    tagged = [
+        frontier.select(
+            F.lit(1).alias("step_idx"), F.lit(steps[0]).alias("step"), user_col
+        )
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        cand = (
+            events.filter(F.col(type_col) == step)
+            .join(frontier.select(user_col, "t", "t0"), user_col)
+            .filter(F.col(ts_col) > F.col("t"))
+        )
+        if within_minutes is not None:
+            # whole-second epoch compare (≡ oracle's epoch() math) so
+            # the window boundary is bit-identical cross-engine
+            cand = cand.filter(
+                epoch(F.col(ts_col)) - epoch(F.col("t0"))
+                <= within_minutes * 60
+            )
+        frontier = cand.groupBy(user_col).agg(
+            F.min(ts_col).alias("t"), F.min("t0").alias("t0")
+        )
+        tagged.append(
+            frontier.select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), user_col
+            )
+        )
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    per_step = union.groupBy("step_idx", "step").agg(
+        F.count("*").alias("users_reached")
+    )
+    w = Window.orderBy("step_idx")
+    return per_step.select(
+        "step_idx",
+        "step",
+        "users_reached",
+        F.round(
+            F.col("users_reached")
+            / F.coalesce(F.lag("users_reached").over(w), F.col("users_reached")),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("users_reached") / F.first("users_reached").over(w),
+            6,
+        ).alias("conv_from_first"),
+    )
+
+
+def kleinberg_bursts(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    count_col: str,
+    s: float = 2.0,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Kleinberg two-state burst detection (Kleinberg, KDD 2002) over
+    per-key count series: a base state emits at the key's mean rate r0,
+    a burst state at ``s * r0``; entering the burst state costs
+    ``gamma``, leaving is free; the minimum-cost state sequence is the
+    Viterbi path.  The crawl/trend primitive behind "is this host /
+    topic / error type suddenly hot" — a threshold alarm fires on every
+    Poisson spike, the transition cost makes bursts SUSTAINED.
+
+    Emission cost is the Poisson negative log-likelihood with the
+    x!-term dropped (state-independent): ``e_i(x) = r_i - x*ln(r_i)``,
+    ROUNDED to 6 dp before accumulation — the DP then sums identical
+    rounded doubles in identical order on every engine, so the argmin
+    path (ties prefer the base state) is bit-reproducible; the DuckDB
+    oracle is a recursive CTE that carries both state costs AND both
+    argmin paths as strings through the recursion.
+
+    Returns (key, t, cnt, state) for every input point.  Scale shape:
+    one groupBy(key) feeds the rate aggregate and ONE
+    applyInPandas(viterbi) over the same key partitioning — the DP is
+    genuinely sequential per key (the one shape built-ins can't
+    express), keys distribute across tasks, and per-key state is two
+    doubles regardless of series length.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, {t_col} timestamp, cnt long, state int"
+    )
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("__t").reset_index(drop=True)
+        x = pdf["__cnt"].to_numpy()
+        n = len(x)
+        r0 = float(x.sum()) / n
+        r1 = s * r0
+        l0, l1 = math.log(r0), math.log(r1)
+        c0 = c1 = 0.0
+        p0: list[int] = []
+        p1: list[int] = []
+        first = True
+        for xi in x:
+            e0 = round(r0 - xi * l0, 6)
+            e1 = round(r1 - xi * l1, 6)
+            if first:
+                # must start in the base state (Kleinberg's automaton
+                # starts at q0); entering q1 on the first step pays gamma
+                n0, n1 = c0 + e0, c0 + gamma + e1
+                np0, np1 = p0 + [0], p0 + [1]
+                first = False
+            else:
+                if c0 <= c1:
+                    n0, np0 = c0 + e0, p0 + [0]
+                else:
+                    n0, np0 = c1 + e0, p1 + [0]
+                if c0 + gamma <= c1:
+                    n1, np1 = c0 + gamma + e1, p0 + [1]
+                else:
+                    n1, np1 = c1 + e1, p1 + [1]
+            c0, c1, p0, p1 = n0, n1, np0, np1
+        states = p0 if c0 <= c1 else p1
+        return pd.DataFrame(
+            {
+                key_col: pdf["__k"],
+                t_col: pdf["__t"],
+                "cnt": pdf["__cnt"],
+                "state": states,
+            }
+        )
+
+    prepared = series.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(t_col).alias("__t"),
+        F.col(count_col).cast("long").alias("__cnt"),
+    )
+    return prepared.groupBy("__k").applyInPandas(_viterbi, out_schema)

@@ -181,3 +181,133 @@ def test_retention_cohorts_triangle(spark):
         ("2025-01-01", 2): 1,
         ("2025-01-02", 0): 1,
     }
+
+
+# ---------------------------------------------------------- event_funnel
+
+
+def test_event_funnel_hand_case(spark):
+    from clawrag_spark.operators.temporal import event_funnel
+
+    ev = spark.createDataFrame(
+        [
+            # u1: full ordered conversion inside the window
+            (1, _ts("2024-01-01T00:00:00"), "view"),
+            (1, _ts("2024-01-01T00:05:00"), "click"),
+            (1, _ts("2024-01-01T00:10:00"), "purchase"),
+            # u2: click BEFORE view — out of order, never reaches step 2
+            (2, _ts("2024-01-01T00:00:00"), "click"),
+            (2, _ts("2024-01-01T00:05:00"), "view"),
+            (2, _ts("2024-01-01T00:06:00"), "purchase"),
+            # u3: converts but outside the 30-min window
+            (3, _ts("2024-01-01T00:00:00"), "view"),
+            (3, _ts("2024-01-01T01:00:00"), "click"),
+            # u4: view only
+            (4, _ts("2024-01-01T00:00:00"), "view"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        r["step"]: r
+        for r in event_funnel(
+            ev, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_minutes=30,
+        ).collect()
+    }
+    assert rows["view"]["users_reached"] == 4
+    assert rows["click"]["users_reached"] == 1      # only u1
+    assert rows["purchase"]["users_reached"] == 1
+    assert rows["click"]["conv_from_prev"] == 0.25
+    assert rows["purchase"]["conv_from_first"] == 0.25
+    # u2's purchase exists but step order gates it out entirely
+
+
+def test_event_funnel_window_boundary(spark):
+    from clawrag_spark.operators.temporal import event_funnel
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), "view"),
+            (1, _ts("2024-01-01T00:30:00"), "click"),  # exactly 30 min: kept
+            (2, _ts("2024-01-01T00:00:00"), "view"),
+            (2, _ts("2024-01-01T00:30:01"), "click"),  # one second over: out
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        r["step"]: r["users_reached"]
+        for r in event_funnel(
+            ev, "user_id", "ts", "event_type", ["view", "click"],
+            within_minutes=30,
+        ).collect()
+    }
+    assert rows == {"view": 2, "click": 1}
+
+
+# ------------------------------------------------------ kleinberg_bursts
+
+
+def _viterbi_ref(xs, s=2.0, gamma=1.0):
+    """Independent pure-python two-state Viterbi (same rounding rule)."""
+    import math
+
+    r0 = sum(xs) / len(xs)
+    r1 = s * r0
+    c0 = c1 = None
+    p0, p1 = [], []
+    first = True
+    for x in xs:
+        e0 = round(r0 - x * math.log(r0), 6)
+        e1 = round(r1 - x * math.log(r1), 6)
+        if first:
+            c0, p0 = e0, [0]
+            c1, p1 = gamma + e1, [1]
+            first = False
+            continue
+        if c0 <= c1:
+            n0, np0 = c0 + e0, p0 + [0]
+        else:
+            n0, np0 = c1 + e0, p1 + [0]
+        if c0 + gamma <= c1:
+            n1, np1 = c0 + gamma + e1, p0 + [1]
+        else:
+            n1, np1 = c1 + e1, p1 + [1]
+        c0, c1, p0, p1 = n0, n1, np0, np1
+    return p0 if c0 <= c1 else p1
+
+
+def test_kleinberg_planted_burst(spark):
+    """A sustained 3x spike becomes ONE burst; an isolated single-point
+    spike of the same height is absorbed by the transition cost."""
+    from clawrag_spark.operators.temporal import kleinberg_bursts
+
+    base = [10, 11, 9, 10, 10, 30, 31, 29, 30, 10, 9, 11, 10, 25, 10, 10]
+    rows = [
+        ("k", _ts("2024-01-01T00:00:00") + dt.timedelta(hours=i), c)
+        for i, c in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, cnt long")
+    got = (
+        kleinberg_bursts(df, "k", "t", "cnt", s=2.0, gamma=1.0)
+        .orderBy("t")
+        .collect()
+    )
+    states = [r["state"] for r in got]
+    assert states == _viterbi_ref(base)
+    # the sustained plateau (idx 5-8) is a burst...
+    assert states[5:9] == [1, 1, 1, 1]
+    # ...the lone spike at idx 13 may or may not clear gamma, but the
+    # flat stretches are base state
+    assert states[:5] == [0] * 5 and states[9:13] == [0] * 4
+
+
+def test_kleinberg_flat_series_no_burst(spark):
+    from clawrag_spark.operators.temporal import kleinberg_bursts
+
+    rows = [
+        ("k", _ts("2024-01-01T00:00:00") + dt.timedelta(hours=i), 10)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, cnt long")
+    got = kleinberg_bursts(df, "k", "t", "cnt").collect()
+    assert all(r["state"] == 0 for r in got)
