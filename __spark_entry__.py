@@ -4799,6 +4799,53 @@ def q_burst_detect(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of the capped doc-length score per
+    language vs the 'en' baseline — the drift monitor run between crawl
+    snapshots before trusting thresholds tuned on the old distribution.
+    One map-side-combinable groupBy(group, bucket), a |groups|×B spine
+    so empty buckets participate (+0.5 continuity correction), baseline
+    shares broadcast; all three verdict bands fire on this corpus."""
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(1.0), F.col("n_chars") / 500.0).alias("s"),
+    )
+    return WT.psi_by_group(scored, "lang", "s", "en", n_buckets=10)
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile-normalize the per-language length score onto the POOLED
+    distribution (cross-scorer calibration): within-group percentile by
+    (score, id), pooled target index via floor(p·(N−1)+0.5)+1 — floor,
+    not round, because percent-rank rationals land exactly on .5
+    boundaries where the engines' half-rounding modes disagree.  Pooled
+    ranking via the distributed two-phase global_rank."""
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(1.0), F.col("n_chars") / 500.0).alias("score"),
+    )
+    return WT.quantile_normalize(scored, "doc_id", "lang", "score")
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrases (Rose et al. 2010) over the demo crawl's
+    committed ENGLISH extracted text: stopword-run candidate phrases
+    (run id = running stopword count — one window on the doc key, no
+    regex lookarounds), degree/frequency word stats broadcast back,
+    phrase-length cap 4 per the paper, top-30 under the rounded-score
+    + phrase total order."""
+    out = _ensure_pipeline_demo(spark)
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    en = ext.filter(F.col("language") == "en").select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    return WT.rake_keywords(en, "doc_id", "text", top_k=30, max_words=4)
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Day-cohort retention triangle (cohort_day, day_k, n_active):
     per-user first-seen day (bounded by |users|), distinct (user, day)
@@ -5314,6 +5361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_novelty": q_source_novelty,
         "event_funnel": q_event_funnel,
         "burst_detect": q_burst_detect,
+        "psi_drift": q_psi_drift,
+        "quantile_normalize": q_quantile_normalize,
+        "rake_keywords": q_rake_keywords,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -5392,6 +5442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+def _rake_stops_sql() -> str:
+    from clawrag_spark.operators.dataset import _STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+_RAKE_STOPS_SQL = _rake_stops_sql()
+
 
 def _budget_cte() -> str:
     """Shared water-filling closed form (q_crawl_budget /
@@ -7820,6 +7879,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.k AS event_type, s.t AS h, s.cnt AS cnt,
                    CAST(substr(f.path, s.rn, 1) AS INT) AS state
             FROM seq s JOIN fin f ON f.k = s.k
+        """,
+        # psi_drift: same bucket math, +0.5 continuity correction,
+        # spine keeps empty buckets on both engines
+        "psi_drift": """
+            WITH scored AS (
+                SELECT lang AS grp,
+                       least(1.0, n_chars / 500.0) AS s
+                FROM documents
+            ),
+            counts AS (
+                SELECT grp,
+                       least(greatest(floor((s - 0.0) / 1.0 * 10),
+                                      0), 9)::INT AS b,
+                       count(*) AS cnt
+                FROM scored GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT g.grp, r.range::INT AS b
+                FROM (SELECT DISTINCT grp FROM counts) g
+                CROSS JOIN range(10) r
+            ),
+            full_b AS (
+                SELECT s.grp, s.b, coalesce(c.cnt, 0) AS cnt
+                FROM spine s LEFT JOIN counts c
+                  ON c.grp = s.grp AND c.b = s.b
+            ),
+            tot AS (
+                SELECT grp, sum(cnt) AS n FROM full_b GROUP BY 1
+            ),
+            shares AS (
+                SELECT f.grp, f.b, t.n,
+                       (f.cnt + 0.5) / (t.n + 5.0) AS p
+                FROM full_b f JOIN tot t ON t.grp = f.grp
+            ),
+            psi AS (
+                SELECT c.grp, c.n,
+                       round(sum((c.p - b.p) * ln(c.p / b.p)), 6) AS psi
+                FROM shares c
+                JOIN (SELECT b, p FROM shares WHERE grp = 'en') b
+                  ON b.b = c.b
+                WHERE c.grp <> 'en'
+                GROUP BY 1, 2
+            )
+            SELECT grp AS lang, n::BIGINT AS n_docs, psi,
+                   CASE WHEN psi < 0.1 THEN 'stable'
+                        WHEN psi < 0.25 THEN 'moderate_shift'
+                        ELSE 'major_shift' END AS verdict
+            FROM psi
+        """,
+        # quantile_normalize: identical percentile + floor(+0.5) target
+        # index math; pooled order (score, group, id)
+        "quantile_normalize": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       least(1.0, n_chars / 500.0) AS score
+                FROM documents
+            ),
+            wp AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY score, doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n_g
+                FROM s
+            ),
+            pooled AS (
+                SELECT score AS v,
+                       row_number() OVER (
+                           ORDER BY score, lang, doc_id
+                       ) AS idx
+                FROM s
+            ),
+            n AS (SELECT count(*) AS nn FROM s)
+            SELECT wp.doc_id, wp.lang, wp.score, p.v AS norm_score
+            FROM wp CROSS JOIN n
+            JOIN pooled p
+              ON p.idx = floor(
+                     (CASE WHEN wp.n_g = 1 THEN 0.0
+                           ELSE (wp.rn - 1.0) / (wp.n_g - 1.0) END)
+                     * (n.nn - 1) + 0.5)::BIGINT + 1
+        """,
+        # rake_keywords: same run-grouping trick (running stopword
+        # count), length cap before scoring, rounded-score ranking
+        "rake_keywords": f"""
+            WITH toks AS (
+                SELECT url AS doc,
+                       unnest(string_split_regex(lower(text),
+                              '[^a-z0-9]+')) AS w,
+                       generate_subscripts(string_split_regex(
+                              lower(text), '[^a-z0-9]+'), 1) AS pos
+                FROM read_parquet('{_DEMO_OUT}/extracted/*.parquet')
+                WHERE language = 'en'
+            ),
+            t2 AS (
+                SELECT doc, pos, w,
+                       (w IN ({_RAKE_STOPS_SQL})) AS stop
+                FROM toks WHERE w <> ''
+            ),
+            t3 AS (
+                SELECT doc, pos, w, stop,
+                       sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS run
+                FROM t2
+            ),
+            pw AS (SELECT doc, run, pos, w FROM t3 WHERE NOT stop),
+            plen AS (
+                SELECT doc, run, count(*) AS plen
+                FROM pw GROUP BY 1, 2 HAVING count(*) <= 4
+            ),
+            occ AS (
+                SELECT pw.doc, pw.run, pw.pos, pw.w, plen.plen
+                FROM pw JOIN plen USING (doc, run)
+            ),
+            ws AS (
+                SELECT w, sum(plen)::DOUBLE / count(*) AS ratio
+                FROM occ GROUP BY 1
+            ),
+            ph AS (
+                SELECT occ.doc, occ.run,
+                       string_agg(occ.w, ' ' ORDER BY occ.pos) AS phrase,
+                       sum(ws.ratio) AS score
+                FROM occ JOIN ws USING (w) GROUP BY 1, 2
+            )
+            SELECT phrase, count(*) AS n_occurrences,
+                   round(max(score), 6) AS score
+            FROM ph GROUP BY 1
+            ORDER BY 3 DESC, 1 LIMIT 30
         """,
         # retention_cohorts: per-user min day + distinct (user, day)
         # activity joined back — identical day/offset arithmetic

@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "psi_by_group",
+    "quantile_normalize",
+    "rake_keywords",
     "ngram_repetition_signals",
     "top_ngram_char_frac",
     "line_repetition_signals",
@@ -4522,4 +4525,251 @@ def source_novelty(
                 6,
             ).alias("unique_share"),
         )
+    )
+
+
+def psi_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    baseline: str,
+    n_buckets: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index of a bounded score distribution per
+    group against a named baseline group — the drift monitor every
+    production data pipeline runs between crawl snapshots / sources
+    before trusting a threshold tuned on the old distribution:
+    ``PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i)`` over fixed-width
+    buckets, with the standard verdict bands (<0.1 stable, <0.25
+    moderate shift, else major shift).
+
+    Empty buckets get the +0.5 continuity correction (``(cnt+0.5) /
+    (n+0.5·B)``) so the log never sees zero and the smoothing is an
+    exact rational both engines compute identically; the final sum is
+    rounded to 6 dp (bucket contributions are O(0.01+), float
+    association drift is 1e-15 — same argument as ``domain_kl``).
+
+    Scale shape: ONE map-side-combinable groupBy(group, bucket) over
+    the scan (output ≤ |groups|·B rows), a |groups|×B spine via
+    ``sequence`` so empty buckets participate, baseline shares
+    broadcast into the join.  Returns (group, n_docs, psi, verdict)
+    for every non-baseline group.
+    """
+    B = n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(B)
+            ),
+            F.lit(0),
+        ),
+        F.lit(B - 1),
+    ).cast("int")
+    counts = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("b"))
+        .groupBy("grp", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    groups = counts.select("grp").distinct()
+    spine = groups.crossJoin(
+        counts.sparkSession.range(B).select(F.col("id").cast("int").alias("b"))
+    )
+    full = (
+        spine.join(counts, ["grp", "b"], "left")
+        .fillna({"cnt": 0})
+    )
+    totals = full.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    full = full.join(totals, "grp")
+    base = full.filter(F.col("grp") == baseline).select(
+        "b",
+        ((F.col("cnt") + 0.5) / (F.col("n") + 0.5 * B)).alias("q"),
+    )
+    cur = full.filter(F.col("grp") != baseline).select(
+        "grp",
+        "b",
+        "n",
+        ((F.col("cnt") + 0.5) / (F.col("n") + 0.5 * B)).alias("p"),
+    )
+    psi = (
+        cur.join(F.broadcast(base), "b")
+        .groupBy("grp", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("q"))
+                    * F.log(F.col("p") / F.col("q"))
+                ),
+                6,
+            ).alias("psi")
+        )
+    )
+    return psi.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_docs"),
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate_shift")
+        .otherwise("major_shift")
+        .alias("verdict"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quantile-normalize a per-group score onto the POOLED score
+    distribution: each row's score becomes the pooled value at its
+    within-group percentile — the cross-scorer calibration step before
+    one global threshold can mean the same thing for every source
+    (quality scorers drift per domain; a 0.7 from a news scorer and a
+    0.7 from a forum scorer are not the same percentile).
+
+    Percentile = ``(rn−1)/(n_g−1)`` with a (score, id) tie-break
+    (singleton groups pin to 0); the pooled target index is
+    ``floor(p·(N−1) + 0.5) + 1`` — floor instead of round, because
+    percent-rank rationals land exactly on .5 boundaries where
+    round-half-even (python) and round-half-away (duckdb) disagree.
+
+    Scale shape: one window per group, the pooled ranking via the
+    distributed two-phase ``global_rank`` (range partition +
+    partition-local row_number + broadcast offsets — never a
+    single-partition sort), and one equi-join on the unique target
+    index.  Returns (id, group, score, norm_score).
+    """
+    from .packing import global_rank
+
+    wg = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    ng = Window.partitionBy(group_col)
+    with_p = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.row_number().over(wg).alias("rn"),
+        F.count("*").over(ng).alias("n_g"),
+    ).select(
+        id_col,
+        group_col,
+        score_col,
+        F.when(F.col("n_g") == 1, F.lit(0.0))
+        .otherwise((F.col("rn") - 1.0) / (F.col("n_g") - 1.0))
+        .alias("p"),
+    )
+    pooled = global_rank(
+        df.select(
+            F.col(score_col).alias("v"),
+            F.col(group_col).alias("g2"),
+            F.col(id_col).alias("i2"),
+        ),
+        [F.col("v").asc(), F.col("g2").asc(), F.col("i2").asc()],
+        rank_col="idx",
+    ).select("idx", "v")
+    n_total = pooled.agg(F.count("*").alias("N"))
+    return (
+        with_p.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "idx",
+            (
+                F.floor(F.col("p") * (F.col("N") - 1) + F.lit(0.5)) + 1
+            ).cast("long"),
+        )
+        .join(pooled, "idx")
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            F.col("v").alias("norm_score"),
+        )
+    )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    top_k: int = 30,
+    max_words: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus scope:
+    candidate phrases are maximal stopword/punctuation-delimited word
+    runs; each word scores ``degree/frequency`` (degree = Σ length of
+    the phrases it appears in, frequency = occurrence count); a phrase
+    scores the sum over its word occurrences.  Multi-word technical
+    collocations win because their words co-occur in long runs —
+    the classic zero-model keyphrase baseline next to tf-idf.
+
+    Runs longer than ``max_words`` are dropped BEFORE scoring (the
+    paper's candidate-length cap): without it, any stretch of
+    stopword-free prose — or any non-English text, whose stopwords an
+    English list never hits — becomes one giant maximal run whose
+    length-summed degree dwarfs every real keyphrase.
+
+    Scale shape: tokenize + posexplode once; the phrase id is a
+    running stopword count per doc (ONE window on the doc key — the
+    run-grouping trick, no regex lookarounds, RE2-portable); word
+    stats are one map-side-combinable agg on the word key
+    (Heaps-bounded output) broadcast back; phrases aggregate on
+    (doc, run); the global top-k is TakeOrderedAndProject under the
+    rounded-score + phrase total order.  Returns (phrase, n_occurrences,
+    score).
+    """
+    from .dataset import _STOPWORDS
+
+    stops = stopwords if stopwords is not None else list(_STOPWORDS)
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn("stop", F.col("w").isin(stops))
+    )
+    run = F.sum(F.col("stop").cast("int")).over(
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phrase_words = (
+        toks.withColumn("run", run)
+        .filter(~F.col("stop"))
+        .select("doc", "run", "pos", "w")
+    )
+    plen = (
+        phrase_words.groupBy("doc", "run")
+        .agg(F.count("*").alias("plen"))
+        .filter(F.col("plen") <= max_words)
+    )
+    occ = phrase_words.join(plen, ["doc", "run"])
+    word_stats = occ.groupBy("w").agg(
+        (F.sum("plen") / F.count("*")).alias("ratio")
+    )
+    phrases = (
+        occ.join(F.broadcast(word_stats), "w")
+        .groupBy("doc", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("ratio").alias("score"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_k)
     )

@@ -2244,3 +2244,96 @@ class TestSourceNovelty:
         }
         assert got["tiny"]["n_grams"] == 0 and got["tiny"]["unique_share"] == 0.0
         assert got["ok"]["n_grams"] == 2
+
+
+# ------------------------------------------------------------- psi_drift
+
+
+def test_psi_identical_distributions_zero(spark):
+    from clawrag_spark.operators.webtext import psi_by_group
+
+    rows = [(g, v / 10.0) for g in ("base", "cur") for v in range(10)] * 3
+    df = spark.createDataFrame(rows, "grp string, s double")
+    got = psi_by_group(df, "grp", "s", "base", n_buckets=5).collect()
+    assert len(got) == 1
+    assert got[0]["psi"] == 0.0 and got[0]["verdict"] == "stable"
+
+
+def test_psi_shift_ranks_above_noise(spark):
+    from clawrag_spark.operators.webtext import psi_by_group
+
+    base = [("base", v / 20.0) for v in range(20)]
+    same = [("same", v / 20.0) for v in range(20)]
+    shifted = [("shifted", min(0.999, v / 20.0 + 0.3)) for v in range(20)]
+    df = spark.createDataFrame(base + same + shifted, "grp string, s double")
+    got = {r["grp"]: r for r in psi_by_group(df, "grp", "s", "base").collect()}
+    assert got["same"]["psi"] == 0.0
+    assert got["shifted"]["psi"] > 0.25
+    assert got["shifted"]["verdict"] == "major_shift"
+    # empty buckets participate via the spine — psi stays finite
+    assert got["shifted"]["psi"] < float("inf")
+
+
+# ---------------------------------------------------- quantile_normalize
+
+
+def test_quantile_normalize_single_group_identity(spark):
+    """With one group, the pooled distribution IS the group: every row
+    maps back to its own value."""
+    from clawrag_spark.operators.webtext import quantile_normalize
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    got = quantile_normalize(df, "id", "grp", "score").collect()
+    assert all(r["norm_score"] == r["score"] for r in got)
+
+
+def test_quantile_normalize_order_preserved_and_pooled(spark):
+    from clawrag_spark.operators.webtext import quantile_normalize
+
+    # group a: low scores, group b: high scores; after normalization
+    # both groups span the POOLED range in their within-group order
+    rows = [(1, "a", 0.1), (2, "a", 0.2), (3, "a", 0.3),
+            (4, "b", 0.7), (5, "b", 0.8), (6, "b", 0.9)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    got = {r["id"]: r["norm_score"]
+           for r in quantile_normalize(df, "id", "grp", "score").collect()}
+    # within-group order preserved
+    assert got[1] < got[2] < got[3] and got[4] < got[5] < got[6]
+    # both group minima map to the pooled minimum, maxima to the pooled max
+    assert got[1] == 0.1 and got[4] == 0.1
+    assert got[3] == 0.9 and got[6] == 0.9
+
+
+# ---------------------------------------------------------- rake_keywords
+
+
+def test_rake_hand_case(spark):
+    from clawrag_spark.operators.webtext import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "fast hash join and the fast hash join of merge sort")],
+        "doc_id long, text string",
+    )
+    got = rake_keywords(
+        df, "doc_id", "text", stopwords=["the", "and", "of"], top_k=10
+    ).collect()
+    rows = {r["phrase"]: (r["n_occurrences"], r["score"]) for r in got}
+    # fast/hash/join: freq 2, degree 6 -> ratio 3 each; phrase = 9
+    # merge/sort: freq 1, degree 2 -> ratio 2 each; phrase = 4
+    assert rows == {"fast hash join": (2, 9.0), "merge sort": (1, 4.0)}
+
+
+def test_rake_max_words_cap(spark):
+    from clawrag_spark.operators.webtext import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon and fast join")],
+        "doc_id long, text string",
+    )
+    got = rake_keywords(
+        df, "doc_id", "text", stopwords=["and"], top_k=10, max_words=4
+    ).collect()
+    phrases = {r["phrase"] for r in got}
+    # the 5-word run is dropped entirely; the 2-word run survives
+    assert phrases == {"fast join"}
