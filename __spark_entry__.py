@@ -4846,6 +4846,39 @@ def q_rake_keywords(spark, sf_dir):
     return WT.rake_keywords(en, "doc_id", "text", top_k=30, max_words=4)
 
 
+def q_split_leakage(spark, sf_dir):
+    """Eval-contamination audit: verified near-dup pairs vs three
+    train/val split keyings — doc-keyed and source-keyed splits leak
+    (near-dup pairs straddle the boundary), the dedup-CLUSTER-keyed
+    split yields zero crossing pairs by construction.  Pairs come from
+    the session-shared banded-candidate + exact-Jaccard chain; cluster
+    reps from min-label connected components; the audit is two
+    pair-sized equi-joins per mode."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    cc = DS.connected_components(pairs, "doc_a", "doc_b")
+    keys = (
+        docs.select("doc_id", "source")
+        .join(cc.withColumnRenamed("n", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias(
+                "cluster_rep"
+            ),
+        )
+    )
+    return WT.split_leakage(
+        pairs,
+        "doc_a",
+        "doc_b",
+        keys,
+        "doc_id",
+        {"doc": "doc_id", "source": "source", "cluster": "cluster_rep"},
+        val_frac=0.3,
+    )
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Day-cohort retention triangle (cohort_day, day_k, n_active):
     per-user first-seen day (bounded by |users|), distinct (user, day)
@@ -5364,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "quantile_normalize": q_quantile_normalize,
         "rake_keywords": q_rake_keywords,
+        "split_leakage": q_split_leakage,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
         "kmeans_domains": q_kmeans_domains,
@@ -7879,6 +7913,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.k AS event_type, s.t AS h, s.cnt AS cnt,
                    CAST(substr(f.path, s.rn, 1) AS INT) AS state
             FROM seq s JOIN fin f ON f.k = s.k
+        """,
+        # split_leakage: the ngram_jaccard verified-pair chain + reach
+        # CC + three salted-md5 splits; cluster-keyed crossing is zero
+        # by construction
+        "split_leakage": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+                FROM toks, LATERAL UNNEST(generate_series(0, len(toks) - 3)) AS g(i)
+                WHERE len(toks) >= 3
+            ),
+            sigs AS (
+                SELECT doc_id, band,
+                       min(md5(band::VARCHAR || '.0|' || shingle))
+                       || min(md5(band::VARCHAR || '.1|' || shingle)) AS sig
+                FROM shingles CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+                GROUP BY doc_id, band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, greatest(len(toks) - 3, 0)),
+                           i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                       )) AS grams
+                FROM toks
+            ),
+            vpairs AS (
+                SELECT c.doc_a, c.doc_b
+                FROM cand c
+                JOIN grams a ON a.doc_id = c.doc_a
+                JOIN grams b ON b.doc_id = c.doc_b
+                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(list_concat(a.grams, b.grams))) > 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM vpairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM vpairs
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ),
+            cc AS (
+                SELECT n, least(n, min(m)) AS cluster_id
+                FROM reach GROUP BY n
+            ),
+            keys_t AS (
+                SELECT d.doc_id, d.source,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN cc c ON c.n = d.doc_id
+            ),
+            assigned AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5('split|' || doc_id::VARCHAR), 1, 15)
+                                 < '4ccccccccccccc0'
+                            THEN 'val' ELSE 'train' END AS sp_doc,
+                       CASE WHEN substr(md5('split|' || source), 1, 15)
+                                 < '4ccccccccccccc0'
+                            THEN 'val' ELSE 'train' END AS sp_source,
+                       CASE WHEN substr(md5('split|' || cluster_rep::VARCHAR), 1, 15)
+                                 < '4ccccccccccccc0'
+                            THEN 'val' ELSE 'train' END AS sp_cluster
+                FROM keys_t
+            ),
+            aud AS (
+                SELECT a.sp_doc AS da, b.sp_doc AS db,
+                       a.sp_source AS sa, b.sp_source AS sb,
+                       a.sp_cluster AS ca, b.sp_cluster AS cb
+                FROM vpairs p
+                JOIN assigned a ON a.doc_id = p.doc_a
+                JOIN assigned b ON b.doc_id = p.doc_b
+            )
+            SELECT 'doc' AS mode, count(*)::BIGINT AS n_pairs,
+                   sum(CASE WHEN da <> db THEN 1 ELSE 0 END)::BIGINT
+                       AS n_crossing,
+                   round(sum(CASE WHEN da <> db THEN 1 ELSE 0 END)
+                         / greatest(count(*), 1), 6) AS leakage_frac
+            FROM aud
+            UNION ALL
+            SELECT 'source', count(*)::BIGINT,
+                   sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END)::BIGINT,
+                   round(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END)
+                         / greatest(count(*), 1), 6)
+            FROM aud
+            UNION ALL
+            SELECT 'cluster', count(*)::BIGINT,
+                   sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT,
+                   round(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)
+                         / greatest(count(*), 1), 6)
+            FROM aud
         """,
         # psi_drift: same bucket math, +0.5 continuity correction,
         # spine keeps empty buckets on both engines

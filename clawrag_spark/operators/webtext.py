@@ -36,6 +36,7 @@ __all__ = [
     "psi_by_group",
     "quantile_normalize",
     "rake_keywords",
+    "split_leakage",
     "ngram_repetition_signals",
     "top_ngram_char_frac",
     "line_repetition_signals",
@@ -2150,14 +2151,87 @@ def train_val_split(
 
     Appends a ``split`` column with values ``'train'`` / ``'val'``.
     """
+    return df.withColumn("split", _split_expr(group_col, val_frac, salt))
+
+
+def _split_expr(key_col: str, val_frac: float, salt: str) -> Column:
+    """'val'/'train' from the salted-md5 threshold on ``key_col``."""
     thr = _rate_threshold_hex(val_frac)
     key = F.substring(
-        F.md5(F.concat(F.lit(salt + "|"), F.col(group_col).cast("string"))), 1, 15
+        F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 15
     )
-    return df.withColumn(
-        "split",
-        F.when(key < F.lit(thr), F.lit("val")).otherwise(F.lit("train")),
-    )
+    return F.when(key < F.lit(thr), F.lit("val")).otherwise(F.lit("train"))
+
+
+def split_leakage(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    keys: DataFrame,
+    id_col: str,
+    mode_cols: dict[str, str],
+    val_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Eval-contamination audit: given verified near-duplicate pairs
+    and candidate split KEYS per document, how many near-dup pairs
+    would straddle a train/val boundary under each keying?  The number
+    every "we held out 10%" claim should publish — a near-dup of a
+    training doc sitting in the eval set inflates every benchmark it
+    touches.
+
+    ``mode_cols`` maps a mode label to the key column to split on —
+    e.g. ``{"doc": "doc_id", "source": "source", "cluster":
+    "cluster_rep"}``.  Splitting by the dedup-cluster representative is
+    the one keying that yields ZERO crossing pairs by construction
+    (both endpoints of every pair share a component, hence a key,
+    hence a side); doc- and source-keyed splits leak whenever
+    near-dups cross the key boundary.
+
+    Scale shape: per mode, the assignment is a zero-shuffle projection
+    (salted-md5 threshold) and the audit is two equi-joins of the
+    PAIRS (candidate-verified, corpus-sublinear) against it, then one
+    scalar aggregate; modes union to |modes| rows.  Returns
+    (mode, n_pairs, n_crossing, leakage_frac).
+    """
+    out = None
+    for mode, key_col in mode_cols.items():
+        assigned = keys.select(
+            F.col(id_col), _split_expr(key_col, val_frac, salt).alias("sp")
+        )
+        audited = (
+            pairs.select(a_col, b_col)
+            .join(
+                assigned.select(
+                    F.col(id_col).alias(a_col), F.col("sp").alias("sp_a")
+                ),
+                a_col,
+            )
+            .join(
+                assigned.select(
+                    F.col(id_col).alias(b_col), F.col("sp").alias("sp_b")
+                ),
+                b_col,
+            )
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(
+                    (F.col("sp_a") != F.col("sp_b")).cast("long")
+                ).alias("n_crossing"),
+            )
+            .select(
+                F.lit(mode).alias("mode"),
+                "n_pairs",
+                "n_crossing",
+                F.round(
+                    F.col("n_crossing")
+                    / F.greatest(F.col("n_pairs"), F.lit(1)),
+                    6,
+                ).alias("leakage_frac"),
+            )
+        )
+        out = audited if out is None else out.unionByName(audited)
+    return out
 
 
 # ------------------------------------------------------------------ page

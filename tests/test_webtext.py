@@ -2337,3 +2337,45 @@ def test_rake_max_words_cap(spark):
     phrases = {r["phrase"] for r in got}
     # the 5-word run is dropped entirely; the 2-word run survives
     assert phrases == {"fast join"}
+
+
+# ---------------------------------------------------------- split_leakage
+
+
+def test_split_leakage_cluster_keyed_is_zero(spark):
+    """Cluster-keyed splits cannot leak: both endpoints of every pair
+    share a component, hence a split key, hence a side — even for
+    CHAIN-shaped components (a-b, b-c) where a and c were never a
+    direct pair."""
+    from clawrag_spark.operators.dataset import connected_components
+    from clawrag_spark.operators.webtext import split_leakage
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    ids = spark.range(30).select(F.col("id").alias("doc_id"))
+    keys = ids.join(
+        cc.withColumnRenamed("n", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster", "doc_id").alias("cluster_rep"),
+    )
+    got = {
+        r["mode"]: r
+        for r in split_leakage(
+            pairs, "doc_a", "doc_b", keys, "doc_id",
+            {"doc": "doc_id", "cluster": "cluster_rep"},
+            val_frac=0.5,
+        ).collect()
+    }
+    assert got["cluster"]["n_crossing"] == 0
+    assert got["cluster"]["n_pairs"] == 4
+    # doc-keyed at 50% with these ids DOES cross (deterministic md5)
+    assert got["doc"]["n_pairs"] == 4
+    assert got["doc"]["n_crossing"] >= 1
+    assert got["doc"]["leakage_frac"] == round(
+        got["doc"]["n_crossing"] / 4, 6
+    )
