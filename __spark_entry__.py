@@ -4879,6 +4879,35 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+def q_char_entropy(spark, sf_dir):
+    """Letter-distribution Shannon entropy per document (gibberish /
+    template signal): 26 staged length-replace counts folded JVM-side,
+    the total PROJECTED before the entropy lambda references it (the
+    lambda-CSE rule).  Zero shuffle, zero Python."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.char_entropy(docs, "doc_id", "text")
+
+
+def q_table_profile(spark, sf_dir):
+    """Column-type inference over extracted HTML tables: every cell
+    classified int/float/empty/text (anchored RE2-safe regexes), the
+    column type by majority with int > float > text > empty tie
+    precedence.  One narrow posexplode + ONE map-side-combinable
+    groupBy(url, col_idx)."""
+    _ensure_pipeline_demo(spark)
+    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+    magic, suffix = b"<!DOCTYPE html>", b"</html>"
+    complete = pages.filter(
+        (F.substring(F.col("html"), 1, len(magic)) == F.lit(magic))
+        & (
+            F.substring(F.col("html"), -len(suffix), len(suffix))
+            == F.lit(suffix)
+        )
+    ).select("url", F.col("html").cast("string").alias("html_str"))
+    rows = WT.extract_tables(complete, "html_str")
+    return WT.table_profile(rows)
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Day-cohort retention triangle (cohort_day, day_k, n_active):
     per-user first-seen day (bounded by |users|), distinct (user, day)
@@ -5292,6 +5321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         # -- (2) oracle-bearing never-verified overflow — front of the
         # round-5 window --------------------------------------------
+        "char_entropy": q_char_entropy,
+        "table_profile": q_table_profile,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -8016,6 +8047,88 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)
                          / greatest(count(*), 1), 6)
             FROM aud
+        """,
+        # char_entropy: same 26 staged length-replace counts, same
+        # fold; round(6) absorbs <=26-term association drift
+        "char_entropy": """
+            WITH staged AS (
+                SELECT doc_id,
+                       list_value("""
+        + ", ".join(
+            "(length(lower(text)) - length(replace(lower(text), "
+            f"'{chr(c)}', '')))::DOUBLE"
+            for c in range(ord("a"), ord("z") + 1)
+        )
+        + """) AS arr
+                FROM documents
+            ),
+            with_total AS (
+                SELECT doc_id, arr, list_sum(arr) AS total FROM staged
+            )
+            SELECT doc_id,
+                   coalesce(total, 0)::BIGINT AS n_letters,
+                   CASE WHEN total > 0
+                        THEN round(list_sum(list_transform(arr,
+                             x -> CASE WHEN x > 0
+                                  THEN -(x / total) * log2(x / total)
+                                  ELSE 0.0 END)), 6)
+                        ELSE 0.0 END AS entropy_bits,
+                   CASE WHEN total > 0
+                        THEN round(list_max(arr) / total, 6)
+                        ELSE 0.0 END AS top_letter_frac
+            FROM with_total
+        """,
+        # table_profile: the table_rows chain + per-cell class CASE and
+        # the same majority-with-precedence inference
+        "table_profile": rf"""
+            WITH gated AS (
+                SELECT url, decode(html) AS h
+                FROM read_parquet('{_DEMO_DIR}/pages.parquet')
+                WHERE starts_with(html::VARCHAR, '<!DOCTYPE html>')
+                  AND ends_with(html::VARCHAR, '</html>')
+            ),
+            rows_x AS (
+                SELECT url,
+                       unnest(regexp_extract_all(h, '<tr>(.*?)</tr>', 1))
+                           AS row_html
+                FROM gated
+            ),
+            cells AS (
+                SELECT url,
+                       generate_subscripts(regexp_extract_all(row_html,
+                           '<td>([^<]*)</td>', 1), 1) - 1 AS col_idx,
+                       trim(unnest(regexp_extract_all(row_html,
+                           '<td>([^<]*)</td>', 1))) AS cell
+                FROM rows_x
+            ),
+            classified AS (
+                SELECT url, col_idx,
+                       CASE WHEN regexp_matches(cell, '^-?[0-9]+$')
+                                THEN 'int'
+                            WHEN regexp_matches(cell,
+                                '^-?[0-9]+\.[0-9]+$') THEN 'float'
+                            WHEN cell = '' THEN 'empty'
+                            ELSE 'text' END AS cls
+                FROM cells
+            ),
+            agg AS (
+                SELECT url, col_idx,
+                       count(*)::BIGINT AS n_rows,
+                       sum(CASE WHEN cls = 'int' THEN 1 ELSE 0 END)::BIGINT AS n_int,
+                       sum(CASE WHEN cls = 'float' THEN 1 ELSE 0 END)::BIGINT AS n_float,
+                       sum(CASE WHEN cls = 'empty' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+                       sum(CASE WHEN cls = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text
+                FROM classified GROUP BY 1, 2
+            )
+            SELECT url, col_idx, n_rows, n_int, n_float, n_empty, n_text,
+                   CASE WHEN n_int = greatest(n_int, n_float, n_empty, n_text)
+                            THEN 'int'
+                        WHEN n_float = greatest(n_int, n_float, n_empty, n_text)
+                            THEN 'float'
+                        WHEN n_text = greatest(n_int, n_float, n_empty, n_text)
+                            THEN 'text'
+                        ELSE 'empty' END AS inferred
+            FROM agg
         """,
         # psi_drift: same bucket math, +0.5 continuity correction,
         # spine keeps empty buckets on both engines

@@ -4847,3 +4847,128 @@ def rake_keywords(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_k)
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Letter-distribution Shannon entropy per document — the classic
+    gibberish/template signal (CCNet-family): natural prose sits near
+    the language's letter entropy (~4.1 bits for English), keyboard
+    mash and encrypted/compressed blobs run higher and flatter,
+    repeated-template junk (aaaa…, spinner text) runs far lower with a
+    dominant letter.
+
+    Zero shuffle, zero Python: the 26 letter counts are staged
+    ``length(t) − length(replace(t, c))`` expressions folded with
+    ``aggregate`` over an array column; the letter total is PROJECTED
+    before the entropy fold references it (the repo's lambda-CSE rule —
+    an aggregate referenced inside a lambda re-evaluates per element).
+    Returns (id, n_letters, entropy_bits, top_letter_frac), rounded to
+    6 dp (≤26 summands, association drift ≪ 1e-9).
+    """
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    t = F.lower(F.col(text_col))
+    staged = docs.select(
+        F.col(id_col),
+        F.array(
+            *[
+                (
+                    F.length(t)
+                    - F.length(F.replace(t, F.lit(ch), F.lit("")))
+                ).cast("double")
+                for ch in letters
+            ]
+        ).alias("arr"),
+    )
+    with_total = staged.select(
+        id_col,
+        "arr",
+        F.aggregate(
+            "arr", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("total"),
+    )
+    ent = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(
+            x > 0, -(x / F.col("total")) * F.log2(x / F.col("total"))
+        ).otherwise(F.lit(0.0)),
+    )
+    return with_total.select(
+        id_col,
+        F.col("total").cast("long").alias("n_letters"),
+        F.when(F.col("total") > 0, F.round(ent, 6))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_bits"),
+        F.when(
+            F.col("total") > 0,
+            F.round(F.array_max("arr") / F.col("total"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_letter_frac"),
+    )
+
+
+def table_profile(
+    table_rows: DataFrame,
+    url_col: str = "url",
+    row_col: str = "row_idx",
+    cells_col: str = "cells",
+) -> DataFrame:
+    """Column-type profiling over extracted HTML tables: per (table,
+    column position), classify every cell as int / float / empty /
+    text (anchored RE2-safe regexes) and infer the column type by
+    majority with the precedence int > float > text > empty on ties —
+    the schema-inference pass that turns scraped ``<td>`` soup into
+    typed training tables (numeric columns feed different serialization
+    than prose columns).
+
+    One narrow posexplode of the cell arrays (no shuffle) + ONE
+    map-side-combinable groupBy(url, col_idx); conditional counts, no
+    distinct.  Returns (url, col_idx, n_rows, n_int, n_float, n_empty,
+    n_text, inferred).
+    """
+    cells = (
+        table_rows.select(
+            F.col(url_col),
+            F.col(row_col),
+            F.posexplode(F.col(cells_col)).alias("col_idx", "cell"),
+        )
+        .withColumn("cell", F.trim(F.col("cell")))
+    )
+    is_int = F.col("cell").rlike("^-?[0-9]+$")
+    is_float = F.col("cell").rlike("^-?[0-9]+\\.[0-9]+$")
+    is_empty = F.col("cell") == ""
+    classified = cells.select(
+        url_col,
+        "col_idx",
+        F.when(is_int, "int")
+        .when(is_float, "float")
+        .when(is_empty, "empty")
+        .otherwise("text")
+        .alias("cls"),
+    )
+    agg = classified.groupBy(url_col, "col_idx").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("cls") == "int").cast("long")).alias("n_int"),
+        F.sum((F.col("cls") == "float").cast("long")).alias("n_float"),
+        F.sum((F.col("cls") == "empty").cast("long")).alias("n_empty"),
+        F.sum((F.col("cls") == "text").cast("long")).alias("n_text"),
+    )
+    top = F.greatest("n_int", "n_float", "n_empty", "n_text")
+    return agg.select(
+        url_col,
+        "col_idx",
+        "n_rows",
+        "n_int",
+        "n_float",
+        "n_empty",
+        "n_text",
+        F.when(F.col("n_int") == top, "int")
+        .when(F.col("n_float") == top, "float")
+        .when(F.col("n_text") == top, "text")
+        .otherwise("empty")
+        .alias("inferred"),
+    )

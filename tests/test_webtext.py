@@ -2379,3 +2379,49 @@ def test_split_leakage_cluster_keyed_is_zero(spark):
     assert got["doc"]["leakage_frac"] == round(
         got["doc"]["n_crossing"] / 4, 6
     )
+
+
+# ---------------------------------------------------------- char_entropy
+
+
+def test_char_entropy_uniform_and_degenerate(spark):
+    """Single-letter text → 0 bits, dominant frac 1.0; a uniform
+    2-letter text → exactly 1 bit; letterless text → 0/0."""
+    from clawrag_spark.operators.webtext import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "1234 !!"), (4, "AbAb")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs, "doc_id", "text").collect()}
+    assert got[1]["entropy_bits"] == 0.0
+    assert got[1]["top_letter_frac"] == 1.0
+    assert got[2]["entropy_bits"] == 1.0
+    assert got[3]["n_letters"] == 0 and got[3]["entropy_bits"] == 0.0
+    # case-folded: AbAb == abab
+    assert got[4]["entropy_bits"] == 1.0
+
+
+# ---------------------------------------------------------- table_profile
+
+
+def test_table_profile_majority_and_tie_precedence(spark):
+    """Majority wins per column; ties resolve int > float > text >
+    empty (the numeric-serialization-first rule)."""
+    from clawrag_spark.operators.webtext import table_profile
+
+    rows = spark.createDataFrame(
+        [
+            ("u", 0, ["1", "2.5", "x", "", "7", "8.5"]),
+            ("u", 1, ["3", "4.5", "y", "", "t", "z"]),
+        ],
+        "url string, row_idx long, cells array<string>",
+    )
+    got = {r["col_idx"]: r for r in table_profile(rows).collect()}
+    assert got[0]["inferred"] == "int" and got[0]["n_int"] == 2
+    assert got[1]["inferred"] == "float"
+    assert got[2]["inferred"] == "text"
+    assert got[3]["inferred"] == "empty" and got[3]["n_empty"] == 2
+    # ties: 1 int vs 1 text -> int wins; 1 float vs 1 text -> float
+    assert got[4]["inferred"] == "int"
+    assert got[5]["inferred"] == "float"
