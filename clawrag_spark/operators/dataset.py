@@ -2853,3 +2853,57 @@ def kcenter_coreset(
     return points.sparkSession.createDataFrame(
         picks, f"{id_col} long, pick_rank int, dist_at_pick double"
     )
+
+
+def fellegi_sunter_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list,
+    comparisons: list,
+    *,
+    match_threshold: float = 8.0,
+    possible_threshold: float = 0.0,
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969): score
+    blocked candidate pairs by summing per-field log2 likelihood
+    ratios — ``log2(m/u)`` when the field agrees (m = P(agree|match),
+    u = P(agree|non-match)), ``log2((1-m)/(1-u))`` when it disagrees —
+    and classify match / possible / non_match by threshold.  The
+    entity-resolution core of every dedup system that must merge dirty
+    registrations, crawl bylines, or user accounts that exact-key
+    dedup cannot join.
+
+    ``comparisons`` is ``[(name, agree_expr, m, u), ...]`` where
+    ``agree_expr`` is a boolean Column over the joined frame (columns
+    are prefixed ``a_`` / ``b_`` by the caller).  The log2 weights are
+    computed HERE in Python and inlined as double literals, so a SQL
+    oracle that inlines the same literals sums identical IEEE doubles
+    — no cross-engine libm drift (the one place log2 may differ by an
+    ulp).  Sum order is the list order on both sides; round(6) absorbs
+    association drift.
+
+    Scale shape: one equi-join on the block key (never all pairs —
+    blocking IS the candidate generator; pick block keys stable under
+    the expected dirt), then a single projection.  Returns the pair
+    ids + per-field agreement booleans + weight + decision.
+    """
+    import math
+
+    joined = left.join(right, block_cols)
+    weight = F.lit(0.0)
+    out_flags = []
+    for name, agree, m, u in comparisons:
+        w_agree = math.log2(m / u)
+        w_disagree = math.log2((1.0 - m) / (1.0 - u))
+        weight = weight + F.when(agree, F.lit(w_agree)).otherwise(
+            F.lit(w_disagree)
+        )
+        out_flags.append(agree.alias(f"agree_{name}"))
+    decision = (
+        F.when(F.col("weight") >= match_threshold, "match")
+        .when(F.col("weight") >= possible_threshold, "possible")
+        .otherwise("non_match")
+    )
+    return joined.select(
+        "*", *out_flags, F.round(weight, 6).alias("weight")
+    ).withColumn("decision", decision)

@@ -390,3 +390,39 @@ def kleinberg_bursts(
         F.col(count_col).cast("long").alias("__cnt"),
     )
     return prepared.groupBy("__k").applyInPandas(_viterbi, out_schema)
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next = b | current = a) with counts — the behavioral
+    fingerprint used for bot/crawler detection (near-deterministic
+    transition rows), funnel design, and session simulation.
+
+    ``order_col`` breaks timestamp ties so the lag sequence is
+    engine-deterministic.  Scale shape: one window partitioned by user
+    (the state lives per user, never global), then ONE
+    map-side-combinable groupBy on (prev, next); the normalizer is a
+    window sum over the |types|^2 result frame, not a second pass over
+    the events.  Returns (prev_type, next_type, n, prob) rounded 6 dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    steps = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("prob"),
+    )

@@ -4972,3 +4972,167 @@ def table_profile(
         .otherwise("empty")
         .alias("inferred"),
     )
+
+
+def unimax_mix(
+    docs: DataFrame,
+    lang_col: str,
+    chars_col: str,
+    *,
+    epochs_cap: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 2,
+) -> DataFrame:
+    """UNIMAX language-budget allocation (Chung et al. 2023): spread a
+    total training budget as uniformly as possible across languages,
+    capping every language at ``epochs_cap`` epochs of its own data —
+    the closed-form water-filling that replaced temperature sampling
+    for multilingual LMs (no language is upsampled past the cap, the
+    freed budget is shared equally by the rest).
+
+    The iterative algorithm has a closed form over the per-language
+    totals sorted ASCENDING by capacity ``c = epochs_cap * chars``:
+    a language is capped iff ``c_i * (n - i + 1) <= B - prefix_i``
+    (its full capacity fits under the fair share of what is left), and
+    that predicate is MONOTONE along the sort — if row i fails, every
+    later (larger) row fails — so one window pass decides the cutoff;
+    no loop, no driver round-trips.  All cutoff math is BIGINT
+    (budget ``B = (budget_num * total) div budget_den``), so the
+    capped set is bit-identical across engines; only the final shared
+    allocation divides.
+
+    Scale shape: one map-side-partial groupBy to |langs| rows, then
+    windows over that tiny frame.  Returns (lang, n_chars, capacity,
+    capped, alloc_chars, epochs_used, budget_share), rounded 6 dp.
+    """
+    totals = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(chars_col).cast("long").alias("n_chars")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("capacity", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    staged = totals.select(
+        "lang",
+        "n_chars",
+        (F.lit(epochs_cap) * F.col("n_chars")).alias("capacity"),
+    ).select(
+        "lang",
+        "n_chars",
+        "capacity",
+        F.expr(
+            f"({budget_num} * sum(capacity) over ()) div {budget_den}"
+        ).alias("budget"),
+        F.row_number().over(w_ord).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.coalesce(F.sum("capacity").over(w_prev), F.lit(0)).alias(
+            "prefix"
+        ),
+    )
+    # NOTE: budget is (num/den) * total CAPACITY so both branches are
+    # exercised for skewed corpora at any scale (ratios, not absolutes,
+    # decide the cutoff — the predicate is scale-invariant).
+    flagged = staged.withColumn(
+        "capped",
+        F.col("capacity") * (F.col("n") - F.col("i") + 1)
+        <= F.col("budget") - F.col("prefix"),
+    )
+    shared = flagged.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0))
+        .over(w_all)
+        .alias("capped_sum"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1))
+        .over(w_all)
+        .alias("n_uncapped"),
+    )
+    alloc = F.when(F.col("capped"), F.col("capacity").cast("double")).otherwise(
+        (F.col("budget") - F.col("capped_sum"))
+        / F.greatest(F.col("n_uncapped"), F.lit(1))
+    )
+    return shared.select(
+        "lang",
+        "n_chars",
+        "capacity",
+        "capped",
+        F.round(alloc, 6).alias("alloc_chars"),
+        F.round(alloc / F.col("n_chars"), 6).alias("epochs_used"),
+        F.round(alloc / F.col("budget"), 6).alias("budget_share"),
+    )
+
+
+def k_anonymity(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over user profiles (Sweeney 2002): build the
+    quasi-identifier tuple every user exposes — (first-seen day,
+    dominant event type, activity bucket) — and flag every equivalence
+    class smaller than ``k`` for suppression.  This is the release
+    gate regex PII scrubbing cannot provide: a unique BEHAVIORAL
+    combination re-identifies a user even with all direct identifiers
+    masked.
+
+    The activity bucket is an explicit CASE ladder (1, 2-3, 4-7, 8-15,
+    16+), not ``floor(log2(n))`` — boundary-exact on both engines with
+    no float-rounding risk.  The dominant type is the per-user modal
+    event type, ties broken by the type string, computed with ONE
+    ``max(struct(cnt, type))`` aggregation (no window, no second
+    shuffle on the user axis).
+
+    Scale shape: ONE scan — groupBy(user, type) with map-side partial
+    counts (carrying min(day) alongside) → groupBy(user) →
+    groupBy(quasi-tuple); every shuffle carries one row per group.
+    Returns (first_day, dominant_type, activity_bucket, n_users,
+    suppressed).
+    """
+    per_type = events.groupBy(
+        F.col(user_col).alias("user"), F.col(type_col).alias("etype")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.min(F.to_date(ts_col)).alias("fd"),
+    )
+    # modal type via max(struct): cnt DESC then type ASC == max over
+    # (cnt, negated-order type); encode the ASC tie-break by max over
+    # struct(cnt, -ord)?  Strings can't negate — use min over
+    # struct(-cnt, type) instead: smallest -cnt = largest cnt, then
+    # smallest type string.
+    profiles = (
+        per_type.groupBy("user")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("etype")))
+            .alias("top"),
+            F.sum("cnt").alias("n_events"),
+            F.min("fd").alias("first_day"),
+        )
+        .select(
+            "user",
+            F.col("top.etype").alias("dominant_type"),
+            "n_events",
+            "first_day",
+        )
+    )
+    bucket = (
+        F.when(F.col("n_events") <= 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .when(F.col("n_events") <= 15, "8-15")
+        .otherwise("16+")
+    )
+    quasi = profiles.select(
+        "first_day", "dominant_type", bucket.alias("activity_bucket")
+    )
+    return (
+        quasi.groupBy("first_day", "dominant_type", "activity_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "first_day",
+            "dominant_type",
+            "activity_bucket",
+            "n_users",
+            (F.col("n_users") < k).alias("suppressed"),
+        )
+    )

@@ -1316,3 +1316,43 @@ class TestKCenterCoreset:
             DS.kcenter_coreset(pts, "vec_id", "embedding", k=2, seed_id=12345)
         with pytest.raises(ValueError, match="k must be"):
             DS.kcenter_coreset(pts, "vec_id", "embedding", k=0)
+
+
+def test_fellegi_sunter_weights_and_decisions(spark):
+    """All-agree pair sums the three agree weights (match); all-
+    disagree sums the disagree weights (non_match); weights are the
+    Python log2 literals, so the expected values are computed here
+    with the same math."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from clawrag_spark.operators.dataset import fellegi_sunter_link
+
+    left = spark.createDataFrame(
+        [(1, "k", "x", 10.0), (2, "k", "y", 20.0)],
+        "a_id long, blk string, a_name string, a_bal double",
+    )
+    right = spark.createDataFrame(
+        [(101, "k", "x", 10.4), (102, "k", "zz", 99.0)],
+        "b_id long, blk string, b_name string, b_bal double",
+    )
+    comparisons = [
+        ("name", F.col("a_name") == F.col("b_name"), 0.95, 0.001),
+        ("bal", F.abs(F.col("a_bal") - F.col("b_bal")) <= 1.0, 0.98, 0.05),
+    ]
+    got = {
+        (r["a_id"], r["b_id"]): r
+        for r in fellegi_sunter_link(
+            left, right, ["blk"], comparisons,
+            match_threshold=8.0, possible_threshold=0.0,
+        ).collect()
+    }
+    assert len(got) == 4  # blocking join, 2x2 within the block
+    w_match = round(math.log2(0.95 / 0.001) + math.log2(0.98 / 0.05), 6)
+    w_miss = round(math.log2(0.05 / 0.999) + math.log2(0.02 / 0.95), 6)
+    assert got[(1, 101)]["weight"] == w_match
+    assert got[(1, 101)]["decision"] == "match"
+    assert got[(2, 102)]["weight"] == w_miss
+    assert got[(2, 102)]["decision"] == "non_match"
+    assert got[(2, 101)]["agree_name"] is False

@@ -746,3 +746,24 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_bitext_verify(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_record_linkage_blocked_equi_join_no_python(self, spark):
+        """The F-S candidate generator is the blocking equi-join —
+        never a cartesian; all scoring stays in codegen."""
+        plan = plan_of(entry_mod.q_record_linkage(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_event_transitions_single_user_window_no_python(self, spark):
+        """One per-user window + one (prev,next) groupBy; the
+        normalizer windows the tiny result frame, not the events."""
+        plan = plan_of(entry_mod.q_event_transitions(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_unimax_k_anonymity_expression_only(self, spark):
+        for q in (entry_mod.q_unimax_mix, entry_mod.q_k_anonymity):
+            plan = plan_of(q(spark, SF_DIR))
+            assert "EvalPython" not in plan
+            assert "CartesianProduct" not in plan

@@ -311,3 +311,35 @@ def test_kleinberg_flat_series_no_burst(spark):
     df = spark.createDataFrame(rows, "k string, t timestamp, cnt long")
     got = kleinberg_bursts(df, "k", "t", "cnt").collect()
     assert all(r["state"] == 0 for r in got)
+
+
+def test_event_transitions_probs(spark):
+    """view->view, view->click, click->view on a 4-event stream; per-
+    prev probabilities normalize over the counts; ts ties broken by
+    the order column."""
+    import datetime as dt
+
+    from clawrag_spark.operators.temporal import event_transitions
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    ev = spark.createDataFrame(
+        [
+            (1, t, 1, "view"), (2, t + s, 1, "view"),
+            (3, t + 2 * s, 1, "click"), (4, t + 3 * s, 1, "view"),
+            # user 2: simultaneous pair ordered by event_id
+            (5, t, 2, "b"), (6, t, 2, "a"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r
+        for r in event_transitions(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got[("view", "view")]["prob"] == 0.5
+    assert got[("view", "click")]["prob"] == 0.5
+    assert got[("click", "view")]["prob"] == 1.0
+    assert got[("b", "a")]["n"] == 1  # event_id tie-break
+    assert ("a", "b") not in got

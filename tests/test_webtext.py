@@ -2425,3 +2425,74 @@ def test_table_profile_majority_and_tie_precedence(spark):
     # ties: 1 int vs 1 text -> int wins; 1 float vs 1 text -> float
     assert got[4]["inferred"] == "int"
     assert got[5]["inferred"] == "float"
+
+
+# ---------------------------------------------------------- unimax_mix
+
+
+def test_unimax_mix_waterfill_closed_form(spark):
+    """Hand-computed water-filling: capacities (20, 200), budget
+    3*220//4 = 165 -> small lang capped at 2 epochs, big lang takes
+    the 145 remainder; allocations exactly exhaust the budget."""
+    from clawrag_spark.operators.webtext import unimax_mix
+
+    docs = spark.createDataFrame(
+        [("aa", 4), ("aa", 6), ("bb", 100)],
+        "lang string, n_chars long",
+    )
+    got = {
+        r["lang"]: r
+        for r in unimax_mix(
+            docs, "lang", "n_chars", epochs_cap=2, budget_num=3, budget_den=4
+        ).collect()
+    }
+    assert got["aa"]["capped"] and got["aa"]["alloc_chars"] == 20.0
+    assert got["aa"]["epochs_used"] == 2.0
+    assert not got["bb"]["capped"] and got["bb"]["alloc_chars"] == 145.0
+    assert got["bb"]["epochs_used"] == 1.45
+    assert sum(r["alloc_chars"] for r in got.values()) == 165.0
+
+
+def test_unimax_mix_all_capped_no_divzero(spark):
+    """Budget above total capacity: every language capped at its full
+    capacity, no division-by-zero on the empty uncapped set."""
+    from clawrag_spark.operators.webtext import unimax_mix
+
+    docs = spark.createDataFrame(
+        [("aa", 10), ("bb", 10)], "lang string, n_chars long"
+    )
+    rows = unimax_mix(
+        docs, "lang", "n_chars", epochs_cap=1, budget_num=3, budget_den=1
+    ).collect()
+    assert all(r["capped"] for r in rows)
+    assert all(r["alloc_chars"] == 10.0 for r in rows)
+
+
+# ---------------------------------------------------------- k_anonymity
+
+
+def test_k_anonymity_small_class_suppressed(spark):
+    """Two users sharing a profile survive k=2; the singleton is
+    flagged; modal-type tie breaks to the smaller type string."""
+    import datetime as dt
+
+    from clawrag_spark.operators.webtext import k_anonymity
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "view"), (1, t0, "view"),
+        (2, t0, "view"), (2, t0, "view"),
+        # user 3: tie view/click -> modal is 'click' (string ASC)
+        (3, t0, "view"), (3, t0, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["dominant_type"], r["activity_bucket"]): r
+        for r in k_anonymity(ev, "user_id", "ts", "event_type", k=2).collect()
+    }
+    assert got[("view", "2-3")]["n_users"] == 2
+    assert not got[("view", "2-3")]["suppressed"]
+    assert got[("click", "2-3")]["n_users"] == 1
+    assert got[("click", "2-3")]["suppressed"]
