@@ -2496,3 +2496,59 @@ def test_k_anonymity_small_class_suppressed(spark):
     assert not got[("view", "2-3")]["suppressed"]
     assert got[("click", "2-3")]["n_users"] == 1
     assert got[("click", "2-3")]["suppressed"]
+
+
+def test_unimax_mix_matches_iterative_reference(spark):
+    """The one-window closed form == the textbook ITERATIVE
+    water-filling (repeatedly cap any language whose capacity falls
+    under the current fair share, re-divide the remainder), across
+    adversarial shapes: single language, all-equal, extreme skew,
+    power-of-two ladder."""
+    from clawrag_spark.operators.webtext import unimax_mix
+
+    def reference(chars, epochs, num, den):
+        caps = {l: epochs * c for l, c in chars.items()}
+        budget = (num * sum(caps.values())) // den
+        capped, remaining = {}, dict(caps)
+        b = budget
+        while True:
+            if not remaining:
+                break
+            share = b / len(remaining)
+            newly = {l: c for l, c in remaining.items() if c <= share}
+            if not newly:
+                break
+            for l, c in newly.items():
+                capped[l] = float(c)
+                b -= c
+                del remaining[l]
+        share = b / len(remaining) if remaining else 0.0
+        return budget, {**capped, **{l: share for l in remaining}}
+
+    cases = [
+        {"aa": 50},                                  # single language
+        {"aa": 10, "bb": 10, "cc": 10},              # all equal
+        {"aa": 1, "bb": 1, "cc": 10000},             # extreme skew
+        {chr(97 + i) * 2: 2 ** i for i in range(8)},  # 1..128 ladder
+        {"aa": 7, "bb": 13, "cc": 29, "dd": 31},     # coprime mix
+    ]
+    for chars in cases:
+        docs = spark.createDataFrame(
+            [(l, c) for l, c in chars.items()], "lang string, n_chars long"
+        )
+        got = {
+            r["lang"]: r
+            for r in unimax_mix(
+                docs, "lang", "n_chars",
+                epochs_cap=2, budget_num=3, budget_den=4,
+            ).collect()
+        }
+        budget, expect = reference(chars, 2, 3, 4)
+        for lang, alloc in expect.items():
+            assert abs(got[lang]["alloc_chars"] - round(alloc, 6)) < 1e-6, (
+                chars, lang, got[lang]["alloc_chars"], alloc,
+            )
+        assert (
+            abs(sum(r["alloc_chars"] for r in got.values())
+                - min(budget, 2 * sum(chars.values()))) < 1e-3
+        )
