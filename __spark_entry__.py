@@ -4996,6 +4996,28 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit: the k-anonymity quasi classes must also show
+    >= 2 distinct sensitive spend buckets (homogeneity attack).  Spend
+    aggregates as INTEGER CENTS so bucket thresholds compare exact
+    integers — float association can never flip a boundary."""
+    ev = _load(spark, sf_dir, "events")
+    return WT.l_diversity(
+        ev, "user_id", "ts", "event_type", "value", k=5, l_distinct=2
+    )
+
+
+def q_behavior_entropy(spark, sf_dir):
+    """Per-user bot signal: transition-distribution Shannon entropy
+    via the one-aggregation identity H = log2(N) - sum(n log2 n)/N,
+    top-transition share, inter-arrival mean/CV in whole epoch
+    seconds (truncating diff on both engines)."""
+    from clawrag_spark.operators.temporal import behavior_entropy
+
+    ev = _load(spark, sf_dir, "events")
+    return behavior_entropy(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     streams: P(next | prev) + counts, timestamp ties broken by
@@ -5426,6 +5448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "record_linkage": q_record_linkage,
         "event_transitions": q_event_transitions,
+        "l_diversity": q_l_diversity,
+        "behavior_entropy": q_behavior_entropy,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -8386,6 +8410,81 @@ def oracle_sql() -> dict[str, str]:
                    round(n / sum(n) OVER (PARTITION BY prev_type), 6)
                        AS prob
             FROM counts
+        """,
+        # l_diversity: same two-level profile build; spend in integer
+        # cents so bucket thresholds are exact on both engines
+        "l_diversity": """
+            WITH per_type AS (
+                SELECT user_id AS u, event_type AS etype,
+                       count(*) AS cnt, min(ts::DATE) AS fd,
+                       sum(round(value * 100)::BIGINT) AS cents
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT u, etype,
+                       row_number() OVER (PARTITION BY u
+                           ORDER BY cnt DESC, etype) AS rn,
+                       sum(cnt) OVER (PARTITION BY u) AS n_events,
+                       min(fd) OVER (PARTITION BY u) AS first_day,
+                       sum(cents) OVER (PARTITION BY u) AS spend_cents
+                FROM per_type
+            ),
+            profiles AS (
+                SELECT first_day, etype AS dominant_type,
+                       CASE WHEN n_events <= 1 THEN '1'
+                            WHEN n_events <= 3 THEN '2-3'
+                            WHEN n_events <= 7 THEN '4-7'
+                            WHEN n_events <= 15 THEN '8-15'
+                            ELSE '16+' END AS activity_bucket,
+                       CASE WHEN spend_cents < 250000 THEN 'low'
+                            WHEN spend_cents < 350000 THEN 'mid'
+                            WHEN spend_cents < 450000 THEN 'high'
+                            ELSE 'top' END AS spend_bucket
+                FROM ranked WHERE rn = 1
+            )
+            SELECT first_day, dominant_type, activity_bucket,
+                   count(*)::BIGINT AS n_users,
+                   count(DISTINCT spend_bucket)::BIGINT AS n_sensitive,
+                   count(*) >= 5 AS k_anonymous,
+                   count(DISTINCT spend_bucket) >= 2 AS l_diverse
+            FROM profiles GROUP BY 1, 2, 3
+        """,
+        # behavior_entropy: one-aggregation entropy identity; iat is
+        # date_diff('second') == Spark's truncating epoch-long diff
+        "behavior_entropy": """
+            WITH steps AS (
+                SELECT user_id AS u,
+                       lag(event_type) OVER w AS prev_type,
+                       event_type AS next_type,
+                       date_diff('second', lag(ts) OVER w, ts) AS iat
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            filtered AS (SELECT * FROM steps WHERE prev_type IS NOT NULL),
+            edges AS (
+                SELECT u, prev_type, next_type, count(*)::BIGINT AS n
+                FROM filtered GROUP BY 1, 2, 3
+            ),
+            ent AS (
+                SELECT u, sum(n)::BIGINT AS n_steps,
+                       sum(n * log2(n)) AS s2,
+                       max(n) AS top_n
+                FROM edges GROUP BY 1
+            ),
+            iat_stats AS (
+                SELECT u, avg(iat) AS iat_mean,
+                       stddev_pop(iat) AS iat_sd
+                FROM filtered GROUP BY 1
+            )
+            SELECT ent.u AS user, n_steps,
+                   abs(round(log2(n_steps) - s2 / n_steps, 6))
+                       AS entropy_bits,
+                   round(top_n / n_steps::DOUBLE, 6)
+                       AS top_transition_frac,
+                   round(iat_mean, 6) AS iat_mean_sec,
+                   round(CASE WHEN iat_mean > 0 THEN iat_sd / iat_mean
+                              ELSE 0.0 END, 6) AS iat_cv
+            FROM ent JOIN iat_stats USING (u)
         """,
         # psi_drift: same bucket math, +0.5 continuity correction,
         # spine keeps empty buckets on both engines

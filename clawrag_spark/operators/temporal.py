@@ -426,3 +426,75 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("prob"),
     )
+
+
+def behavior_entropy(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-user behavioral regularity — the bot/crawler signal built
+    on :func:`event_transitions`: the Shannon entropy of the user's
+    own transition distribution, the share of their single most
+    common transition, and the inter-arrival coefficient of variation.
+    Scripted clients sit in the low-entropy / high-top-share /
+    low-CV corner; humans are diffuse on all three.
+
+    Entropy uses the aggregation identity
+    ``H = log2(N) - sum(n * log2 n) / N`` so ONE groupBy computes it —
+    no per-user window over probabilities.  Inter-arrival math is in
+    whole epoch seconds (BIGINT lag diff).  Users with a single event
+    have no transitions and are excluded (documented).
+
+    Scale shape: one per-user lag window, one groupBy(user, prev,
+    next), one groupBy(user) + a user-keyed join of the two 1-row-
+    per-user aggregates.  Returns (user, n_steps, entropy_bits,
+    top_transition_frac, iat_mean_sec, iat_cv) rounded 6 dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    steps = events.select(
+        F.col(user_col).alias("user"),
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+        (
+            F.unix_timestamp(ts_col)
+            - F.lag(F.unix_timestamp(ts_col)).over(w)
+        ).alias("iat"),
+    ).filter(F.col("prev_type").isNotNull())
+    edges = steps.groupBy("user", "prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    ent = edges.groupBy("user").agg(
+        F.sum("n").alias("n_steps"),
+        F.sum(F.col("n") * F.log2("n")).alias("s2"),
+        F.max("n").alias("top_n"),
+    )
+    iat = steps.groupBy("user").agg(
+        F.avg("iat").alias("iat_mean"),
+        F.stddev_pop("iat").alias("iat_sd"),
+    )
+    return ent.join(iat, "user").select(
+        F.col("user"),
+        "n_steps",
+        # abs: H >= 0 mathematically, but a single-transition user
+        # computes log2(N) - (N*log2 N)/N, which each engine may land
+        # at +-1 ulp of zero -> round gives -0.0 on one and +0.0 on
+        # the other; abs folds both to +0.0
+        F.abs(
+            F.round(
+                F.log2("n_steps") - F.col("s2") / F.col("n_steps"), 6
+            )
+        ).alias("entropy_bits"),
+        F.round(F.col("top_n") / F.col("n_steps"), 6).alias(
+            "top_transition_frac"
+        ),
+        F.round("iat_mean", 6).alias("iat_mean_sec"),
+        F.round(
+            F.when(
+                F.col("iat_mean") > 0, F.col("iat_sd") / F.col("iat_mean")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("iat_cv"),
+    )

@@ -5136,3 +5136,78 @@ def k_anonymity(
             (F.col("n_users") < k).alias("suppressed"),
         )
     )
+
+
+def l_diversity(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    *,
+    k: int = 5,
+    l_distinct: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the k-anonymity
+    follow-up: a quasi-identifier class can be large enough (>= k)
+    yet still leak if every member shares the same SENSITIVE value
+    (the homogeneity attack k-anonymity misses).  Quasi tuple is the
+    same behavioral profile as :func:`k_anonymity`; the sensitive
+    attribute is the user's spend bucket.
+
+    Spend is aggregated as INTEGER CENTS (``sum(round(value * 100))``)
+    so the bucket thresholds compare exact integers — float sum
+    association can never flip a boundary between engines.  Scale
+    shape: one scan, the same two-level groupBy as k_anonymity, plus
+    an exact distinct count of <=|buckets| sensitive values per class.
+    Returns (first_day, dominant_type, activity_bucket, n_users,
+    n_sensitive, k_anonymous, l_diverse).
+    """
+    per_type = events.groupBy(
+        F.col(user_col).alias("user"), F.col(type_col).alias("etype")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.min(F.to_date(ts_col)).alias("fd"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"),
+    )
+    profiles = (
+        per_type.groupBy("user")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("etype")))
+            .alias("top"),
+            F.sum("cnt").alias("n_events"),
+            F.min("fd").alias("first_day"),
+            F.sum("cents").alias("spend_cents"),
+        )
+        .select(
+            F.col("top.etype").alias("dominant_type"),
+            F.when(F.col("n_events") <= 1, "1")
+            .when(F.col("n_events") <= 3, "2-3")
+            .when(F.col("n_events") <= 7, "4-7")
+            .when(F.col("n_events") <= 15, "8-15")
+            .otherwise("16+")
+            .alias("activity_bucket"),
+            "first_day",
+            F.when(F.col("spend_cents") < 250000, "low")
+            .when(F.col("spend_cents") < 350000, "mid")
+            .when(F.col("spend_cents") < 450000, "high")
+            .otherwise("top")
+            .alias("spend_bucket"),
+        )
+    )
+    return (
+        profiles.groupBy("first_day", "dominant_type", "activity_bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.countDistinct("spend_bucket").alias("n_sensitive"),
+        )
+        .select(
+            "first_day",
+            "dominant_type",
+            "activity_bucket",
+            "n_users",
+            "n_sensitive",
+            (F.col("n_users") >= k).alias("k_anonymous"),
+            (F.col("n_sensitive") >= l_distinct).alias("l_diverse"),
+        )
+    )

@@ -767,3 +767,9 @@ class TestRound4SessionPlans:
             plan = plan_of(q(spark, SF_DIR))
             assert "EvalPython" not in plan
             assert "CartesianProduct" not in plan
+
+    def test_l_diversity_behavior_entropy_no_python(self, spark):
+        for q in (entry_mod.q_l_diversity, entry_mod.q_behavior_entropy):
+            plan = plan_of(q(spark, SF_DIR))
+            assert "EvalPython" not in plan
+            assert "CartesianProduct" not in plan

@@ -343,3 +343,41 @@ def test_event_transitions_probs(spark):
     assert got[("click", "view")]["prob"] == 1.0
     assert got[("b", "a")]["n"] == 1  # event_id tie-break
     assert ("a", "b") not in got
+
+
+def test_behavior_entropy_bot_vs_diffuse(spark):
+    """A strictly periodic one-transition user scores exactly 0 bits
+    (never -0.0), top share 1.0, CV 0; a diffuse user scores the
+    hand-computed entropy of their transition counts."""
+    import datetime as dt
+    import math
+
+    from clawrag_spark.operators.temporal import behavior_entropy
+
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    rows = [(i, t + i * s, 1, "ping") for i in range(5)]  # bot: 4 steps
+    # user 2: a-b, b-a, a-c (counts 1,1,1 -> H = log2(3))
+    seq = ["a", "b", "a", "c"]
+    rows += [
+        (100 + i, t + i * dt.timedelta(seconds=10 * (i + 1)), 2, e)
+        for i, e in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user"]: r
+        for r in behavior_entropy(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    bot = got[1]
+    assert bot["n_steps"] == 4
+    assert bot["entropy_bits"] == 0.0 and str(bot["entropy_bits"]) == "0.0"
+    assert bot["top_transition_frac"] == 1.0
+    assert bot["iat_mean_sec"] == 60.0 and bot["iat_cv"] == 0.0
+    diffuse = got[2]
+    assert diffuse["n_steps"] == 3
+    assert diffuse["entropy_bits"] == round(math.log2(3), 6)
+    assert diffuse["top_transition_frac"] == round(1 / 3, 6)

@@ -2552,3 +2552,35 @@ def test_unimax_mix_matches_iterative_reference(spark):
             abs(sum(r["alloc_chars"] for r in got.values())
                 - min(budget, 2 * sum(chars.values()))) < 1e-3
         )
+
+
+# ---------------------------------------------------------- l_diversity
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    """A class that is k-anonymous but spend-homogeneous fails
+    l-diversity; mixed spend buckets pass; cents math is integer."""
+    import datetime as dt
+
+    from clawrag_spark.operators.webtext import l_diversity
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # users 1,2: same profile, both 'low' spend (homogeneous)
+    for u in (1, 2):
+        rows += [(u, t0, "view", 10.0), (u, t0, "view", 10.0)]
+    # users 3,4: same profile as each other, different spend buckets
+    rows += [(3, t0, "click", 100.0), (3, t0, "click", 100.0)]
+    rows += [(4, t0, "click", 2000.0), (4, t0, "click", 2000.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["dominant_type"]: r
+        for r in l_diversity(
+            ev, "user_id", "ts", "event_type", "value", k=2, l_distinct=2
+        ).collect()
+    }
+    assert got["view"]["n_users"] == 2 and got["view"]["k_anonymous"]
+    assert got["view"]["n_sensitive"] == 1 and not got["view"]["l_diverse"]
+    assert got["click"]["n_sensitive"] == 2 and got["click"]["l_diverse"]
