@@ -4996,6 +4996,54 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_dup_histogram(spark, sf_dir):
+    """Duplication-level corpus profile ("how duplicated is my
+    corpus"): near-dup clusters from the same MinHash-band + CC chain
+    as `dedup_clusters`, singletons joined back from the doc spine,
+    then the cluster-SIZE histogram with doc/char mass and corpus
+    char share per level — the datasheet row dedup decisions are
+    made from (chars at dup-level >= 2 = the removable mass)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pairs = DS.minhash_candidate_pairs(docs, "doc_id", "text", n_bands=4)
+    cc = DS.connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(cc.withColumnRenamed("n", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum("n_chars").alias("chars"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("chars").alias("n_chars"),
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        "n_chars",
+        F.round(
+            F.col("n_chars") / F.sum("n_chars").over(w_all), 6
+        ).alias("char_share"),
+    )
+
+
+def q_hour_profile(spark, sf_dir):
+    """Per-user diurnal concentration (bot signal on the time axis):
+    24-bin hour histogram entropy, peak hour and share.  groupBy(user,
+    hour) map-side partials then one groupBy(user)."""
+    from clawrag_spark.operators.temporal import hour_profile
+
+    ev = _load(spark, sf_dir, "events")
+    return hour_profile(ev, "user_id", "ts")
+
+
 def q_l_diversity(spark, sf_dir):
     """l-diversity audit: the k-anonymity quasi classes must also show
     >= 2 distinct sensitive spend buckets (homogeneity attack).  Spend
@@ -5450,6 +5498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "l_diversity": q_l_diversity,
         "behavior_entropy": q_behavior_entropy,
+        "dup_histogram": q_dup_histogram,
+        "hour_profile": q_hour_profile,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -10832,6 +10882,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": dedup_cc_cte + """
             SELECT doc_id, cluster_id FROM clusters
+        """,
+        # dup_histogram: shared CC chain + singleton spine, then the
+        # cluster-size histogram with corpus char shares
+        "dup_histogram": dedup_cc_cte + """,
+            labeled AS (
+                SELECT d.doc_id, d.n_chars,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                FROM (SELECT doc_id, n_chars FROM documents
+                      WHERE doc_id < 120) d
+                LEFT JOIN clusters c ON c.doc_id = d.doc_id
+            ),
+            sizes AS (
+                SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+                       sum(n_chars)::BIGINT AS chars
+                FROM labeled GROUP BY 1
+            )
+            SELECT cluster_size,
+                   count(*)::BIGINT AS n_clusters,
+                   (cluster_size * count(*))::BIGINT AS n_docs,
+                   sum(chars)::BIGINT AS n_chars,
+                   round(sum(chars) / (sum(sum(chars)) OVER ())::DOUBLE,
+                         6) AS char_share
+            FROM sizes GROUP BY 1
+        """,
+        # hour_profile: same entropy identity and min(-cnt, hr) peak
+        # pick; hour() on naive-UTC timestamps matches both engines
+        "hour_profile": """
+            WITH per_hour AS (
+                SELECT user_id AS u, hour(ts) AS hr,
+                       count(*)::BIGINT AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT u, hr, cnt,
+                       row_number() OVER (PARTITION BY u
+                           ORDER BY cnt DESC, hr) AS rn,
+                       sum(cnt) OVER (PARTITION BY u) AS n_events,
+                       count(*) OVER (PARTITION BY u) AS n_active_hours,
+                       max(cnt) OVER (PARTITION BY u) AS top_n,
+                       sum(cnt * log2(cnt)) OVER (PARTITION BY u) AS s2
+                FROM per_hour
+            )
+            SELECT u AS user, n_events, n_active_hours,
+                   hr AS peak_hour,
+                   round(top_n / n_events::DOUBLE, 6) AS peak_share,
+                   abs(round(log2(n_events) - s2 / n_events, 6))
+                       AS hour_entropy_bits
+            FROM ranked WHERE rn = 1
         """,
         # dedup_best_rep: shared CC chain + singleton spine join + the
         # same (quality DESC, id ASC) window as the Spark operator

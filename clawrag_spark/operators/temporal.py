@@ -498,3 +498,55 @@ def behavior_entropy(
             6,
         ).alias("iat_cv"),
     )
+
+
+def hour_profile(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-user diurnal concentration — the :func:`behavior_entropy`
+    complement on the TIME axis: humans concentrate activity in a
+    handful of waking hours (moderate entropy, clear peak), scripted
+    clients run flat around the clock (near-log2(24) entropy, peak
+    share ~ 1/24) or in a single cron hour (zero entropy, share 1.0).
+
+    Same one-aggregation entropy identity as behavior_entropy
+    (``H = log2 N - sum(n log2 n)/N``, abs-folded so the one-hour user
+    lands on +0.0 on every engine); peak hour picked by
+    ``min(struct(-cnt, hour))`` — largest count, ties to the earliest
+    hour.  Scale shape: groupBy(user, hour) with map-side partial
+    counts (<= 24 rows/user) then groupBy(user).  Returns (user,
+    n_events, n_active_hours, peak_hour, peak_share,
+    hour_entropy_bits) rounded 6 dp.
+    """
+    per_hour = events.groupBy(
+        F.col(user_col).alias("user"),
+        F.hour(ts_col).alias("hr"),
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        per_hour.groupBy("user")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.count("*").alias("n_active_hours"),
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("hr")))
+            .alias("peak"),
+            F.max("cnt").alias("top_n"),
+            F.sum(F.col("cnt") * F.log2("cnt")).alias("s2"),
+        )
+        .select(
+            "user",
+            "n_events",
+            "n_active_hours",
+            F.col("peak.hr").alias("peak_hour"),
+            F.round(F.col("top_n") / F.col("n_events"), 6).alias(
+                "peak_share"
+            ),
+            F.abs(
+                F.round(
+                    F.log2("n_events") - F.col("s2") / F.col("n_events"),
+                    6,
+                )
+            ).alias("hour_entropy_bits"),
+        )
+    )

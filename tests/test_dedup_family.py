@@ -1356,3 +1356,24 @@ def test_fellegi_sunter_weights_and_decisions(spark):
     assert got[(2, 102)]["weight"] == w_miss
     assert got[(2, 102)]["decision"] == "non_match"
     assert got[(2, 101)]["agree_name"] is False
+
+
+def test_dup_histogram_masses_conserved(spark):
+    """Histogram doc/char masses sum to the corpus; char shares sum
+    to 1; dup-level-2 rows carry exactly the planted duplicate pair."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    hist = entry_mod.q_dup_histogram(spark, sf).collect()
+    docs = (
+        entry_mod._load(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .agg(F.count("*"), F.sum("n_chars"))
+        .collect()[0]
+    )
+    assert sum(r["n_docs"] for r in hist) == docs[0]
+    assert sum(r["n_chars"] for r in hist) == docs[1]
+    assert abs(sum(r["char_share"] for r in hist) - 1.0) < 1e-5
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in hist)

@@ -773,3 +773,8 @@ class TestRound4SessionPlans:
             plan = plan_of(q(spark, SF_DIR))
             assert "EvalPython" not in plan
             assert "CartesianProduct" not in plan
+
+    def test_hour_profile_two_level_agg_no_python(self, spark):
+        plan = plan_of(entry_mod.q_hour_profile(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan

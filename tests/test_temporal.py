@@ -381,3 +381,28 @@ def test_behavior_entropy_bot_vs_diffuse(spark):
     assert diffuse["n_steps"] == 3
     assert diffuse["entropy_bits"] == round(math.log2(3), 6)
     assert diffuse["top_transition_frac"] == round(1 / 3, 6)
+
+
+def test_hour_profile_cron_vs_flat(spark):
+    """Single-hour 'cron' user: entropy exactly 0.0 (+0.0, never
+    -0.0), share 1.0; a perfectly flat 4-hour user: entropy exactly
+    2 bits, peak tie resolves to the earliest hour."""
+    import datetime as dt
+
+    from clawrag_spark.operators.temporal import hour_profile
+
+    rows = [(1, dt.datetime(2024, 1, 1 + d, 3, 5, 0)) for d in range(6)]
+    rows += [
+        (2, dt.datetime(2024, 1, 1, h, 0, 0)) for h in (9, 11, 13, 15)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["user"]: r for r in hour_profile(ev, "user_id", "ts").collect()
+    }
+    cron = got[1]
+    assert cron["n_active_hours"] == 1 and cron["peak_hour"] == 3
+    assert cron["peak_share"] == 1.0
+    assert str(cron["hour_entropy_bits"]) == "0.0"
+    flat = got[2]
+    assert flat["hour_entropy_bits"] == 2.0
+    assert flat["peak_hour"] == 9 and flat["peak_share"] == 0.25
