@@ -4996,6 +4996,50 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private per-language doc counts: Laplace(1/eps)
+    noise from the salted-md5 deterministic uniform (engine-portable),
+    inverse-CDF rounded to 9 dp to absorb libm ln() ulps, clamped at
+    0.  The true count never appears in the release."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.dp_release_counts(docs, "lang", epsilon=1.0, salt="dp")
+
+
+def q_matryoshka_report(spark, sf_dir):
+    """Matryoshka truncation-quality report: cosine similarity of
+    deterministic adjacent-id pairs at full 64 dims vs prefix 32/16
+    dims (MRL-era storage decision: how much ranking signal survives
+    truncation).  Vectors cast to DOUBLE before any product so both
+    engines multiply identical doubles; deltas aggregate per dim."""
+    from clawrag_spark.operators.retrieval import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ia"), dvec.alias("va")
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("ia"), dvec.alias("vb"))
+    pairs = a.join(b, "ia")
+    cosd = pairs.select(
+        "ia",
+        cosine(F.col("va"), F.col("vb")).alias("c64"),
+        cosine(F.slice("va", 1, 32), F.slice("vb", 1, 32)).alias("c32"),
+        cosine(F.slice("va", 1, 16), F.slice("vb", 1, 16)).alias("c16"),
+    )
+    rows = cosd.select(
+        F.expr(
+            "stack(3, 64, c64, c64 - c64, 32, c32, c32 - c64,"
+            " 16, c16, c16 - c64) AS (dim, cos_sim, delta)"
+        )
+    )
+    return rows.groupBy("dim").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("cos_sim"), 6).alias("mean_cos"),
+        F.round(F.avg(F.abs("delta")), 6).alias("mean_abs_delta"),
+        F.round(F.max(F.abs("delta")), 6).alias("max_abs_delta"),
+    )
+
+
 def q_dup_histogram(spark, sf_dir):
     """Duplication-level corpus profile ("how duplicated is my
     corpus"): near-dup clusters from the same MinHash-band + CC chain
@@ -5500,6 +5544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "behavior_entropy": q_behavior_entropy,
         "dup_histogram": q_dup_histogram,
         "hour_profile": q_hour_profile,
+        "dp_counts": q_dp_counts,
+        "matryoshka_report": q_matryoshka_report,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -10930,6 +10976,59 @@ def oracle_sql() -> dict[str, str]:
                    abs(round(log2(n_events) - s2 / n_events, 6))
                        AS hour_entropy_bits
             FROM ranked WHERE rn = 1
+        """,
+        # dp_counts: same salted-md5 uniform -> Laplace inverse CDF,
+        # noise rounded 9 dp (ln ulps), release clamped at 0
+        "dp_counts": """
+            WITH counts AS (
+                SELECT lang AS grp, count(*)::BIGINT AS n
+                FROM documents GROUP BY 1
+            ),
+            noised AS (
+                SELECT grp, n,
+                       ((('0x' || substr(md5('dp|' || grp), 1, 15))::BIGINT
+                         + 1) / 1.152921504606847e+18) - 0.5 AS c
+                FROM counts
+            )
+            SELECT grp AS lang,
+                   greatest(round(n + round(
+                       -1.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 9), 6),
+                       0.0) AS noisy_count,
+                   1.0 AS epsilon,
+                   1.0 AS sensitivity
+            FROM noised
+        """,
+        # matryoshka_report: identical DOUBLE-cast vectors, DuckDB
+        # list slices + list_cosine_similarity, same stacked deltas
+        "matryoshka_report": """
+            WITH a AS (
+                SELECT vec_id AS ia, embedding::DOUBLE[] AS va
+                FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            b AS (
+                SELECT vec_id - 1 AS ia, embedding::DOUBLE[] AS vb
+                FROM embeddings
+            ),
+            cosd AS (
+                SELECT ia,
+                       list_cosine_similarity(va, vb) AS c64,
+                       list_cosine_similarity(va[1:32], vb[1:32]) AS c32,
+                       list_cosine_similarity(va[1:16], vb[1:16]) AS c16
+                FROM a JOIN b USING (ia)
+            ),
+            u AS (
+                SELECT 64 AS dim, c64 AS cos_sim, c64 - c64 AS delta
+                FROM cosd
+                UNION ALL
+                SELECT 32, c32, c32 - c64 FROM cosd
+                UNION ALL
+                SELECT 16, c16, c16 - c64 FROM cosd
+            )
+            SELECT dim, count(*)::BIGINT AS n_pairs,
+                   round(avg(cos_sim), 6) AS mean_cos,
+                   round(avg(abs(delta)), 6) AS mean_abs_delta,
+                   round(max(abs(delta)), 6) AS max_abs_delta
+            FROM u GROUP BY 1
         """,
         # dedup_best_rep: shared CC chain + singleton spine join + the
         # same (quality DESC, id ASC) window as the Spark operator

@@ -5211,3 +5211,61 @@ def l_diversity(
             (F.col("n_sensitive") >= l_distinct).alias("l_diverse"),
         )
     )
+
+
+def dp_release_counts(
+    df: DataFrame,
+    group_col: str,
+    *,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release (Dwork 2006): per-group
+    counts + Laplace(sensitivity/epsilon) noise — the mechanism for
+    publishing corpus composition stats (docs per language/source)
+    when the collection itself is sensitive.  Count queries have
+    sensitivity 1, so the noise scale is 1/epsilon.
+
+    The Laplace draw is DETERMINISTIC given the salt: u in (0,1) from
+    the group's salted md5 (the repo's hex->BIGINT uniform), inverse
+    CDF ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)``, rounded to 9 dp
+    to absorb last-ulp ln() differences between engine libms — the
+    same engine-parity trick as weighted_sample's pow().  (A secret
+    salt is the seed; determinism aids reproducible releases and
+    testing, and u is bounded away from 0/1 by the 60-bit grid so the
+    noise is always finite.)  Released counts are clamped at 0
+    (post-processing preserves DP).
+
+    Scale shape: ONE map-side-partial groupBy; the noise is expression
+    work on the |groups|-row result.  Returns (group, noisy_count,
+    epsilon, sensitivity) — the true count deliberately does NOT
+    appear in the release.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("grp"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    c = u - F.lit(0.5)
+    noise = F.round(
+        -F.lit(1.0 / epsilon)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(c)),
+        9,
+    )
+    return counts.select(
+        F.col("grp").alias(group_col),
+        F.greatest(F.round(F.col("n") + noise, 6), F.lit(0.0)).alias(
+            "noisy_count"
+        ),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(1.0).alias("sensitivity"),
+    )

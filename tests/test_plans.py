@@ -778,3 +778,9 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_hour_profile(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_dp_matryoshka_expression_only(self, spark):
+        for q in (entry_mod.q_dp_counts, entry_mod.q_matryoshka_report):
+            plan = plan_of(q(spark, SF_DIR))
+            assert "EvalPython" not in plan
+            assert "CartesianProduct" not in plan

@@ -2584,3 +2584,34 @@ def test_l_diversity_homogeneous_class_flagged(spark):
     assert got["view"]["n_users"] == 2 and got["view"]["k_anonymous"]
     assert got["view"]["n_sensitive"] == 1 and not got["view"]["l_diverse"]
     assert got["click"]["n_sensitive"] == 2 and got["click"]["l_diverse"]
+
+
+# ---------------------------------------------------------- dp_release
+
+
+def test_dp_release_counts_deterministic_and_scaled(spark):
+    """Same salt -> identical release; eps=0.5 noise is exactly 2x the
+    eps=1 noise (same uniform); releases never go negative; true count
+    column is absent."""
+    import pytest
+
+    from clawrag_spark.operators.webtext import dp_release_counts
+
+    docs = spark.createDataFrame(
+        [("en",)] * 7 + [("de",)] * 2, "lang string"
+    )
+    r1 = {r["lang"]: r for r in dp_release_counts(docs, "lang").collect()}
+    r1b = {r["lang"]: r for r in dp_release_counts(docs, "lang").collect()}
+    assert r1 == r1b
+    assert "n" not in next(iter(r1.values())).asDict()
+    assert all(r["noisy_count"] >= 0.0 for r in r1.values())
+    r_half = {
+        r["lang"]: r
+        for r in dp_release_counts(docs, "lang", epsilon=0.5).collect()
+    }
+    for lang, true_n in (("en", 7), ("de", 2)):
+        n1 = r1[lang]["noisy_count"] - true_n
+        n2 = r_half[lang]["noisy_count"] - true_n
+        assert abs(n2 - 2 * n1) < 2e-6, (lang, n1, n2)
+    with pytest.raises(ValueError):
+        dp_release_counts(docs, "lang", epsilon=0.0)
