@@ -54,6 +54,64 @@ _FS_W = [
     (math.log2(0.95 / 0.25), math.log2(0.05 / 0.75)),     # seg
 ]
 
+# Composable-oracle tails: appended to a sibling oracle wrapped as a
+# CTE (see the end of oracle_sql) so gate logic has exactly ONE SQL
+# transcription.  Kappa/AUC math is integer counts + one division, so
+# both engines compute identical doubles before the round.
+_FILTER_AGREEMENT_TAIL = """
+    , d AS (SELECT doc_id, n_chars FROM documents),
+    flags AS (
+        SELECT g.keep AS a, d.n_chars BETWEEN 250 AND 450 AS b
+        FROM g JOIN d USING (doc_id)
+    ),
+    c AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+               sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+               sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+               sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                   AS n00
+        FROM flags
+    ),
+    k AS (
+        SELECT n, n11, n10, n01, n00,
+               (n11 + n00) / n::DOUBLE AS po,
+               ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                   / (n::DOUBLE * n) AS pe
+        FROM c
+    )
+    SELECT n AS n_docs, n11 AS n_both_keep, n10 AS n_a_only,
+           n01 AS n_b_only, n00 AS n_neither,
+           round(po, 6) AS agreement,
+           round(CASE WHEN pe = 1.0 THEN 1.0
+                      ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+    FROM k
+"""
+
+_FILTER_AUC_TAIL = """
+    , sc AS (
+        SELECT ce.doc_id, ce.entropy_bits AS score, d.lang = 'en' AS pos
+        FROM ce JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT pos,
+               rank() OVER (ORDER BY score) AS r,
+               count(*) OVER (PARTITION BY score) AS t
+        FROM sc
+    ),
+    s AS (
+        SELECT sum(CASE WHEN pos THEN r + (t - 1) / 2.0 ELSE 0 END)
+                   AS rsum,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n0
+        FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round((rsum - n1 * (n1 + 1) / 2.0) / (n1::DOUBLE * n0), 6)
+               AS auc
+    FROM s
+"""
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -4996,6 +5054,147 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_filter_agreement(spark, sf_dir):
+    """Cohen's kappa between two quality gates (Gopher keep vs a cheap
+    length gate) — the filter-comparison measurement run before
+    swapping an expensive gate for a cheap one.  One scan, one 1-row
+    aggregate; kappa from exact integer counts, identical double math
+    on both engines."""
+    docs = _load(spark, sf_dir, "documents")
+    g = WT.gopher_quality_gate(docs, "doc_id", "text", min_words=20)
+    flags = g.select("doc_id", F.col("keep").alias("a")).join(
+        docs.select(
+            "doc_id", F.col("n_chars").between(250, 450).alias("b")
+        ),
+        "doc_id",
+    )
+    c = flags.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("n11"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).alias("n10"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).alias("n01"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long")).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n").cast("double")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        F.col("n").alias("n_docs"),
+        F.col("n11").alias("n_both_keep"),
+        F.col("n10").alias("n_a_only"),
+        F.col("n01").alias("n_b_only"),
+        F.col("n00").alias("n_neither"),
+        F.round(po, 6).alias("agreement"),
+        F.round(
+            F.when(pe == 1.0, F.lit(1.0)).otherwise(
+                (po - pe) / (F.lit(1.0) - pe)
+            ),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def q_filter_auc(spark, sf_dir):
+    """Exact Mann-Whitney AUC of a cheap score (letter entropy)
+    against a label (lang == 'en') — "how predictive is my cheap
+    signal" before thresholding it.  Tie-correct average ranks come
+    from the DISTRIBUTED two-phase global rank (packing.global_rank:
+    range shuffle + broadcast offsets — never a single-partition
+    window); tie-group average rank = avg of the contiguous
+    row-numbers, exact in halves, so the AUC is engine-exact."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    ce = WT.char_entropy(docs, "doc_id", "text")
+    sc = ce.select(
+        "doc_id", F.col("entropy_bits").alias("score")
+    ).join(docs.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id")
+    rn = PK.global_rank(
+        sc, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="rn"
+    )
+    grp = rn.groupBy("score").agg(F.avg("rn").alias("avg_r"))
+    s = (
+        rn.join(grp, "score")
+        .agg(
+            F.sum(F.when(F.col("pos"), F.col("avg_r")).otherwise(0.0)).alias(
+                "rsum"
+            ),
+            F.sum(F.col("pos").cast("long")).alias("n1"),
+            F.sum((~F.col("pos")).cast("long")).alias("n0"),
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("rsum") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1").cast("double") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def q_triplet_mining(spark, sf_dir):
+    """Supervised triplet mining over the labeled embeddings (the
+    contrastive-training data prep): per anchor, the highest-cosine
+    SAME-label vector (positive) and highest-cosine DIFFERENT-label
+    vector (hard negative), with the margin.  Anchors broadcast
+    (knn_join shape: one corpus scan), DOUBLE-cast cosines, ties to
+    the smaller vec_id."""
+    from clawrag_spark.operators.retrieval import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    anchors = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        dvec.alias("avec"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        dvec.alias("cvec"),
+    )
+    scored = (
+        cands.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cid") != F.col("aid"))
+        .select(
+            "aid",
+            "cid",
+            (F.col("clabel") == F.col("alabel")).alias("same"),
+            cosine(F.col("avec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("aid", "same").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    best = scored.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    pos = best.filter(F.col("same")).select(
+        "aid",
+        F.col("cid").alias("pos_id"),
+        F.round("cos", 6).alias("pos_cos"),
+        F.col("cos").alias("_pc"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "aid",
+        F.col("cid").alias("neg_id"),
+        F.round("cos", 6).alias("neg_cos"),
+        F.col("cos").alias("_nc"),
+    )
+    return pos.join(neg, "aid").select(
+        F.col("aid").alias("anchor_id"),
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("_pc") - F.col("_nc"), 6).alias("margin"),
+    )
+
+
 def q_dp_counts(spark, sf_dir):
     """Differentially-private per-language doc counts: Laplace(1/eps)
     noise from the salted-md5 deterministic uniform (engine-portable),
@@ -5546,6 +5745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_profile": q_hour_profile,
         "dp_counts": q_dp_counts,
         "matryoshka_report": q_matryoshka_report,
+        "filter_agreement": q_filter_agreement,
+        "filter_auc": q_filter_auc,
+        "triplet_mining": q_triplet_mining,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -6526,7 +6728,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT n AS doc_id, least(n, min(m)) AS cluster_id
                 FROM reach GROUP BY n
             )"""
-    return {
+    sqls = {
         # train_val_split: same salted-md5 prefix vs the same 15-hex
         # threshold literal (0.3 * 16^15) on both engines
         "train_val_split": """
@@ -11030,6 +11232,41 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(delta)), 6) AS max_abs_delta
             FROM u GROUP BY 1
         """,
+        # triplet_mining: anchors x corpus cross join, DOUBLE-cast
+        # cosines, row_number per (anchor, same-label) side
+        "triplet_mining": """
+            WITH anchors AS (
+                SELECT vec_id AS aid, label AS alabel,
+                       embedding::DOUBLE[] AS avec
+                FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            scored AS (
+                SELECT a.aid, e.vec_id AS cid,
+                       e.label = a.alabel AS same,
+                       list_cosine_similarity(a.avec,
+                           e.embedding::DOUBLE[]) AS cos
+                FROM embeddings e CROSS JOIN anchors a
+                WHERE e.vec_id <> a.aid
+            ),
+            best AS (
+                SELECT *, row_number() OVER (PARTITION BY aid, same
+                           ORDER BY cos DESC, cid ASC) AS rn
+                FROM scored
+            ),
+            pos AS (
+                SELECT aid, cid AS pos_id, round(cos, 6) AS pos_cos,
+                       cos AS pc
+                FROM best WHERE same AND rn = 1
+            ),
+            neg AS (
+                SELECT aid, cid AS neg_id, round(cos, 6) AS neg_cos,
+                       cos AS nc
+                FROM best WHERE NOT same AND rn = 1
+            )
+            SELECT aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+                   round(pc - nc, 6) AS margin
+            FROM pos JOIN neg USING (aid)
+        """,
         # dedup_best_rep: shared CC chain + singleton spine join + the
         # same (quality DESC, id ASC) window as the Spark operator
         "dedup_best_rep": dedup_cc_cte + """,
@@ -12528,3 +12765,12 @@ def oracle_sql() -> dict[str, str]:
             FROM cells GROUP BY bands, rows_per_band
         """,
     }
+    # Composable oracles: reuse a sibling oracle verbatim as a CTE so
+    # the gate logic exists in exactly ONE SQL transcription.
+    sqls["filter_agreement"] = (
+        "WITH g AS (" + sqls["gopher_quality"] + ")\n" + _FILTER_AGREEMENT_TAIL
+    )
+    sqls["filter_auc"] = (
+        "WITH ce AS (" + sqls["char_entropy"] + ")\n" + _FILTER_AUC_TAIL
+    )
+    return sqls

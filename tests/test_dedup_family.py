@@ -1377,3 +1377,38 @@ def test_dup_histogram_masses_conserved(spark):
     assert sum(r["n_chars"] for r in hist) == docs[1]
     assert abs(sum(r["char_share"] for r in hist) - 1.0) < 1e-5
     assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in hist)
+
+
+def test_triplet_mining_labels_respected(spark):
+    """Every triplet's positive shares the anchor's label, the
+    negative never does, and the positive is the argmax-cos same-label
+    candidate (verified against a numpy brute force)."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod._load(spark, sf, "embeddings").collect()
+    lab = {r["vec_id"]: r["label"] for r in rows}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = entry_mod.q_triplet_mining(spark, sf).collect()
+    assert len(got) == sum(1 for v in lab if v % 20 == 0)
+    for t in got:
+        a = t["anchor_id"]
+        assert lab[t["pos_id"]] == lab[a]
+        assert lab[t["neg_id"]] != lab[a]
+        va = vecs[a] / np.linalg.norm(vecs[a])
+        best, best_cos = None, -2.0
+        for c, vc in vecs.items():
+            if c == a or lab[c] != lab[a]:
+                continue
+            cos = float(va @ (vc / np.linalg.norm(vc)))
+            if cos > best_cos + 1e-12 or (
+                abs(cos - best_cos) <= 1e-12 and (best is None or c < best)
+            ):
+                best, best_cos = c, cos
+        assert t["pos_id"] == best
+        assert abs(t["pos_cos"] - round(best_cos, 6)) <= 1e-6
+        assert t["margin"] == round(
+            (t["pos_cos"] - t["neg_cos"]), 6
+        ) or abs(t["margin"] - (t["pos_cos"] - t["neg_cos"])) <= 2e-6

@@ -784,3 +784,20 @@ class TestRound4SessionPlans:
             plan = plan_of(q(spark, SF_DIR))
             assert "EvalPython" not in plan
             assert "CartesianProduct" not in plan
+
+    def test_filter_metrics_no_python_no_global_window(self, spark):
+        """AUC rides the two-phase distributed rank — the optimized
+        plan must not contain a partition-less Window sort."""
+        plan = plan_of(entry_mod.q_filter_auc(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        for frag in re.findall(r"Window .*", plan):
+            assert "partitionBy" not in frag or "partitionBy=\\[\\]" not in frag
+        plan2 = plan_of(entry_mod.q_filter_agreement(spark, SF_DIR))
+        assert "EvalPython" not in plan2
+        assert "CartesianProduct" not in plan2
+
+    def test_triplet_mining_broadcast_anchors(self, spark):
+        plan = plan_of(entry_mod.q_triplet_mining(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # anchors broadcast
