@@ -5054,6 +5054,37 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_label_outliers(spark, sf_dir):
+    """Noisy-label detection (CleanLab-style, centroid variant): each
+    vector's cosine to its OWN label's centroid, z-scored within the
+    label; z <= -2 flags likely mislabels before contrastive training.
+    Centroids via the ivf_centroids posexplode mean (exact same
+    machinery, label = cell); one |labels|-row broadcast join back;
+    per-label moments are a second |labels|-row aggregate."""
+    emb = _load(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", dvec.alias("vec"))
+    cents = DS.ivf_centroids(base, "vec_id", "vec", "label")
+    from clawrag_spark.operators.retrieval import cosine
+
+    scored = base.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("vec"), F.col("centroid")).alias("cos_c"),
+    )
+    moments = scored.groupBy("label").agg(
+        F.avg("cos_c").alias("mu"), F.stddev_pop("cos_c").alias("sd")
+    )
+    z = (F.col("cos_c") - F.col("mu")) / F.col("sd")
+    return scored.join(F.broadcast(moments), "label").select(
+        "vec_id",
+        "label",
+        F.round("cos_c", 6).alias("cos_to_centroid"),
+        F.round(z, 6).alias("z"),
+        (z <= -2.0).alias("outlier"),
+    )
+
+
 def q_filter_agreement(spark, sf_dir):
     """Cohen's kappa between two quality gates (Gopher keep vs a cheap
     length gate) — the filter-comparison measurement run before
@@ -5748,6 +5779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_agreement": q_filter_agreement,
         "filter_auc": q_filter_auc,
         "triplet_mining": q_triplet_mining,
+        "label_outliers": q_label_outliers,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -11266,6 +11298,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
                    round(pc - nc, 6) AS margin
             FROM pos JOIN neg USING (aid)
+        """,
+        # label_outliers: same posexplode-mean centroids (label = cell)
+        # + per-label z-score of the cosine to own centroid
+        "label_outliers": """
+            WITH cents AS (
+                SELECT label, g.i, avg(embedding[g.i]::DOUBLE) AS m
+                FROM embeddings,
+                     LATERAL UNNEST(generate_series(1, 64)) AS g(i)
+                GROUP BY label, g.i
+            ),
+            centroids AS (
+                SELECT label, list(m ORDER BY i) AS centroid
+                FROM cents GROUP BY label
+            ),
+            scored AS (
+                SELECT e.vec_id, e.label,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.centroid) AS cos_c
+                FROM embeddings e JOIN centroids c USING (label)
+            ),
+            moments AS (
+                SELECT label, avg(cos_c) AS mu, stddev_pop(cos_c) AS sd
+                FROM scored GROUP BY label
+            )
+            SELECT s.vec_id, s.label,
+                   round(s.cos_c, 6) AS cos_to_centroid,
+                   round((s.cos_c - m.mu) / m.sd, 6) AS z,
+                   (s.cos_c - m.mu) / m.sd <= -2.0 AS outlier
+            FROM scored s JOIN moments m USING (label)
         """,
         # dedup_best_rep: shared CC chain + singleton spine join + the
         # same (quality DESC, id ASC) window as the Spark operator

@@ -1412,3 +1412,38 @@ def test_triplet_mining_labels_respected(spark):
         assert t["margin"] == round(
             (t["pos_cos"] - t["neg_cos"]), 6
         ) or abs(t["margin"] - (t["pos_cos"] - t["neg_cos"])) <= 2e-6
+
+
+def test_label_outliers_planted_mislabeled(spark):
+    """A vector planted far from its label's tight cluster gets the
+    most negative z and the outlier flag; cluster members do not."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    rows = []
+    # label 0: 20 tight vectors around e1, plus one planted at -e1
+    for i in range(20):
+        v = [1.0, 0.01 * i] + [0.0] * 62
+        rows.append((i, v, 0))
+    rows.append((99, [-1.0, 0.0] + [0.0] * 62, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import clawrag_spark.operators.dataset as DS
+    from clawrag_spark.operators.retrieval import cosine
+
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", dvec.alias("vec"))
+    cents = DS.ivf_centroids(base, "vec_id", "vec", "label")
+    scored = base.join(F.broadcast(cents), "label").select(
+        "vec_id", cosine(F.col("vec"), F.col("centroid")).alias("cos_c")
+    )
+    m = scored.agg(
+        F.avg("cos_c").alias("mu"), F.stddev_pop("cos_c").alias("sd")
+    ).collect()[0]
+    got = {
+        r["vec_id"]: (r["cos_c"] - m["mu"]) / m["sd"]
+        for r in scored.collect()
+    }
+    assert got[99] == min(got.values()) and got[99] < -2.0
+    assert all(z > -2.0 for vid, z in got.items() if vid != 99)

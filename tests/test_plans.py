@@ -801,3 +801,9 @@ class TestRound4SessionPlans:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # anchors broadcast
+
+    def test_label_outliers_broadcast_centroids_no_python(self, spark):
+        plan = plan_of(entry_mod.q_label_outliers(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
