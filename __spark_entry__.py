@@ -5054,6 +5054,47 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_knn_shapley(spark, sf_dir):
+    """Exact KNN-Shapley data valuation (Jia et al. VLDB 2019): per
+    test point the closed-form recursion telescopes to a suffix sum
+    over similarity ranks — one window, no iteration.  Test points
+    broadcast, one train scan; mean value per train point."""
+    emb = _load(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dvec.alias("vec"), "label")
+    test = base.filter(F.col("vec_id") % 50 == 0)
+    train = base.filter(F.col("vec_id") % 50 != 0)
+    return DS.knn_shapley(train, test, "vec_id", "vec", "label", k=5)
+
+
+def q_length_buckets(spark, sf_dir):
+    """Bucketed-batching efficiency plan (sorted batching): docs
+    binned to 128-char buckets; per bucket the padded vs actual char
+    mass and padding waste — the table that justifies length-bucketed
+    batch construction over pad-to-global-max.  ONE map-side-
+    combinable groupBy; integer math until the final ratio."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = F.ceil(F.col("n_chars") / F.lit(128)).cast("long")
+    agg = docs.select(bucket.alias("bucket"), "n_chars").groupBy(
+        "bucket"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    cap = F.col("bucket") * 128
+    padded = F.col("n_docs") * cap
+    return agg.select(
+        "bucket",
+        cap.alias("bucket_cap"),
+        "n_docs",
+        "n_chars",
+        padded.alias("padded_chars"),
+        F.round(
+            F.lit(1.0) - F.col("n_chars") / padded.cast("double"), 6
+        ).alias("pad_waste"),
+    )
+
+
 def q_label_outliers(spark, sf_dir):
     """Noisy-label detection (CleanLab-style, centroid variant): each
     vector's cosine to its OWN label's centroid, z-scored within the
@@ -5780,6 +5821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_auc": q_filter_auc,
         "triplet_mining": q_triplet_mining,
         "label_outliers": q_label_outliers,
+        "knn_shapley": q_knn_shapley,
+        "length_buckets": q_length_buckets,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -11327,6 +11370,69 @@ def oracle_sql() -> dict[str, str]:
                    round((s.cos_c - m.mu) / m.sd, 6) AS z,
                    (s.cos_c - m.mu) / m.sd <= -2.0 AS outlier
             FROM scored s JOIN moments m USING (label)
+        """,
+        # knn_shapley: identical rank + suffix-sum telescoping; both
+        # engines accumulate the window in frame order
+        "knn_shapley": """
+            WITH t AS (
+                SELECT vec_id AS tid, embedding::DOUBLE[] AS tvec,
+                       label AS tlabel
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            tr AS (
+                SELECT vec_id AS nid, embedding::DOUBLE[] AS nvec,
+                       label AS nlabel
+                FROM embeddings WHERE vec_id % 50 <> 0
+            ),
+            scored AS (
+                SELECT tid, nid,
+                       (nlabel = tlabel)::INT::DOUBLE AS u,
+                       list_cosine_similarity(nvec, tvec) AS cos
+                FROM tr CROSS JOIN t
+            ),
+            ranked AS (
+                SELECT tid, nid, u,
+                       row_number() OVER (PARTITION BY tid
+                           ORDER BY cos DESC, nid) AS i,
+                       count(*) OVER (PARTITION BY tid) AS n
+                FROM scored
+            ),
+            wn AS (
+                SELECT *, lead(u) OVER (PARTITION BY tid ORDER BY i)
+                           AS u_next
+                FROM ranked
+            ),
+            terms AS (
+                SELECT tid, nid, i,
+                       CASE WHEN u_next IS NULL THEN u / n
+                            ELSE (u - u_next)
+                                 / greatest(i::DOUBLE, 5.0) END AS term
+                FROM wn
+            ),
+            shap AS (
+                SELECT tid, nid,
+                       sum(term) OVER (PARTITION BY tid ORDER BY i DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s
+                FROM terms
+            )
+            SELECT nid AS vec_id, round(avg(s), 6) AS mean_shapley,
+                   count(*)::BIGINT AS n_tests
+            FROM shap GROUP BY 1
+        """,
+        # length_buckets: integer bucket caps and char masses, one
+        # division at the end
+        "length_buckets": """
+            SELECT ceil(n_chars / 128.0)::BIGINT AS bucket,
+                   ceil(n_chars / 128.0)::BIGINT * 128 AS bucket_cap,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars,
+                   count(*)::BIGINT * ceil(n_chars / 128.0)::BIGINT * 128
+                       AS padded_chars,
+                   round(1.0 - sum(n_chars)
+                         / (count(*) * ceil(n_chars / 128.0)::BIGINT
+                            * 128)::DOUBLE, 6) AS pad_waste
+            FROM documents GROUP BY 1, 2
         """,
         # dedup_best_rep: shared CC chain + singleton spine join + the
         # same (quality DESC, id ASC) window as the Spark operator

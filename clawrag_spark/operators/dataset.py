@@ -2907,3 +2907,91 @@ def fellegi_sunter_link(
     return joined.select(
         "*", *out_flags, F.round(weight, 6).alias("weight")
     ).withColumn("decision", decision)
+
+
+def knn_shapley(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al. VLDB 2019): the
+    Shapley value of every TRAINING point for a K-NN classifier has a
+    closed form per test point — sort train points by similarity to
+    the test point, then the recursion
+
+        s_(n) = u_(n) / n
+        s_(i) = s_(i+1) + (u_(i) - u_(i+1)) / max(i, K)
+
+    where ``u_(i) = 1`` iff the i-th-nearest train point shares the
+    test label.  Telescoped, ``s_(i)`` is a SUFFIX SUM over ranks —
+    one cumulative window per test point walking farthest→nearest, no
+    per-test iteration.  Points that help classify many test points
+    score high; mislabeled/junk points go negative — the valuation
+    used to prune harmful training data.
+
+    Scale shape: test points broadcast (knn_join shape), ONE train
+    scan, a rank + suffix-sum window per (test) partition, then one
+    map-side-combinable mean over test points.  Ranking/ties: cosine
+    descending with the train id as tie-break (engine-stable); all
+    suffix-sum terms are small rationals accumulated in frame order on
+    both engines, round(6) absorbs last-ulp association.
+
+    Returns (id, mean_shapley, n_tests) — mean value per train point.
+    """
+    from pyspark.sql import Window
+
+    from .retrieval import cosine
+
+    t = test.select(
+        F.col(id_col).alias("tid"),
+        F.col(vec_col).alias("tvec"),
+        F.col(label_col).alias("tlabel"),
+    )
+    tr = train.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = tr.crossJoin(F.broadcast(t)).select(
+        "tid",
+        "nid",
+        (F.col("nlabel") == F.col("tlabel")).cast("double").alias("u"),
+        cosine(F.col("nvec"), F.col("tvec")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("tid").orderBy(F.desc("cos"), F.asc("nid"))
+    ranked = scored.select(
+        "tid",
+        "nid",
+        "u",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(Window.partitionBy("tid")).alias("n"),
+    )
+    # s_i = u_n/n + sum_{j=i..n-1} (u_j - u_{j+1}) / max(j, K): build
+    # the per-rank term, then a suffix cumulative sum ordered by rank
+    # DESC (frame-order accumulation on both engines).
+    w_next = Window.partitionBy("tid").orderBy("i")
+    with_next = ranked.select(
+        "*", F.lead("u").over(w_next).alias("u_next")
+    )
+    term = F.when(
+        F.col("u_next").isNull(), F.col("u") / F.col("n")
+    ).otherwise(
+        (F.col("u") - F.col("u_next"))
+        / F.greatest(F.col("i").cast("double"), F.lit(float(k)))
+    )
+    w_suffix = (
+        Window.partitionBy("tid")
+        .orderBy(F.desc("i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    shap = with_next.select(
+        "tid", "nid", F.sum(term).over(w_suffix).alias("s")
+    )
+    return shap.groupBy(F.col("nid").alias(id_col)).agg(
+        F.round(F.avg("s"), 6).alias("mean_shapley"),
+        F.count("*").alias("n_tests"),
+    )

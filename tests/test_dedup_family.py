@@ -1447,3 +1447,54 @@ def test_label_outliers_planted_mislabeled(spark):
     }
     assert got[99] == min(got.values()) and got[99] < -2.0
     assert all(z > -2.0 for vid, z in got.items() if vid != 99)
+
+
+def test_knn_shapley_reference_and_efficiency(spark):
+    """The windowed suffix-sum recursion matches an independent numpy
+    transcription of Jia et al.'s closed form, and satisfies the
+    Shapley efficiency axiom: per test point the values sum to
+    v(N) = mean of u over the top-K neighbors."""
+    import numpy as np
+
+    from clawrag_spark.operators.dataset import knn_shapley
+    from pyspark.sql import functions as F
+
+    rng = [(i, [((i * 37 + j * 11) % 13) / 13.0 - 0.5 for j in range(8)],
+            i % 3) for i in range(30)]
+    emb = spark.createDataFrame(
+        rng, "vec_id long, embedding array<double>, label int"
+    )
+    test = emb.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id", "embedding as vec", "label"
+    )
+    train = emb.filter(F.col("vec_id") >= 3).selectExpr(
+        "vec_id", "embedding as vec", "label"
+    )
+    K = 4
+    got = {
+        r["vec_id"]: r["mean_shapley"]
+        for r in knn_shapley(train, test, "vec_id", "vec", "label", k=K)
+        .collect()
+    }
+
+    vecs = {i: np.array(v) for i, v, _ in rng}
+    labs = {i: l for i, _, l in rng}
+    per_train = {i: [] for i in labs if i >= 3}
+    for t in range(3):
+        vt = vecs[t] / np.linalg.norm(vecs[t])
+        order = sorted(
+            (i for i in labs if i >= 3),
+            key=lambda i: (-float(vt @ (vecs[i] / np.linalg.norm(vecs[i]))), i),
+        )
+        n = len(order)
+        u = [1.0 if labs[i] == labs[t] else 0.0 for i in order]
+        s = [0.0] * n
+        s[n - 1] = u[n - 1] / n
+        for j in range(n - 2, -1, -1):
+            s[j] = s[j + 1] + (u[j] - u[j + 1]) / max(j + 1, K)
+        for rank, i in enumerate(order):
+            per_train[i].append(s[rank])
+        # efficiency: sum_i s_i == mean(u over top-K)
+        assert abs(sum(s) - sum(u[:K]) / K) < 1e-9
+    for i, vals in per_train.items():
+        assert abs(got[i] - round(sum(vals) / len(vals), 6)) <= 1e-6, i

@@ -807,3 +807,14 @@ class TestRound4SessionPlans:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_knn_shapley_broadcast_tests_no_python(self, spark):
+        plan = plan_of(entry_mod.q_knn_shapley(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # test points broadcast
+
+    def test_length_buckets_single_agg_no_python(self, spark):
+        plan = plan_of(entry_mod.q_length_buckets(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange") <= 2  # one partial-agg shuffle (+AQE read)
