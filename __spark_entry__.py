@@ -88,6 +88,40 @@ _FILTER_AGREEMENT_TAIL = """
     FROM k
 """
 
+_CLUSTER_COHESION_TAIL = """
+    , edges2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pj
+        UNION
+        SELECT doc_b, doc_a FROM pj
+    ),
+    reach2(n, m) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.n, e.b FROM reach2 r JOIN edges2 e ON r.m = e.a
+    ),
+    cl AS (
+        SELECT n, least(n, min(m)) AS cluster_id FROM reach2 GROUP BY n
+    ),
+    members AS (
+        SELECT cluster_id, count(*)::BIGINT AS n_members
+        FROM cl GROUP BY 1
+    ),
+    ec AS (
+        SELECT c.cluster_id, count(*)::BIGINT AS n_edges,
+               round(avg(p.jaccard), 6) AS mean_jaccard,
+               min(p.jaccard) AS min_jaccard
+        FROM pj p JOIN cl c ON c.n = p.doc_a
+        GROUP BY 1
+    )
+    SELECT m.cluster_id, m.n_members, e.n_edges,
+           round(2.0 * e.n_edges
+                 / (m.n_members * (m.n_members - 1))::DOUBLE, 6)
+               AS density,
+           e.mean_jaccard, e.min_jaccard,
+           (2 * e.n_edges < m.n_members * (m.n_members - 1)) AS chained
+    FROM members m JOIN ec e USING (cluster_id)
+"""
+
 _FILTER_AUC_TAIL = """
     , sc AS (
         SELECT ce.doc_id, ce.entropy_bits AS score, d.lang = 'en' AS pos
@@ -5054,6 +5088,98 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_cluster_cohesion(spark, sf_dir):
+    """Dedup-cluster cohesion audit (the CC over-merge check): per
+    near-dup cluster, edge density 2E/(n(n-1)) and mean/min verified
+    Jaccard over its edges.  A clique (density 1) is a true duplicate
+    group; low density means CHAINING merged non-duplicates through
+    middlemen — the SlimPajama-style audit before keep-one dedup.
+    The chained flag compares 2E < n(n-1) in exact integers."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    cc = DS.connected_components(pairs, "doc_a", "doc_b")
+    members = cc.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").alias("n_members")
+    )
+    edges = pairs.join(
+        cc.select(F.col("n").alias("doc_a"), F.col("cluster").alias("cluster_id")),
+        "doc_a",
+    ).groupBy("cluster_id").agg(
+        F.count("*").alias("n_edges"),
+        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        F.min("jaccard").alias("min_jaccard"),
+    )
+    denom = F.col("n_members") * (F.col("n_members") - 1)
+    return members.join(edges, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        F.round(2.0 * F.col("n_edges") / denom.cast("double"), 6).alias(
+            "density"
+        ),
+        "mean_jaccard",
+        "min_jaccard",
+        (2 * F.col("n_edges") < denom).alias("chained"),
+    )
+
+
+def q_ann_hubness(spark, sf_dir):
+    """Hubness diagnostic for vector search (Radovanovic 2010): the
+    k-occurrence of every corpus point across the top-10 lists of the
+    anchor queries, plus the corpus-wide k-occurrence skewness — high
+    positive skew means hub points poison retrieval at this dim.
+    Anchors broadcast, one corpus scan, per-anchor top-k window,
+    count shuffle on the neighbor id."""
+    from clawrag_spark.operators.retrieval import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dvec.alias("vec"))
+    anchors = base.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("aid"), F.col("vec").alias("avec")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "vec_id",
+            cosine(F.col("vec"), F.col("avec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = scored.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 10)
+    occ = base.select("vec_id").join(
+        topk.groupBy("vec_id").agg(F.count("*").alias("k_occ")),
+        "vec_id",
+        "left",
+    ).select("vec_id", F.coalesce("k_occ", F.lit(0)).alias("k_occ"))
+    w_all = Window.partitionBy(F.lit(1))
+    mu = F.avg("k_occ").over(w_all)
+    sd = F.stddev_pop("k_occ").over(w_all)
+    # two-pass skewness: mu/sd PROJECTED first, the third central
+    # moment windows over the staged columns (never re-evaluates the
+    # mean inside the pow — the lambda-CSE/window analog)
+    staged = occ.select(
+        "vec_id", "k_occ", mu.alias("mu"), sd.alias("sd")
+    ).select(
+        "vec_id",
+        "k_occ",
+        F.avg(F.pow(F.col("k_occ") - F.col("mu"), 3))
+        .over(w_all)
+        .alias("m3"),
+        F.col("sd"),
+    )
+    return staged.select(
+        "vec_id",
+        "k_occ",
+        F.round(F.col("m3") / F.pow(F.col("sd"), 3), 6).alias(
+            "skewness"
+        ),
+    )
+
+
 def q_knn_shapley(spark, sf_dir):
     """Exact KNN-Shapley data valuation (Jia et al. VLDB 2019): per
     test point the closed-form recursion telescopes to a suffix sum
@@ -5823,6 +5949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_outliers": q_label_outliers,
         "knn_shapley": q_knn_shapley,
         "length_buckets": q_length_buckets,
+        "cluster_cohesion": q_cluster_cohesion,
+        "ann_hubness": q_ann_hubness,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -11420,6 +11548,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_tests
             FROM shap GROUP BY 1
         """,
+        # ann_hubness: same anchor top-10 lists, k-occurrence spine
+        # left-join, two-pass skewness
+        "ann_hubness": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+            ),
+            anchors AS (
+                SELECT vec_id AS aid, vec AS avec FROM base
+                WHERE vec_id % 10 = 0
+            ),
+            scored AS (
+                SELECT a.aid, b.vec_id,
+                       list_cosine_similarity(b.vec, a.avec) AS cos
+                FROM base b CROSS JOIN anchors a
+                WHERE b.vec_id <> a.aid
+            ),
+            topk AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id, row_number() OVER (PARTITION BY aid
+                               ORDER BY cos DESC, vec_id) AS rn
+                    FROM scored) WHERE rn <= 10
+            ),
+            occ AS (
+                SELECT b.vec_id, coalesce(k.k_occ, 0)::BIGINT AS k_occ
+                FROM base b LEFT JOIN (
+                    SELECT vec_id, count(*)::BIGINT AS k_occ
+                    FROM topk GROUP BY 1) k USING (vec_id)
+            ),
+            m AS (
+                SELECT avg(k_occ) AS mu, stddev_pop(k_occ) AS sd FROM occ
+            ),
+            m3 AS (
+                SELECT avg(pow(o.k_occ - m.mu, 3)) AS m3,
+                       any_value(m.sd) AS sd
+                FROM occ o CROSS JOIN m
+            )
+            SELECT o.vec_id, o.k_occ,
+                   round(m3.m3 / pow(m3.sd, 3), 6) AS skewness
+            FROM occ o CROSS JOIN m3
+        """,
         # length_buckets: integer bucket caps and char masses, one
         # division at the end
         "length_buckets": """
@@ -12939,5 +13107,11 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["filter_auc"] = (
         "WITH ce AS (" + sqls["char_entropy"] + ")\n" + _FILTER_AUC_TAIL
+    )
+    sqls["cluster_cohesion"] = (
+        "WITH RECURSIVE pj AS ("
+        + sqls["ngram_jaccard"]
+        + ")\n"
+        + _CLUSTER_COHESION_TAIL
     )
     return sqls

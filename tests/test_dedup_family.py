@@ -1498,3 +1498,34 @@ def test_knn_shapley_reference_and_efficiency(spark):
         assert abs(sum(s) - sum(u[:K]) / K) < 1e-9
     for i, vals in per_train.items():
         assert abs(got[i] - round(sum(vals) / len(vals), 6)) <= 1e-6, i
+
+
+def test_cluster_cohesion_flags_chaining(spark):
+    """A 3-node path (a-b, b-c) merged by CC is NOT a clique: density
+    2/3 and the chained flag fires; a true pair is density 1."""
+    from pyspark.sql import functions as F
+
+    from clawrag_spark.operators.dataset import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (10, 11, 0.99)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    members = cc.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").alias("n_members")
+    )
+    edges = pairs.join(
+        cc.select(F.col("n").alias("doc_a"), F.col("cluster").alias("cluster_id")),
+        "doc_a",
+    ).groupBy("cluster_id").agg(F.count("*").alias("n_edges"))
+    denom = F.col("n_members") * (F.col("n_members") - 1)
+    got = {
+        r["cluster_id"]: r
+        for r in members.join(edges, "cluster_id").select(
+            "cluster_id", "n_members", "n_edges",
+            (2 * F.col("n_edges") < denom).alias("chained"),
+        ).collect()
+    }
+    assert got[1]["n_members"] == 3 and got[1]["chained"]
+    assert got[10]["n_members"] == 2 and not got[10]["chained"]

@@ -818,3 +818,9 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_length_buckets(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert plan.count("Exchange") <= 2  # one partial-agg shuffle (+AQE read)
+
+    def test_ann_hubness_broadcast_no_python(self, spark):
+        plan = plan_of(entry_mod.q_ann_hubness(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
