@@ -5088,6 +5088,83 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_ivf_recall_sweep(spark, sf_dir):
+    """IVF tuning table: recall@10 vs brute force at n_probe 1/2/3 —
+    the probe-width knob every IVF deployment tunes (scan n_probe
+    partitions out of |cells|).  Shares centroids/machinery with
+    `ann_ivf`; brute top-10 computed once; recall by an exact id
+    intersection count."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    from clawrag_spark.operators.retrieval import cosine
+
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            cosine(F.col("embedding").cast("array<double>"), qlit).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    frames = []
+    for p in (1, 2, 3):
+        ivf = DS.ann_ivf_topk(
+            emb.filter(F.col("vec_id") != 0),
+            "vec_id", "embedding", "label", qv, 10, n_probe=p,
+        ).select("vec_id")
+        hits = ivf.join(brute, "vec_id").agg(
+            F.count("*").alias("hits")
+        ).select(
+            F.lit(p).alias("n_probe"),
+            "hits",
+            F.round(F.col("hits") / 10.0, 6).alias("recall_at_10"),
+        )
+        frames.append(hits)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def q_percolation_curve(spark, sf_dir):
+    """Dedup-threshold percolation curve: sweep the Jaccard cutoff and
+    report components / largest-component share — the knob plot that
+    shows WHERE clusters explode into a giant chained component (pick
+    the threshold just above the knee).  Edges come from the shared
+    verified-pair cache; thresholds compare the 6-dp-rounded jaccard
+    exactly on both engines."""
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    n_docs = _load(spark, sf_dir, "documents").count()
+    frames = []
+    for t in (0.8, 0.85, 0.9, 0.95):
+        e = pairs.filter(F.col("jaccard") >= t)
+        cc = DS.connected_components(e, "doc_a", "doc_b")
+        sizes = cc.groupBy("cluster").agg(F.count("*").alias("sz"))
+        row = sizes.agg(
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("n_linked_docs"),
+            F.coalesce(F.count("*"), F.lit(0)).alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).alias("max_component"),
+        ).select(
+            F.lit(t).alias("threshold"),
+            "n_linked_docs",
+            "n_components",
+            "max_component",
+            F.round(
+                F.col("max_component") / F.lit(float(n_docs)), 6
+            ).alias("giant_frac"),
+        )
+        frames.append(row)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_cluster_cohesion(spark, sf_dir):
     """Dedup-cluster cohesion audit (the CC over-merge check): per
     near-dup cluster, edge density 2E/(n(n-1)) and mean/min verified
@@ -5951,6 +6028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "cluster_cohesion": q_cluster_cohesion,
         "ann_hubness": q_ann_hubness,
+        "ivf_recall_sweep": q_ivf_recall_sweep,
+        "percolation_curve": q_percolation_curve,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -13113,5 +13192,93 @@ def oracle_sql() -> dict[str, str]:
         + sqls["ngram_jaccard"]
         + ")\n"
         + _CLUSTER_COHESION_TAIL
+    )
+    # percolation_curve: one recursive-CTE CC chain per threshold over
+    # the same verified-pair SQL, UNION ALL of the four summary rows
+    perc_blocks, perc_selects = [], []
+    for t in (0.8, 0.85, 0.9, 0.95):
+        tag = str(t).replace(".", "")
+        perc_blocks.append(f"""
+            e_{tag} AS (
+                SELECT doc_a AS a, doc_b AS b FROM pj WHERE jaccard >= {t}
+                UNION
+                SELECT doc_b, doc_a FROM pj WHERE jaccard >= {t}
+            ),
+            reach_{tag}(n, m) AS (
+                SELECT a, b FROM e_{tag}
+                UNION
+                SELECT r.n, e.b FROM reach_{tag} r
+                JOIN e_{tag} e ON r.m = e.a
+            ),
+            cl_{tag} AS (
+                SELECT n, least(n, min(m)) AS c FROM reach_{tag} GROUP BY n
+            ),
+            sz_{tag} AS (
+                SELECT c, count(*)::BIGINT AS sz FROM cl_{tag} GROUP BY c
+            )""")
+        perc_selects.append(f"""
+            SELECT {t}::DOUBLE AS threshold,
+                   coalesce(sum(sz), 0)::BIGINT AS n_linked_docs,
+                   count(*)::BIGINT AS n_components,
+                   coalesce(max(sz), 0)::BIGINT AS max_component,
+                   round(coalesce(max(sz), 0)
+                         / (SELECT count(*) FROM documents)::DOUBLE, 6)
+                       AS giant_frac
+            FROM sz_{tag}""")
+    sqls["percolation_curve"] = (
+        "WITH RECURSIVE pj AS ("
+        + sqls["ngram_jaccard"]
+        + "), "
+        + ",".join(perc_blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(perc_selects)
+    )
+    # ivf_recall_sweep: shared brute/centroid CTEs + one aggregate
+    # SELECT per probe width
+    probe_selects = []
+    for p in (1, 2, 3):
+        probe_selects.append(f"""
+            SELECT {p} AS n_probe, count(*)::BIGINT AS hits,
+                   round(count(*) / 10.0, 6) AS recall_at_10
+            FROM (SELECT c.vec_id FROM cos c
+                  JOIN ranked_cells rc USING (label)
+                  WHERE rc.cr <= {p}
+                  ORDER BY c.cos_sim DESC, c.vec_id LIMIT 10) i
+            JOIN brute USING (vec_id)""")
+    sqls["ivf_recall_sweep"] = (
+        """
+        WITH qvec AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings
+            WHERE vec_id = 0
+        ),
+        cos AS (
+            SELECT e.vec_id, e.label,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                       AS cos_sim
+            FROM embeddings e CROSS JOIN qvec q WHERE e.vec_id <> 0
+        ),
+        brute AS (
+            SELECT vec_id FROM cos
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        ),
+        cents AS (
+            SELECT label, g.i, avg(embedding[g.i]) AS m
+            FROM embeddings,
+                 LATERAL UNNEST(generate_series(1, 64)) AS g(i)
+            WHERE vec_id <> 0
+            GROUP BY label, g.i
+        ),
+        centroids AS (
+            SELECT label, list(m ORDER BY i) AS centroid
+            FROM cents GROUP BY label
+        ),
+        ranked_cells AS (
+            SELECT label, row_number() OVER (ORDER BY
+                       list_cosine_similarity(centroid,
+                           (SELECT qv FROM qvec)) DESC, label) AS cr
+            FROM centroids
+        )
+        """
+        + "\nUNION ALL\n".join(probe_selects)
     )
     return sqls

@@ -1529,3 +1529,24 @@ def test_cluster_cohesion_flags_chaining(spark):
     }
     assert got[1]["n_members"] == 3 and got[1]["chained"]
     assert got[10]["n_members"] == 2 and not got[10]["chained"]
+
+
+def test_ivf_recall_monotone_and_percolation_monotone(spark):
+    """Recall@10 is non-decreasing in n_probe (probing more cells can
+    only add candidates); percolation component counts are monotone
+    in the threshold (raising the cutoff only removes edges)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rec = {
+        r["n_probe"]: r["recall_at_10"]
+        for r in entry_mod.q_ivf_recall_sweep(spark, sf).collect()
+    }
+    assert rec[1] <= rec[2] <= rec[3]
+    perc = sorted(
+        entry_mod.q_percolation_curve(spark, sf).collect(),
+        key=lambda r: r["threshold"],
+    )
+    for lo, hi in zip(perc, perc[1:]):
+        assert hi["n_linked_docs"] <= lo["n_linked_docs"]
+        assert hi["max_component"] <= lo["max_component"]

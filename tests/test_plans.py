@@ -824,3 +824,8 @@ class TestRound4SessionPlans:
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan
+
+    def test_ivf_sweep_broadcast_cells_no_python(self, spark):
+        plan = plan_of(entry_mod.q_ivf_recall_sweep(spark, SF_DIR))
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
