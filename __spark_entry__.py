@@ -5088,6 +5088,88 @@ def q_record_linkage(spark, sf_dir):
     )
 
 
+def q_negative_table(spark, sf_dir):
+    """Unigram^0.75 negative-sampling table (word2vec-era, still the
+    contrastive-sampling default): top-200 words by frequency, damped
+    probability p ∝ f^0.75 and its cumulative — the alias-table input.
+    One (word) count shuffle; pow rounded to 9 dp before normalizing
+    (the libm-ulp guard), window over the 200-row head only."""
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("freq"))
+    w_top = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("freq"), F.asc("word")
+    )
+    head = counts.select(
+        "*", F.row_number().over(w_top).alias("rk")
+    ).filter(F.col("rk") <= 200)
+    damped = head.select(
+        "word", "freq", "rk",
+        F.round(F.pow(F.col("freq").cast("double"), 0.75), 9).alias("d"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = Window.partitionBy(F.lit(1)).orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = damped.select(
+        "word", "freq", "rk", "d", F.sum("d").over(w_all).alias("z")
+    )
+    return staged.select(
+        "word",
+        "freq",
+        F.round(F.col("d") / F.col("z"), 6).alias("p"),
+        F.round(F.sum("d").over(w_cum) / F.col("z"), 6).alias("cum_p"),
+    )
+
+
+def q_shard_provenance(spark, sf_dir):
+    """Per-shard source provenance for the release manifest: after
+    concat-and-chunk packing, each shard's token share by source and
+    the dominant source — the provenance table shipped beside the
+    shards.  Rides the SAME two-phase pack as `pack_shards`; one
+    (shard, source) aggregate; shares via a per-shard window over the
+    tiny result frame."""
+    from clawrag_spark.operators import packing as PK
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("long").alias("n_toks"),
+    )
+    packed = PK.pack_training_shards(toks, "doc_id", "n_toks", 2000)
+    per = (
+        packed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("shard_id", "source")
+        .agg(F.sum("n_toks").alias("toks"), F.count("*").alias("n_docs"))
+    )
+    w_shard = Window.partitionBy("shard_id")
+    w_rank = Window.partitionBy("shard_id").orderBy(
+        F.desc("toks"), F.asc("source")
+    )
+    return per.select(
+        "shard_id",
+        "source",
+        "n_docs",
+        "toks",
+        F.round(
+            F.col("toks") / F.sum("toks").over(w_shard).cast("double"), 6
+        ).alias("token_share"),
+        (F.row_number().over(w_rank) == 1).alias("dominant"),
+    )
+
+
 def q_ivf_recall_sweep(spark, sf_dir):
     """IVF tuning table: recall@10 vs brute force at n_probe 1/2/3 —
     the probe-width knob every IVF deployment tunes (scan n_probe
@@ -6030,6 +6112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hubness": q_ann_hubness,
         "ivf_recall_sweep": q_ivf_recall_sweep,
         "percolation_curve": q_percolation_curve,
+        "negative_table": q_negative_table,
+        "shard_provenance": q_shard_provenance,
         "wordlm_score": q_wordlm_score,
         "charset_sniff": q_charset_sniff,
         "bm25f_scores": q_bm25f_scores,
@@ -11627,6 +11711,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_tests
             FROM shap GROUP BY 1
         """,
+        # negative_table: same top-200 head, pow damped to 9 dp before
+        # normalizing, cumulative over the head only
+        "negative_table": """
+            WITH counts AS (
+                SELECT w AS word, count(*)::BIGINT AS freq
+                FROM (SELECT unnest(list_filter(
+                          string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS w
+                      FROM documents)
+                GROUP BY 1
+            ),
+            head AS (
+                SELECT word, freq,
+                       row_number() OVER (ORDER BY freq DESC, word) AS rk
+                FROM counts QUALIFY rk <= 200
+            ),
+            damped AS (
+                SELECT word, freq, rk,
+                       round(pow(freq::DOUBLE, 0.75), 9) AS d
+                FROM head
+            ),
+            staged AS (
+                SELECT *, sum(d) OVER () AS z FROM damped
+            )
+            SELECT word, freq,
+                   round(d / z, 6) AS p,
+                   round(sum(d) OVER (ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / z, 6) AS cum_p
+            FROM staged
+        """,
         # ann_hubness: same anchor top-10 lists, k-occurrence spine
         # left-join, two-pass skewness
         "ann_hubness": """
@@ -13232,6 +13347,27 @@ def oracle_sql() -> dict[str, str]:
         + ",".join(perc_blocks)
         + "\n"
         + "\nUNION ALL\n".join(perc_selects)
+    )
+    # shard_provenance: the pack_shards oracle as a CTE + the source
+    # join and per-shard share/dominant windows
+    sqls["shard_provenance"] = (
+        "WITH ps AS ("
+        + sqls["pack_shards"]
+        + """),
+        per AS (
+            SELECT ps.shard_id, d.source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(ps.n_tokens)::BIGINT AS toks
+            FROM ps JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        )
+        SELECT shard_id, source, n_docs, toks,
+               round(toks / sum(toks) OVER (PARTITION BY shard_id)::DOUBLE,
+                     6) AS token_share,
+               row_number() OVER (PARTITION BY shard_id
+                   ORDER BY toks DESC, source) = 1 AS dominant
+        FROM per
+        """
     )
     # ivf_recall_sweep: shared brute/centroid CTEs + one aggregate
     # SELECT per probe width

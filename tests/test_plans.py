@@ -829,3 +829,9 @@ class TestRound4SessionPlans:
         plan = plan_of(entry_mod.q_ivf_recall_sweep(spark, SF_DIR))
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_negative_table_shard_provenance_no_python(self, spark):
+        for q in (entry_mod.q_negative_table, entry_mod.q_shard_provenance):
+            plan = plan_of(q(spark, SF_DIR))
+            assert "EvalPython" not in plan
+            assert "CartesianProduct" not in plan

@@ -2669,3 +2669,16 @@ def test_filter_agreement_kappa_hand_case(spark):
           + (c["n01"] + c["n00"]) * (c["n10"] + c["n00"])) / c["n"] ** 2
     assert po == 1.0 and pe == 0.5
     assert (po - pe) / (1 - pe) == 1.0
+
+
+def test_negative_table_normalizes(spark):
+    """p sums to 1 over the head; cum_p ends at 1; damping flattens the
+    distribution: max/min probability ratio < max/min freq ratio."""
+    import __spark_entry__ as em
+
+    rows = em.q_negative_table(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-4
+    assert abs(max(r["cum_p"] for r in rows) - 1.0) < 1e-5
+    ps = [r["p"] for r in rows]
+    fs = [r["freq"] for r in rows]
+    assert max(ps) / min(ps) < max(fs) / min(fs)
