@@ -6025,6 +6025,88 @@ def q_lsh_plan(spark, sf_dir):
     return DS.lsh_parameter_plan(spark, n_perms=128, threshold=0.8)
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Multi-level corpus datasheet via ROLLUP: per (source, lang)
+    counts/char totals plus source subtotals and the grand total in ONE
+    pass — the hierarchical view a datasheet-for-datasets appendix
+    tabulates (reference parity: the per-collection stats endpoint,
+    `backend/src/api/v1/rag/collections.py`, reports only the leaf
+    level).  Spark expands the grouping sets with a single Expand
+    operator feeding one hash aggregate — partial (map-side) agg still
+    applies, so the shuffle carries ~3x the group cardinality, not 3x
+    the data.  `grouping_id()` disambiguates a literal "(all)" value
+    from a subtotal row; DuckDB's GROUPING(source, lang) uses the same
+    MSB-first bit order."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Day x event-type contingency table via PIVOT — the wide-format
+    dashboard feed (reference parity: the dashboard counts endpoint,
+    `backend/src/api/v1/rag/stats.py`, emits one scalar per type).
+    The pivot value list is pinned so the plan is a SINGLE groupBy
+    shuffle with no schema-inference `distinct` pre-job — at 10^12
+    events an unpinned pivot would pay a full extra scan just to learn
+    the column set.  Missing (day, type) cells surface as 0, matching
+    the oracle's `count(*) FILTER` semantics."""
+    ev = _load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+def q_returning_users(spark, sf_dir):
+    """INTERSECT set-op: users active in BOTH halves of the event
+    window (the retention numerator a cohort report starts from).
+    Spark plans intersect as distinct + left-semi hash join — both
+    sides pre-aggregate map-side before the shuffle, so the exchange
+    carries unique user ids (~|users|), never raw events (~|events|).
+    Engine-portable set semantics: both Spark and DuckDB INTERSECT
+    dedup their output."""
+    ev = _load(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    first = ev.filter(F.col("ts") < mid).select("user_id")
+    second = ev.filter(F.col("ts") >= mid).select("user_id")
+    return first.intersect(second)
+
+
+def q_sif_embeddings(spark, sf_dir):
+    """SIF document embeddings (Arora et al. 2017): unigram-frequency-
+    weighted hashed bag-of-words + uncentered first-PC removal — a
+    better doc vector for the SemDeDup/semantic_dedup family at zero
+    model cost.  Three bounded passes (vocab-bounded unigram model,
+    one Arrow pass for doc vectors, d²-partial common component);
+    eigendecomposition is a float pipeline with no SQL twin →
+    rows-only driver check; pytest pins against full-batch numpy at
+    1e-6 (``tests/test_pca.py::TestSifEmbeddings``)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return DS.sif_embeddings(docs, "doc_id", "text", dim=16, decimals=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs only the
     # FIRST 50 entries, so queries are listed least-recently-verified
@@ -6294,6 +6376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "union_collections": q_union_collections,
         "data_type_route": q_data_type_route,
+        # -- (3) added after the r4 window was frozen; front of the
+        # round-5 rotation with the (2) overflow ----------------------
+        "corpus_rollup": q_corpus_rollup,
+        "events_pivot": q_events_pivot,
+        "returning_users": q_returning_users,
+        "sif_embeddings": q_sif_embeddings,
     }
 
 
@@ -13294,6 +13382,29 @@ def oracle_sql() -> dict[str, str]:
             FROM cells GROUP BY bands, rows_per_band
         """,
     }
+    sqls["corpus_rollup"] = """
+        SELECT coalesce(source, '(all)') AS source,
+               coalesce(lang, '(all)') AS lang,
+               grouping(source, lang) AS gid,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+    """
+    sqls["events_pivot"] = """
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY 1
+    """
+    sqls["returning_users"] = """
+        SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        INTERSECT
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    """
     # Composable oracles: reuse a sibling oracle verbatim as a CTE so
     # the gate logic exists in exactly ONE SQL transcription.
     sqls["filter_agreement"] = (

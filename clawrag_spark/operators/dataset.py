@@ -2995,3 +2995,188 @@ def knn_shapley(
         F.round(F.avg("s"), 6).alias("mean_shapley"),
         F.count("*").alias("n_tests"),
     )
+
+
+def sif_embeddings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    a: float = 1e-3,
+    vocab_size: int = 50_000,
+    remove_pc: bool = True,
+    decimals: int = 6,
+) -> DataFrame:
+    """SIF document embeddings (Arora/Liang/Ma 2017, "A Simple but
+    Tough-to-Beat Baseline for Sentence Embeddings"): each doc is the
+    frequency-weighted average of its word vectors — weight
+    ``a / (a + p(w))`` downweights stopwords by corpus unigram
+    probability — followed by removal of the corpus' first (uncentered)
+    principal component, which absorbs the shared "syntax direction".
+    Word vectors are the repo's deterministic hashing-trick embedder
+    (``core/embedder.py``: crc32 bucket + sign, so a single word's
+    vector is ±e_h — the doc embedding is an importance-weighted hashed
+    bag-of-words).  Better doc vectors for the SemDeDup / semantic_dedup
+    family at zero model cost.
+
+    Scale shape (three bounded passes, nothing corpus-sized on the
+    driver):
+
+    1. unigram model — per-partition ``Counter`` inside ``mapInPandas``
+       emits (token, partial_count) rows (map-side combine in Python,
+       so the shuffle carries distinct-tokens-per-partition, not
+       tokens); one groupBy(token) shuffle; the driver collects only
+       the top-``vocab_size`` rows (count desc, token asc — the
+       vocab-bounded broadcast pattern of ``webtext.trigram_lm``).
+       OOV tokens get count 1 (the Zipf tail all maps to the same
+       minimal probability, exactly how the SIF reference code treats
+       unseen words).
+    2. doc vectors — ONE ``mapInPandas`` pass over (id, text) with the
+       broadcast weight dict: Arrow-batched, numpy accumulation, no
+       shuffle.
+    3. common component — per-partition (n, XᵀX) partials (one d²-row
+       per partition, the ``fit_pca`` tree-aggregation shape), driver
+       ``eigh`` on the d×d second moment, sign pinned at the
+       largest-|coordinate|; the projection subtract runs JVM-side
+       with the dot product STAGED into its own column first (the
+       repo's lambda-CSE rule — referencing the O(d) dot inside the
+       per-element ``transform`` lambda would re-evaluate it d times).
+
+    Tokenization is Python's ``\\w+`` on lowered text in BOTH passes
+    (never a JVM regex twin — Java \\w is ASCII-only, Python's is
+    Unicode-aware; splitting the two engines here would silently
+    mis-weight non-ASCII tokens).  Float pipeline with no SQL twin →
+    rows-only driver check; pytest pins the whole thing against a
+    full-batch numpy reference at 1e-6 (``tests/test_pca.py``).
+
+    Returns ``(id_col, sif: array<double>)`` rounded to ``decimals``.
+    """
+    import numpy as np
+
+    from ..core.embedder import _TOKEN_RE
+
+    # ---- pass 1: vocab-bounded unigram model ------------------------
+    tok_schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def _token_partials(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text:
+                    c.update(_TOKEN_RE.findall(text.lower()))
+        if c:
+            yield pd.DataFrame(
+                {"token": list(c.keys()), "cnt": list(c.values())}
+            )
+
+    counts = (
+        docs.select(text_col)
+        .mapInPandas(_token_partials, tok_schema)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    agg = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_vocab")
+    ).first()
+    total = int(agg["total"] or 0)
+    if total == 0:
+        raise ValueError("sif_embeddings: no tokens in corpus")
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+    weights = {
+        r["token"]: a / (a + r["cnt"] / total) for r in top.collect()
+    }
+    w_oov = a / (a + 1.0 / total)
+
+    # ---- pass 2: weighted hashed bag-of-words per doc ----------------
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("sif", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _doc_vecs(batches):
+        import zlib
+        from collections import Counter
+
+        for pdf in batches:
+            mat = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, text in enumerate(pdf[text_col]):
+                if not text:
+                    continue
+                toks = Counter(_TOKEN_RE.findall(text.lower()))
+                n_tok = sum(toks.values())
+                if not n_tok:
+                    continue
+                row = mat[i]
+                for tok, cnt in toks.items():
+                    h = zlib.crc32(tok.encode("utf-8"))
+                    sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
+                    row[h % dim] += (
+                        weights.get(tok, w_oov) * sign * cnt
+                    )
+                row /= n_tok
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sif": list(map(list, mat))}
+            )
+
+    vecs = docs.select(id_col, text_col).mapInPandas(_doc_vecs, out_schema)
+    if not remove_pc:
+        return vecs.select(
+            id_col,
+            F.transform("sif", lambda x: F.round(x, decimals)).alias("sif"),
+        )
+    vecs = vecs.persist()
+
+    # ---- pass 3: uncentered top component, JVM-side subtract ---------
+    gram_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _gram_partials(batches):
+        n = 0
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            M = np.array(pdf["sif"].tolist(), dtype=np.float64)
+            if M.size:
+                n += M.shape[0]
+                g += M.T @ M
+        yield pd.DataFrame({"n": [n], "g": [g.ravel().tolist()]})
+
+    parts = vecs.select("sif").mapInPandas(_gram_partials, gram_schema).collect()
+    g_total = np.zeros((dim, dim))
+    n_total = 0
+    for r in parts:
+        n_total += r["n"]
+        g_total += np.array(r["g"]).reshape(dim, dim)
+    if n_total == 0:
+        raise ValueError("sif_embeddings: empty input")
+    evals, evecs = np.linalg.eigh(g_total / n_total)
+    u = evecs[:, int(np.argmax(evals))]
+    if u[int(np.argmax(np.abs(u)))] < 0:
+        u = -u
+    u_arr = F.array(*[F.lit(float(x)) for x in u.tolist()])
+    dot = F.aggregate(
+        F.zip_with(F.col("sif"), u_arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    staged = vecs.select(id_col, "sif", dot.alias("__dot"))
+    return staged.select(
+        id_col,
+        F.zip_with(
+            "sif",
+            u_arr,
+            lambda v, ui: F.round(v - F.col("__dot") * ui, decimals),
+        ).alias("sif"),
+    )

@@ -156,3 +156,118 @@ def test_kmeans_validates_k(spark):
     )
     with pytest.raises(ValueError):
         kmeans_fit(emb, "vec_id", "embedding", k=5)
+
+
+class TestSifEmbeddings:
+    """SIF doc embeddings pinned against a full-batch numpy reference
+    implementing the identical math: Python \\w+ tokens, a/(a+p(w))
+    weights with count-1 OOV, crc32 hashed bag-of-words averaged per
+    token count, uncentered top-eigenvector removal (sign pinned)."""
+
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the quick quick brown",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "",
+        "how vexingly quick daft zebras jump",
+        "the five boxing wizards jump quickly",
+        "...",  # punctuation-only: zero tokens, must stay a zero vector
+        "jackdaws love my big sphinx of quartz the the",
+        "quick zephyrs blow vexing daft jim",
+    ]
+
+    @staticmethod
+    def _numpy_sif(texts, dim, a, vocab_size):
+        import re
+        import zlib
+        from collections import Counter
+
+        tok_re = re.compile(r"\w+")
+        corpus = Counter()
+        for t in texts:
+            corpus.update(tok_re.findall(t.lower()))
+        total = sum(corpus.values())
+        top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+        weights = {tok: a / (a + c / total) for tok, c in top}
+        w_oov = a / (a + 1.0 / total)
+        mat = np.zeros((len(texts), dim))
+        for i, t in enumerate(texts):
+            toks = Counter(tok_re.findall(t.lower()))
+            n = sum(toks.values())
+            if not n:
+                continue
+            for tok, c in toks.items():
+                h = zlib.crc32(tok.encode())
+                sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
+                mat[i, h % dim] += weights.get(tok, w_oov) * sign * c
+            mat[i] /= n
+        evals, evecs = np.linalg.eigh(mat.T @ mat / len(texts))
+        u = evecs[:, int(np.argmax(evals))]
+        if u[int(np.argmax(np.abs(u)))] < 0:
+            u = -u
+        return mat - np.outer(mat @ u, u)
+
+    def test_matches_numpy_full_batch(self, spark):
+        from clawrag_spark.operators.dataset import sif_embeddings
+
+        dim, a = 16, 1e-3
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id int, text string",
+        ).repartition(4)
+        got = {
+            r["doc_id"]: np.array(r["sif"])
+            for r in sif_embeddings(
+                docs, "doc_id", "text", dim=dim, a=a, decimals=6
+            ).collect()
+        }
+        want = self._numpy_sif(self.TEXTS, dim, a, 50_000)
+        assert set(got) == set(range(len(self.TEXTS)))
+        for i in range(len(self.TEXTS)):
+            np.testing.assert_allclose(got[i], want[i], atol=2e-6)
+        # the tokenless doc stays exactly zero even after PC removal
+        assert np.all(got[7] == 0.0)
+
+    def test_vocab_bound_reroutes_tail_to_oov(self, spark):
+        """vocab_size smaller than the vocabulary: tail tokens must be
+        weighted as OOV (count-1 probability), not dropped."""
+        from clawrag_spark.operators.dataset import sif_embeddings
+
+        dim, a, vs = 8, 1e-2, 3
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id int, text string",
+        )
+        got = {
+            r["doc_id"]: np.array(r["sif"])
+            for r in sif_embeddings(
+                docs, "doc_id", "text", dim=dim, a=a,
+                vocab_size=vs, remove_pc=False, decimals=6,
+            ).collect()
+        }
+        import re
+        import zlib
+        from collections import Counter
+
+        tok_re = re.compile(r"\w+")
+        corpus = Counter()
+        for t in self.TEXTS:
+            corpus.update(tok_re.findall(t.lower()))
+        total = sum(corpus.values())
+        top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:vs]
+        weights = {tok: a / (a + c / total) for tok, c in top}
+        w_oov = a / (a + 1.0 / total)
+        for i, t in enumerate(self.TEXTS):
+            toks = Counter(tok_re.findall(t.lower()))
+            n = sum(toks.values())
+            row = np.zeros(dim)
+            if n:
+                for tok, c in toks.items():
+                    h = zlib.crc32(tok.encode())
+                    sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
+                    row[h % dim] += weights.get(tok, w_oov) * sign * c
+                row /= n
+            np.testing.assert_allclose(got[i], row, atol=2e-6)
