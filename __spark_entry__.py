@@ -6094,6 +6094,85 @@ def q_returning_users(spark, sf_dir):
     return first.intersect(second)
 
 
+_LTR_QUERIES = [
+    (0, ["hash", "join", "merge"]),
+    (1, ["stream", "window", "batch"]),
+    (2, ["vector", "filter", "sort"]),
+]
+
+
+def q_ltr_rerank(spark, sf_dir):
+    """Pairwise learning-to-rank (linear RankNet, Burges 2005) over the
+    retrieval feature surface: per-(query, doc) features (query-term
+    density, log length, distinct-vocab width) with graded labels
+    (#distinct query terms matched), trained by the repo's iterative-
+    trainer shape (qid-bounded pair self-join staged once, one
+    zero-shuffle GEMM-gradient job per round), then a JVM-only rounded
+    linear scorer reranks the top-5 per query.  Candidates are capped
+    at 40/query (the reference over-fetches k*2 per retriever —
+    query.py:203 — so per-query pair width is a constant at any corpus
+    size).  Iterative float trainer → rows-only driver check; pytest
+    pins weights and ranking against full-batch numpy GD
+    (``tests/test_retrieval_ops.py::TestLtrPairwise``)."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _LTR_QUERIES],
+        "qid int, qterms array<string>",
+    )
+    toks = R.sql_tokens(F.col("text"))
+    cand = (
+        docs.crossJoin(F.broadcast(qdf))
+        .select(
+            "qid",
+            "doc_id",
+            F.size(
+                F.array_intersect(F.array_distinct(toks), F.col("qterms"))
+            ).alias("label"),
+            F.round(
+                F.size(
+                    F.filter(
+                        toks,
+                        lambda x: F.array_position(F.col("qterms"), x) > 0,
+                    )
+                )
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ).alias("f_density"),
+            F.round(F.log10(F.col("n_chars") + 1) / 4.0, 6).alias("f_len"),
+            F.round(
+                F.size(F.array_distinct(toks)) / 100.0, 6
+            ).alias("f_vocab"),
+        )
+        .filter(F.col("label") >= 1)
+    )
+    w40 = Window.partitionBy("qid").orderBy(
+        F.desc("f_density"), F.asc("doc_id")
+    )
+    cand = (
+        cand.withColumn("__rn", F.row_number().over(w40))
+        .filter(F.col("__rn") <= 40)
+        .drop("__rn")
+        .withColumn("features", F.array("f_density", "f_len", "f_vocab"))
+        .persist()
+    )
+    weights = R.fit_ltr_pairwise(
+        cand, "qid", "label", "features", n_iters=25
+    )
+    scored = cand.select(
+        "qid", "doc_id", R.score_ltr("features", weights).alias("ltr_score")
+    )
+    wtop = Window.partitionBy("qid").orderBy(
+        F.desc("ltr_score"), F.asc("doc_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "doc_id", "ltr_score")
+    )
+    cand.unpersist()
+    return out
+
+
 def q_sif_embeddings(spark, sf_dir):
     """SIF document embeddings (Arora et al. 2017): unigram-frequency-
     weighted hashed bag-of-words + uncentered first-PC removal — a
@@ -6382,6 +6461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "returning_users": q_returning_users,
         "sif_embeddings": q_sif_embeddings,
+        "ltr_rerank": q_ltr_rerank,
     }
 
 

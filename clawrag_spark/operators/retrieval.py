@@ -1386,3 +1386,108 @@ def mmr_rerank(
     return candidates.sparkSession.createDataFrame(
         picks, f"{id_col} long, mmr_rank int, rel double, mmr_score double"
     )
+
+
+def fit_ltr_pairwise(
+    feats: DataFrame,
+    qid_col: str,
+    label_col: str,
+    feat_col: str,
+    *,
+    n_iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> list[float]:
+    """Pairwise learning-to-rank (RankNet with a linear scorer, Burges
+    2005): learn weights w over per-(query, doc) feature vectors by
+    minimizing the logistic pairwise loss ``log(1 + exp(-(w·x_i -
+    w·x_j)))`` over all within-query pairs where doc i outranks doc j
+    (graded ``label_col``).  The linear-RankNet trick: the loss
+    depends only on the DIFFERENCE vector, so training reduces to
+    logistic regression on ``x_i - x_j`` with constant label 1 — no
+    bias term (differences cancel it).
+
+    Scale shape (the repo's iterative-trainer pattern, same as
+    ``fit_quality_classifier``): pair difference vectors are staged
+    ONCE — a single qid-keyed self-join, never cross-query, so the
+    shuffle is bounded by the per-query candidate-list width (the
+    reference over-fetches k*2 per retriever,
+    backend/src/api/v1/rag/query.py:203 — pairs per query are
+    O(k²), a constant) — then every round is ONE zero-shuffle
+    ``mapInPandas`` job: each partition computes its full gradient
+    with one (n, d) GEMM and yields one d-vector; the driver sums P
+    partials and steps.  Model state is d doubles in the task
+    closure.  Float sums are order-dependent → parity tests use
+    tolerances, consumers round scores before ranking.
+
+    Returns ``w`` (length = feature dim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = feats.sparkSession
+    a = feats.select(
+        F.col(qid_col).alias("__q"),
+        F.col(label_col).alias("__la"),
+        F.col(feat_col).alias("__fa"),
+    )
+    b = feats.select(
+        F.col(qid_col).alias("__q"),
+        F.col(label_col).alias("__lb"),
+        F.col(feat_col).alias("__fb"),
+    )
+    diffs = (
+        a.join(b, "__q")
+        .filter(F.col("__la") > F.col("__lb"))
+        .select(
+            F.zip_with("__fa", "__fb", lambda x, y: x - y).alias("d")
+        )
+    )
+    first = diffs.select(F.size("d").alias("n")).first()
+    if first is None:
+        raise ValueError("fit_ltr_pairwise: no orderable pairs")
+    d = int(first["n"])
+    n_pairs = diffs.count()
+    width = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-n_pairs // 4096)),
+    )
+    staged = diffs.repartition(width).persist()
+    staged.count()
+    w = np.zeros(d, dtype=np.float64)
+    try:
+        for _ in range(n_iters):
+            W = w
+
+            def _partials(batches, W=W):
+                g = np.zeros(d, dtype=np.float64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    M = np.array(pdf["d"].tolist(), dtype=np.float64)
+                    coef = -1.0 / (1.0 + np.exp(M @ W))
+                    g += M.T @ coef
+                yield pd.DataFrame({"g": [g.tolist()]})
+
+            parts = staged.mapInPandas(_partials, "g array<double>").collect()
+            g = np.sum([r["g"] for r in parts], axis=0)
+            w = w - lr * (g / n_pairs + l2 * w)
+    finally:
+        staged.unpersist()
+    return [float(x) for x in w]
+
+
+def score_ltr(
+    feat_col: str, weights: list[float], decimals: int = 6
+) -> "F.Column":
+    """JVM-side linear score ``round(w·x, decimals)`` for a fitted
+    LTR model — one zip_with·aggregate fold, zero Python; rounding
+    BEFORE ranking keeps rank boundaries engine-stable (the repo's
+    tfidf_keywords rule)."""
+    arr = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(feat_col), arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot, decimals)
