@@ -6173,6 +6173,153 @@ def q_ltr_rerank(spark, sf_dir):
     return out
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@5 ranking-quality evaluation (Järvelin & Kekäläinen 2002)
+    of a lexical ranker against graded relevance — the offline metric
+    the LTR family trains toward.  Per (query, doc): graded label =
+    #distinct query terms matched; the evaluated ranking orders by
+    query-term density.  DCG uses the standard (2^label − 1)/log2(rank
+    + 1) gain over the top-5; IDCG re-ranks the same candidates by
+    label.  Scale shape: candidates capped at 40/query (the k*2
+    over-fetch bound), TWO windows on the same qid partitioning (AQE
+    collapses to one exchange), one |queries|-row aggregate; exact
+    integer labels + 6-dp rounding make the DuckDB twin hash-exact."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _LTR_QUERIES],
+        "qid int, qterms array<string>",
+    )
+    toks = R.sql_tokens(F.col("text"))
+    cand = docs.crossJoin(F.broadcast(qdf)).select(
+        "qid",
+        "doc_id",
+        F.size(
+            F.array_intersect(F.array_distinct(toks), F.col("qterms"))
+        ).alias("label"),
+        F.round(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda x: F.array_position(F.col("qterms"), x) > 0,
+                )
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("f_density"),
+    ).filter(F.col("label") >= 1)
+    w40 = Window.partitionBy("qid").orderBy(
+        F.desc("f_density"), F.asc("doc_id")
+    )
+    cand = (
+        cand.withColumn("rank", F.row_number().over(w40))
+        .filter(F.col("rank") <= 40)
+    )
+    wideal = Window.partitionBy("qid").orderBy(
+        F.desc("label"), F.asc("doc_id")
+    )
+    ranked = cand.withColumn("irank", F.row_number().over(wideal))
+    gain = (F.pow(F.lit(2.0), F.col("label")) - 1.0)
+    dcg_term = F.when(
+        F.col("rank") <= 5, gain / F.log2(F.col("rank") + 1)
+    ).otherwise(F.lit(0.0))
+    idcg_term = F.when(
+        F.col("irank") <= 5, gain / F.log2(F.col("irank") + 1)
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.round(F.sum(dcg_term), 6).alias("dcg5"),
+            F.round(F.sum(idcg_term), 6).alias("idcg5"),
+            F.round(F.sum(dcg_term) / F.sum(idcg_term), 6).alias("ndcg5"),
+        )
+    )
+
+
+def q_rank_correlation(spark, sf_dir):
+    """Kendall rank correlation (tau-a) between two rankers over the
+    same per-query candidates — the ranker-agreement diagnostic run
+    before swapping a scorer in production.  Rankers: query-term
+    density vs document length (deliberately different orderings).
+    Exact integer concordant/discordant counts from ONE within-query
+    pair self-join (bounded at 40 candidates/query → ≤ C(40,2) pairs,
+    a constant per query at any corpus size); ties broken away by the
+    deterministic (score, doc_id) rank so tau-a's n(n-1)/2 denominator
+    is exact — the DuckDB twin is integer-identical, only the final
+    ratio rounds."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _LTR_QUERIES],
+        "qid int, qterms array<string>",
+    )
+    toks = R.sql_tokens(F.col("text"))
+    cand = docs.crossJoin(F.broadcast(qdf)).select(
+        "qid",
+        "doc_id",
+        F.round(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda x: F.array_position(F.col("qterms"), x) > 0,
+                )
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("f_density"),
+        F.col("n_chars"),
+    ).filter(
+        F.size(F.array_intersect(F.array_distinct(toks), F.col("qterms")))
+        >= 1
+    )
+    w40 = Window.partitionBy("qid").orderBy(
+        F.desc("f_density"), F.asc("doc_id")
+    )
+    wlen = Window.partitionBy("qid").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        cand.withColumn("ra", F.row_number().over(w40))
+        .filter(F.col("ra") <= 40)
+        .withColumn("rb", F.row_number().over(wlen))
+        .select("qid", "doc_id", "ra", "rb")
+    )
+    l = ranked.select(
+        "qid",
+        F.col("doc_id").alias("d1"),
+        F.col("ra").alias("ra1"),
+        F.col("rb").alias("rb1"),
+    )
+    rr = ranked.select(
+        "qid",
+        F.col("doc_id").alias("d2"),
+        F.col("ra").alias("ra2"),
+        F.col("rb").alias("rb2"),
+    )
+    pairs = l.join(rr, "qid").filter(F.col("d1") < F.col("d2"))
+    sgn = (
+        F.signum(F.col("ra1") - F.col("ra2"))
+        * F.signum(F.col("rb1") - F.col("rb2"))
+    ).cast("long")
+    return (
+        pairs.groupBy("qid")
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("concordant"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("discordant"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .select(
+            "qid",
+            "concordant",
+            "discordant",
+            "n_pairs",
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                / F.col("n_pairs"),
+                6,
+            ).alias("tau"),
+        )
+    )
+
+
 def q_sif_embeddings(spark, sf_dir):
     """SIF document embeddings (Arora et al. 2017): unigram-frequency-
     weighted hashed bag-of-words + uncentered first-PC removal — a
@@ -6462,6 +6609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returning_users": q_returning_users,
         "sif_embeddings": q_sif_embeddings,
         "ltr_rerank": q_ltr_rerank,
+        "ndcg_eval": q_ndcg_eval,
+        "rank_correlation": q_rank_correlation,
     }
 
 
@@ -13484,6 +13633,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
         INTERSECT
         SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    """
+    ltr_queries_values = ", ".join(
+        "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in terms))
+        for qid, terms in _LTR_QUERIES
+    )
+    ltr_cand_cte = f"""
+        q(qid, qterms) AS (VALUES {ltr_queries_values}),
+        tok AS (
+            SELECT doc_id, n_chars,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 300
+        ),
+        cand AS (
+            SELECT q.qid, t.doc_id, t.n_chars,
+                   len(list_intersect(list_distinct(t.toks), q.qterms))
+                       AS label,
+                   round(len(list_filter(t.toks,
+                                         x -> list_contains(q.qterms, x)))
+                         / greatest(len(t.toks), 1), 6) AS f_density
+            FROM tok t CROSS JOIN q
+            WHERE len(list_intersect(list_distinct(t.toks), q.qterms)) >= 1
+        ),
+        top40 AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY f_density DESC, doc_id) AS rank
+            FROM cand QUALIFY rank <= 40
+        )"""
+    sqls["ndcg_eval"] = f"""
+        WITH {ltr_cand_cte},
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY label DESC, doc_id) AS irank
+            FROM top40
+        )
+        SELECT qid,
+               round(sum(CASE WHEN rank <= 5
+                              THEN (pow(2.0, label) - 1) / log2(rank + 1)
+                              ELSE 0 END), 6) AS dcg5,
+               round(sum(CASE WHEN irank <= 5
+                              THEN (pow(2.0, label) - 1) / log2(irank + 1)
+                              ELSE 0 END), 6) AS idcg5,
+               round(sum(CASE WHEN rank <= 5
+                              THEN (pow(2.0, label) - 1) / log2(rank + 1)
+                              ELSE 0 END)
+                     / sum(CASE WHEN irank <= 5
+                                THEN (pow(2.0, label) - 1) / log2(irank + 1)
+                                ELSE 0 END), 6) AS ndcg5
+        FROM ranked GROUP BY qid
+    """
+    sqls["rank_correlation"] = f"""
+        WITH {ltr_cand_cte},
+        ranked AS (
+            SELECT qid, doc_id, rank AS ra,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY n_chars DESC, doc_id) AS rb
+            FROM top40
+        ),
+        pairs AS (
+            SELECT a.qid,
+                   sign(a.ra - b.ra) * sign(a.rb - b.rb) AS s
+            FROM ranked a JOIN ranked b USING (qid)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT qid,
+               sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS concordant,
+               sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS discordant,
+               count(*) AS n_pairs,
+               round((sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN s < 0 THEN 1 ELSE 0 END))
+                     / count(*), 6) AS tau
+        FROM pairs GROUP BY qid
     """
     # Composable oracles: reuse a sibling oracle verbatim as a CTE so
     # the gate logic exists in exactly ONE SQL transcription.
