@@ -5219,32 +5219,23 @@ def q_percolation_curve(spark, sf_dir):
     shows WHERE clusters explode into a giant chained component (pick
     the threshold just above the knee).  Edges come from the shared
     verified-pair cache; thresholds compare the 6-dp-rounded jaccard
-    exactly on both engines."""
+    exactly on both engines.  The whole curve is ONE Newman-Ziff
+    descending-threshold union-find sweep (``DS.percolation_stats``)
+    instead of one connected-components run per threshold."""
     pairs = _jaccard_pairs_cached(spark, sf_dir)
     n_docs = _load(spark, sf_dir, "documents").count()
-    frames = []
-    for t in (0.8, 0.85, 0.9, 0.95):
-        e = pairs.filter(F.col("jaccard") >= t)
-        cc = DS.connected_components(e, "doc_a", "doc_b")
-        sizes = cc.groupBy("cluster").agg(F.count("*").alias("sz"))
-        row = sizes.agg(
-            F.coalesce(F.sum("sz"), F.lit(0)).alias("n_linked_docs"),
-            F.coalesce(F.count("*"), F.lit(0)).alias("n_components"),
-            F.coalesce(F.max("sz"), F.lit(0)).alias("max_component"),
-        ).select(
-            F.lit(t).alias("threshold"),
-            "n_linked_docs",
-            "n_components",
-            "max_component",
-            F.round(
-                F.col("max_component") / F.lit(float(n_docs)), 6
-            ).alias("giant_frac"),
-        )
-        frames.append(row)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    stats = DS.percolation_stats(
+        pairs, "doc_a", "doc_b", "jaccard", [0.8, 0.85, 0.9, 0.95]
+    )
+    return stats.select(
+        "threshold",
+        "n_linked_docs",
+        "n_components",
+        "max_component",
+        F.round(F.col("max_component") / F.lit(float(n_docs)), 6).alias(
+            "giant_frac"
+        ),
+    )
 
 
 def q_cluster_cohesion(spark, sf_dir):

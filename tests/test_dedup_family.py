@@ -465,6 +465,32 @@ class TestConnectedComponents:
         out = connected_components(pairs, "doc_a", "doc_b")
         assert out.columns == ["n", "cluster"] and out.count() == 0
 
+    def test_percolation_sweep_matches_per_threshold_cc(self, spark):
+        """The one-pass Newman-Ziff sweep must produce the same
+        per-threshold aggregates as running connected_components
+        independently at each cutoff (both the collected union-find
+        path and the distributed fallback)."""
+        from clawrag_spark.operators.dataset import percolation_stats
+
+        rng = random.Random(7)
+        rows = [
+            (a, a + rng.randint(1, 5), round(rng.uniform(0.7, 1.0), 6))
+            for a in range(0, 400, 3)
+        ]
+        pairs = spark.createDataFrame(rows, ["doc_a", "doc_b", "jaccard"])
+        ts = [0.8, 0.85, 0.9, 0.95]
+        fast = percolation_stats(pairs, "doc_a", "doc_b", "jaccard", ts)
+        dist = percolation_stats(
+            pairs, "doc_a", "doc_b", "jaccard", ts, small_edge_threshold=0
+        )
+        f_rows = sorted(map(tuple, fast.collect()))
+        d_rows = sorted(map(tuple, dist.collect()))
+        assert f_rows == d_rows
+        assert sorted(fast.columns) == sorted(dist.columns)
+        # monotone in threshold: raising the cutoff only removes edges
+        for lo, hi in zip(f_rows, f_rows[1:]):
+            assert hi[1] <= lo[1] and hi[3] <= lo[3]
+
 
 class TestPairRestrictionIdentity:
     def test_subset_pairs_equal_corpus_pairs_restricted(self, spark):
