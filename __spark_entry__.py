@@ -6324,6 +6324,55 @@ def q_sif_embeddings(spark, sf_dir):
     return DS.sif_embeddings(docs, "doc_id", "text", dim=16, decimals=4)
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007), third rung of the privacy
+    ladder after k_anonymity / l_diversity: per quasi-class ordered
+    EMD between the class spend-bucket distribution and the global one
+    (mean absolute CDF gap over the 4 ordered buckets), flagged at
+    t=0.2.  Counts are exact integers off the shared integer-cents
+    profile chain; only the final three divisions are float."""
+    ev = _load(spark, sf_dir, "events")
+    return WT.t_closeness(ev, "user_id", "ts", "event_type", "value", t=0.2)
+
+
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. 2023): per-source
+    excess loss = cross-entropy under the pooled char-trigram model
+    minus own-model entropy (Gibbs-nonnegative), smoothed softmax
+    weights w = 0.8*softmax(excess) + 0.2/n.  Both losses are linear
+    in the (domain, trigram) counts, so the whole computation runs on
+    the vocab-bounded count table — no per-document scoring pass."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.doremi_weights(
+        docs, "source", "text", alpha=1.0, uniform_mix=0.2
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per event type between the
+    first 17 days and the rest: D = max CDF gap over observed values,
+    flagged at the 5% large-sample critical value.  Ties collapse in
+    ONE map-side groupBy(type, value) before the per-type running-CDF
+    window; types scan in parallel."""
+    ev = _load(spark, sf_dir, "events")
+    return WT.ks_drift(ev, "event_type", "ts", "value", split_days=17)
+
+
+def q_ece_calibration(spark, sf_dir):
+    """Reliability diagram + Expected Calibration Error (Guo et al.
+    2017) of the letter-entropy score against the lang=='en' label —
+    the magnitude-trust audit that complements filter_auc's rank-trust
+    AUC, over the SAME score/label pair.  Min-max normalization uses a
+    1-row broadcast aggregate (never an all-rows window); ECE windows
+    run on the <=10-row bin frame."""
+    docs = _load(spark, sf_dir, "documents")
+    ce = WT.char_entropy(docs, "doc_id", "text")
+    sc = ce.select("doc_id", F.col("entropy_bits").alias("score")).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id"
+    )
+    return WT.calibration_report(sc, "score", "pos", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs only the
     # FIRST 50 entries, so queries are listed least-recently-verified
@@ -6389,6 +6438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         # -- (2) oracle-bearing never-verified overflow — front of the
         # round-5 window --------------------------------------------
+        "t_closeness": q_t_closeness,
+        "doremi_weights": q_doremi_weights,
+        "ks_drift": q_ks_drift,
+        "ece_calibration": q_ece_calibration,
         "char_entropy": q_char_entropy,
         "table_profile": q_table_profile,
         "unimax_mix": q_unimax_mix,
@@ -9385,6 +9438,156 @@ def oracle_sql() -> dict[str, str]:
         """,
         # l_diversity: same two-level profile build; spend in integer
         # cents so bucket thresholds are exact on both engines
+        "t_closeness": """
+            WITH per_type AS (
+                SELECT user_id AS u, event_type AS etype,
+                       count(*) AS cnt, min(ts::DATE) AS fd,
+                       sum(round(value * 100)::BIGINT) AS cents
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT u, etype,
+                       row_number() OVER (PARTITION BY u
+                           ORDER BY cnt DESC, etype) AS rn,
+                       sum(cnt) OVER (PARTITION BY u) AS n_events,
+                       min(fd) OVER (PARTITION BY u) AS first_day,
+                       sum(cents) OVER (PARTITION BY u) AS spend_cents
+                FROM per_type
+            ),
+            profiles AS (
+                SELECT first_day, etype AS dominant_type,
+                       CASE WHEN n_events <= 1 THEN '1'
+                            WHEN n_events <= 3 THEN '2-3'
+                            WHEN n_events <= 7 THEN '4-7'
+                            WHEN n_events <= 15 THEN '8-15'
+                            ELSE '16+' END AS activity_bucket,
+                       CASE WHEN spend_cents < 250000 THEN 'low'
+                            WHEN spend_cents < 350000 THEN 'mid'
+                            WHEN spend_cents < 450000 THEN 'high'
+                            ELSE 'top' END AS spend_bucket
+                FROM ranked WHERE rn = 1
+            ),
+            cls AS (
+                SELECT first_day, dominant_type, activity_bucket,
+                       count(*)::BIGINT AS n_users,
+                       sum(CASE WHEN spend_bucket = 'low' THEN 1
+                           ELSE 0 END)::BIGINT AS c1,
+                       sum(CASE WHEN spend_bucket = 'mid' THEN 1
+                           ELSE 0 END)::BIGINT AS c2,
+                       sum(CASE WHEN spend_bucket = 'high' THEN 1
+                           ELSE 0 END)::BIGINT AS c3
+                FROM profiles GROUP BY 1, 2, 3
+            ),
+            g AS (
+                SELECT *, sum(n_users) OVER () AS gn,
+                       sum(c1) OVER () AS g1, sum(c2) OVER () AS g2,
+                       sum(c3) OVER () AS g3
+                FROM cls
+            ),
+            d AS (
+                SELECT *,
+                       c1 / n_users::DOUBLE - g1 / gn::DOUBLE AS d1,
+                       c2 / n_users::DOUBLE - g2 / gn::DOUBLE AS d2,
+                       c3 / n_users::DOUBLE - g3 / gn::DOUBLE AS d3
+                FROM g
+            )
+            SELECT first_day, dominant_type, activity_bucket, n_users,
+                   round((abs(d1) + abs(d1 + d2) + abs(d1 + d2 + d3))
+                         / 3.0, 6) AS emd,
+                   (abs(d1) + abs(d1 + d2) + abs(d1 + d2 + d3)) / 3.0
+                       <= 0.2 AS t_close
+            FROM d
+        """,
+        "doremi_weights": """
+            WITH lo AS (
+                SELECT source AS domain, lower(text) AS c FROM documents
+                WHERE length(lower(text)) >= 3
+            ),
+            g AS (
+                SELECT domain, substr(c, i, 3) AS g
+                FROM lo, LATERAL UNNEST(generate_series(1, length(c) - 2))
+                    AS t(i)
+            ),
+            cnt AS (
+                SELECT domain, g, count(*) AS c3 FROM g GROUP BY 1, 2
+            ),
+            ctx AS (
+                SELECT domain, substr(g, 1, 2) AS b, sum(c3) AS c2
+                FROM cnt GROUP BY 1, 2
+            ),
+            gtri AS (SELECT g, sum(c3) AS g3 FROM cnt GROUP BY 1),
+            gctx AS (SELECT b, sum(c2) AS g2 FROM ctx GROUP BY 1),
+            j AS (
+                SELECT cnt.domain, cnt.c3,
+                       ln((gtri.g3 + 0.5) / (gctx.g2 + 32.0)) AS lref,
+                       ln((cnt.c3 + 0.5) / (ctx.c2 + 32.0)) AS lown
+                FROM cnt
+                JOIN ctx ON ctx.domain = cnt.domain
+                        AND ctx.b = substr(cnt.g, 1, 2)
+                JOIN gtri ON gtri.g = cnt.g
+                JOIN gctx ON gctx.b = substr(cnt.g, 1, 2)
+            ),
+            per AS (
+                SELECT domain, sum(c3)::BIGINT AS n_trigrams,
+                       sum(-c3 * lref) / sum(c3) AS loss_ref,
+                       sum(-c3 * lown) / sum(c3) AS loss_own
+                FROM j GROUP BY 1
+            ),
+            ex AS (
+                SELECT *, greatest(loss_ref - loss_own, 0.0) AS excess
+                FROM per
+            ),
+            sm AS (
+                SELECT *, exp(excess) / sum(exp(excess)) OVER () AS s,
+                       count(*) OVER () AS nd
+                FROM ex
+            )
+            SELECT domain, n_trigrams,
+                   round(loss_ref, 6) AS loss_ref,
+                   round(loss_own, 6) AS loss_own,
+                   round(excess, 6) AS excess_loss,
+                   round(0.8 * s + 0.2 / nd, 6) AS weight
+            FROM sm
+        """,
+        "ks_drift": """
+            WITH lo AS (SELECT min(ts::DATE) AS d0 FROM events),
+            tagged AS (
+                SELECT event_type AS grp, value AS v,
+                       ts::DATE < (SELECT d0 + 17 FROM lo) AS is_ref
+                FROM events
+            ),
+            vc AS (
+                SELECT grp, v,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT
+                           AS nr,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT
+                           AS nc
+                FROM tagged GROUP BY 1, 2
+            ),
+            gaps AS (
+                SELECT grp,
+                       sum(nr) OVER (PARTITION BY grp) AS tr,
+                       sum(nc) OVER (PARTITION BY grp) AS tc,
+                       abs(sum(nr) OVER w
+                           / sum(nr) OVER (PARTITION BY grp)
+                         - sum(nc) OVER w
+                           / sum(nc) OVER (PARTITION BY grp)) AS gap
+                FROM vc
+                WINDOW w AS (PARTITION BY grp ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            agg AS (
+                SELECT grp, tr, tc, max(gap) AS d
+                FROM gaps GROUP BY 1, 2, 3
+            )
+            SELECT grp AS event_type, tr AS n_ref, tc AS n_cur,
+                   round(d, 6) AS ks_stat,
+                   round(1.358 * sqrt((tr + tc) / (tr::DOUBLE * tc)), 6)
+                       AS ks_crit,
+                   d > 1.358 * sqrt((tr + tc) / (tr::DOUBLE * tc))
+                       AS drifted
+            FROM agg
+        """,
         "l_diversity": """
             WITH per_type AS (
                 SELECT user_id AS u, event_type AS etype,
@@ -13708,6 +13911,37 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["filter_auc"] = (
         "WITH ce AS (" + sqls["char_entropy"] + ")\n" + _FILTER_AUC_TAIL
+    )
+    # ece_calibration: the same score/label pair as filter_auc, min-max
+    # normalized, 10 equal-width bins, ECE = Σ (n_b/N)·|acc_b − conf_b|
+    sqls["ece_calibration"] = (
+        "WITH ce AS ("
+        + sqls["char_entropy"]
+        + """),
+        sc AS (
+            SELECT ce.doc_id, ce.entropy_bits AS score,
+                   (d.lang = 'en') AS pos
+            FROM ce JOIN documents d ON d.doc_id = ce.doc_id
+        ),
+        mm AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+        b AS (
+            SELECT least(floor((score - lo) / (hi - lo) * 10)::INT, 9)
+                       AS bin,
+                   (score - lo) / (hi - lo) AS p,
+                   CASE WHEN pos THEN 1.0 ELSE 0.0 END AS y
+            FROM sc, mm
+        ),
+        per AS (
+            SELECT bin, count(*)::BIGINT AS n,
+                   avg(p) AS conf, avg(y) AS acc
+            FROM b GROUP BY 1
+        )
+        SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
+               round(abs(acc - conf), 6) AS gap,
+               round(sum(n * abs(acc - conf)) OVER () / sum(n) OVER (),
+                     6) AS ece
+        FROM per
+    """
     )
     sqls["cluster_cohesion"] = (
         "WITH RECURSIVE pj AS ("

@@ -34,6 +34,10 @@ from pyspark.sql import types as T
 
 __all__ = [
     "psi_by_group",
+    "t_closeness",
+    "doremi_weights",
+    "ks_drift",
+    "calibration_report",
     "quantile_normalize",
     "rake_keywords",
     "split_leakage",
@@ -5138,6 +5142,54 @@ def k_anonymity(
     )
 
 
+def _spend_profiles(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-user behavioral profile shared by the privacy audits
+    (:func:`l_diversity`, :func:`t_closeness`): quasi-identifier tuple
+    (first_day, dominant_type, activity_bucket) plus the sensitive
+    spend_bucket.  Spend aggregates as INTEGER CENTS so the bucket
+    thresholds compare exact integers on every engine; the modal type
+    is the min(struct(-cnt, type)) pick — ties to the lexically
+    smaller type, same as the SQL twin's row_number ordering."""
+    per_type = events.groupBy(
+        F.col(user_col).alias("user"), F.col(type_col).alias("etype")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.min(F.to_date(ts_col)).alias("fd"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"),
+    )
+    return (
+        per_type.groupBy("user")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("etype")))
+            .alias("top"),
+            F.sum("cnt").alias("n_events"),
+            F.min("fd").alias("first_day"),
+            F.sum("cents").alias("spend_cents"),
+        )
+        .select(
+            F.col("top.etype").alias("dominant_type"),
+            F.when(F.col("n_events") <= 1, "1")
+            .when(F.col("n_events") <= 3, "2-3")
+            .when(F.col("n_events") <= 7, "4-7")
+            .when(F.col("n_events") <= 15, "8-15")
+            .otherwise("16+")
+            .alias("activity_bucket"),
+            "first_day",
+            F.when(F.col("spend_cents") < 250000, "low")
+            .when(F.col("spend_cents") < 350000, "mid")
+            .when(F.col("spend_cents") < 450000, "high")
+            .otherwise("top")
+            .alias("spend_bucket"),
+        )
+    )
+
+
 def l_diversity(
     events: DataFrame,
     user_col: str,
@@ -5163,38 +5215,7 @@ def l_diversity(
     Returns (first_day, dominant_type, activity_bucket, n_users,
     n_sensitive, k_anonymous, l_diverse).
     """
-    per_type = events.groupBy(
-        F.col(user_col).alias("user"), F.col(type_col).alias("etype")
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.min(F.to_date(ts_col)).alias("fd"),
-        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"),
-    )
-    profiles = (
-        per_type.groupBy("user")
-        .agg(
-            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("etype")))
-            .alias("top"),
-            F.sum("cnt").alias("n_events"),
-            F.min("fd").alias("first_day"),
-            F.sum("cents").alias("spend_cents"),
-        )
-        .select(
-            F.col("top.etype").alias("dominant_type"),
-            F.when(F.col("n_events") <= 1, "1")
-            .when(F.col("n_events") <= 3, "2-3")
-            .when(F.col("n_events") <= 7, "4-7")
-            .when(F.col("n_events") <= 15, "8-15")
-            .otherwise("16+")
-            .alias("activity_bucket"),
-            "first_day",
-            F.when(F.col("spend_cents") < 250000, "low")
-            .when(F.col("spend_cents") < 350000, "mid")
-            .when(F.col("spend_cents") < 450000, "high")
-            .otherwise("top")
-            .alias("spend_bucket"),
-        )
-    )
+    profiles = _spend_profiles(events, user_col, ts_col, type_col, value_col)
     return (
         profiles.groupBy("first_day", "dominant_type", "activity_bucket")
         .agg(
@@ -5268,4 +5289,275 @@ def dp_release_counts(
         ),
         F.lit(float(epsilon)).alias("epsilon"),
         F.lit(1.0).alias("sensitivity"),
+    )
+
+
+def t_closeness(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    *,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third rung of the
+    privacy-audit ladder after :func:`k_anonymity` and
+    :func:`l_diversity`: an equivalence class can be k-anonymous AND
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    far from the table-wide one (the skewness attack).  Closeness is
+    the ordered-attribute Earth Mover's Distance of Li §5.2: with the
+    m=4 spend buckets ordered low<mid<high<top,
+    ``EMD = (1/(m-1)) * Σ_{i<m} |Σ_{j<=i} (p_j − q_j)|`` — the mean
+    absolute CDF gap between the class distribution p and the global
+    distribution q.
+
+    Determinism: p and q are exact rational counts over integer-cent
+    bucket assignments (:func:`_spend_profiles`), so the only floats
+    are the final three divisions — identical on both engines, rounded
+    to 6 dp.  Scale shape: the same two-level groupBy as k_anonymity
+    down to |classes| rows carrying FOUR conditional counts (no pivot,
+    no explode), then windows over that tiny class-level frame for the
+    global distribution.  Returns (first_day, dominant_type,
+    activity_bucket, n_users, emd, t_close).
+    """
+    profiles = _spend_profiles(events, user_col, ts_col, type_col, value_col)
+    cls = profiles.groupBy(
+        "first_day", "dominant_type", "activity_bucket"
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum((F.col("spend_bucket") == "low").cast("long")).alias("c1"),
+        F.sum((F.col("spend_bucket") == "mid").cast("long")).alias("c2"),
+        F.sum((F.col("spend_bucket") == "high").cast("long")).alias("c3"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    g = cls.select(
+        "*",
+        F.sum("n_users").over(w).alias("gn"),
+        F.sum("c1").over(w).alias("g1"),
+        F.sum("c2").over(w).alias("g2"),
+        F.sum("c3").over(w).alias("g3"),
+    )
+    d1 = F.col("c1") / F.col("n_users") - F.col("g1") / F.col("gn")
+    d2 = F.col("c2") / F.col("n_users") - F.col("g2") / F.col("gn")
+    d3 = F.col("c3") / F.col("n_users") - F.col("g3") / F.col("gn")
+    emd = (F.abs(d1) + F.abs(d1 + d2) + F.abs(d1 + d2 + d3)) / F.lit(3.0)
+    return g.select(
+        "first_day",
+        "dominant_type",
+        "activity_bucket",
+        "n_users",
+        F.round(emd, 6).alias("emd"),
+        (emd <= F.lit(t)).alias("t_close"),
+    )
+
+
+def doremi_weights(
+    docs: DataFrame,
+    domain_col: str,
+    text_col: str,
+    *,
+    alpha: float = 1.0,
+    uniform_mix: float = 0.2,
+    add_k: float = 0.5,
+    vocab: int = 64,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) with a
+    deterministic count-model stand-in for the trained reference/proxy
+    pair: a domain's EXCESS LOSS is the cross-entropy of its char-
+    trigram stream under the pooled all-domain add-k model minus the
+    entropy under its OWN add-k model — nonnegative by Gibbs'
+    inequality (up to smoothing, clamped at 0), zero iff the domain's
+    conditional distribution matches the pooled one, large where the
+    uniform mixture underserves the domain: DoReMi's "learnable but
+    not yet learned" signal without a gradient step.  Final weights
+    are the paper's smoothed softmax,
+    ``w = (1-c) * softmax(excess/alpha) + c / n_domains``.
+
+    Neither loss needs per-document scoring: both are linear in the
+    (domain, trigram) COUNTS, so the whole computation runs on the
+    vocabulary-bounded count table (≤ |domains|·|charset|³ rows no
+    matter the corpus size).  Scale shape: the trigram explode feeds
+    ONE map-side-combinable groupBy(domain, gram); everything after
+    operates on ≤ |domains| rows via windows.  Smoothing constants
+    (add_k, vocab) match :func:`train_char_lm` so the two LM families
+    in the repo share one probability definition.  Returns (domain,
+    n_trigrams, loss_ref, loss_own, excess_loss, weight), 6 dp.
+    """
+    grams = _char_trigrams(
+        docs.select(F.col(domain_col).alias("domain"), text_col),
+        ["domain"],
+        text_col,
+    )
+    cnt = grams.groupBy("domain", "g").agg(F.count("*").alias("c3"))
+    ctx = cnt.groupBy("domain", F.substring("g", 1, 2).alias("b")).agg(
+        F.sum("c3").alias("c2")
+    )
+    gtri = cnt.groupBy("g").agg(F.sum("c3").alias("g3"))
+    gctx = ctx.groupBy("b").agg(F.sum("c2").alias("g2"))
+    av = float(add_k) * vocab
+    joined = (
+        cnt.withColumn("b", F.substring("g", 1, 2))
+        .join(ctx, ["domain", "b"])
+        .join(F.broadcast(gtri), "g")
+        .join(F.broadcast(gctx), "b")
+    )
+    per_dom = joined.groupBy("domain").agg(
+        F.sum("c3").alias("n_trigrams"),
+        F.sum(
+            -F.col("c3")
+            * F.log((F.col("g3") + add_k) / (F.col("g2") + av))
+        ).alias("sref"),
+        F.sum(
+            -F.col("c3")
+            * F.log((F.col("c3") + add_k) / (F.col("c2") + av))
+        ).alias("sown"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    staged = per_dom.select(
+        "domain",
+        "n_trigrams",
+        (F.col("sref") / F.col("n_trigrams")).alias("loss_ref"),
+        (F.col("sown") / F.col("n_trigrams")).alias("loss_own"),
+    ).select(
+        "*",
+        F.greatest(
+            F.col("loss_ref") - F.col("loss_own"), F.lit(0.0)
+        ).alias("excess"),
+    )
+    soft = staged.select(
+        "*",
+        (
+            F.exp(F.col("excess") / F.lit(float(alpha)))
+            / F.sum(F.exp(F.col("excess") / F.lit(float(alpha)))).over(w)
+        ).alias("sm"),
+        F.count("*").over(w).alias("nd"),
+    )
+    return soft.select(
+        "domain",
+        "n_trigrams",
+        F.round("loss_ref", 6).alias("loss_ref"),
+        F.round("loss_own", 6).alias("loss_own"),
+        F.round("excess", 6).alias("excess_loss"),
+        F.round(
+            F.lit(1.0 - uniform_mix) * F.col("sm")
+            + F.lit(uniform_mix) / F.col("nd"),
+            6,
+        ).alias("weight"),
+    )
+
+
+def ks_drift(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    split_days: int = 17,
+    crit_coeff: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per group between a
+    reference window (first ``split_days`` days of the table) and the
+    current window (the rest) — the distribution-free companion to
+    :func:`psi_by_group` for unbounded scores where fixed PSI buckets
+    don't apply.  ``D = sup_x |F_ref(x) − F_cur(x)|`` evaluated at
+    every observed value; drift is flagged at the large-sample
+    critical value ``c(α)·sqrt((n+m)/(n·m))`` with c(0.05)=1.358.
+
+    The split point is ``min(date) + split_days`` — exact date
+    arithmetic on both engines, no data-dependent float pivot.  Scale
+    shape: ONE groupBy(group, value) carrying the two window counts
+    (map-side combinable; ties collapse before any window), then the
+    running-CDF window partitioned BY GROUP ordered by value — groups
+    scan in parallel; for a single group with billions of distinct
+    values substitute the two-phase ``packing.global_rank`` shape.
+    Returns (group, n_ref, n_cur, ks_stat, ks_crit, drifted), 6 dp.
+    """
+    lo = events.agg(F.min(F.to_date(ts_col)).alias("d0"))
+    tagged = events.crossJoin(F.broadcast(lo)).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        (
+            F.to_date(ts_col) < F.date_add(F.col("d0"), split_days)
+        ).alias("is_ref"),
+    )
+    vc = tagged.groupBy("grp", "v").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("nr"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("nc"),
+    )
+    wg = Window.partitionBy("grp")
+    wcdf = wg.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = vc.select(
+        "grp",
+        F.sum("nr").over(wg).alias("tr"),
+        F.sum("nc").over(wg).alias("tc"),
+        F.abs(
+            F.sum("nr").over(wcdf) / F.sum("nr").over(wg)
+            - F.sum("nc").over(wcdf) / F.sum("nc").over(wg)
+        ).alias("gap"),
+    )
+    agg = gaps.groupBy("grp", "tr", "tc").agg(F.max("gap").alias("d"))
+    crit = F.lit(crit_coeff) * F.sqrt(
+        (F.col("tr") + F.col("tc"))
+        / (F.col("tr").cast("double") * F.col("tc"))
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("tr").alias("n_ref"),
+        F.col("tc").alias("n_cur"),
+        F.round("d", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("d") > crit).alias("drifted"),
+    )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (Guo et al.
+    2017) of a score against a binary label — the companion audit to
+    the exact-AUC query: AUC says the score RANKS well, ECE says its
+    magnitude can be read as a probability (the property quality-
+    filter thresholds and temperature-mixed sampling actually rely
+    on).  The score is min-max normalized to [0,1] (global min/max via
+    a 1-row broadcast aggregate, never an all-rows window), cut into
+    ``n_bins`` equal-width bins, and
+    ``ECE = Σ_b (n_b/N) · |acc_b − conf_b|``.
+
+    Scale shape: one scan → 1-row min/max broadcast → one map-side-
+    combinable groupBy(bin) to ≤ n_bins rows → windows on that tiny
+    frame.  Returns one row per non-empty bin (bin, n, conf, acc,
+    gap, ece) with the table-wide ECE replicated per row, 6 dp.
+    """
+    mm = scored.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    )
+    norm = (F.col(score_col) - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(norm * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        norm.alias("p"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return per_bin.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum(F.col("n") * gap).over(w) / F.sum("n").over(w), 6
+        ).alias("ece"),
     )

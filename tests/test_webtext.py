@@ -2682,3 +2682,131 @@ def test_negative_table_normalizes(spark):
     ps = [r["p"] for r in rows]
     fs = [r["freq"] for r in rows]
     assert max(ps) / min(ps) < max(fs) / min(fs)
+
+
+def test_t_closeness_single_class_is_zero(spark):
+    """A table with ONE quasi-class has class distribution == global
+    distribution, so EMD must be exactly 0 and the class t-close."""
+    # every user: 2 events, same type, same first day -> one quasi class;
+    # spend buckets differ (low vs top) so the distribution is nontrivial
+    rows = []
+    for u in range(6):
+        v = 10.0 if u < 3 else 9000.0  # low vs top spend bucket
+        rows += [(u, "2024-01-01 00:00:00", "click", v),
+                 (u, "2024-01-02 00:00:00", "click", v)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = W.t_closeness(ev, "user_id", "ts", "event_type", "value").collect()
+    assert len(out) == 1
+    assert out[0]["emd"] == 0.0 and out[0]["t_close"]
+
+
+def test_t_closeness_skewed_class_flagged(spark):
+    """Two classes with opposite pure distributions (all-low vs all-top):
+    global is 50/50, each class's ordered EMD = mean |CDF gap| =
+    (0.5+0.5+0.5)/3 = 0.5 > t."""
+    rows = []
+    for u in range(4):  # class A: day 1, all low
+        rows += [(u, "2024-01-01 00:00:00", "click", 10.0)] * 2
+    for u in range(4, 8):  # class B: day 2, all top
+        rows += [(u, "2024-01-02 00:00:00", "click", 9000.0)] * 2
+    ev = spark.createDataFrame(
+        [(u, t, e, v) for (u, t, e, v) in rows],
+        "user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["first_day"].isoformat(): r for r in W.t_closeness(
+        ev, "user_id", "ts", "event_type", "value", t=0.2).collect()}
+    assert all(abs(r["emd"] - 0.5) < 1e-9 for r in out.values())
+    assert not any(r["t_close"] for r in out.values())
+
+
+def test_doremi_weights_sum_to_one_and_excess_nonneg(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = W.doremi_weights(docs, "source", "text").collect()
+    assert len(out) == 20
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    assert all(r["excess_loss"] >= 0.0 for r in out)
+    # own-model entropy can never exceed pooled cross-entropy by more
+    # than the smoothing wiggle; with add-k both stay finite
+    assert all(r["loss_ref"] > 0 and r["loss_own"] > 0 for r in out)
+
+
+def test_doremi_weights_identical_domains_uniform(spark):
+    """Domains with IDENTICAL text have zero excess loss everywhere ->
+    softmax is uniform -> weight = 1/n exactly for every domain."""
+    docs = spark.createDataFrame(
+        [(d, "the quick brown fox jumps over the lazy dog") for d in "ab"],
+        "source string, text string",
+    )
+    out = W.doremi_weights(docs, "source", "text").collect()
+    assert all(r["excess_loss"] == 0.0 for r in out)
+    assert all(r["weight"] == 0.5 for r in out)
+
+
+def test_doremi_weights_divergent_domain_upweighted(spark):
+    """A domain whose CONDITIONAL trigram distribution diverges from
+    the pool gets more weight.  The domains must share contexts (the
+    2-char prefixes) — with disjoint alphabets the pooled conditional
+    restricted to a domain's own contexts IS that domain's model and
+    excess is legitimately zero — so both emit the 'aa' context but
+    continue it differently (b for the majority, c for the minority)."""
+    rows = (
+        [("majority", "aab " * 60)] * 8
+        + [("minority", "aac " * 60)] * 2
+    )
+    docs = spark.createDataFrame(rows, "source string, text string")
+    out = {r["domain"]: r for r in
+           W.doremi_weights(docs, "source", "text").collect()}
+    # the minority domain is underserved by the pooled model
+    assert out["minority"]["excess_loss"] > out["majority"]["excess_loss"]
+    assert out["minority"]["weight"] > out["majority"]["weight"]
+
+
+def test_ks_drift_no_drift_identical_windows(spark):
+    """Same value multiset in both windows -> D == 0, not drifted."""
+    rows = []
+    for i in range(50):
+        rows.append((i, "2024-01-02 00:00:00", "click", float(i % 7)))
+        rows.append((i, "2024-01-25 00:00:00", "click", float(i % 7)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = W.ks_drift(ev, "event_type", "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == 50 and r["n_cur"] == 50
+    assert r["ks_stat"] == 0.0 and not r["drifted"]
+
+
+def test_ks_drift_disjoint_supports_is_one(spark):
+    """Disjoint supports -> D == 1 (max CDF gap), drifted."""
+    rows = [(i, "2024-01-02 00:00:00", "click", float(i)) for i in range(30)]
+    rows += [(i, "2024-01-25 00:00:00", "click", 1000.0 + i) for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = W.ks_drift(ev, "event_type", "ts", "value").collect()[0]
+    assert r["ks_stat"] == 1.0 and r["drifted"]
+
+
+def test_calibration_report_perfect_and_ece_bounds(spark):
+    """A perfectly calibrated score (label avg == normalized score in
+    every bin) gives ECE == 0; ECE is a weighted mean of per-bin gaps
+    so it is bounded by max(gap)."""
+    # score 0 and 1 only; labels exactly match the normalized score
+    rows = [(i, 0.0, False) for i in range(10)] + [
+        (i + 10, 1.0, True) for i in range(10)
+    ]
+    sc = spark.createDataFrame(rows, "doc_id long, score double, pos boolean")
+    out = W.calibration_report(sc, "score", "pos").collect()
+    assert {r["bin"] for r in out} == {0, 9}
+    assert all(r["gap"] == 0.0 and r["ece"] == 0.0 for r in out)
+    # miscalibrated: all labels true regardless of score
+    rows = [(i, float(i % 2), True) for i in range(20)]
+    sc = spark.createDataFrame(rows, "doc_id long, score double, pos boolean")
+    out = W.calibration_report(sc, "score", "pos").collect()
+    ece = out[0]["ece"]
+    assert ece == pytest.approx(0.5, abs=1e-6)
+    assert all(r["ece"] == ece for r in out)
+    assert max(r["gap"] for r in out) >= ece
