@@ -6324,6 +6324,176 @@ def q_sif_embeddings(spark, sf_dir):
     return DS.sif_embeddings(docs, "doc_id", "text", dim=16, decimals=4)
 
 
+def q_combmnz_fusion(spark, sf_dir):
+    """CombMNZ fusion (Fox & Shaw 1994) over the same two top-20
+    candidate lists as hybrid_minmax/rrf_fusion: per-list min-max
+    normalize (degenerate branch included), sum, multiply by the
+    number of lists that returned the doc — consensus-rewarding
+    fusion, third member of the family."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    vec_hits = (
+        R.cosine_topk(emb, "vec_id", "embedding", qv, 20)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score"))
+    )
+    bm25_hits = (
+        _bm25_hits(spark, sf_dir)
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.col("bm25_score").alias("score"))
+    )
+    fused = R.combmnz_fuse([vec_hits, bm25_hits], "doc_id", "score", 10)
+    return fused.select(
+        "doc_id", "n_lists", F.round("combmnz_score", 6).alias("combmnz_score")
+    )
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Bottom-k sample quantile estimator over lineitem extended
+    prices: the k=1024 smallest md5(salt|id) rows form a deterministic,
+    merge-order-independent uniform sample (the property reservoir/GK/
+    t-digest sketches lack, which would break cross-engine parity);
+    quantile q = value at rank ceil(q·k) of the value-sorted sample,
+    reported against the exact quantile under the same rank rule."""
+    from clawrag_spark.operators import sketches as SK
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lid"),
+        "l_extendedprice",
+    )
+    return SK.bottomk_quantiles(li, "lid", "l_extendedprice", k=1024)
+
+
+def q_mi_features(spark, sf_dir):
+    """Mutual-information feature selection: MI between per-document
+    token presence and the lang=='en' label from exact integer
+    contingency counts (Manning IR §13.5.1) — the ranking step before
+    training a bag-of-words quality/langid filter.  Top-40 by
+    (rounded mi DESC, token)."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.mi_features(
+        docs, "doc_id", "text", F.col("lang") == "en", top_n=40, min_df=5
+    )
+
+
+def q_langid_eval(spark, sf_dir):
+    """Per-class precision/recall/F1 + macro-F1 on top of the
+    nb_langid confusion matrix — the classifier-eval rung the corpus
+    datasheet reports next to the raw confusion counts.  All counts
+    are exact integers off the shared confusion frame; only the final
+    ratios are float, 6 dp."""
+    conf = q_nb_langid(spark, sf_dir)
+    rows = conf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n_docs").alias("n_true")
+    )
+    cols = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n_docs").alias("n_pred")
+    )
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("lang"), F.col("n_docs").alias("tp")
+    )
+    base = (
+        rows.join(cols, "lang", "left")
+        .join(tp, "lang", "left")
+        .fillna(0, ["n_pred", "tp"])
+    )
+    p = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred").cast("double")
+    ).otherwise(F.lit(0.0))
+    r = F.col("tp") / F.col("n_true").cast("double")
+    staged = base.select(
+        "lang", "n_true", "n_pred", "tp", p.alias("p"), r.alias("r")
+    )
+    f1 = F.when(
+        F.col("p") + F.col("r") > 0,
+        2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(F.lit(1))
+    out = staged.select(
+        "lang", "n_true", "n_pred", "tp", "p", "r", f1.alias("f1")
+    )
+    return out.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round("p", 6).alias("precision"),
+        F.round("r", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round(F.avg("f1").over(w), 6).alias("macro_f1"),
+    )
+
+
+def q_data_expectations(spark, sf_dir):
+    """Deequ-style data-quality expectations report: referential
+    integrity, key uniqueness, range and nullability checks across the
+    warehouse tables, one row per check with exact violation counts.
+    Each check is ONE map-side-combinable aggregate over its table
+    scan (the FK probe broadcasts the customer keys); the report is a
+    union of 1-row frames — the shape a nightly pipeline gate runs at
+    any scale.  The ascii-only check is expected to FAIL (non-Latin
+    documents are planted) so both branches of `passed` are live."""
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    li = _load(spark, sf_dir, "lineitem")
+    docs = _load(spark, sf_dir, "documents")
+    ev = _load(spark, sf_dir, "events")
+
+    def check(name, df, viol):
+        return df.agg(
+            F.lit(name).alias("check"),
+            F.count("*").alias("n_rows"),
+            F.sum(viol.cast("long")).alias("n_violations"),
+        )
+
+    fk = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("ck"))),
+        orders["o_custkey"] == F.col("ck"),
+        "left",
+    )
+    parts = [
+        check("orders_custkey_fk", fk, F.col("ck").isNull()),
+        orders.agg(
+            F.lit("orders_orderkey_unique").alias("check"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            ),
+        ),
+        check("orders_totalprice_positive", orders, F.col("o_totalprice") <= 0),
+        check(
+            "lineitem_quantity_range",
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        check(
+            "lineitem_discount_range",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        check(
+            "documents_text_nonempty",
+            docs,
+            F.col("text").isNull() | (F.length("text") == 0),
+        ),
+        check(
+            "documents_ascii_only",
+            docs,
+            F.col("text").rlike("[^\\x00-\\x7F]"),
+        ),
+        check("events_value_nonnull", ev, F.col("value").isNull()),
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.select(
+        "check",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit (Li et al. 2007), third rung of the privacy
     ladder after k_anonymity / l_diversity: per quasi-class ordered
@@ -6442,6 +6612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights": q_doremi_weights,
         "ks_drift": q_ks_drift,
         "ece_calibration": q_ece_calibration,
+        "combmnz_fusion": q_combmnz_fusion,
+        "quantile_sketch": q_quantile_sketch,
+        "mi_features": q_mi_features,
+        "langid_eval": q_langid_eval,
+        "data_expectations": q_data_expectations,
         "char_entropy": q_char_entropy,
         "table_profile": q_table_profile,
         "unimax_mix": q_unimax_mix,
@@ -9438,6 +9613,173 @@ def oracle_sql() -> dict[str, str]:
         """,
         # l_diversity: same two-level profile build; spend in integer
         # cents so bucket thresholds are exact on both engines
+        "combmnz_fusion": _BM25_CTE + "," + _VEC_CTE + """,
+            vh AS (
+                SELECT vec_id AS doc_id, cos_sim AS s
+                FROM cos ORDER BY cos_sim DESC, vec_id LIMIT 20
+            ),
+            bh AS (
+                SELECT doc_id, bm25_score AS s
+                FROM bm25 ORDER BY bm25_score DESC, doc_id LIMIT 20
+            ),
+            nv AS (
+                SELECT doc_id,
+                       CASE WHEN max(s) OVER () > min(s) OVER ()
+                            THEN (s - min(s) OVER ())
+                                 / (max(s) OVER () - min(s) OVER ())
+                            WHEN s > 0 THEN 1.0 ELSE 0.0 END AS norm
+                FROM vh
+            ),
+            nb AS (
+                SELECT doc_id,
+                       CASE WHEN max(s) OVER () > min(s) OVER ()
+                            THEN (s - min(s) OVER ())
+                                 / (max(s) OVER () - min(s) OVER ())
+                            WHEN s > 0 THEN 1.0 ELSE 0.0 END AS norm
+                FROM bh
+            ),
+            u AS (SELECT * FROM nv UNION ALL SELECT * FROM nb)
+            SELECT doc_id, count(*)::BIGINT AS n_lists,
+                   round(sum(norm) * count(*), 6) AS combmnz_score
+            FROM u GROUP BY doc_id
+            ORDER BY sum(norm) * count(*) DESC, doc_id LIMIT 10
+        """,
+        "quantile_sketch": """
+            WITH t AS (
+                SELECT l_orderkey * 8 + l_linenumber AS id,
+                       l_extendedprice AS v
+                FROM lineitem
+            ),
+            s AS (
+                SELECT id, v FROM t ORDER BY md5('qsk1|' || id) LIMIT 1024
+            ),
+            rs AS (
+                SELECT v, row_number() OVER (ORDER BY v, id) AS r,
+                       count(*) OVER () AS ku
+                FROM s
+            ),
+            qs(q) AS (
+                VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE),
+                       (0.9::DOUBLE), (0.99::DOUBLE)
+            ),
+            est AS (
+                SELECT q, v AS est, ku AS k_used
+                FROM qs JOIN rs ON rs.r = ceil(q * ku)::INT
+            ),
+            rf AS (
+                SELECT v, row_number() OVER (ORDER BY v, id) AS r,
+                       count(*) OVER () AS n
+                FROM t
+            ),
+            ex AS (
+                SELECT q, v AS exact, n AS n_rows
+                FROM qs JOIN rf ON rf.r = ceil(q * n)::BIGINT
+            )
+            SELECT est.q, est.est, ex.exact,
+                   round(abs(est.est - ex.exact), 6) AS abs_err,
+                   est.k_used::BIGINT AS k_used, ex.n_rows::BIGINT AS n_rows
+            FROM est JOIN ex USING (q)
+        """,
+        "mi_features": """
+            WITH base AS (
+                SELECT doc_id, (lang = 'en') AS y,
+                       list_distinct(
+                           regexp_extract_all(lower(text), '[a-z]+')
+                       ) AS ws
+                FROM documents
+            ),
+            m AS (
+                SELECT count(*)::BIGINT AS N,
+                       sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS N1
+                FROM base
+            ),
+            wc AS (
+                SELECT w,
+                       sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n11,
+                       sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n01
+                FROM (SELECT y, unnest(ws) AS w FROM base)
+                GROUP BY w
+                HAVING sum(CASE WHEN y THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN y THEN 0 ELSE 1 END) >= 5
+            ),
+            j AS (
+                SELECT w, n11, N1 - n11 AS n10, n01,
+                       N - N1 - n01 AS n00, N, N1, n11 + n01 AS wp
+                FROM wc CROSS JOIN m
+            ),
+            mi AS (
+                SELECT w, n11, n10, n01, n00,
+                       round(
+                         (CASE WHEN n11 > 0 THEN (n11::DOUBLE / N)
+                               * ln(n11::DOUBLE * N / (wp::DOUBLE * N1))
+                               ELSE 0.0 END)
+                       + (CASE WHEN n01 > 0 THEN (n01::DOUBLE / N)
+                               * ln(n01::DOUBLE * N / (wp::DOUBLE * (N - N1)))
+                               ELSE 0.0 END)
+                       + (CASE WHEN n10 > 0 THEN (n10::DOUBLE / N)
+                               * ln(n10::DOUBLE * N / ((N - wp)::DOUBLE * N1))
+                               ELSE 0.0 END)
+                       + (CASE WHEN n00 > 0 THEN (n00::DOUBLE / N)
+                               * ln(n00::DOUBLE * N
+                                    / ((N - wp)::DOUBLE * (N - N1)))
+                               ELSE 0.0 END), 6) AS mi
+                FROM j
+            )
+            SELECT w, n11, n10, n01, n00, mi
+            FROM mi ORDER BY mi DESC, w LIMIT 40
+        """,
+        "data_expectations": """
+            SELECT 'orders_custkey_fk' AS check, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_violations,
+                   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                       AS passed
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'orders_orderkey_unique', count(*)::BIGINT,
+                   (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+                   count(*) = count(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'orders_totalprice_positive', count(*)::BIGINT,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0
+                       END)::BIGINT,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_quantity_range', count(*)::BIGINT,
+                   sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END)::BIGINT,
+                   sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_discount_range', count(*)::BIGINT,
+                   sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                       THEN 1 ELSE 0 END)::BIGINT,
+                   sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                       THEN 1 ELSE 0 END) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'documents_text_nonempty', count(*)::BIGINT,
+                   sum(CASE WHEN text IS NULL OR length(text) = 0
+                       THEN 1 ELSE 0 END)::BIGINT,
+                   sum(CASE WHEN text IS NULL OR length(text) = 0
+                       THEN 1 ELSE 0 END) = 0
+            FROM documents
+            UNION ALL
+            SELECT 'documents_ascii_only', count(*)::BIGINT,
+                   sum(CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]')
+                       THEN 1 ELSE 0 END)::BIGINT,
+                   sum(CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]')
+                       THEN 1 ELSE 0 END) = 0
+            FROM documents
+            UNION ALL
+            SELECT 'events_value_nonnull', count(*)::BIGINT,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+            FROM events
+        """,
         "t_closeness": """
             WITH per_type AS (
                 SELECT user_id AS u, event_type AS etype,
@@ -13911,6 +14253,51 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["filter_auc"] = (
         "WITH ce AS (" + sqls["char_entropy"] + ")\n" + _FILTER_AUC_TAIL
+    )
+    # langid_eval: per-class precision/recall/F1 + macro-F1 composed on
+    # the nb_langid confusion-matrix SQL
+    sqls["langid_eval"] = (
+        "WITH conf AS ("
+        + sqls["nb_langid"]
+        + """),
+        rows_t AS (
+            SELECT true_lang AS lang, sum(n_docs)::BIGINT AS n_true
+            FROM conf GROUP BY 1
+        ),
+        cols_t AS (
+            SELECT pred_lang AS lang, sum(n_docs)::BIGINT AS n_pred
+            FROM conf GROUP BY 1
+        ),
+        tp_t AS (
+            SELECT true_lang AS lang, n_docs::BIGINT AS tp
+            FROM conf WHERE true_lang = pred_lang
+        ),
+        base AS (
+            SELECT r.lang, r.n_true,
+                   coalesce(c.n_pred, 0) AS n_pred,
+                   coalesce(t.tp, 0) AS tp
+            FROM rows_t r
+            LEFT JOIN cols_t c ON c.lang = r.lang
+            LEFT JOIN tp_t t ON t.lang = r.lang
+        ),
+        pr AS (
+            SELECT lang, n_true, n_pred, tp,
+                   CASE WHEN n_pred > 0 THEN tp / n_pred::DOUBLE
+                        ELSE 0.0 END AS p,
+                   tp / n_true::DOUBLE AS r
+            FROM base
+        ),
+        f AS (
+            SELECT *, CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                           ELSE 0.0 END AS f1
+            FROM pr
+        )
+        SELECT lang, n_true, n_pred, tp,
+               round(p, 6) AS precision, round(r, 6) AS recall,
+               round(f1, 6) AS f1,
+               round(avg(f1) OVER (), 6) AS macro_f1
+        FROM f
+    """
     )
     # ece_calibration: the same score/label pair as filter_auc, min-max
     # normalized, 10 equal-width bins, ECE = Σ (n_b/N)·|acc_b − conf_b|

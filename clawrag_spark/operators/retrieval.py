@@ -1491,3 +1491,47 @@ def score_ltr(
         lambda acc, x: acc + x,
     )
     return F.round(dot, decimals)
+
+
+def combmnz_fuse(
+    hit_lists: list[DataFrame],
+    id_col: str,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """CombMNZ fusion (Fox & Shaw 1994) — the third member of the
+    fusion family next to :func:`hybrid_minmax` (score-based) and
+    :func:`rrf_fuse` (rank-based): per-list min-max normalize, sum the
+    normalized scores, then MULTIPLY by the number of lists that
+    returned the document, rewarding multi-retriever consensus harder
+    than either sibling.
+
+    The degenerate-list branch matches hybrid_minmax: a list whose
+    scores are all equal contributes 1.0 for positive scores, 0.0
+    otherwise.  Scale shape: candidate lists are top-N shortlists
+    (bounded rows), so the per-list min/max windows and the final
+    groupBy(id) run on frames of at most Σ|lists| rows; ties break to
+    the smaller id.  Returns (id, n_lists, combmnz_score) top-k.
+    """
+    parts = []
+    for idx, hits in enumerate(hit_lists):
+        w = Window.partitionBy(F.lit(idx))
+        lo, hi = F.min(score_col).over(w), F.max(score_col).over(w)
+        norm = (
+            F.when(hi > lo, (F.col(score_col) - lo) / (hi - lo))
+            .when(F.col(score_col) > 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        )
+        parts.append(hits.select(F.col(id_col), norm.alias("norm")))
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lists"),
+            (F.sum("norm") * F.count("*")).alias("combmnz_score"),
+        )
+        .orderBy(F.desc("combmnz_score"), F.col(id_col))
+        .limit(k)
+    )

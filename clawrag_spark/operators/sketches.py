@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -377,5 +377,86 @@ def kmv_jaccard(
             F.round(
                 inter_in_k / F.greatest(F.size(union_k), F.lit(1)), 6
             ).alias("jaccard_est"),
+        )
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 1024,
+    salt: str = "qsk1",
+) -> DataFrame:
+    """Bottom-k sample quantile estimator — the KMV trick (bottom-k
+    rows by ``md5(salt|id)``) turned into a mergeable quantile sketch:
+    the k smallest hashes form a DETERMINISTIC uniform sample that is
+    independent of partitioning and merge order (unlike reservoir /
+    GK / t-digest whose state depends on arrival order, which breaks
+    cross-engine value parity), and the q-quantile estimate is the
+    value at rank ``ceil(q·k)`` of the value-sorted sample.
+
+    For the error report the exact quantile is computed under the SAME
+    rank definition over the full table; at production scale the exact
+    column is the thing this sketch replaces (drop it and only the
+    top-k-by-hash scan remains — a TakeOrderedAndProject, no global
+    sort).  Ties break by id on both paths.  Returns
+    (q, est, exact, abs_err, k_used, n_rows).
+    """
+    from clawrag_spark.operators import packing as PK
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(value_col).alias("v"),
+                  h.alias("h"))
+        .orderBy("h")
+        .limit(k)
+    )
+    wk = Window.partitionBy(F.lit(1))
+    ws = Window.partitionBy(F.lit(1)).orderBy("v", "id")
+    ranked_s = sample.select(
+        "v",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(wk).alias("ku"),
+    )
+    spine = None
+    for q in qs:
+        row = F.lit(float(q)).alias("q")
+        spine = (
+            ranked_s.sparkSession.range(1).select(row)
+            if spine is None
+            else spine.union(ranked_s.sparkSession.range(1).select(row))
+        )
+    est = spine.join(
+        ranked_s,
+        F.col("r") == F.ceil(F.col("q") * F.col("ku")).cast("int"),
+    ).select("q", F.col("v").alias("est"), F.col("ku").alias("k_used"))
+    full = PK.global_rank(
+        df.select(F.col(id_col).alias("id"), F.col(value_col).alias("v")),
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="r",
+    )
+    n = full.agg(F.count("*").alias("n"))
+    exact = (
+        spine.withColumnRenamed("q", "q2")
+        .crossJoin(F.broadcast(n))
+        .join(
+            full,
+            F.col("r") == F.ceil(F.col("q2") * F.col("n")).cast("long"),
+        )
+        .select(F.col("q2").alias("q"), F.col("v").alias("exact"),
+                F.col("n").alias("n_rows"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est",
+            "exact",
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+            "k_used",
+            "n_rows",
         )
     )

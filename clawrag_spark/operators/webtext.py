@@ -5561,3 +5561,86 @@ def calibration_report(
             F.sum(F.col("n") * gap).over(w) / F.sum("n").over(w), 6
         ).alias("ece"),
     )
+
+
+def mi_features(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    *,
+    top_n: int = 40,
+    min_df: int = 5,
+) -> DataFrame:
+    """Mutual-information feature selection for the quality/langid
+    classifier family: MI between per-document token PRESENCE and a
+    binary label, computed from exact integer contingency counts —
+    the standard feature-ranking step before training a bag-of-words
+    filter (Manning IR §13.5.1).
+
+    ``MI = Σ_cells (n/N)·ln(n·N / (row·col))`` with empty cells
+    contributing 0; every ratio inside the ln is a ratio of exact
+    integers, so the only float drift is the final ln/sum — rounded
+    6 dp, ordered by (mi DESC, token) for a deterministic top-n.
+
+    Scale shape: tokens are deduplicated PER DOCUMENT before the
+    explode (presence, not frequency), the (token, label) counts are
+    one map-side-combinable groupBy, label margins ride a 1-row
+    broadcast, and the top-n is a TakeOrderedAndProject — no global
+    sort, no driver loop.  Returns (w, n11, n10, n01, n00, mi).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        label.alias("y"),
+        F.array_distinct(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("ws"),
+    )
+    margins = base.agg(
+        F.count("*").alias("N"),
+        F.sum(F.col("y").cast("long")).alias("N1"),
+    )
+    wc = (
+        base.select("y", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.col("y").cast("long")).alias("n11"),
+            F.sum((~F.col("y")).cast("long")).alias("n01"),
+        )
+        .filter(F.col("n11") + F.col("n01") >= min_df)
+    )
+    j = wc.crossJoin(F.broadcast(margins)).select(
+        "w",
+        "n11",
+        (F.col("N1") - F.col("n11")).alias("n10"),
+        "n01",
+        (F.col("N") - F.col("N1") - F.col("n01")).alias("n00"),
+        "N",
+        "N1",
+        (F.col("n11") + F.col("n01")).alias("wp"),
+    )
+
+    def _term(n, row, col):
+        return F.when(
+            n > 0,
+            (n.cast("double") / F.col("N"))
+            * F.log(
+                n.cast("double") * F.col("N") / (row.cast("double") * col)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    wa = F.col("N") - F.col("wp")
+    n0 = F.col("N") - F.col("N1")
+    mi = (
+        _term(F.col("n11"), F.col("wp"), F.col("N1"))
+        + _term(F.col("n01"), F.col("wp"), n0)
+        + _term(F.col("n10"), wa, F.col("N1"))
+        + _term(F.col("n00"), wa, n0)
+    )
+    return (
+        j.select(
+            "w", "n11", "n10", "n01", "n00", F.round(mi, 6).alias("mi")
+        )
+        .orderBy(F.desc("mi"), "w")
+        .limit(top_n)
+    )

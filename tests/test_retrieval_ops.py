@@ -813,3 +813,25 @@ class TestLtrPairwise:
         )
         with pytest.raises(ValueError, match="no orderable pairs"):
             fit_ltr_pairwise(flat, "qid", "label", "features")
+
+
+def test_combmnz_consensus_outranks_single_list(spark):
+    """A doc returned by BOTH lists beats a doc with the same summed
+    normalized score from one list (the MNZ multiplier), and the
+    degenerate all-equal list contributes 1.0 for positive scores."""
+    from clawrag_spark.operators.retrieval import combmnz_fuse
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(1, 3.0), (4, 3.0)], "doc_id long, score double"  # degenerate
+    )
+    out = {r["doc_id"]: r for r in
+           combmnz_fuse([a, b], "doc_id", "score", 10).collect()}
+    # doc 1: list a norm 1.0 + list b degenerate-positive 1.0, MNZ x2
+    assert out[1]["n_lists"] == 2 and out[1]["combmnz_score"] == 4.0
+    # doc 4: only the degenerate list -> 1.0 * 1
+    assert out[4]["n_lists"] == 1 and out[4]["combmnz_score"] == 1.0
+    assert out[2]["combmnz_score"] == 0.5 and out[3]["combmnz_score"] == 0.0

@@ -239,3 +239,35 @@ class TestKmv:
         assert row["hashes"] == sorted(row["hashes"])
         with pytest.raises(ValueError):
             SK.kmv_sketch(df, "grp", "key", k=0)
+
+
+class TestBottomkQuantiles:
+    def test_small_table_sample_is_exact(self, spark):
+        """n <= k: the sample IS the table, so est == exact at every q
+        and k_used == n."""
+        from clawrag_spark.operators.sketches import bottomk_quantiles
+
+        df = spark.range(100).selectExpr("id", "id * 1.5 AS v")
+        out = bottomk_quantiles(df, "id", "v", k=1024).collect()
+        assert len(out) == 5
+        assert all(r["k_used"] == 100 and r["n_rows"] == 100 for r in out)
+        assert all(r["abs_err"] == 0.0 for r in out)
+
+    def test_estimates_monotone_and_bounded(self, spark):
+        """k < n: estimates are monotone in q and within the value
+        range; the sample is deterministic (same result twice)."""
+        from clawrag_spark.operators.sketches import bottomk_quantiles
+
+        df = spark.range(5000).selectExpr("id", "(id % 977) * 1.0 AS v")
+        out1 = sorted(
+            bottomk_quantiles(df, "id", "v", k=256).collect(),
+            key=lambda r: r["q"],
+        )
+        ests = [r["est"] for r in out1]
+        assert ests == sorted(ests)
+        assert all(0 <= r["est"] <= 976 for r in out1)
+        out2 = sorted(
+            bottomk_quantiles(df, "id", "v", k=256).collect(),
+            key=lambda r: r["q"],
+        )
+        assert [tuple(r) for r in out1] == [tuple(r) for r in out2]

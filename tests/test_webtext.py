@@ -2810,3 +2810,18 @@ def test_calibration_report_perfect_and_ece_bounds(spark):
     assert ece == pytest.approx(0.5, abs=1e-6)
     assert all(r["ece"] == ece for r in out)
     assert max(r["gap"] for r in out) >= ece
+
+
+def test_mi_features_label_correlated_token_wins(spark):
+    """A token present in exactly the positive docs carries maximal MI;
+    a token present in every doc carries zero MI."""
+    rows = [(i, ("spam " if i < 10 else "ham ") + "common text", i < 10)
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r["w"]: r for r in W.mi_features(
+        docs, "doc_id", "text", F.col("y"), top_n=10, min_df=2).collect()}
+    assert out["spam"]["n11"] == 10 and out["spam"]["n01"] == 0
+    assert out["common"]["mi"] == 0.0
+    assert out["spam"]["mi"] > out["common"]["mi"]
+    # spam and ham are symmetric: identical MI
+    assert out["spam"]["mi"] == out["ham"]["mi"]
