@@ -1369,6 +1369,7 @@ q_fixed_window_chunks = _chunker_family_query("fixed_window")
 q_sentence_chunks = _chunker_family_query("sentence")
 q_code_chunks = _chunker_family_query("code")
 q_parent_child_chunks = _chunker_family_query("parent_child_children")
+q_topic_chunks = _chunker_family_query("topic")
 
 
 def q_asof_join(spark, sf_dir):
@@ -4210,6 +4211,35 @@ def q_bitext_verify(spark, sf_dir):
     )
 
 
+#: session-memoized NB confusion matrix — q_nb_langid and q_langid_eval
+#: share the identical train+classify subtree (the model fit is the
+#: dominant cost), so the confusion frame is built once per (app, sf)
+_NB_CONF_CACHE: dict = {}
+
+
+def _nb_confusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    conf = _NB_CONF_CACHE.get(key)
+    if conf is None:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "lang", "text"
+        )
+        model = WT.train_nb_langid(docs, "lang", "text")
+        pred = WT.nb_classify(docs, "doc_id", "text", model)
+        truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+        conf = (
+            pred.join(truth, "doc_id")
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .persist()
+        )
+        conf.count()  # materialize before any consumer forks the plan
+        _NB_CONF_CACHE[key] = conf
+    return conf
+
+
 def q_nb_langid(spark, sf_dir):
     """Corpus-fitted language identification: a multinomial Naive-Bayes
     classifier over char trigrams (the fastText-langid design point)
@@ -4218,16 +4248,9 @@ def q_nb_langid(spark, sf_dir):
     datasheet reports.  Training state is vocabulary-bounded and
     broadcast; scoring inner-joins only grams the language saw (unseen
     mass folds into one T·floor term); argmax over the 6-dp-rounded
-    score with lang-ascending tie-break so both engines agree."""
-    docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).select(F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
-    model = WT.train_nb_langid(docs, "lang", "text")
-    pred = WT.nb_classify(docs, "doc_id", "text", model)
-    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
-    return pred.join(truth, "doc_id").groupBy("true_lang", "pred_lang").agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
+    score with lang-ascending tie-break so both engines agree.  The
+    confusion frame is session-memoized (shared with langid_eval)."""
+    return _nb_confusion_cached(spark, sf_dir)
 
 
 #: Wildcard robots fixtures (RFC 9309 §2.2.3): * and $ in path
@@ -6324,6 +6347,106 @@ def q_sif_embeddings(spark, sf_dir):
     return DS.sif_embeddings(docs, "doc_id", "text", dim=16, decimals=4)
 
 
+#: Benford first-digit probabilities log10(1 + 1/d), inlined as exact
+#: repr literals on BOTH engines so the CASE branches are bit-identical
+_BENFORD_P = {d: math.log10(1 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of the letter-entropy score against
+    the lang=='en' label via the exact minimax closed form
+    iso(i) = max_{j<=i} min_{k>=i} pooled-avg(j..k) — the monotone fix
+    for the miscalibration ece_calibration measures, over the same
+    score/label pair.  Pooled averages are ratios of exact integer
+    prefix sums; the j,k enumeration is a triple self-join on the
+    <=10-row bin frame."""
+    docs = _load(spark, sf_dir, "documents")
+    ce = WT.char_entropy(docs, "doc_id", "text")
+    sc = ce.select("doc_id", F.col("entropy_bits").alias("score")).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id"
+    )
+    return WT.isotonic_calibration(sc, "score", "pos", n_bins=10)
+
+
+def q_chao1_vocab(spark, sf_dir):
+    """Chao1 unseen-vocabulary estimate + Good-Turing unseen mass per
+    language — bounds the vocabulary asymptote where heaps_fit
+    extrapolates the growth curve.  Everything inside the estimators
+    is an exact integer off one (lang, token) count shuffle."""
+    docs = _load(spark, sf_dir, "documents")
+    return WT.chao1_vocab(docs, "lang", "text")
+
+
+def q_km_retention(spark, sf_dir):
+    """Kaplan-Meier user-retention survival curve with right-censoring
+    (users still active inside the 7-day churn gap are censored, not
+    counted as churned — the bias naive retention curves carry).
+    Cumulative product via exp(cumsum(ln)) over exact integer ratios;
+    an exact-zero factor is carried as an explicit cumulative flag
+    (Spark log(0) is NULL, DuckDB ln(0) is -inf)."""
+    from clawrag_spark.operators.temporal import km_retention
+
+    ev = _load(spark, sf_dir, "events")
+    return km_retention(ev, "user_id", "ts", churn_gap_days=7)
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules over per-user event-type baskets:
+    support / confidence / lift from exact distinct-user counts, both
+    rule directions, min 5 co-occurring users.  Baskets dedup BEFORE
+    the pair self-join so the join is Σ C(|basket|,2), never a
+    row-level cross product."""
+    from clawrag_spark.operators.temporal import assoc_rules
+
+    ev = _load(spark, sf_dir, "events")
+    return assoc_rules(ev, "user_id", "event_type", min_pair_users=5)
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over lineitem extended prices —
+    the fraud/synthetic-data smell test a warehouse datasheet reports.
+    The first digit comes from the INTEGER part's string (exact on both
+    engines — never from log10/pow float math, which can differ by an
+    ulp across libm implementations); chi-square and MAD aggregate
+    over the observed digits with Benford probabilities inlined as
+    repr literals."""
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    d = F.substring(
+        F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.groupBy(d.alias("digit")).agg(F.count("*").alias("n_obs"))
+    bp = F.lit(None).cast("double")
+    for dig, p in _BENFORD_P.items():
+        bp = F.when(F.col("digit") == dig, F.lit(p)).otherwise(bp)
+    w = Window.partitionBy(F.lit(1))
+    st = counts.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(w).alias("N"),
+        bp.alias("bp"),
+    )
+    dev = F.col("n_obs") - F.col("N") * F.col("bp")
+    return st.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("N").cast("double"), 6).alias(
+            "obs_frac"
+        ),
+        F.round("bp", 6).alias("benford_p"),
+        F.round(
+            F.sum(dev * dev / (F.col("N") * F.col("bp"))).over(w), 6
+        ).alias("chi2"),
+        F.round(
+            F.avg(
+                F.abs(
+                    F.col("n_obs") / F.col("N").cast("double") - F.col("bp")
+                )
+            ).over(w),
+            6,
+        ).alias("mad"),
+    )
+
+
 def q_combmnz_fusion(spark, sf_dir):
     """CombMNZ fusion (Fox & Shaw 1994) over the same two top-20
     candidate lists as hybrid_minmax/rrf_fusion: per-list min-max
@@ -6382,7 +6505,7 @@ def q_langid_eval(spark, sf_dir):
     datasheet reports next to the raw confusion counts.  All counts
     are exact integers off the shared confusion frame; only the final
     ratios are float, 6 dp."""
-    conf = q_nb_langid(spark, sf_dir)
+    conf = _nb_confusion_cached(spark, sf_dir)
     rows = conf.groupBy(F.col("true_lang").alias("lang")).agg(
         F.sum("n_docs").alias("n_true")
     )
@@ -6617,6 +6740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_features": q_mi_features,
         "langid_eval": q_langid_eval,
         "data_expectations": q_data_expectations,
+        "km_retention": q_km_retention,
+        "assoc_rules": q_assoc_rules,
+        "benford_audit": q_benford_audit,
+        "isotonic_calibration": q_isotonic_calibration,
+        "chao1_vocab": q_chao1_vocab,
+        "topic_chunks": q_topic_chunks,
         "char_entropy": q_char_entropy,
         "table_profile": q_table_profile,
         "unimax_mix": q_unimax_mix,
@@ -9613,6 +9742,128 @@ def oracle_sql() -> dict[str, str]:
         """,
         # l_diversity: same two-level profile build; spend in integer
         # cents so bucket thresholds are exact on both engines
+        "chao1_vocab": """
+            WITH toks AS (
+                SELECT lang AS grp,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents
+            ),
+            freq AS (
+                SELECT grp, w, count(*) AS f FROM toks GROUP BY 1, 2
+            )
+            SELECT grp AS lang, sum(f)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS vocab,
+                   sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                   sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+                   round(count(*)
+                         + sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::DOUBLE
+                           * (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1)
+                           / (2.0 * (sum(CASE WHEN f = 2 THEN 1 ELSE 0
+                                         END) + 1)), 6) AS chao1,
+                   round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / sum(f), 6) AS p_unseen
+            FROM freq GROUP BY grp
+        """,
+        "km_retention": """
+            WITH span AS (SELECT max(ts::DATE) AS study_end FROM events),
+            pu AS (
+                SELECT user_id AS u, min(ts::DATE) AS fd,
+                       max(ts::DATE) AS ld
+                FROM events GROUP BY 1
+            ),
+            lt AS (
+                SELECT CASE WHEN date_diff('day', ld, study_end) >= 7
+                            THEN date_diff('day', fd, ld)
+                            ELSE date_diff('day', fd, study_end) END AS t,
+                       date_diff('day', ld, study_end) >= 7 AS churned
+                FROM pu CROSS JOIN span
+            ),
+            pt AS (
+                SELECT t,
+                       sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS d,
+                       sum(CASE WHEN churned THEN 0 ELSE 1 END)::BIGINT AS c
+                FROM lt GROUP BY 1
+            ),
+            st AS (
+                SELECT t, d, c,
+                       sum(d + c) OVER ()
+                       - coalesce(sum(d + c) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS n_at_risk
+                FROM pt
+            )
+            SELECT t AS t_days, n_at_risk, d AS n_churned, c AS n_censored,
+                   round(CASE WHEN max(CASE WHEN d = n_at_risk THEN 1
+                                       ELSE 0 END) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) = 1
+                         THEN 0.0
+                         ELSE exp(sum(CASE WHEN d < n_at_risk
+                                      THEN ln(1.0 - d / n_at_risk::DOUBLE)
+                                      ELSE 0.0 END) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) END, 6) AS survival
+            FROM st
+        """,
+        "assoc_rules": """
+            WITH baskets AS (
+                SELECT DISTINCT user_id AS u, event_type AS i FROM events
+            ),
+            nu AS (SELECT count(DISTINCT u)::BIGINT AS n_users FROM baskets),
+            itemn AS (
+                SELECT i, count(*)::BIGINT AS s FROM baskets GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS n_both
+                FROM baskets a JOIN baskets b
+                     ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            bd AS (
+                SELECT ia, ib, n_both FROM pairs
+                UNION ALL
+                SELECT ib, ia, n_both FROM pairs
+            )
+            SELECT bd.ia AS antecedent, bd.ib AS consequent, n_both,
+                   round(n_both / nu.n_users::DOUBLE, 6) AS support,
+                   round(n_both / sa.s::DOUBLE, 6) AS confidence,
+                   round(n_both::DOUBLE * nu.n_users
+                         / (sa.s::DOUBLE * sb.s), 6) AS lift
+            FROM bd
+            JOIN itemn sa ON sa.i = bd.ia
+            JOIN itemn sb ON sb.i = bd.ib
+            CROSS JOIN nu
+        """,
+        "benford_audit": """
+            WITH v AS (
+                SELECT l_extendedprice AS x FROM lineitem
+                WHERE l_extendedprice >= 1
+            ),
+            dg AS (
+                SELECT substr(floor(x)::BIGINT::VARCHAR, 1, 1)::INT AS digit
+                FROM v
+            ),
+            cnt AS (
+                SELECT digit, count(*)::BIGINT AS n_obs FROM dg GROUP BY 1
+            ),
+            st AS (
+                SELECT digit, n_obs, sum(n_obs) OVER () AS N,
+                       (CASE digit {BENFORD_CASE} END)::DOUBLE AS bp
+                FROM cnt
+            )
+            SELECT digit, n_obs,
+                   round(n_obs / N::DOUBLE, 6) AS obs_frac,
+                   round(bp, 6) AS benford_p,
+                   round(sum((n_obs - N * bp) * (n_obs - N * bp)
+                             / (N * bp)) OVER (), 6) AS chi2,
+                   round(avg(abs(n_obs / N::DOUBLE - bp)) OVER (), 6) AS mad
+            FROM st
+        """.replace(
+            "{BENFORD_CASE}",
+            " ".join(
+                f"WHEN {dg} THEN {p!r}" for dg, p in _BENFORD_P.items()
+            ),
+        ),
         "combmnz_fusion": _BM25_CTE + "," + _VEC_CTE + """,
             vh AS (
                 SELECT vec_id AS doc_id, cos_sim AS s
@@ -10643,6 +10894,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_chunks": _chunker_family_oracle("sentence"),
         "code_chunks": _chunker_family_oracle("code"),
         "parent_child_chunks": _chunker_family_oracle("parent_child_children"),
+        "topic_chunks": _chunker_family_oracle("topic"),
         "range_join": """
             WITH iv AS (
                 SELECT user_id, ts::DATE AS day,
@@ -14297,6 +14549,55 @@ def oracle_sql() -> dict[str, str]:
                round(f1, 6) AS f1,
                round(avg(f1) OVER (), 6) AS macro_f1
         FROM f
+    """
+    )
+    # isotonic_calibration: the minimax closed form over the same
+    # binned score/label frame as ece_calibration
+    sqls["isotonic_calibration"] = (
+        "WITH ce AS ("
+        + sqls["char_entropy"]
+        + """),
+        sc AS (
+            SELECT ce.doc_id, ce.entropy_bits AS score,
+                   (d.lang = 'en') AS pos
+            FROM ce JOIN documents d ON d.doc_id = ce.doc_id
+        ),
+        mm AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+        bn AS (
+            SELECT least(floor((score - lo) / (hi - lo) * 10)::INT, 9)
+                       AS b,
+                   CASE WHEN pos THEN 1 ELSE 0 END AS y
+            FROM sc, mm
+        ),
+        per AS (
+            SELECT b, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+            FROM bn GROUP BY 1
+        ),
+        pre AS (
+            SELECT b, n, sy,
+                   sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cn,
+                   sum(sy) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS csy
+            FROM per
+        ),
+        trip AS (
+            SELECT i.b AS bi, i.n AS ni, j.b AS bj,
+                   (k.csy - (j.csy - j.sy))::DOUBLE
+                       / (k.cn - (j.cn - j.n)) AS pooled
+            FROM pre i
+            JOIN pre j ON j.b <= i.b
+            JOIN pre k ON k.b >= i.b
+        ),
+        inner_t AS (
+            SELECT bi, ni, bj, min(pooled) AS mn
+            FROM trip GROUP BY 1, 2, 3
+        ),
+        iso AS (SELECT bi, ni, max(mn) AS iso FROM inner_t GROUP BY 1, 2)
+        SELECT iso.bi AS bin, iso.ni AS n,
+               round(per.sy::DOUBLE / per.n, 6) AS acc,
+               round(iso.iso, 6) AS iso_p
+        FROM iso JOIN per ON per.b = iso.bi
     """
     )
     # ece_calibration: the same score/label pair as filter_auc, min-max

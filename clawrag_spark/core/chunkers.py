@@ -393,3 +393,95 @@ def parent_child_chunks(
     indexing_service.py:409-416).
     """
     return text, sentence_chunks(text, child_size, child_overlap)
+
+
+_WORD_RE = re.compile(r"[a-z]+")
+
+
+def topic_chunks(
+    text: str,
+    block_size: int = 3,
+    cutoff_sigma: float = 0.5,
+) -> list[Chunk]:
+    """Topic-segmentation splitter — TextTiling (Hearst 1997): split
+    where the lexical cohesion between adjacent sentence blocks dips.
+
+    1. segment into sentences (same ``_SENT_RE`` convention as C3/C4),
+    2. at every sentence gap, cosine similarity of the term-count
+       vectors of the ``block_size`` sentences on each side,
+    3. depth score at a gap = (left hill peak − sim) + (right hill
+       peak − sim), hill-climbing while similarity rises,
+    4. boundaries where depth ≥ mean(depth) − cutoff_sigma·std(depth)
+       and depth > 0 (Hearst's μ − σ/2 cutoff),
+    5. chunks are the sentence groups between boundaries, spans
+       ``text[a:b].strip()`` (the family convention).
+
+    Pure-Python floats over exact integer counts — deterministic, no
+    numpy, no model; the driver oracle is the committed content-
+    addressed expected-spans parquet (core/expected.py) like the rest
+    of the chunker family.
+    """
+    if not text:
+        return []
+    sentences: list[tuple[str, int, int]] = []
+    for m in _SENT_RE.finditer(text):
+        if m.group(0).strip():
+            sentences.append((m.group(0), m.start(), m.end()))
+    if not sentences:
+        return [Chunk(text.strip(), 0, len(text))]
+    n = len(sentences)
+    if n <= 2 * block_size:
+        a, b = sentences[0][1], sentences[-1][2]
+        return [Chunk(text[a:b].strip(), a, b)]
+
+    counts = [
+        {}
+        for _ in range(n)
+    ]
+    for i, (s, _, _) in enumerate(sentences):
+        for w in _WORD_RE.findall(s.lower()):
+            counts[i][w] = counts[i].get(w, 0) + 1
+
+    def _block(lo: int, hi: int) -> dict:
+        out: dict = {}
+        for i in range(max(0, lo), min(n, hi)):
+            for w, c in counts[i].items():
+                out[w] = out.get(w, 0) + c
+        return out
+
+    def _cos(a: dict, b: dict) -> float:
+        if not a or not b:
+            return 0.0
+        dot = sum(c * b.get(w, 0) for w, c in a.items())
+        na = sum(c * c for c in a.values()) ** 0.5
+        nb = sum(c * c for c in b.values()) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    sims = [
+        _cos(_block(i - block_size + 1, i + 1), _block(i + 1, i + 1 + block_size))
+        for i in range(n - 1)
+    ]
+    depths = []
+    for i in range(n - 1):
+        l = i
+        while l > 0 and sims[l - 1] >= sims[l]:
+            l -= 1
+        r = i
+        while r < n - 2 and sims[r + 1] >= sims[r]:
+            r += 1
+        depths.append((sims[l] - sims[i]) + (sims[r] - sims[i]))
+    mean = sum(depths) / len(depths)
+    var = sum((d - mean) ** 2 for d in depths) / len(depths)
+    cutoff = mean - cutoff_sigma * (var ** 0.5)
+    out: list[Chunk] = []
+    group_start = 0
+    for i in range(n - 1):
+        if depths[i] > 0 and depths[i] >= cutoff:
+            a = sentences[group_start][1]
+            b = sentences[i][2]
+            out.append(Chunk(text[a:b].strip(), a, b))
+            group_start = i + 1
+    a = sentences[group_start][1]
+    b = sentences[-1][2]
+    out.append(Chunk(text[a:b].strip(), a, b))
+    return out

@@ -31,6 +31,7 @@ from .chunkers import (
     parent_child_chunks,
     semantic_chunks,
     sentence_chunks,
+    topic_chunks,
 )
 
 SEMANTIC_MAX_DOC_ID = 120
@@ -52,6 +53,7 @@ CHUNKER_FNS = {
     "semantic": lambda t: semantic_chunks(t),                     # C4
     "code": lambda t: code_chunks(t, "generic"),                  # C5
     "parent_child_children": lambda t: parent_child_chunks(t)[1],  # C6 (200/20)
+    "topic": lambda t: topic_chunks(t),      # TextTiling (Hearst 1997)
 }
 
 

@@ -550,3 +550,167 @@ def hour_profile(
             ).alias("hour_entropy_bits"),
         )
     )
+
+
+def km_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes — the
+    censoring-correct upgrade of :func:`retention_cohorts`: a user
+    silent for ``churn_gap_days`` before the study end (the table's
+    max date) CHURNED at ``t = last_day − first_day``; a user still
+    active inside the gap is right-CENSORED at
+    ``t = study_end − first_day`` (we know they survived at least that
+    long, not when they leave).  Naive retention treats censored users
+    as churned and biases survival down.
+
+    ``S(t) = Π_{u<=t} (1 − d_u / n_u)`` over distinct lifetimes, with
+    the cumulative product computed as ``exp(cumsum(ln(factor)))`` —
+    the only cross-engine floats are ln/exp over exact integer ratios
+    (a factor of exactly 0 propagates as -inf → exp 0.0, IEEE on both
+    engines).  Scale shape: one groupBy(user) to a per-user (T,
+    churned) row, one groupBy(T) to ≤|days| rows, windows on that tiny
+    frame.  Returns (t_days, n_at_risk, n_churned, n_censored,
+    survival), 6 dp.
+    """
+    span = events.agg(F.max(F.to_date(ts_col)).alias("study_end"))
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(F.to_date(ts_col)).alias("first_day"),
+            F.max(F.to_date(ts_col)).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.datediff(F.col("last_day"), F.col("first_day")).alias("tl"),
+            F.datediff(F.col("study_end"), F.col("first_day")).alias("tc"),
+            (
+                F.datediff(F.col("study_end"), F.col("last_day"))
+                >= churn_gap_days
+            ).alias("churned"),
+        )
+        .select(
+            F.when(F.col("churned"), F.col("tl"))
+            .otherwise(F.col("tc"))
+            .alias("t"),
+            "churned",
+        )
+    )
+    per_t = per_user.groupBy("t").agg(
+        F.sum(F.col("churned").cast("long")).alias("d"),
+        F.sum((~F.col("churned")).cast("long")).alias("c"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_prev = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = per_t.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    # a factor of exactly 0 (every remaining at-risk user churns at t)
+    # must yield survival 0 from t on — but Spark's log(0) is NULL
+    # while DuckDB's ln(0) is -inf, so the zero factor is carried as an
+    # explicit cumulative flag instead of relying on engine log(0)
+    ln_term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    zero_flag = (F.col("d") == F.col("n_at_risk")).cast("int")
+    surv = F.when(
+        F.max(zero_flag).over(w_cum) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.sum(ln_term).over(w_cum)))
+    return staged.select(
+        F.col("t").alias("t_days"),
+        "n_at_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+def assoc_rules(
+    events: DataFrame,
+    user_col: str,
+    item_col: str,
+    *,
+    min_pair_users: int = 5,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    per-user item baskets — the market-basket view of the event
+    stream ("users who do A also do B") that drives next-action
+    suggestions and funnel design.
+
+    Baskets deduplicate to DISTINCT (user, item) before the pair
+    self-join, so the join cost is Σ_u C(|basket_u|, 2) with baskets
+    bounded by the item-type cardinality — never a row-level cross
+    product.  All three metrics derive from exact integer user counts;
+    both rule directions are emitted.  Returns (antecedent,
+    consequent, n_both, support, confidence, lift), 6 dp.
+    """
+    baskets = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    n_users = baskets.agg(
+        F.countDistinct("u").alias("n_users")
+    )
+    item_n = baskets.groupBy("i").agg(F.count("*").alias("s"))
+    a = baskets.select("u", F.col("i").alias("ia"))
+    b = baskets.select("u", F.col("i").alias("ib"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_users)
+    )
+    both_dirs = pairs.select("ia", "ib", "n_both").union(
+        pairs.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "n_both"
+        )
+    )
+    enriched = (
+        both_dirs.join(
+            F.broadcast(item_n.select(F.col("i").alias("ia"),
+                                      F.col("s").alias("sa"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("i").alias("ib"),
+                                      F.col("s").alias("sb"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    return enriched.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "n_both",
+        F.round(F.col("n_both") / F.col("n_users").cast("double"), 6).alias(
+            "support"
+        ),
+        F.round(F.col("n_both") / F.col("sa").cast("double"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("n_both").cast("double") * F.col("n_users")
+            / (F.col("sa").cast("double") * F.col("sb")),
+            6,
+        ).alias("lift"),
+    )

@@ -5644,3 +5644,147 @@ def mi_features(
         .orderBy(F.desc("mi"), "w")
         .limit(top_n)
     )
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a binned score against a binary
+    label — the FIX for what :func:`calibration_report` measures: the
+    monotone-nondecreasing probability curve closest (weighted L2) to
+    the per-bin accuracies.  Instead of the sequential pool-adjacent-
+    violators sweep (arrival-ordered state, useless distributed and
+    unmatchable cross-engine), this uses the exact MINIMAX closed form
+    ``iso(i) = max_{j<=i} min_{k>=i} (Σ_{j..k} y) / (Σ_{j..k} n)`` —
+    every pooled average is a ratio of exact integer prefix-sum
+    differences, so both engines agree bit-for-bit before the final
+    rounding.
+
+    Scale shape: the scan collapses to ≤ n_bins rows (same min-max
+    binning broadcast as calibration_report); the j,k enumeration is a
+    triple self-join on that tiny frame (≤ n_bins³ combinations — a
+    constant, never data-sized).  Returns (bin, n, acc, iso_p), 6 dp.
+    """
+    mm = scored.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    )
+    norm = (F.col(score_col) - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(norm * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("b"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy")
+    )
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = per_bin.select(
+        "b",
+        "n",
+        "sy",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("sy").over(w_cum).alias("csy"),
+    )
+    i = pre.select(F.col("b").alias("bi"), F.col("n").alias("ni"))
+    j = pre.select(
+        F.col("b").alias("bj"),
+        (F.col("cn") - F.col("n")).alias("cnj0"),
+        (F.col("csy") - F.col("sy")).alias("csyj0"),
+    )
+    kk = pre.select(
+        F.col("b").alias("bk"), F.col("cn").alias("cnk"),
+        F.col("csy").alias("csyk"),
+    )
+    trip = (
+        i.join(j, F.col("bj") <= F.col("bi"))
+        .join(kk, F.col("bk") >= F.col("bi"))
+        .select(
+            "bi",
+            "ni",
+            "bj",
+            (
+                (F.col("csyk") - F.col("csyj0")).cast("double")
+                / (F.col("cnk") - F.col("cnj0"))
+            ).alias("pooled"),
+        )
+    )
+    inner = trip.groupBy("bi", "ni", "bj").agg(
+        F.min("pooled").alias("mn")
+    )
+    iso = inner.groupBy("bi", "ni").agg(F.max("mn").alias("iso"))
+    acc = per_bin.select(
+        F.col("b").alias("bi"),
+        (F.col("sy").cast("double") / F.col("n")).alias("acc"),
+    )
+    return (
+        iso.join(acc, "bi")
+        .select(
+            F.col("bi").alias("bin"),
+            F.col("ni").alias("n"),
+            F.round("acc", 6).alias("acc"),
+            F.round("iso", 6).alias("iso_p"),
+        )
+    )
+
+
+def chao1_vocab(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary plus
+    the Good-Turing unseen-probability mass, per group — the "how much
+    vocabulary has this crawl slice not seen yet" datasheet number
+    that complements the Heaps'-law fit (which extrapolates growth,
+    while Chao1 bounds the asymptote): ``chao1 = V + F1·(F1−1) /
+    (2·(F2+1))`` (bias-corrected, zero-safe) and ``p_unseen = F1/N``
+    from the singleton/doubleton counts F1, F2.
+
+    Scale shape: one (group, token) count shuffle (map-side partial),
+    then one |groups|-row aggregate over the frequency-of-frequency
+    marginals; everything inside the estimators is an exact integer,
+    only the two final divisions are float.  Returns (group, n_tokens,
+    vocab, f1, f2, chao1, p_unseen), 6 dp.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    freq = toks.groupBy("grp", "w").agg(F.count("*").alias("f"))
+    return (
+        freq.groupBy("grp")
+        .agg(
+            F.sum("f").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum((F.col("f") == 1).cast("long")).alias("f1"),
+            F.sum((F.col("f") == 2).cast("long")).alias("f2"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "vocab",
+            "f1",
+            "f2",
+            F.round(
+                F.col("vocab")
+                + F.col("f1").cast("double")
+                * (F.col("f1") - 1)
+                / (2.0 * (F.col("f2") + 1)),
+                6,
+            ).alias("chao1"),
+            F.round(
+                F.col("f1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p_unseen"),
+        )
+    )

@@ -124,3 +124,87 @@ def test_separator_cascade_nonborrowed_span_fidelity():
     # with zero overlap no chunk borrows: spans must be exact
     for c in out:
         assert text[c.char_start:c.char_end].strip() == c.text
+
+
+class TestTopicChunks:
+    """TextTiling (Hearst 1997) spec pins: span exactness, coverage,
+    determinism, and the true topic boundary on a two-topic text."""
+
+    TWO_TOPIC = (
+        "The cat sat on the mat. The cat likes the mat. A cat and a mat. "
+        "The cat purred on the mat. Cats love mats. The mat suits the cat. "
+        "Stocks fell sharply today. The market dropped on rate fears. "
+        "Traders sold stocks fast. The index closed lower. Rates hurt "
+        "stocks. Bond yields rose again."
+    )
+
+    def test_spans_exact_and_ordered(self):
+        from clawrag_spark.core.chunkers import topic_chunks
+
+        cs = topic_chunks(self.TWO_TOPIC)
+        assert cs  # non-vacuous
+        last_end = 0
+        for c in cs:
+            assert self.TWO_TOPIC[c.char_start:c.char_end].strip() == c.text
+            assert c.char_start >= last_end - 1  # family strip convention
+            last_end = c.char_end
+        assert cs[-1].char_end == len(self.TWO_TOPIC)
+
+    def test_true_boundary_found(self):
+        from clawrag_spark.core.chunkers import topic_chunks
+
+        cs = topic_chunks(self.TWO_TOPIC)
+        shift = self.TWO_TOPIC.index("Stocks fell")
+        assert any(c.char_start == shift for c in cs)
+
+    def test_deterministic_and_edges(self):
+        from clawrag_spark.core.chunkers import topic_chunks
+
+        assert topic_chunks("") == []
+        assert len(topic_chunks("One. Two.")) == 1  # below 2*block_size
+        a = topic_chunks(self.TWO_TOPIC)
+        b = topic_chunks(self.TWO_TOPIC)
+        assert a == b
+
+    def test_expected_parquet_matches_live_chunker(self):
+        """The committed content-addressed parquet must equal the live
+        chunker's output for the 'topic' rows (oracle-drift guard,
+        same contract as the semantic rows)."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from clawrag_spark.core.chunkers import topic_chunks
+
+        t = pq.read_table(
+            "/root/repo/data/expected_chunkers.parquet"
+        ).to_pylist()
+        rows = [r for r in t if r["chunker"] == "topic"]
+        assert rows
+        by_md5: dict = {}
+        for r in rows:
+            by_md5.setdefault(r["text_md5"], []).append(r)
+        checked = 0
+        for md5, grp in list(by_md5.items())[:20]:
+            # recover a text with this md5 from the sf0.001 documents
+            import duckdb
+
+            hit = duckdb.sql(
+                "SELECT text FROM read_parquet("
+                "'/root/testdata/sf0.001/documents.parquet') "
+                f"WHERE md5(text) = '{md5}' LIMIT 1"
+            ).fetchall()
+            if not hit:
+                continue
+            text = hit[0][0]
+            live = [
+                (i, c.char_start, c.char_end)
+                for i, c in enumerate(topic_chunks(text))
+            ]
+            exp = sorted(
+                (r["chunk_index"], r["char_start"], r["char_end"])
+                for r in grp
+            )
+            assert live == exp
+            checked += 1
+        assert checked > 0

@@ -406,3 +406,90 @@ def test_hour_profile_cron_vs_flat(spark):
     flat = got[2]
     assert flat["hour_entropy_bits"] == 2.0
     assert flat["peak_hour"] == 9 and flat["peak_share"] == 0.25
+
+
+class TestKmRetention:
+    def test_all_censored_survival_one(self, spark):
+        """Every user active inside the churn gap -> zero churn events,
+        survival 1.0 at every timepoint."""
+        from clawrag_spark.operators.temporal import km_retention
+        import pyspark.sql.functions as F
+
+        rows = [(u, "2024-01-0%d 00:00:00" % (u + 1)) for u in range(5)]
+        rows += [(u, "2024-01-09 00:00:00") for u in range(5)]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = km_retention(ev, "user_id", "ts", churn_gap_days=7).collect()
+        assert all(r["n_churned"] == 0 for r in out)
+        assert all(r["survival"] == 1.0 for r in out)
+
+    def test_hand_case_with_censoring(self, spark):
+        """3 users: A churns at t=2, B churns at t=5, C censored at
+        t=9 (active at study end).  KM: S(2)=2/3, S(5)=1/3, C's
+        censoring row keeps S unchanged."""
+        from clawrag_spark.operators.temporal import km_retention
+        import pyspark.sql.functions as F
+
+        rows = [
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-03 00:00:00"),  # A t=2
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-06 00:00:00"),  # B t=5
+            (3, "2024-01-01 00:00:00"), (3, "2024-01-15 00:00:00"),  # C end
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["t_days"]: r for r in
+               km_retention(ev, "user_id", "ts", churn_gap_days=7).collect()}
+        assert out[2]["n_at_risk"] == 3 and out[2]["n_churned"] == 1
+        assert out[2]["survival"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out[5]["n_at_risk"] == 2 and out[5]["n_churned"] == 1
+        assert out[5]["survival"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[14]["n_censored"] == 1
+        assert out[14]["survival"] == out[5]["survival"]
+
+    def test_zero_factor_propagates_zero(self, spark):
+        """If every remaining at-risk user churns at the max lifetime,
+        survival hits exactly 0.0 (the Spark log(0)=NULL trap)."""
+        from clawrag_spark.operators.temporal import km_retention
+        import pyspark.sql.functions as F
+
+        # both users churn (silent >= 7 days before study end, which a
+        # third short-lived late user pins)
+        rows = [
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-04 00:00:00"),
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-04 00:00:00"),
+            (3, "2024-01-20 00:00:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["t_days"]: r for r in
+               km_retention(ev, "user_id", "ts", churn_gap_days=7).collect()}
+        assert out[3]["n_churned"] == 2 and out[3]["n_at_risk"] >= 2
+        # user 3 is censored at t=0; after the t=3 all-churn step the
+        # curve is 0 exactly
+        assert out[3]["survival"] == 0.0
+
+
+def test_assoc_rules_hand_case(spark):
+    """4 users with {a,b}, 1 with {a}, 1 with {b}: support(a,b)=4/6,
+    conf(a->b)=4/5, lift = 6*4/(5*5)."""
+    from clawrag_spark.operators.temporal import assoc_rules
+
+    rows = []
+    for u in range(4):
+        rows += [(u, "a"), (u, "b"), (u, "a")]  # dup proves basket dedup
+    rows += [(4, "a"), (5, "b")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in assoc_rules(ev, "user_id", "event_type",
+                                min_pair_users=1).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_both"] == 4
+    assert ab["support"] == pytest.approx(4 / 6, abs=1e-6)
+    assert ab["confidence"] == pytest.approx(4 / 5, abs=1e-6)
+    assert ab["lift"] == pytest.approx(6 * 4 / 25, abs=1e-6)
+    # symmetric metrics for the reverse direction except confidence
+    ba = out[("b", "a")]
+    assert ba["support"] == ab["support"] and ba["lift"] == ab["lift"]

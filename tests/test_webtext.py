@@ -2825,3 +2825,46 @@ def test_mi_features_label_correlated_token_wins(spark):
     assert out["spam"]["mi"] > out["common"]["mi"]
     # spam and ham are symmetric: identical MI
     assert out["spam"]["mi"] == out["ham"]["mi"]
+
+
+def test_isotonic_calibration_monotone_and_pools_violations(spark):
+    """iso_p is monotone nondecreasing in bin; an adjacent violation
+    pools to the weighted average (classic PAV hand case); bins that
+    are already monotone pass through unchanged."""
+    # scores 0.05,...,0.95 put one doc group per bin; accuracies
+    # 0.0, 0.4, 0.2, 1.0 -> bins 1/2 violate, pool to (4+2)/20 = 0.3
+    rows = []
+    accs = [0.0, 0.4, 0.2, 1.0]
+    for b, acc in enumerate(accs):
+        for i in range(10):
+            rows.append((b * 100 + i, b / 3.0, i < acc * 10))
+    sc = spark.createDataFrame(rows, "doc_id long, score double, pos boolean")
+    out = sorted(
+        W.isotonic_calibration(sc, "score", "pos", n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    isos = [r["iso_p"] for r in out]
+    assert isos == sorted(isos)
+    assert isos[0] == 0.0 and isos[3] == 1.0
+    assert isos[1] == pytest.approx(0.3, abs=1e-6)
+    assert isos[2] == pytest.approx(0.3, abs=1e-6)
+    # weighted-L2 optimality spot check: already-monotone bins keep acc
+    assert out[0]["acc"] == 0.0 and out[3]["acc"] == 1.0
+
+
+def test_chao1_vocab_hand_case(spark):
+    """3 singletons, 1 doubleton, 1 tripleton: V=5, F1=3, F2=1,
+    chao1 = 5 + 3*2/(2*2) = 6.5, p_unseen = 3/8; a group with no
+    singletons collapses to chao1 == vocab."""
+    docs = spark.createDataFrame(
+        [("a", "one two three four four five five five"),
+         ("b", "x x y y")],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in W.chao1_vocab(docs, "lang", "text").collect()}
+    a = out["a"]
+    assert (a["vocab"], a["f1"], a["f2"]) == (5, 3, 1)
+    assert a["chao1"] == pytest.approx(6.5, abs=1e-6)
+    assert a["p_unseen"] == pytest.approx(3 / 8, abs=1e-6)
+    b = out["b"]
+    assert b["f1"] == 0 and b["chao1"] == float(b["vocab"])
