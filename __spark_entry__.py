@@ -6352,6 +6352,29 @@ def q_sif_embeddings(spark, sf_dir):
 _BENFORD_P = {d: math.log10(1 + 1.0 / d) for d in range(1, 10)}
 
 
+def q_trend_test(spark, sf_dir):
+    """Mann-Kendall trend test over per-type daily event counts: exact
+    integer S over C(|days|,2) day pairs per type (constant in corpus
+    size), tie-corrected variance, continuity-corrected z, verdict at
+    |z| > 1.96.  The nonparametric volume-drift monitor next to
+    PSI/KS's distributional ones."""
+    from clawrag_spark.operators.temporal import mann_kendall_trend
+
+    ev = _load(spark, sf_dir, "events")
+    return mann_kendall_trend(ev, "event_type", "ts")
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint per event type: the day where cumulative
+    deviation from the mean peaks, picked by the all-integer
+    |n·cumsum − i·total| compare (bit-exact argmax, ties to the
+    earliest day); only the reported magnitudes divide."""
+    from clawrag_spark.operators.temporal import cusum_changepoint
+
+    ev = _load(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type", "ts")
+
+
 def q_isotonic_calibration(spark, sf_dir):
     """Isotonic (PAV) calibration of the letter-entropy score against
     the lang=='en' label via the exact minimax closed form
@@ -6746,6 +6769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "chao1_vocab": q_chao1_vocab,
         "topic_chunks": q_topic_chunks,
+        "trend_test": q_trend_test,
+        "cusum_changepoint": q_cusum_changepoint,
         "char_entropy": q_char_entropy,
         "table_profile": q_table_profile,
         "unimax_mix": q_unimax_mix,
@@ -9742,6 +9767,88 @@ def oracle_sql() -> dict[str, str]:
         """,
         # l_diversity: same two-level profile build; spend in integer
         # cents so bucket thresholds are exact on both engines
+        "trend_test": """
+            WITH daily AS (
+                SELECT event_type AS grp, ts::DATE AS day,
+                       count(*) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.grp,
+                       sum(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1
+                                ELSE 0 END)::BIGINT AS s_stat
+                FROM daily a JOIN daily b
+                     ON a.grp = b.grp AND a.day < b.day
+                GROUP BY 1
+            ),
+            nd AS (
+                SELECT grp, count(*)::BIGINT AS n_days FROM daily GROUP BY 1
+            ),
+            ties AS (
+                SELECT grp,
+                       sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+                FROM (SELECT grp, x, count(*) AS t FROM daily GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            base AS (
+                SELECT s.grp, s.s_stat, nd.n_days, ties.tie_term,
+                       (nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                        - ties.tie_term)::DOUBLE / 18.0 AS var_s
+                FROM s JOIN nd ON nd.grp = s.grp
+                JOIN ties ON ties.grp = s.grp
+            ),
+            zc AS (
+                SELECT *, CASE WHEN s_stat > 0
+                               THEN (s_stat - 1) / sqrt(var_s)
+                               WHEN s_stat < 0
+                               THEN (s_stat + 1) / sqrt(var_s)
+                               ELSE 0.0 END AS z
+                FROM base
+            )
+            SELECT grp AS event_type, n_days, s_stat,
+                   round(var_s, 6) AS var_s, round(z, 6) AS z,
+                   CASE WHEN z > 1.96 THEN 'increasing'
+                        WHEN z < -1.96 THEN 'decreasing'
+                        ELSE 'none' END AS trend
+            FROM zc
+        """,
+        "cusum_changepoint": """
+            WITH daily AS (
+                SELECT event_type AS grp, ts::DATE AS day,
+                       count(*) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            staged AS (
+                SELECT grp, day,
+                       count(*) OVER (PARTITION BY grp) AS n,
+                       sum(x) OVER (PARTITION BY grp ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cs,
+                       row_number() OVER (PARTITION BY grp
+                           ORDER BY day) AS i,
+                       sum(x) OVER (PARTITION BY grp) AS tot
+                FROM daily
+            ),
+            snf AS (
+                SELECT grp, day, n, n * cs - i * tot AS sn FROM staged
+            ),
+            ext AS (
+                SELECT *, max(sn) OVER (PARTITION BY grp) AS snmax,
+                       min(sn) OVER (PARTITION BY grp) AS snmin
+                FROM snf
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY grp
+                           ORDER BY abs(sn) DESC, day) AS rk
+                FROM ext
+            )
+            SELECT grp AS event_type, day AS changepoint_day,
+                   n::BIGINT AS n_days,
+                   round(sn::DOUBLE / n, 6) AS s_at_peak,
+                   round((snmax - snmin)::DOUBLE / n, 6) AS s_range
+            FROM ranked WHERE rk = 1
+        """,
         "chao1_vocab": """
             WITH toks AS (
                 SELECT lang AS grp,

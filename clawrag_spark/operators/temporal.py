@@ -714,3 +714,138 @@ def assoc_rules(
             6,
         ).alias("lift"),
     )
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    *,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Kendall trend test over per-group daily counts — the
+    nonparametric is-my-volume-drifting monitor (no distribution
+    assumption, robust to outliers) that complements the
+    distributional drift family (PSI / KS): ``S = Σ_{i<j}
+    sign(x_j − x_i)`` over day-ordered pairs, tie-corrected variance
+    ``Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18``, z with the
+    ±1 continuity correction.
+
+    S and every tie term are EXACT INTEGERS; the only floats are the
+    final sqrt and division.  Scale shape: daily counts collapse each
+    group to ≤|days| rows, so the pair self-join is C(|days|, 2) per
+    group — a constant in corpus size, never row-level.  Returns
+    (group, n_days, s_stat, var_s, z, trend), 6 dp.
+    """
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").alias("x"))
+    a = daily.select("grp", F.col("day").alias("di"), F.col("x").alias("xi"))
+    b = daily.select("grp", F.col("day").alias("dj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, "grp")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    nd = daily.groupBy("grp").agg(F.count("*").alias("n_days"))
+    ties = (
+        daily.groupBy("grp", "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    base = s.join(nd, "grp").join(ties, "grp")
+    var_s = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ).cast("double") / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return base.select(
+        F.col("grp").alias(group_col),
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > z_crit, F.lit("increasing"))
+        .when(z < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """CUSUM changepoint detection over per-group daily counts: the
+    day where the cumulative deviation from the group mean peaks —
+    "when did the level shift" where Mann-Kendall answers "is there a
+    monotone trend" and Kleinberg answers "where are the bursts".
+
+    The argmax compares ``|n·cumsum(x) − i·total|`` — an ALL-INTEGER
+    rescaling of the classic ``|Σ(x−μ)|`` (multiply by n), so the
+    changepoint pick is bit-exact on every engine and ties break to
+    the earliest day; only the reported magnitudes divide.  Scale
+    shape: one daily-count groupBy, windows over ≤|days| rows per
+    group.  Returns (group, changepoint_day, n_days, s_at_peak,
+    s_range), 6 dp.
+    """
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").alias("x"))
+    wg = Window.partitionBy("grp")
+    wc = wg.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    staged = daily.select(
+        "grp",
+        "day",
+        F.sum("x").over(wc).alias("cs"),
+        F.sum("x").over(wg).alias("tot"),
+        F.count("*").over(wg).alias("n"),
+        F.row_number().over(wg.orderBy("day")).alias("i"),
+    ).select(
+        "grp",
+        "day",
+        "n",
+        (F.col("n") * F.col("cs") - F.col("i") * F.col("tot")).alias("sn"),
+    )
+    ranked = staged.select(
+        "*",
+        F.row_number()
+        .over(wg.orderBy(F.abs(F.col("sn")).desc(), F.col("day")))
+        .alias("rk"),
+        F.max("sn").over(wg).alias("snmax"),
+        F.min("sn").over(wg).alias("snmin"),
+    ).filter(F.col("rk") == 1)
+    return ranked.select(
+        F.col("grp").alias(group_col),
+        F.col("day").alias("changepoint_day"),
+        F.col("n").alias("n_days"),
+        F.round(F.col("sn").cast("double") / F.col("n"), 6).alias(
+            "s_at_peak"
+        ),
+        F.round(
+            (F.col("snmax") - F.col("snmin")).cast("double") / F.col("n"), 6
+        ).alias("s_range"),
+    )

@@ -493,3 +493,49 @@ def test_assoc_rules_hand_case(spark):
     # symmetric metrics for the reverse direction except confidence
     ba = out[("b", "a")]
     assert ba["support"] == ab["support"] and ba["lift"] == ab["lift"]
+
+
+def test_mann_kendall_monotone_series_flags_trend(spark):
+    """Strictly increasing daily counts -> S = C(n,2), z > 1.96,
+    'increasing'; a flat series has S = 0 and 'none'."""
+    from clawrag_spark.operators.temporal import mann_kendall_trend
+    import pyspark.sql.functions as F
+
+    rows = []
+    for d in range(10):
+        for k in range(d + 1):  # day d has d+1 'up' events
+            rows.append((len(rows), "2024-01-%02d 01:00:00" % (d + 1), "up"))
+        for k in range(3):      # flat series
+            rows.append((len(rows), "2024-01-%02d 01:00:00" % (d + 1), "flat"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_type"]: r for r in
+           mann_kendall_trend(ev, "event_type", "ts").collect()}
+    up = out["up"]
+    assert up["s_stat"] == 45  # C(10,2), all pairs concordant
+    assert up["trend"] == "increasing" and up["z"] > 1.96
+    flat = out["flat"]
+    assert flat["s_stat"] == 0 and flat["trend"] == "none" and flat["z"] == 0.0
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """A series that jumps from 2/day to 10/day on day 6 peaks its
+    cumulative deviation exactly on day 5 (the last low day)."""
+    from clawrag_spark.operators.temporal import cusum_changepoint
+    import pyspark.sql.functions as F
+
+    rows = []
+    for d in range(10):
+        n = 2 if d < 5 else 10
+        for k in range(n):
+            rows.append((len(rows), "2024-01-%02d 01:00:00" % (d + 1), "a"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = cusum_changepoint(ev, "event_type", "ts").collect()[0]
+    assert r["changepoint_day"].isoformat() == "2024-01-05"
+    assert r["n_days"] == 10
+    # mean is 6/day; days 1-5 each contribute -4 -> S peaks at -20
+    assert r["s_at_peak"] == pytest.approx(-20.0, abs=1e-6)
+    assert r["s_range"] == pytest.approx(20.0, abs=1e-6)
