@@ -2089,8 +2089,9 @@ def q_hits_hosts(spark, sf_dir):
     PageRank's complement for crawl seeding: authorities are worth
     extracting, hubs are worth expanding the frontier from.  Fixed
     synchronous rounds, per-round L2 norm via a 1-row broadcast (never
-    a driver round-trip).  Rows-only driver check (k unrolled L2 norms
-    have no tractable SQL twin); pytest pins k=20 against a dense
+    a driver round-trip).  The DuckDB twin UNROLLS the 5 rounds (4
+    CTEs per round, generated programmatically) so HITS gets a full
+    value-hash check; pytest additionally pins k=20 against a dense
     numpy power iteration at 1e-9."""
     _ensure_pipeline_demo(spark)
     pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
@@ -2212,8 +2213,9 @@ def q_rm3_rerank(spark, sf_dir):
 def q_kcenter_coreset(spark, sf_dir):
     """Gonzalez farthest-point k-center coreset over the embedding
     candidates: the diversity-first selection pool (no two near-dups,
-    every region covered, 2-approx radius).  Sequential greedy ->
-    rows-only at the driver; pytest pins the numpy reference, the
+    every region covered, 2-approx radius).  The DuckDB twin unrolls
+    the 15 greedy rounds (materialized CTEs) for a full value-hash
+    check; pytest additionally pins the numpy reference, the
     2-approximation story and determinism."""
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return DS.kcenter_coreset(emb, "vec_id", "embedding", k=15)
@@ -2261,8 +2263,9 @@ def q_margin_bitext(spark, sf_dir):
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversity rerank (Carbonell-Goldstein) of the cosine top-40:
     greedy lambda-tradeoff between relevance and max similarity to the
-    already-picked set.  Iterative/greedy -> rows-only at the driver;
-    pytest pins the numpy reference and the planted-redundancy story."""
+    already-picked set.  The DuckDB twin unrolls the 10 greedy steps
+    (materialized CTEs) for a full value-hash check; pytest pins the
+    numpy reference and the planted-redundancy story."""
     emb = _load(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     top = R.cosine_topk(emb, "vec_id", "embedding", qv, 40, exclude_id=0)
@@ -14613,6 +14616,158 @@ def oracle_sql() -> dict[str, str]:
     sqls["filter_auc"] = (
         "WITH ce AS (" + sqls["char_entropy"] + ")\n" + _FILTER_AUC_TAIL
     )
+    # hits_hosts: the k=5 synchronous HITS power iteration UNROLLED —
+    # per round, auth = L2norm(Aᵀ·hub) then hub = L2norm(A·auth'),
+    # zero-norm guard included, exactly webgraph._hits_driver's
+    # schedule.  Generated programmatically: 4 CTEs per round over the
+    # shared edge-extraction chain.  Converts HITS from a rows-only
+    # check to a full value-hash twin (the float drift is sum-order
+    # epsilon through 5 normalized rounds — ~1e-13, far under 6 dp).
+    hits_parts = [
+        f"WITH {_webgraph_edges_cte()},",
+        "e AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges),",
+        "nodes AS (SELECT s AS n FROM e UNION SELECT t AS n FROM e),",
+        "h0 AS (SELECT n, 1.0::DOUBLE AS v FROM nodes)",
+    ]
+    for _r in range(1, 6):
+        hits_parts.append(f""",
+        a{_r}raw AS (
+            SELECT nd.n, coalesce(s.v, 0.0) AS v
+            FROM nodes nd LEFT JOIN (
+                SELECT e.t AS n, sum(h.v) AS v
+                FROM e JOIN h{_r - 1} h ON h.n = e.s GROUP BY e.t
+            ) s ON s.n = nd.n
+        ),
+        a{_r} AS (
+            SELECT n, CASE WHEN norm > 0 THEN v / norm ELSE 0.0 END AS v
+            FROM (SELECT n, v, sqrt(sum(v * v) OVER ()) AS norm
+                  FROM a{_r}raw)
+        ),
+        h{_r}raw AS (
+            SELECT nd.n, coalesce(s.v, 0.0) AS v
+            FROM nodes nd LEFT JOIN (
+                SELECT e.s AS n, sum(a.v) AS v
+                FROM e JOIN a{_r} a ON a.n = e.t GROUP BY e.s
+            ) s ON s.n = nd.n
+        ),
+        h{_r} AS (
+            SELECT n, CASE WHEN norm > 0 THEN v / norm ELSE 0.0 END AS v
+            FROM (SELECT n, v, sqrt(sum(v * v) OVER ()) AS norm
+                  FROM h{_r}raw)
+        )""")
+    hits_parts.append("""
+        SELECT a.n AS host, round(a.v, 6) AS authority,
+               round(h.v, 6) AS hub
+        FROM a5 a JOIN h5 h ON h.n = a.n""")
+    sqls["hits_hosts"] = "\n".join(hits_parts)
+    # mmr_rerank: the k=10 greedy MMR loop UNROLLED — per step, the
+    # pick maximizes 0.7·rel − 0.3·max cos to the selected set, ties
+    # (score desc, rel desc, id asc) mirroring the numpy presort's
+    # first-max rule.  Generated programmatically: 4 CTEs per step on
+    # the shared _VEC_CTE candidates; converts MMR from rows-only to a
+    # full value-hash twin (the discrete argmax agrees because step
+    # scores differ by far more than the ~1e-15 dot-product drift).
+    mmr_parts = [
+        "WITH " + _VEC_CTE + """,
+        cand AS MATERIALIZED (
+            SELECT vec_id, cos_sim FROM cos WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 40
+        ),
+        cv AS MATERIALIZED (
+            SELECT c.vec_id AS id, c.cos_sim AS rel,
+                   e.embedding::DOUBLE[] AS v
+            FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+        ),
+        p1 AS MATERIALIZED (SELECT id, rel, v, 0.7 * rel AS score FROM cv),
+        s1 AS MATERIALIZED (
+            SELECT id, rel, v, 1 AS mmr_rank, score AS mmr_score
+            FROM p1 ORDER BY score DESC, rel DESC, id LIMIT 1
+        ),
+        sall1 AS MATERIALIZED (SELECT id, rel, v FROM s1),
+        r1 AS MATERIALIZED (SELECT * FROM cv WHERE id NOT IN (SELECT id FROM s1))""",
+    ]
+    for _r in range(2, 11):
+        mmr_parts.append(f""",
+        pen{_r} AS MATERIALIZED (
+            SELECT r.id, max(list_cosine_similarity(r.v, s.v)) AS pen
+            FROM r{_r - 1} r CROSS JOIN sall{_r - 1} s GROUP BY r.id
+        ),
+        p{_r} AS MATERIALIZED (
+            SELECT r.id, r.rel, r.v,
+                   0.7 * r.rel - 0.3 * pen.pen AS score
+            FROM r{_r - 1} r JOIN pen{_r} pen ON pen.id = r.id
+        ),
+        s{_r} AS MATERIALIZED (
+            SELECT id, rel, v, {_r} AS mmr_rank, score AS mmr_score
+            FROM p{_r} ORDER BY score DESC, rel DESC, id LIMIT 1
+        ),
+        sall{_r} AS MATERIALIZED (
+            SELECT id, rel, v FROM sall{_r - 1}
+            UNION ALL SELECT id, rel, v FROM s{_r}
+        ),
+        r{_r} AS MATERIALIZED (
+            SELECT * FROM r{_r - 1}
+            WHERE id NOT IN (SELECT id FROM s{_r})
+        )""")
+    mmr_parts.append(
+        "\nSELECT id AS vec_id, mmr_rank, rel, mmr_score FROM ("
+        + " UNION ALL ".join(
+            f"SELECT id, mmr_rank, rel, mmr_score FROM s{_r}"
+            for _r in range(1, 11)
+        )
+        + ")"
+    )
+    sqls["mmr_rerank"] = "\n".join(mmr_parts)
+    # kcenter_coreset: the Gonzalez farthest-point traversal UNROLLED
+    # (k=15): seed = smallest id at dist 0; each later pick maximizes
+    # round(min cosine distance to picked, 9) with ties to the
+    # smallest id — exactly the numpy loop's argmax-on-round-9 rule.
+    # Same MATERIALIZED-CTE generation as mmr_rerank (DuckDB inlines
+    # CTEs; the chained remaining-set references would otherwise
+    # explode exponentially).
+    kc_parts = [
+        """WITH cv AS MATERIALIZED (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 200
+        ),
+        s1 AS MATERIALIZED (
+            SELECT id, v, 1 AS pick_rank, 0.0 AS dist_at_pick
+            FROM cv ORDER BY id LIMIT 1
+        ),
+        sall1 AS MATERIALIZED (SELECT id, v FROM s1),
+        r1 AS MATERIALIZED (
+            SELECT * FROM cv WHERE id NOT IN (SELECT id FROM s1)
+        )""",
+    ]
+    for _r in range(2, 16):
+        kc_parts.append(f""",
+        pen{_r} AS MATERIALIZED (
+            SELECT r.id,
+                   min(1.0 - list_cosine_similarity(r.v, s.v)) AS mind
+            FROM r{_r - 1} r CROSS JOIN sall{_r - 1} s GROUP BY r.id
+        ),
+        s{_r} AS MATERIALIZED (
+            SELECT r.id, r.v, {_r} AS pick_rank, p.mind AS dist_at_pick
+            FROM pen{_r} p JOIN r{_r - 1} r ON r.id = p.id
+            ORDER BY round(p.mind, 9) DESC, r.id LIMIT 1
+        ),
+        sall{_r} AS MATERIALIZED (
+            SELECT id, v FROM sall{_r - 1}
+            UNION ALL SELECT id, v FROM s{_r}
+        ),
+        r{_r} AS MATERIALIZED (
+            SELECT * FROM r{_r - 1}
+            WHERE id NOT IN (SELECT id FROM s{_r})
+        )""")
+    kc_parts.append(
+        "\nSELECT id AS vec_id, pick_rank, dist_at_pick FROM ("
+        + " UNION ALL ".join(
+            f"SELECT id, pick_rank, dist_at_pick FROM s{_r}"
+            for _r in range(1, 16)
+        )
+        + ")"
+    )
+    sqls["kcenter_coreset"] = "\n".join(kc_parts)
     # langid_eval: per-class precision/recall/F1 + macro-F1 composed on
     # the nb_langid confusion-matrix SQL
     sqls["langid_eval"] = (
