@@ -1452,6 +1452,24 @@ def fit_ltr_pairwise(
         1,
         min(spark.sparkContext.defaultParallelism, -(-n_pairs // 4096)),
     )
+    # adaptive small-side path (the hits()/mmr driver-kernel rule): a
+    # pair table under ~200k rows is a few MB of float64 — 30 GD
+    # rounds as ONE collect + numpy matmuls instead of 30 scheduled
+    # Spark jobs (measured: 6.3 s -> sub-second at sf0.1, where the
+    # per-round job cost is pure scheduler latency).  Identical math:
+    # the distributed loop's per-partition partial gradients sum to
+    # exactly M.T @ coef; float order differs at 1e-15 — the same
+    # tolerance the numpy-parity pytest already grants the distributed
+    # path, and consumers round scores before ranking.
+    if n_pairs <= 200_000:
+        rows = diffs.collect()
+        M = np.array([r["d"] for r in rows], dtype=np.float64)
+        w = np.zeros(d, dtype=np.float64)
+        for _ in range(n_iters):
+            coef = -1.0 / (1.0 + np.exp(M @ w))
+            g = M.T @ coef
+            w = w - lr * (g / n_pairs + l2 * w)
+        return [float(x) for x in w]
     staged = diffs.repartition(width).persist()
     staged.count()
     w = np.zeros(d, dtype=np.float64)
