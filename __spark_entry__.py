@@ -6355,6 +6355,32 @@ def q_sif_embeddings(spark, sf_dir):
 _BENFORD_P = {d: math.log10(1 + 1.0 / d) for d in range(1, 10)}
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap (Chamandy 2012 — the distributed bootstrap)
+    of the corpus mean document length: 20 replicates, each weighting
+    every row by a DETERMINISTIC Poisson(1) draw (md5 hash fraction →
+    inverse CDF with repr-literal thresholds), all 40 replicate
+    aggregates in ONE scan with no explode; rank-window percentile CI
+    on the 20-row frame.  Replicate means are ratios of exact integer
+    sums — engine-identical before the final division."""
+    from clawrag_spark.operators import stats as ST
+
+    docs = _load(spark, sf_dir, "documents")
+    return ST.poisson_bootstrap_ci(docs, "doc_id", "n_chars")
+
+
+def q_jackknife_source(spark, sf_dir):
+    """Delete-one-SOURCE jackknife SE of the corpus mean length — the
+    standard error at the real dependence unit (docs within a source
+    correlate; per-doc jackknife understates variance, the classic
+    cluster-sampling mistake).  Exact integer sums to |sources| rows,
+    then windows on that tiny frame."""
+    from clawrag_spark.operators import stats as ST
+
+    docs = _load(spark, sf_dir, "documents")
+    return ST.jackknife_by_group(docs, "source", "n_chars")
+
+
 def q_trend_test(spark, sf_dir):
     """Mann-Kendall trend test over per-type daily event counts: exact
     integer S over C(|days|,2) day pairs per type (constant in corpus
@@ -6774,6 +6800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_chunks": q_topic_chunks,
         "trend_test": q_trend_test,
         "cusum_changepoint": q_cusum_changepoint,
+        "bootstrap_ci": q_bootstrap_ci,
+        "jackknife_source": q_jackknife_source,
         "char_entropy": q_char_entropy,
         "table_profile": q_table_profile,
         "unimax_mix": q_unimax_mix,
@@ -14718,6 +14746,70 @@ def oracle_sql() -> dict[str, str]:
         + ")"
     )
     sqls["mmr_rerank"] = "\n".join(mmr_parts)
+    # bootstrap_ci: the 20 Poisson-replicate aggregates generated as
+    # one scan (same no-explode shape as the Spark side); weights from
+    # the shared md5-fraction idiom + repr-literal Poisson(1) CDF
+    from clawrag_spark.operators.stats import POISSON1_CDF as _P1
+
+    def _boot_w(b: int) -> str:
+        u = (
+            f"(('0x' || substr(md5('boot1|{b}|' || doc_id::VARCHAR),"
+            f" 1, 15))::BIGINT / 1152921504606846976.0)"
+        )
+        case = "CASE"
+        for k, c in enumerate(_P1):
+            case += f" WHEN {u} < {c!r} THEN {k}"
+        return case + f" ELSE {len(_P1)} END"
+
+    boot_aggs = ", ".join(
+        f"sum(({_boot_w(b)}) * n_chars)::BIGINT AS sx{b}, "
+        f"sum({_boot_w(b)})::BIGINT AS sw{b}"
+        for b in range(20)
+    )
+    boot_reps = " UNION ALL ".join(
+        f"SELECT {b} AS replicate, sw{b} AS n_eff,"
+        f" sx{b} / sw{b}::DOUBLE AS m FROM one"
+        for b in range(20)
+    )
+    sqls["bootstrap_ci"] = f"""
+        WITH one AS (SELECT {boot_aggs} FROM documents),
+        reps AS ({boot_reps}),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY m, replicate) AS rk
+            FROM reps
+        ),
+        ci AS (
+            SELECT *,
+                   max(CASE WHEN rk = 2 THEN m END) OVER () AS lo,
+                   max(CASE WHEN rk = 19 THEN m END) OVER () AS hi
+            FROM ranked
+        )
+        SELECT replicate, n_eff, round(m, 6) AS mean_value,
+               round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+        FROM ci
+    """
+    sqls["jackknife_source"] = """
+        WITH per AS (
+            SELECT source AS grp, count(*)::BIGINT AS ng,
+                   sum(n_chars)::BIGINT AS sg
+            FROM documents GROUP BY 1
+        ),
+        g AS (
+            SELECT *, sum(ng) OVER () AS n, sum(sg) OVER () AS s,
+                   count(*) OVER () AS G
+            FROM per
+        ),
+        t AS (
+            SELECT *, (s - sg) / (n - ng)::DOUBLE AS t_wo FROM g
+        ),
+        tb AS (SELECT *, avg(t_wo) OVER () AS tbar FROM t)
+        SELECT grp AS source, ng AS n_rows,
+               round(t_wo, 6) AS mean_without,
+               round(sqrt((G - 1)::DOUBLE / G
+                     * sum((t_wo - tbar) * (t_wo - tbar)) OVER ()), 6)
+                   AS jack_se
+        FROM tb
+    """
     # kcenter_coreset: the Gonzalez farthest-point traversal UNROLLED
     # (k=15): seed = smallest id at dist 0; each later pick maximizes
     # round(min cosine distance to picked, 9) with ties to the

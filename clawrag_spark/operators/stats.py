@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -243,4 +243,177 @@ def neyman_allocation(
             .cast("long")
             .alias("alloc_n"),
         )
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative probabilities for
+#: k = 0..6), inlined as exact repr literals on both engines so the
+#: deterministic resample weights are bit-identical cross-engine.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    n_replicates: int = 20,
+    salt: str = "boot1",
+) -> DataFrame:
+    """Poisson bootstrap of a corpus mean (Chamandy et al. 2012 — the
+    bootstrap that actually runs distributed: each replicate weights
+    every row by an independent Poisson(1) draw, so no replicate needs
+    a same-size resample materialized).  Deterministic: the draw for
+    (replicate b, row) inverts the Poisson(1) CDF at the md5 hash
+    fraction of ``salt|b|id`` — byte-identical weights on any engine,
+    any partitioning.
+
+    Scale shape — NO explode: the scan computes ``2·B`` running
+    aggregates in ONE pass (sum of w_b·x and sum of w_b per
+    replicate, B generated column pairs), then the B replicate means
+    stack into rows and the percentile CI reads off the rank window of
+    a B-row frame.  At B = 20 the extra scan cost is 40 cheap
+    expression columns — compare an explode plan that would 20× the
+    row count.  Returns one row per replicate (replicate, n_eff,
+    mean_value, ci_lo, ci_hi) with the CI replicated, 6 dp.
+    """
+    u_for = lambda b: (  # noqa: E731 — hash fraction in [0, 1)
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}|{b}|"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+    def w_for(b):
+        u = u_for(b)
+        w = F.lit(len(POISSON1_CDF))
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        return w
+
+    # weights are STAGED as projection columns before the aggregate:
+    # 40 deep CASE expressions inside one hash aggregate push Spark's
+    # whole-stage codegen over the method-split threshold (observed
+    # IllegalAccessError from the Janino nested-class split on some
+    # inputs); a projection stage keeps each generated function small
+    staged = df.select(
+        F.col(value_col).alias("__v"),
+        *[w_for(b).alias(f"w{b}") for b in range(n_replicates)],
+    )
+    aggs = []
+    for b in range(n_replicates):
+        aggs.append(
+            F.sum(F.col(f"w{b}") * F.col("__v")).alias(f"sx{b}")
+        )
+        aggs.append(F.sum(f"w{b}").cast("long").alias(f"sw{b}"))
+    one = staged.agg(*aggs)
+    reps = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("replicate"),
+                        F.col(f"sw{b}").alias("n_eff"),
+                        (
+                            F.col(f"sx{b}")
+                            / F.col(f"sw{b}").cast("double")
+                        ).alias("m"),
+                    )
+                    for b in range(n_replicates)
+                ]
+            )
+        ).alias("r")
+    ).select("r.replicate", "r.n_eff", "r.m")
+    wall = Window.partitionBy(F.lit(1))
+    wr = Window.partitionBy(F.lit(1)).orderBy("m", "replicate")
+    lo_rank = 2
+    hi_rank = n_replicates - 1
+    ranked = reps.select(
+        "*", F.row_number().over(wr).alias("rk")
+    ).select(
+        "*",
+        F.max(F.when(F.col("rk") == lo_rank, F.col("m"))).over(wall).alias(
+            "lo"
+        ),
+        F.max(F.when(F.col("rk") == hi_rank, F.col("m"))).over(wall).alias(
+            "hi"
+        ),
+    )
+    return ranked.select(
+        "replicate",
+        "n_eff",
+        F.round("m", 6).alias("mean_value"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+    )
+
+
+def jackknife_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife of a corpus mean — the standard
+    error that respects the real dependence unit (documents within a
+    source correlate; delete-one-document jackknife understates the
+    variance, the classic cluster-sampling mistake in corpus stats).
+    ``T_(−g) = (S − S_g) / (N − N_g)`` per group, and
+    ``var = (G−1)/G · Σ (T_(−g) − mean(T_(−·)))²``.
+
+    Scale shape: one map-side-combinable groupBy(group) to |G| rows
+    carrying exact integer/na sums; every leave-one-out estimate and
+    the variance come from windows over that tiny frame.  Returns one
+    row per group (group, n_rows, mean_without, jack_se) with the
+    jackknife SE replicated, 6 dp.
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("ng"),
+        F.sum(value_col).alias("sg"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    g = per.select(
+        "*",
+        F.sum("ng").over(w).alias("n"),
+        F.sum("sg").over(w).alias("s"),
+        F.count("*").over(w).alias("G"),
+    ).select(
+        "*",
+        (
+            (F.col("s") - F.col("sg"))
+            / (F.col("n") - F.col("ng")).cast("double")
+        ).alias("t_wo"),
+    )
+    g2 = g.select("*", F.avg("t_wo").over(w).alias("tbar"))
+    var = (
+        (F.col("G") - 1).cast("double")
+        / F.col("G")
+        * F.sum(
+            (F.col("t_wo") - F.col("tbar"))
+            * (F.col("t_wo") - F.col("tbar"))
+        ).over(w)
+    )
+    return g2.select(
+        F.col("grp").alias(group_col),
+        F.col("ng").alias("n_rows"),
+        F.round("t_wo", 6).alias("mean_without"),
+        F.round(F.sqrt(var), 6).alias("jack_se"),
     )

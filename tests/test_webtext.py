@@ -2868,3 +2868,42 @@ def test_chao1_vocab_hand_case(spark):
     assert a["p_unseen"] == pytest.approx(3 / 8, abs=1e-6)
     b = out["b"]
     assert b["f1"] == 0 and b["chao1"] == float(b["vocab"])
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """Replicate means bracket the true mean; the CI is ordered; the
+    result is deterministic; weight distribution is Poisson(1)-shaped
+    (mean weight ~= 1 so n_eff ~= n)."""
+    from clawrag_spark.operators.stats import poisson_bootstrap_ci
+
+    df = spark.range(2000).selectExpr("id", "(id % 97) * 1.0 AS v")
+    out = poisson_bootstrap_ci(df, "id", "v").collect()
+    assert len(out) == 20
+    true_mean = sum(i % 97 for i in range(2000)) / 2000
+    lo, hi = out[0]["ci_lo"], out[0]["ci_hi"]
+    assert lo <= hi
+    assert all(r["ci_lo"] == lo and r["ci_hi"] == hi for r in out)
+    assert lo <= true_mean <= hi  # 90%-ish CI on a well-behaved mean
+    # Poisson(1) total mass: n_eff within 10% of n
+    for r in out:
+        assert 1800 <= r["n_eff"] <= 2200
+    out2 = poisson_bootstrap_ci(df, "id", "v").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_jackknife_by_group_hand_case(spark):
+    """Two groups with known sums: leave-one-out means and SE follow
+    the closed form exactly."""
+    from clawrag_spark.operators.stats import jackknife_by_group
+    import math
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0)]
+    df = spark.createDataFrame(rows, "source string, v double")
+    out = {r["source"]: r for r in
+           jackknife_by_group(df, "source", "v").collect()}
+    # without a: mean(10,14)=12; without b: mean(1,3)=2
+    assert out["a"]["mean_without"] == 12.0
+    assert out["b"]["mean_without"] == 2.0
+    tbar = 7.0
+    var = (2 - 1) / 2 * ((12 - tbar) ** 2 + (2 - tbar) ** 2)
+    assert out["a"]["jack_se"] == pytest.approx(math.sqrt(var), abs=1e-6)
