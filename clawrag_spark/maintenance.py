@@ -525,3 +525,84 @@ def purge_bm25_deletes(spark: SparkSession, out_dir: str) -> dict:
     _bm25_commit_pointer(index_dir, pointer)
     dead.unpersist()
     return {"purged": True, "n_dead_chunks": n_dead, "pointer": pointer}
+
+
+def plan_next_run(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    run_id: str | None = None,
+    current_width: int | None = None,
+    target_skew: float = 1.5,
+    max_width_factor: int = 4,
+) -> dict:
+    """Plan the NEXT run's parallelism from the LAST run's committed
+    per-partition lineage metrics — the operational feedback loop a
+    10^12-document pipeline runs between batches: the metrics table
+    carries REAL per-partition extraction timings (pipeline.py's
+    ``part_elapsed``), so straggler structure is measured, not guessed.
+
+    Skew = max(elapsed) / mean(elapsed) over the run's partitions.  At
+    or under ``target_skew`` the current width stands.  Above it, the
+    plan scales width by the skew ratio (capped at
+    ``max_width_factor``×): with uniform url-hash repartitioning the
+    dominant skew source is content-length variance, and more, smaller
+    partitions bound the tail a single heavy partition adds.  The
+    report also flags parse-failure concentration (one partition
+    carrying > half the failures — a poison-input signature worth
+    quarantining BEFORE rescaling).
+
+    Driver-side by design: the metrics table has one row per partition
+    per run — thousands of rows at production scale, never data-sized.
+    Returns {run_id, n_partitions, skew, mean_sec, max_sec,
+    recommended_width, failure_concentrated, reason}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(out_dir, "metrics")
+    m = spark.read.parquet(path)
+    if run_id is None:
+        last = m.agg(F.max("run_id").alias("r")).collect()[0]["r"]
+        run_id = last
+    rows = m.filter(F.col("run_id") == run_id).collect()
+    if not rows:
+        raise ValueError(f"no metrics rows for run_id {run_id!r}")
+    elapsed = [float(r["elapsed_sec"] or 0.0) for r in rows]
+    fails = [int(r["n_parse_failures"] or 0) for r in rows]
+    n = len(rows)
+    mean_sec = sum(elapsed) / n
+    max_sec = max(elapsed)
+    skew = (max_sec / mean_sec) if mean_sec > 0 else 1.0
+    width = current_width if current_width is not None else n
+    total_fail = sum(fails)
+    failure_concentrated = total_fail > 0 and max(fails) * 2 > total_fail
+    if skew <= target_skew:
+        rec = width
+        reason = (
+            f"skew {skew:.2f} <= target {target_skew}: width stands"
+        )
+    else:
+        factor = min(float(max_width_factor), skew)
+        rec = int(width * factor + 0.5)
+        reason = (
+            f"skew {skew:.2f} > target {target_skew}: scale width "
+            f"x{factor:.2f} so the heaviest partition's content "
+            f"spreads over more tasks"
+        )
+    if failure_concentrated:
+        reason += (
+            "; parse failures concentrate in one partition — inspect "
+            "that input slice before trusting the rescale"
+        )
+    return {
+        "run_id": run_id,
+        "n_partitions": n,
+        "skew": round(skew, 3),
+        "mean_sec": round(mean_sec, 4),
+        "max_sec": round(max_sec, 4),
+        "recommended_width": rec,
+        "failure_concentrated": failure_concentrated,
+        "reason": reason,
+    }

@@ -112,3 +112,53 @@ class TestExpireRuns:
         # time travel to an expired snapshot no longer resolves
         with _pytest.raises(ValueError, match="no committed run"):
             read_chunks(spark, out, as_of_run=manifests[0]["run_id"])
+
+
+class TestPlanNextRun:
+    def _write_metrics(self, spark, tmp_path, rows):
+        import os
+
+        df = spark.createDataFrame(
+            rows,
+            "part_id int, n_docs long, n_parse_failures long, "
+            "n_text_chars long, elapsed_sec double, docs_per_sec double, "
+            "run_id string",
+        )
+        out = str(tmp_path / "out")
+        df.write.mode("overwrite").parquet(os.path.join(out, "metrics"))
+        return out
+
+    def test_balanced_run_keeps_width(self, spark, tmp_path):
+        from clawrag_spark.maintenance import plan_next_run
+
+        rows = [(i, 100, 0, 10000, 10.0 + i * 0.1, 10.0, "r1")
+                for i in range(8)]
+        out = self._write_metrics(spark, tmp_path, rows)
+        plan = plan_next_run(spark, out)
+        assert plan["recommended_width"] == 8
+        assert plan["skew"] < 1.5 and not plan["failure_concentrated"]
+
+    def test_skewed_run_scales_width_capped(self, spark, tmp_path):
+        from clawrag_spark.maintenance import plan_next_run
+
+        rows = [(i, 100, 0, 10000, 1.0, 100.0, "r1") for i in range(7)]
+        rows.append((7, 100, 0, 10000, 93.0, 1.1, "r1"))  # straggler
+        out = self._write_metrics(spark, tmp_path, rows)
+        plan = plan_next_run(spark, out, current_width=8)
+        assert plan["skew"] > 5
+        # capped at 4x
+        assert plan["recommended_width"] == 32
+
+    def test_failure_concentration_flagged_and_latest_run_picked(
+        self, spark, tmp_path
+    ):
+        from clawrag_spark.maintenance import plan_next_run
+
+        rows = [(i, 100, 1, 10000, 10.0, 10.0, "r1") for i in range(4)]
+        rows += [(i, 100, 0, 10000, 10.0, 10.0, "r2") for i in range(3)]
+        rows.append((3, 100, 9, 10000, 10.0, 10.0, "r2"))  # 9 of 9 in one
+        out = self._write_metrics(spark, tmp_path, rows)
+        plan = plan_next_run(spark, out)  # run_id defaults to max -> r2
+        assert plan["run_id"] == "r2"
+        assert plan["failure_concentrated"]
+        assert "inspect" in plan["reason"]
