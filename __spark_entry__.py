@@ -6721,68 +6721,15 @@ def q_ece_calibration(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs only the
     # FIRST 50 entries, so queries are listed least-recently-verified
-    # first — (a) brand-new this round, (b) never driver-verified
-    # (added r3, landed outside r3's 50-window), (c) verified r2 but
-    # not r3, (d) verified r3 (rotate to the back; the overflow keeps
-    # its r3 green row).  Re-rotate every round.
+    # first and re-rotated every round.  Round-5 rotation: the window is
+    # 50 queries that have never received a driver CORRECTNESS row (154
+    # never-verified oracle-bearing queries compete; current-order-first
+    # wins), the r4-verified 50 move to the back.
     return {
-        # -- (1) DRIVER WINDOW: 50 oracle-bearing queries that have
-        # never received a driver CORRECTNESS row (81 never-verified
-        # queries compete for the 50 slots; oracle-bearing ones win the
-        # window because they get the full rows+schema+hash check,
-        # rows-only ones only the weaker rows check) -------------------
-        "host_quality": q_host_quality,
-        "dedup_lines": q_dedup_lines,
-        "train_val_split": q_train_val_split,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "tfidf_keywords": q_tfidf_keywords,
-        "nfc_normalize": q_nfc_normalize,
-        "vocab_coverage": q_vocab_coverage,
-        "pack_shards": q_pack_shards,
-        "snapshot_diff": q_snapshot_diff,
-        "url_templates": q_url_templates,
-        "dsir_weights": q_dsir_weights,
-        "semantic_dedup": q_semantic_dedup,
-        "bloom_probe": q_bloom_probe,
-        "dedup_incremental": q_dedup_incremental,
-        "perplexity_buckets": q_perplexity_buckets,
-        "token_budget": q_token_budget,
-        "phrase_search": q_phrase_search,
-        "hll_user_days": q_hll_user_days,
-        "weighted_sample": q_weighted_sample,
-        "link_graph": q_link_graph,
-        "pagerank_hosts": q_pagerank_hosts,
-        "anchor_texts": q_anchor_texts,
-        "host_template_strip": q_host_template_strip,
-        "passage_dedup": q_passage_dedup,
-        "ann_ivfpq": q_ann_ivfpq,
-        "gopher_quality": q_gopher_quality,
-        "crawl_schedule": q_crawl_schedule,
-        "robots_gate": q_robots_gate,
-        "shared_passages": q_shared_passages,
-        "ngram_repetition": q_ngram_repetition,
-        "training_mix": q_training_mix,
-        "lm_perplexity": q_lm_perplexity,
-        "dedup_clusters": q_dedup_clusters,
-        "length_quantiles": q_length_quantiles,
-        "decontaminate": q_decontaminate,
-        "curation_funnel": q_curation_funnel,
-        "host_stats": q_host_stats,
-        "line_signals": q_line_signals,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pii_scrub": q_pii_scrub,
-        "url_latest": q_url_latest,
-        "similarity_join": q_similarity_join,
-        "registered_domains": q_registered_domains,
-        "readability": q_readability,
-        "softdedup_weights": q_softdedup_weights,
-        "unigram_seed": q_unigram_seed,
-        "page_metadata": q_page_metadata,
-        "cdx_index": q_cdx_index,
-        "script_signals": q_script_signals,
-        "url_spam": q_url_spam,
-        # -- (2) oracle-bearing never-verified overflow — front of the
-        # round-5 window --------------------------------------------
+        # -- (1) DRIVER WINDOW: 50 never-driver-verified queries.  48
+        # oracle-bearing (full rows+schema+hash check) + lpa_communities
+        # and kcore_hosts, whose fixed-round unrolled DuckDB value-hash
+        # oracles are new this round ---------------------------------
         "t_closeness": q_t_closeness,
         "doremi_weights": q_doremi_weights,
         "ks_drift": q_ks_drift,
@@ -6831,12 +6778,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_scores": q_bm25f_scores,
         "wand_topk": q_wand_topk,
         "oph_minhash": q_oph_minhash,
+        "lpa_communities": q_lpa_communities,
+        "kcore_hosts": q_kcore_hosts,
+        # -- (2) oracle-bearing never-verified overflow (next rotation
+        # window) -----------------------------------------------------
         "robots_sitemaps": q_robots_sitemaps,
         "canonical_cluster": q_canonical_cluster,
         "oph_jaccard": q_oph_jaccard,
         "blockmax_topk": q_blockmax_topk,
-        "lpa_communities": q_lpa_communities,
-        "kcore_hosts": q_kcore_hosts,
         "kmv_distinct": q_kmv_distinct,
         "pdf_table_rows": q_pdf_table_rows,
         "mirror_hosts": q_mirror_hosts,
@@ -6844,7 +6793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid": q_nb_langid,
         "robots_wildcard": q_robots_wildcard,
         "contamination_frac": q_contamination_frac,
-        "audio_dups": q_audio_dups,
         "robots_status": q_robots_status,
         "jsonld_records": q_jsonld_records,
         "ngram_diversity": q_ngram_diversity,
@@ -6932,8 +6880,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "rake_keywords": q_rake_keywords,
         "split_leakage": q_split_leakage,
+        "hits_hosts": q_hits_hosts,
+        "mmr_rerank": q_mmr_rerank,
+        "kcenter_coreset": q_kcenter_coreset,
+        "corpus_rollup": q_corpus_rollup,
+        "events_pivot": q_events_pivot,
+        "returning_users": q_returning_users,
+        "ndcg_eval": q_ndcg_eval,
+        "rank_correlation": q_rank_correlation,
         # -- (3) rows-only by design (no SQL-expressible oracle),
         # never driver-verified; pytest-pinned ------------------------
+        "audio_dups": q_audio_dups,
         "kmeans_domains": q_kmeans_domains,
         "embedding_pca": q_embedding_pca,
         "bpe_merges": q_bpe_merges,
@@ -6944,10 +6901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_pieces": q_unigram_pieces,
         "image_phash_dups": q_image_phash_dups,
         "tokenizer_fertility": q_tokenizer_fertility,
-        "hits_hosts": q_hits_hosts,
-        "mmr_rerank": q_mmr_rerank,
-        "kcenter_coreset": q_kcenter_coreset,
-        # -- (4) verified r2, outside the r3 window --------------------
+        "sif_embeddings": q_sif_embeddings,
+        "ltr_rerank": q_ltr_rerank,
+        # -- (4) verified r2/r3; rotated behind the never-verified set --
         "row_chunks": q_row_chunks,
         "email_parse": q_email_parse,
         "relevance_filtered": q_relevance_filtered,
@@ -6955,7 +6911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_scan": q_profile_scan,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_counts": q_bpe_token_counts,
-        # -- (5) verified r3, rotated back -----------------------------
         "hybrid_pipeline_topk": q_hybrid_pipeline_topk,
         "embedding_quantize": q_embedding_quantize,
         "ngram_jaccard": q_ngram_jaccard,
@@ -7006,15 +6961,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "union_collections": q_union_collections,
         "data_type_route": q_data_type_route,
-        # -- (3) added after the r4 window was frozen; front of the
-        # round-5 rotation with the (2) overflow ----------------------
-        "corpus_rollup": q_corpus_rollup,
-        "events_pivot": q_events_pivot,
-        "returning_users": q_returning_users,
-        "sif_embeddings": q_sif_embeddings,
-        "ltr_rerank": q_ltr_rerank,
-        "ndcg_eval": q_ndcg_eval,
-        "rank_correlation": q_rank_correlation,
+        # -- (5) verified r4 (most recent driver rows); back of the list -
+        "host_quality": q_host_quality,
+        "dedup_lines": q_dedup_lines,
+        "train_val_split": q_train_val_split,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "tfidf_keywords": q_tfidf_keywords,
+        "nfc_normalize": q_nfc_normalize,
+        "vocab_coverage": q_vocab_coverage,
+        "pack_shards": q_pack_shards,
+        "snapshot_diff": q_snapshot_diff,
+        "url_templates": q_url_templates,
+        "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
+        "bloom_probe": q_bloom_probe,
+        "dedup_incremental": q_dedup_incremental,
+        "perplexity_buckets": q_perplexity_buckets,
+        "token_budget": q_token_budget,
+        "phrase_search": q_phrase_search,
+        "hll_user_days": q_hll_user_days,
+        "weighted_sample": q_weighted_sample,
+        "link_graph": q_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
+        "anchor_texts": q_anchor_texts,
+        "host_template_strip": q_host_template_strip,
+        "passage_dedup": q_passage_dedup,
+        "ann_ivfpq": q_ann_ivfpq,
+        "gopher_quality": q_gopher_quality,
+        "crawl_schedule": q_crawl_schedule,
+        "robots_gate": q_robots_gate,
+        "shared_passages": q_shared_passages,
+        "ngram_repetition": q_ngram_repetition,
+        "training_mix": q_training_mix,
+        "lm_perplexity": q_lm_perplexity,
+        "dedup_clusters": q_dedup_clusters,
+        "length_quantiles": q_length_quantiles,
+        "decontaminate": q_decontaminate,
+        "curation_funnel": q_curation_funnel,
+        "host_stats": q_host_stats,
+        "line_signals": q_line_signals,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_scrub": q_pii_scrub,
+        "url_latest": q_url_latest,
+        "similarity_join": q_similarity_join,
+        "registered_domains": q_registered_domains,
+        "readability": q_readability,
+        "softdedup_weights": q_softdedup_weights,
+        "unigram_seed": q_unigram_seed,
+        "page_metadata": q_page_metadata,
+        "cdx_index": q_cdx_index,
+        "script_signals": q_script_signals,
+        "url_spam": q_url_spam,
     }
 
 
