@@ -3025,9 +3025,11 @@ def q_lpa_communities(spark, sf_dir):
     propagation (Raghavan 2007; self-vote + min-label ties make every
     round engine-reproducible) — link neighborhoods for the spam
     family: a dense community with low trustrank is a link farm.
-    Iterative (no SQL twin): rows-only at the driver; the Spark loop
-    is pinned EXACTLY against a pure-python reference in
-    tests/test_webgraph.py."""
+    The Spark loop is pinned EXACTLY against a pure-python reference
+    in tests/test_webgraph.py; the DuckDB twin unrolls a fixed 4-round
+    prefix (converged labelings are fixpoints, so extra rounds are
+    identity) and recomputes (converged, rounds) from per-round diff
+    counts — full value-hash check at the driver."""
     _ensure_pipeline_demo(spark)
     pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
     edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
@@ -3040,10 +3042,12 @@ def q_kcore_hosts(spark, sf_dir):
     h-operator IS the k-core number, no peel order needed, so the loop
     distributes and reproduces across engines).  High coreness + low
     trust marks densely inter-linked spam cores pagerank inflates;
-    coreness 1 is the crawl frontier's leaf tier.  Iterative (no SQL
-    twin): rows-only at the driver; the Spark loop is pinned EXACTLY
-    against a pure-python Batagelj-Zaversnik peel in
-    tests/test_webgraph.py."""
+    coreness 1 is the crawl frontier's leaf tier.  The Spark loop is
+    pinned EXACTLY against a pure-python Batagelj-Zaversnik peel in
+    tests/test_webgraph.py; the DuckDB twin unrolls a fixed 4-round
+    prefix of the monotone h-operator (the coreness fixpoint is stable
+    under extra rounds) and recomputes (converged, rounds) from
+    per-round diff counts — full value-hash check at the driver."""
     _ensure_pipeline_demo(spark)
     pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
     edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
@@ -6461,12 +6465,19 @@ def q_benford_audit(spark, sf_dir):
     engines — never from log10/pow float math, which can differ by an
     ulp across libm implementations); chi-square and MAD aggregate
     over the observed digits with Benford probabilities inlined as
-    repr literals."""
+    repr literals.  Observed counts are left-joined onto a constant 1-9
+    digit spine (n_obs defaulted to 0) so an absent first digit still
+    contributes its full (0 - N*p)^2/(N*p) term — summing only over
+    digits present in the data would understate chi-square."""
     li = _load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
     d = F.substring(
         F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
     ).cast("int")
-    counts = li.groupBy(d.alias("digit")).agg(F.count("*").alias("n_obs"))
+    observed = li.groupBy(d.alias("digit")).agg(F.count("*").alias("n_obs"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = spine.join(F.broadcast(observed), "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
     bp = F.lit(None).cast("double")
     for dig, p in _BENFORD_P.items():
         bp = F.when(F.col("digit") == dig, F.lit(p)).otherwise(bp)
@@ -9978,8 +9989,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT substr(floor(x)::BIGINT::VARCHAR, 1, 1)::INT AS digit
                 FROM v
             ),
-            cnt AS (
+            obs AS (
                 SELECT digit, count(*)::BIGINT AS n_obs FROM dg GROUP BY 1
+            ),
+            spine AS (
+                SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9))
+                AS s(digit)
+            ),
+            cnt AS (
+                -- zero-fill the spine: an absent first digit must still
+                -- contribute (0 - N*p)^2/(N*p) to chi2
+                SELECT s.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs
+                FROM spine s LEFT JOIN obs o USING (digit)
             ),
             st AS (
                 SELECT digit, n_obs, sum(n_obs) OVER () AS N,
@@ -10309,11 +10330,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM gaps GROUP BY 1, 2, 3
             )
             SELECT grp AS event_type, tr AS n_ref, tc AS n_cur,
-                   round(d, 6) AS ks_stat,
-                   round(1.358 * sqrt((tr + tc) / (tr::DOUBLE * tc)), 6)
-                       AS ks_crit,
-                   d > 1.358 * sqrt((tr + tc) / (tr::DOUBLE * tc))
-                       AS drifted
+                   -- one-window groups have no two-sample comparison:
+                   -- defined no-data verdict, never NULL stats
+                   round(CASE WHEN tr > 0 AND tc > 0 THEN d
+                              ELSE 0.0 END, 6) AS ks_stat,
+                   round(CASE WHEN tr > 0 AND tc > 0
+                              THEN 1.358 * sqrt((tr + tc)
+                                                / (tr::DOUBLE * tc))
+                              ELSE 0.0 END, 6) AS ks_crit,
+                   CASE WHEN tr > 0 AND tc > 0
+                        THEN d > 1.358 * sqrt((tr + tc)
+                                              / (tr::DOUBLE * tc))
+                        ELSE false END AS drifted
             FROM agg
         """,
         "l_diversity": """
@@ -14743,6 +14771,89 @@ def oracle_sql() -> dict[str, str]:
         + ")"
     )
     sqls["mmr_rerank"] = "\n".join(mmr_parts)
+    # lpa_communities / kcore_hosts: the fixed-round prefix of each
+    # iterative graph loop UNROLLED (the r4 hits_hosts pattern).  Both
+    # operators are fixpoint iterations whose converged state is stable
+    # under extra rounds (LPA's top-vote of a converged labeling is the
+    # labeling itself; the h-operator is monotone with the coreness as
+    # its fixpoint), so an oracle that always runs 4 rounds agrees with
+    # Spark's early-stop loop whenever the graph converges within 4 —
+    # and the per-round diff counts d1..d4 recompute Spark's
+    # (converged, rounds) telemetry exactly rather than hardcoding it.
+    # A graph that needs > 4 rounds hash-mismatches loudly (the demo
+    # fixture converges at round 2; widen the unroll if it grows).
+    _sym_edges = """
+        e AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT src_host AS a, dst_host AS b FROM edges
+                UNION ALL SELECT dst_host, src_host FROM edges
+            ) WHERE a <> b
+        )"""
+    _lpa_rounds = 4
+    lpa_parts = [
+        f"WITH {_webgraph_edges_cte()},",
+        _sym_edges + ",",
+        """l0 AS (
+            SELECT n, n AS lbl
+            FROM (SELECT DISTINCT a AS n FROM e)
+        )""",
+    ]
+    for _r in range(1, _lpa_rounds + 1):
+        lpa_parts.append(f""",
+        v{_r} AS (
+            SELECT n, lbl, count(*)::BIGINT AS c FROM (
+                SELECT e.a AS n, l.lbl FROM e JOIN l{_r - 1} l ON l.n = e.b
+                UNION ALL SELECT n, lbl FROM l{_r - 1}
+            ) GROUP BY 1, 2
+        ),
+        l{_r} AS (
+            SELECT n, lbl FROM (
+                SELECT n, lbl, row_number() OVER (
+                    PARTITION BY n ORDER BY c DESC, lbl) AS rn
+                FROM v{_r}) WHERE rn = 1
+        ),
+        d{_r} AS (
+            SELECT count(*)::BIGINT AS c
+            FROM l{_r} x JOIN l{_r - 1} y
+              ON x.n = y.n AND x.lbl <> y.lbl
+        )""")
+    _conv = " OR ".join(f"d{r}.c = 0" for r in range(1, _lpa_rounds + 1))
+    _rnds = " ".join(
+        f"WHEN d{r}.c = 0 THEN {r}" for r in range(1, _lpa_rounds + 1)
+    )
+    _from_d = ", ".join(f"d{r}" for r in range(1, _lpa_rounds + 1))
+    lpa_parts.append(f"""
+        SELECT l.n AS node, l.lbl AS community,
+               ({_conv}) AS converged,
+               (CASE {_rnds} ELSE {_lpa_rounds} END)::INT AS rounds
+        FROM l{_lpa_rounds} l, {_from_d}""")
+    sqls["lpa_communities"] = "\n".join(lpa_parts)
+    kcore_parts = [
+        f"WITH {_webgraph_edges_cte()},",
+        _sym_edges + ",",
+        "v0 AS (SELECT a AS n, count(*)::BIGINT AS v FROM e GROUP BY 1)",
+    ]
+    for _r in range(1, _lpa_rounds + 1):
+        kcore_parts.append(f""",
+        v{_r} AS (
+            -- H-operator: largest h with >= h neighbors holding v >= h;
+            -- row_number tie order is irrelevant (h is a multiset stat)
+            SELECT n, max(rn)::BIGINT AS v FROM (
+                SELECT e.a AS n, l.v, row_number() OVER (
+                    PARTITION BY e.a ORDER BY l.v DESC) AS rn
+                FROM e JOIN v{_r - 1} l ON l.n = e.b
+            ) WHERE v >= rn GROUP BY n
+        ),
+        d{_r} AS (
+            SELECT count(*)::BIGINT AS c
+            FROM v{_r} x JOIN v{_r - 1} y ON x.n = y.n AND x.v <> y.v
+        )""")
+    kcore_parts.append(f"""
+        SELECT v.n AS node, v.v AS coreness,
+               ({_conv}) AS converged,
+               (CASE {_rnds} ELSE {_lpa_rounds} END)::INT AS rounds
+        FROM v{_lpa_rounds} v, {_from_d}""")
+    sqls["kcore_hosts"] = "\n".join(kcore_parts)
     # bootstrap_ci: the 20 Poisson-replicate aggregates generated as
     # one scan (same no-explode shape as the Spark side); weights from
     # the shared md5-fraction idiom + repr-literal Poisson(1) CDF

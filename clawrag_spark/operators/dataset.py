@@ -1698,7 +1698,12 @@ def percolation_stats(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    # Materialize the T-row curve (bounded: one row per threshold) so the
+    # cached edge frame can be released before returning — a lazy return
+    # would retain `e` in executor memory for the whole session.
+    rows = [tuple(r) for r in out.collect()]
+    e.unpersist()
+    return spark.createDataFrame(sorted(rows), schema)
 
 
 # --------------------------------------------- embedding quantization

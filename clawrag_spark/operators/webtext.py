@@ -5475,6 +5475,10 @@ def ks_drift(
     scan in parallel; for a single group with billions of distinct
     values substitute the two-phase ``packing.global_rank`` shape.
     Returns (group, n_ref, n_cur, ks_stat, ks_crit, drifted), 6 dp.
+    A group whose rows fall entirely in one window has no two-sample
+    comparison: instead of NULL-propagating the zero-count division it
+    emits a defined no-data verdict (ks_stat=0, ks_crit=0,
+    drifted=false).
     """
     lo = events.agg(F.min(F.to_date(ts_col)).alias("d0"))
     tagged = events.crossJoin(F.broadcast(lo)).select(
@@ -5500,6 +5504,7 @@ def ks_drift(
         ).alias("gap"),
     )
     agg = gaps.groupBy("grp", "tr", "tc").agg(F.max("gap").alias("d"))
+    ok = (F.col("tr") > 0) & (F.col("tc") > 0)
     crit = F.lit(crit_coeff) * F.sqrt(
         (F.col("tr") + F.col("tc"))
         / (F.col("tr").cast("double") * F.col("tc"))
@@ -5508,9 +5513,11 @@ def ks_drift(
         F.col("grp").alias(group_col),
         F.col("tr").alias("n_ref"),
         F.col("tc").alias("n_cur"),
-        F.round("d", 6).alias("ks_stat"),
-        F.round(crit, 6).alias("ks_crit"),
-        (F.col("d") > crit).alias("drifted"),
+        F.round(F.when(ok, F.col("d")).otherwise(0.0), 6).alias("ks_stat"),
+        F.round(F.when(ok, crit).otherwise(0.0), 6).alias("ks_crit"),
+        F.when(ok, F.col("d") > crit).otherwise(F.lit(False)).alias(
+            "drifted"
+        ),
     )
 
 
