@@ -2221,6 +2221,21 @@ def q_kcenter_coreset(spark, sf_dir):
     return DS.kcenter_coreset(emb, "vec_id", "embedding", k=15)
 
 
+def q_kcenter_cells(spark, sf_dir):
+    """Per-cell Gonzalez k-center — the 100 TB composition of
+    q_kcenter_coreset: one applyInPandas pass runs the identical
+    greedy kernel inside every cell and unions the picks, so diversity
+    selection over a trillion chunks is |cells| bounded problems.
+    Rows-only at the driver (per-cell greedy unroll is not worth a
+    generated twin); the correctness chain is pytest-pinned instead:
+    per-cell output ≡ the driver kernel run cell-by-cell
+    (test_dedup_family), and that kernel carries its own full
+    value-hash DuckDB twin (q_kcenter_coreset)."""
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    cells = emb.withColumn("cell", (F.col("vec_id") % 4).cast("int"))
+    return DS.kcenter_per_cell(cells, "cell", "vec_id", "embedding", k=6)
+
+
 def q_source_novelty(spark, sf_dir):
     """Per-source novelty: distinct 3-gram yield, corpus-exclusive gram
     share, and within-source exact-duplicate rate — the mix-design
@@ -2272,6 +2287,27 @@ def q_mmr_rerank(spark, sf_dir):
     cand = top.join(emb.select("vec_id", "embedding"), "vec_id")
     return R.mmr_rerank(
         cand, "vec_id", "cos_sim", "embedding", k=10, lam=0.7
+    )
+
+
+def q_mmr_cells(spark, sf_dir):
+    """Per-cell MMR — the batch/corpus-scale composition of
+    q_mmr_rerank: one applyInPandas pass runs the identical greedy
+    kernel independently per cell (memory bounded by the largest cell,
+    never the corpus).  Rows-only at the driver; the correctness chain
+    is pytest-pinned: per-cell ≡ driver kernel cell-by-cell
+    (test_retrieval_ops), and the kernel has its own unrolled
+    value-hash twin (q_mmr_rerank).  The rel score is a deterministic
+    integer-rational expression so every engine agrees on the input."""
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 240)
+    cand = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 3).cast("int").alias("cell"),
+        ((F.col("vec_id") * 37 % 19) / 19.0).alias("rel"),
+        "embedding",
+    )
+    return R.mmr_per_cell(
+        cand, "cell", "vec_id", "rel", "embedding", k=5, lam=0.6
     )
 
 
@@ -6894,6 +6930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": q_hits_hosts,
         "mmr_rerank": q_mmr_rerank,
         "kcenter_coreset": q_kcenter_coreset,
+        "kcenter_cells": q_kcenter_cells,
+        "mmr_cells": q_mmr_cells,
         "corpus_rollup": q_corpus_rollup,
         "events_pivot": q_events_pivot,
         "returning_users": q_returning_users,

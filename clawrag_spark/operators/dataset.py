@@ -2909,6 +2909,7 @@ def kcenter_coreset(
     vec_col: str,
     k: int,
     seed_id=None,
+    max_candidates: int = 1_000_000,
 ):
     """Greedy k-center coreset (Gonzalez 1985 farthest-point
     traversal) over an embedding candidate set — the diversity-first
@@ -2923,7 +2924,13 @@ def kcenter_coreset(
     Same contract and shape as ``mmr_rerank``: the input is a BOUNDED
     candidate frame (a per-bucket sample, a top-N, an IVF cell), the
     sequential pick-by-pick dependency runs on the driver over numpy —
-    at 10^12 scale run it per IVF cell / stratum and union the picks.
+    at 10^12 scale run it per IVF cell / stratum and union the picks
+    (:func:`kcenter_per_cell`).  The bound is ENFORCED, not assumed:
+    the collect is capped at ``max_candidates`` rows via a
+    ``limit(max_candidates + 1)`` probe and raises ValueError above it
+    (the ``small_edge_threshold`` discipline of the graph ops — a
+    caller passing a full corpus frame must fail loudly, never OOM the
+    driver).  Raise ``max_candidates`` explicitly to override.
     Determinism: the seed is ``seed_id`` if given else the
     lexicographically smallest id; argmax ties break to the smallest
     id via a (distance, -id) presort-free argmax on round-9-stable
@@ -2938,15 +2945,42 @@ def kcenter_coreset(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    rows = points.select(id_col, vec_col).collect()
+    if max_candidates < 1:
+        raise ValueError(
+            f"max_candidates must be >= 1, got {max_candidates}"
+        )
+    rows = points.select(id_col, vec_col).limit(max_candidates + 1).collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"kcenter_coreset candidate frame exceeds max_candidates="
+            f"{max_candidates}: the driver kernel is for bounded pools "
+            f"(per-bucket sample / top-N / IVF cell). Pre-bound the "
+            f"frame, use kcenter_per_cell, or raise max_candidates "
+            f"explicitly."
+        )
     if not rows:
         return points.sparkSession.createDataFrame(
             [], f"{id_col} long, pick_rank int, dist_at_pick double"
         )
     ids = [r[0] for r in rows]
+    mat = np.array([list(map(float, r[1])) for r in rows])
+    picks = _kcenter_greedy(ids, mat, k, seed_id)
+    return points.sparkSession.createDataFrame(
+        picks, f"{id_col} long, pick_rank int, dist_at_pick double"
+    )
+
+
+def _kcenter_greedy(ids, mat, k: int, seed_id=None):
+    """The pure numpy Gonzalez greedy shared by :func:`kcenter_coreset`
+    (driver kernel over a bounded pool) and :func:`kcenter_per_cell`
+    (one executor task per cell) — ONE implementation, so the per-cell
+    union is definitionally the same picks as running the driver kernel
+    cell by cell.  Returns ``[(id, rank, dist_at_pick), ...]``."""
+    import numpy as np
+
     order = sorted(range(len(ids)), key=lambda i: ids[i])
     ids = [ids[i] for i in order]
-    mat = np.array([list(map(float, rows[i][1])) for i in order])
+    mat = np.asarray(mat, dtype=float)[order]
     norms = np.linalg.norm(mat, axis=1)
     unit = np.divide(
         mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] > 0
@@ -2966,8 +3000,69 @@ def kcenter_coreset(
         picks.append((ids[best], rank, float(mind[best])))
         mind = np.minimum(mind, 1.0 - unit @ unit[best])
         mind[best] = -1.0
-    return points.sparkSession.createDataFrame(
-        picks, f"{id_col} long, pick_rank int, dist_at_pick double"
+    return picks
+
+
+def kcenter_per_cell(
+    points: DataFrame,
+    cell_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_cell_rows: int = 1_000_000,
+) -> DataFrame:
+    """The documented 100 TB recipe for :func:`kcenter_coreset` — "run
+    it per IVF cell / stratum and union the picks" — as ONE distributed
+    ``applyInPandas`` pass instead of a driver loop over cells: every
+    cell's candidates land in one Arrow batch, the task runs the
+    identical :func:`_kcenter_greedy` kernel, and the union of per-cell
+    picks streams back as a DataFrame.  Diversity selection over a
+    trillion-chunk corpus becomes |cells| independent bounded problems
+    (cells from IVF assignment, LSH bucket, language stratum, ...), one
+    shuffle on the cell key.
+
+    A cell larger than ``max_cell_rows`` raises inside its task (the
+    same fail-loud bound as the driver kernel's ``max_candidates`` —
+    a skewed cell must be split upstream, not spilled into an O(N·k)
+    grind).  Returns ``(cell_col, id_col, pick_rank, dist_at_pick)``
+    with ranks local to each cell.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cell_type = dict(points.dtypes)[cell_col]
+    schema = (
+        f"{cell_col} {cell_type}, {id_col} long, "
+        f"pick_rank int, dist_at_pick double"
+    )
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"kcenter_per_cell: cell "
+                f"{pdf[cell_col].iloc[0]!r} has {len(pdf)} rows > "
+                f"max_cell_rows={max_cell_rows}; split the cell "
+                f"(finer IVF / sub-bucket) or raise the bound."
+            )
+        picks = _kcenter_greedy(
+            pdf[id_col].tolist(),
+            [list(map(float, v)) for v in pdf[vec_col]],
+            k,
+        )
+        return pd.DataFrame(
+            {
+                cell_col: [pdf[cell_col].iloc[0]] * len(picks),
+                id_col: [p[0] for p in picks],
+                "pick_rank": [p[1] for p in picks],
+                "dist_at_pick": [p[2] for p in picks],
+            }
+        )
+
+    return (
+        points.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_run, schema)
     )
 
 

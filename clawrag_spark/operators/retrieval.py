@@ -1325,6 +1325,7 @@ def mmr_rerank(
     vec_col: str,
     k: int = 10,
     lam: float = 0.7,
+    max_candidates: int = 10_000,
 ):
     """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
     greedily pick ``k`` results maximizing
@@ -1340,8 +1341,15 @@ def mmr_rerank(
     threshold.  The corpus-shaped work (scoring, top-N cut) happened
     upstream; MMR's sequential data dependency (each pick conditions
     the next) makes per-step Spark jobs pure overhead at N ≤ a few
-    hundred.  Ties break (score desc, id asc); vectors are cosine-
-    normalized once up front; zero vectors contribute similarity 0.
+    hundred.  The bound is ENFORCED: the collect is capped at
+    ``max_candidates`` rows via a ``limit(max_candidates + 1)`` probe
+    and raises ValueError above it — the N×N similarity matrix this
+    kernel builds is quadratic in the candidate count, so an unbounded
+    frame must fail loudly, never OOM the driver (raise
+    ``max_candidates`` explicitly to override; at corpus scale run
+    :func:`mmr_per_cell`).  Ties break (score desc, id asc); vectors
+    are cosine-normalized once up front; zero vectors contribute
+    similarity 0.
 
     Returns a DataFrame (id, mmr_rank, rel, mmr_score) of the k picks.
     """
@@ -1349,14 +1357,49 @@ def mmr_rerank(
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    rows = candidates.select(id_col, rel_col, vec_col).collect()
+    if max_candidates < 1:
+        raise ValueError(
+            f"max_candidates must be >= 1, got {max_candidates}"
+        )
+    rows = (
+        candidates.select(id_col, rel_col, vec_col)
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank candidate frame exceeds max_candidates="
+            f"{max_candidates}: the driver kernel builds an N x N "
+            f"similarity matrix and is for top-N frames only. Pre-cut "
+            f"the candidates, use mmr_per_cell, or raise "
+            f"max_candidates explicitly."
+        )
     if not rows:
         return candidates.sparkSession.createDataFrame(
             [], f"{id_col} long, mmr_rank int, rel double, mmr_score double"
         )
-    ids = [r[0] for r in rows]
-    rel = np.array([float(r[1]) for r in rows])
-    mat = np.array([list(map(float, r[2])) for r in rows])
+    picks = _mmr_greedy(
+        [r[0] for r in rows],
+        [float(r[1]) for r in rows],
+        [list(map(float, r[2])) for r in rows],
+        k,
+        lam,
+    )
+    return candidates.sparkSession.createDataFrame(
+        picks, f"{id_col} long, mmr_rank int, rel double, mmr_score double"
+    )
+
+
+def _mmr_greedy(ids, rel, mat, k: int, lam: float):
+    """The pure numpy MMR greedy shared by :func:`mmr_rerank` (driver
+    kernel over a top-N frame) and :func:`mmr_per_cell` (one executor
+    task per cell) — ONE implementation, so per-cell results are
+    definitionally the driver kernel's.  Returns
+    ``[(id, rank, rel, score), ...]``."""
+    import numpy as np
+
+    rel = np.asarray(rel, dtype=float)
+    mat = np.asarray(mat, dtype=float)
     norms = np.linalg.norm(mat, axis=1)
     unit = np.divide(
         mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] > 0
@@ -1366,7 +1409,7 @@ def mmr_rerank(
     # desc, id asc) order so argmax ties resolve identically regardless
     # of the collect()'s partition order
     order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
-    rel, mat, sims = rel[order], mat[order], sims[np.ix_(order, order)]
+    rel, sims = rel[order], sims[np.ix_(order, order)]
     ids = [ids[i] for i in order]
     selected: list[int] = []
     picks = []
@@ -1383,8 +1426,69 @@ def mmr_rerank(
         picks.append((ids[j], rank, float(rel[j]), float(scores[best])))
         selected.append(j)
         remaining.pop(best)
-    return candidates.sparkSession.createDataFrame(
-        picks, f"{id_col} long, mmr_rank int, rel double, mmr_score double"
+    return picks
+
+
+def mmr_per_cell(
+    candidates: DataFrame,
+    cell_col: str,
+    id_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+    max_cell_rows: int = 10_000,
+) -> DataFrame:
+    """Per-cell MMR — the corpus-scale composition of
+    :func:`mmr_rerank`: one ``applyInPandas`` pass runs the identical
+    :func:`_mmr_greedy` kernel independently inside every cell (a
+    query id in batch rerank, an IVF cell, a stratum) and unions the
+    per-cell top-k.  The N×N similarity matrix is built per cell, so
+    memory is bounded by the largest cell, not the corpus; cells above
+    ``max_cell_rows`` raise inside their task (fail-loud, matching the
+    driver kernel's ``max_candidates`` guard).  Returns
+    ``(cell_col, id_col, mmr_rank, rel, mmr_score)`` with ranks local
+    to each cell.
+    """
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cell_type = dict(candidates.dtypes)[cell_col]
+    schema = (
+        f"{cell_col} {cell_type}, {id_col} long, mmr_rank int, "
+        f"rel double, mmr_score double"
+    )
+
+    def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"mmr_per_cell: cell {pdf[cell_col].iloc[0]!r} has "
+                f"{len(pdf)} rows > max_cell_rows={max_cell_rows}; "
+                f"cut the per-cell candidates upstream or raise the "
+                f"bound."
+            )
+        picks = _mmr_greedy(
+            pdf[id_col].tolist(),
+            pdf[rel_col].astype(float).tolist(),
+            [list(map(float, v)) for v in pdf[vec_col]],
+            k,
+            lam,
+        )
+        return pd.DataFrame(
+            {
+                cell_col: [pdf[cell_col].iloc[0]] * len(picks),
+                id_col: [p[0] for p in picks],
+                "mmr_rank": [p[1] for p in picks],
+                "rel": [p[2] for p in picks],
+                "mmr_score": [p[3] for p in picks],
+            }
+        )
+
+    return (
+        candidates.select(cell_col, id_col, rel_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_run, schema)
     )
 
 

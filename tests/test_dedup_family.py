@@ -1343,6 +1343,55 @@ class TestKCenterCoreset:
         with pytest.raises(ValueError, match="k must be"):
             DS.kcenter_coreset(pts, "vec_id", "embedding", k=0)
 
+    def test_max_candidates_guard(self, spark):
+        """The bounded-candidate contract is ENFORCED: a frame larger
+        than max_candidates raises instead of silently collecting the
+        corpus onto the driver; the probe is a limit(N+1), never a
+        full collect."""
+        pts = self._pts(spark)  # 10 rows
+        with pytest.raises(ValueError, match="max_candidates"):
+            DS.kcenter_coreset(
+                pts, "vec_id", "embedding", k=2, max_candidates=5
+            )
+        # explicit override admits the same frame
+        n = DS.kcenter_coreset(
+            pts, "vec_id", "embedding", k=2, max_candidates=10
+        ).count()
+        assert n == 2
+        with pytest.raises(ValueError, match="max_candidates must be"):
+            DS.kcenter_coreset(
+                pts, "vec_id", "embedding", k=2, max_candidates=0
+            )
+
+    def test_per_cell_union_equals_per_cell_driver_runs(self, spark):
+        """kcenter_per_cell (one applyInPandas pass) ≡ running the
+        driver kernel on each cell and unioning — same kernel by
+        construction, pinned here end to end."""
+        pts = self._pts(spark).withColumn(
+            "cell", (F.col("vec_id") % 2).cast("int")
+        )
+        got = sorted(
+            (r["cell"], r["vec_id"], r["pick_rank"], round(r["dist_at_pick"], 9))
+            for r in DS.kcenter_per_cell(
+                pts, "cell", "vec_id", "embedding", k=3
+            ).collect()
+        )
+        want = []
+        for cell in (0, 1):
+            sub = pts.filter(F.col("cell") == cell)
+            for r in DS.kcenter_coreset(sub, "vec_id", "embedding", k=3).collect():
+                want.append(
+                    (cell, r["vec_id"], r["pick_rank"], round(r["dist_at_pick"], 9))
+                )
+        assert got == sorted(want)
+
+    def test_per_cell_cell_size_guard(self, spark):
+        pts = self._pts(spark).withColumn("cell", F.lit(0))
+        with pytest.raises(Exception, match="max_cell_rows"):
+            DS.kcenter_per_cell(
+                pts, "cell", "vec_id", "embedding", k=2, max_cell_rows=3
+            ).collect()
+
 
 def test_fellegi_sunter_weights_and_decisions(spark):
     """All-agree pair sums the three agree weights (match); all-

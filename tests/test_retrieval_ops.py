@@ -723,6 +723,72 @@ class TestMMR:
         out = mmr_rerank(zed, "vec_id", "cos_sim", "embedding", k=2)
         assert out.count() == 2  # zero vector scores sim 0, no NaN
 
+    def test_max_candidates_guard(self, spark):
+        """The top-N contract is ENFORCED: an over-size frame raises
+        (the kernel builds an N x N matrix) instead of OOMing the
+        driver; an explicit override admits it."""
+        from clawrag_spark.operators.retrieval import mmr_rerank
+
+        cands = self._cands(spark)  # 4 rows
+        with pytest.raises(ValueError, match="max_candidates"):
+            mmr_rerank(
+                cands, "vec_id", "cos_sim", "embedding", k=2,
+                max_candidates=3,
+            )
+        assert (
+            mmr_rerank(
+                cands, "vec_id", "cos_sim", "embedding", k=2,
+                max_candidates=4,
+            ).count()
+            == 2
+        )
+
+    def test_per_cell_union_equals_per_cell_driver_runs(self, spark):
+        """mmr_per_cell (one applyInPandas pass) ≡ the driver kernel
+        run cell by cell and unioned."""
+        from clawrag_spark.operators.retrieval import (
+            mmr_per_cell,
+            mmr_rerank,
+        )
+
+        rows = [
+            (i, i % 3, float((i * 37 % 19) / 19.0),
+             [float((i * j) % 7 - 3) for j in range(1, 6)])
+            for i in range(1, 25)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "vec_id long, cell int, cos_sim double, embedding array<double>",
+        )
+        got = sorted(
+            (r["cell"], r["vec_id"], r["mmr_rank"],
+             round(r["rel"], 9), round(r["mmr_score"], 9))
+            for r in mmr_per_cell(
+                df, "cell", "vec_id", "cos_sim", "embedding", k=4, lam=0.6
+            ).collect()
+        )
+        want = []
+        for cell in (0, 1, 2):
+            sub = df.filter(F.col("cell") == cell)
+            for r in mmr_rerank(
+                sub, "vec_id", "cos_sim", "embedding", k=4, lam=0.6
+            ).collect():
+                want.append(
+                    (cell, r["vec_id"], r["mmr_rank"],
+                     round(r["rel"], 9), round(r["mmr_score"], 9))
+                )
+        assert got == sorted(want)
+
+    def test_per_cell_cell_size_guard(self, spark):
+        from clawrag_spark.operators.retrieval import mmr_per_cell
+
+        df = self._cands(spark).withColumn("cell", F.lit(0))
+        with pytest.raises(Exception, match="max_cell_rows"):
+            mmr_per_cell(
+                df, "cell", "vec_id", "cos_sim", "embedding", k=2,
+                max_cell_rows=2,
+            ).collect()
+
 
 class TestLtrPairwise:
     """Linear RankNet: the distributed pair-staged GD is pinned against
