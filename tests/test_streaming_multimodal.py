@@ -1069,3 +1069,189 @@ class TestAudioFingerprint:
         for b in range(6):
             assert (f"c{b}_base", f"c{b}_half") in got
             assert (f"c{b}_base", f"c{b}_noisy") in got
+
+
+class TestExifAndMp3:
+    """EXIF/TIFF tag parse + PNG tEXt + MP3 frame-header parse: all
+    fixture-built byte-for-byte pins (reference parity:
+    backend/src/services/loaders/image_loader.py emits exifread-style
+    'Image X' / 'EXIF X' printable-tag dicts)."""
+
+    def _exif_jpeg(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import (
+            add_exif_to_jpeg, build_exif_app1, encode_jpeg,
+        )
+
+        img = np.full((8, 8, 3), 128, np.uint8)
+        app1 = build_exif_app1(
+            ifd0={
+                0x010F: "ClawCam",
+                0x0110: "Model X100",
+                0x0112: 6,
+                0x0132: "2024:05:01 12:00:00",
+                0x011A: (300, 1),
+            },
+            exif_ifd={
+                0x9003: "2024:04:30 08:15:00",
+                0x829A: (1, 250),
+                0x829D: (28, 10),
+                0x8827: 200,
+                0xA002: 8,
+                0xA003: 8,
+            },
+        )
+        return add_exif_to_jpeg(encode_jpeg(img), app1)
+
+    EXPECTED = {
+        "Image Make": "ClawCam",
+        "Image Model": "Model X100",
+        "Image Orientation": "6",
+        "Image DateTime": "2024:05:01 12:00:00",
+        "Image XResolution": "300",
+        "EXIF DateTimeOriginal": "2024:04:30 08:15:00",
+        "EXIF ExposureTime": "1/250",
+        "EXIF FNumber": "28/10",
+        "EXIF ISOSpeedRatings": "200",
+        "EXIF ExifImageWidth": "8",
+        "EXIF ExifImageLength": "8",
+    }
+
+    def test_parse_exif_jpeg_byte_exact(self):
+        from clawrag_spark.multimodal import parse_exif
+
+        assert parse_exif(self._exif_jpeg()) == self.EXPECTED
+
+    def test_parse_exif_big_endian_tiff(self):
+        from clawrag_spark.multimodal import build_exif_app1, parse_exif
+
+        app1 = build_exif_app1(
+            ifd0={0x010F: "MM Cam", 0x0112: 1},
+            exif_ifd={0x8827: 400},
+            endian=">",
+        )
+        tags = parse_exif(app1[10:])  # bare TIFF blob entry point
+        assert tags == {
+            "Image Make": "MM Cam",
+            "Image Orientation": "1",
+            "EXIF ISOSpeedRatings": "400",
+        }
+
+    def test_jpeg_without_exif_and_garbage(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import encode_jpeg, parse_exif
+
+        assert parse_exif(encode_jpeg(np.zeros((8, 8, 3), np.uint8))) == {}
+        assert parse_exif(b"\xff\xd8\xff\xe1\x00\x04xx") == {}
+        assert parse_exif(b"total garbage") == {}
+
+    def test_png_text_chunks(self):
+        import numpy as np
+
+        from clawrag_spark.multimodal import (
+            add_png_text, decode_png, encode_png, parse_exif,
+        )
+
+        png = encode_png(np.zeros((4, 4, 3), np.uint8))
+        png = add_png_text(png, "Author", "crawler")
+        png = add_png_text(png, "Comment", "fixture image")
+        assert parse_exif(png) == {
+            "PNG Author": "crawler",
+            "PNG Comment": "fixture image",
+        }
+        # inserted chunks keep the image decodable
+        assert decode_png(png).shape == (4, 4, 3)
+
+    def test_media_metadata_emits_exif_map(self, spark):
+        import numpy as np
+
+        from clawrag_spark.multimodal import encode_bmp, media_metadata
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._exif_jpeg())),
+                (2, bytearray(encode_bmp(np.zeros((5, 7, 3), np.uint8)))),
+            ],
+            "media_id int, media binary",
+        )
+        rows = {
+            r["media_id"]: r
+            for r in df.select(
+                "media_id", media_metadata(F.col("media")).alias("m")
+            ).select("media_id", "m.*").collect()
+        }
+        assert rows[1]["exif"] == self.EXPECTED
+        assert rows[1]["format"] == "jpeg"
+        assert rows[2]["exif"] is None  # no EXIF → null, not {}
+
+    def test_progressive_jpeg_dims_are_real(self, spark):
+        """SOF2 (progressive) dims come from the real marker walk even
+        though pixel decode stays a stand-in."""
+        import struct
+
+        from clawrag_spark.multimodal import media_metadata
+
+        h, w = 123, 77
+        sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        payload = b"\xff\xd8" + sof2 + b"\xff\xd9"
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id int, media binary"
+        )
+        m = df.select(media_metadata(F.col("media")).alias("m")).select("m.*").first()
+        assert (m["height"], m["width"]) == (h, w)
+        assert m["format"] == "jpeg"
+
+    def test_mp3_header_parse_cbr_and_id3(self):
+        from clawrag_spark.multimodal import encode_mp3_stub, parse_mp3_header
+
+        raw = encode_mp3_stub(44100, 128, n_frames=38)  # ~1 s
+        got = parse_mp3_header(raw)
+        assert got["sample_rate"] == 44100
+        assert got["bitrate_kbps"] == 128
+        assert got["mpeg_version"] == 1
+        assert abs(got["duration_sec"] - len(raw) * 8.0 / 128000.0) < 1e-9
+        tagged = encode_mp3_stub(48000, 192, n_frames=10, id3_pad=64)
+        got2 = parse_mp3_header(tagged)
+        assert got2["sample_rate"] == 48000
+        assert got2["bitrate_kbps"] == 192
+        # duration counts audio bytes only, not the ID3 tag
+        audio = len(tagged) - (10 + 64)
+        assert abs(got2["duration_sec"] - audio * 8.0 / 192000.0) < 1e-9
+        assert parse_mp3_header(b"\x00" * 64) is None
+
+    def test_sniff_raw_mpeg_sync(self):
+        from clawrag_spark.multimodal import _sniff, encode_mp3_stub
+
+        assert _sniff(encode_mp3_stub()) == ("audio", "mp3")
+        assert _sniff(encode_mp3_stub(id3_pad=16)) == ("audio", "mp3")
+        assert _sniff(b"\xff\xd8\xff\xe0rest")[1] == "jpeg"  # SOI wins
+
+    def test_audio_features_mp3_header_only(self, spark):
+        import numpy as np
+
+        from clawrag_spark.multimodal import (
+            encode_mp3_stub, encode_wav, extract_audio_features,
+        )
+
+        wav = encode_wav(
+            (np.sin(np.arange(1600) / 10.0) * 20000).astype(np.int16), 16000
+        )
+        mp3 = encode_mp3_stub(44100, 128, n_frames=38)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(mp3))],
+            "media_id int, media binary",
+        )
+        import hashlib as _h
+
+        by_hash = {
+            r["content_hash"]: r
+            for r in extract_audio_features(df).collect()
+        }
+        wr = by_hash[_h.sha256(wav).hexdigest()]
+        mr = by_hash[_h.sha256(mp3).hexdigest()]
+        assert wr["sample_rate"] == 16000 and wr["rms"] is not None
+        assert mr["sample_rate"] == 44100
+        assert abs(mr["duration_sec"] - len(mp3) * 8.0 / 128000.0) < 1e-5
+        assert mr["rms"] is None and mr["n_samples"] is None  # honest
