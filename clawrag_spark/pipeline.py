@@ -809,6 +809,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     bm25_index: bool = False,
     routed_chunking: bool = False,
+    auto_plan: bool = False,
 ) -> dict:
     """Run the end-to-end extraction job; returns the lineage manifest.
 
@@ -820,6 +821,13 @@ def run_pipeline(
     uniform separator cascade; the chunks table then carries
     route/profile columns (use one mode per out_dir — the schemas
     differ).
+    ``auto_plan=True`` closes the operational feedback loop: when
+    ``num_partitions`` is not given explicitly, the run adopts the
+    width ``maintenance.plan_next_run`` derives from the LAST committed
+    run's per-partition timing lineage (measured straggler skew →
+    capped width rescale), and the adopted plan is recorded in this
+    run's manifest under ``"plan"``.  First runs (no metrics yet) fall
+    back to the shuffle-partitions default.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     t_start = time.monotonic()
@@ -867,6 +875,18 @@ def run_pipeline(
     # leave only n_buckets*n_salts distinct keys → uneven partitions and
     # straggler tasks; url has full cardinality).  The bucket column still
     # drives the sink layout; salt remains for host-keyed aggregations.
+    plan = None
+    if auto_plan and num_partitions is None and os.path.exists(metrics_path):
+        # adopt the width the last run's committed per-partition timing
+        # lineage recommends (current_width defaults to that run's own
+        # partition count inside plan_next_run — the width it ran at)
+        from . import maintenance as _maintenance
+
+        try:
+            plan = _maintenance.plan_next_run(spark, out_dir)
+            num_partitions = int(plan["recommended_width"])
+        except ValueError:
+            plan = None  # metrics dir exists but holds no rows
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     distributed = prepared.repartition(num_partitions, "url")
@@ -1101,6 +1121,10 @@ def run_pipeline(
             "extracted": extracted_file_stats,
             "chunks": chunks_file_stats,
         },
+        # the parallelism plan this run ADOPTED from the previous run's
+        # lineage (auto_plan=True), or None — audit trail for the
+        # operational feedback loop
+        "plan": plan,
     }
     os.makedirs(manifest_path, exist_ok=True)
     with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:

@@ -3,6 +3,7 @@ readers and resume survive a compaction pass."""
 
 import os
 
+from pyspark.sql import functions as F
 from clawrag_spark.maintenance import compact_parquet_dir, compact_pipeline_output, dir_stats
 from clawrag_spark.pipeline import read_chunks, run_pipeline
 
@@ -162,3 +163,99 @@ class TestPlanNextRun:
         assert plan["run_id"] == "r2"
         assert plan["failure_concentrated"]
         assert "inspect" in plan["reason"]
+
+
+class TestAutoPlanWiring:
+    """auto_plan=True closes the feedback loop: run N+1 ADOPTS the
+    width plan_next_run derives from run N's committed per-partition
+    timing lineage, and the manifest records the adopted plan."""
+
+    def test_two_run_adoption(self, spark, tmp_path):
+        import os
+
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.pipeline import run_pipeline
+
+        out = str(tmp_path / "out")
+        p1 = write_pages_parquet(str(tmp_path / "p1.parquet"), 120, seed=1)
+        m1 = run_pipeline(
+            spark, spark.read.parquet(p1), out, num_partitions=4
+        )
+        assert m1["plan"] is None  # explicit width, no plan consulted
+        # run 1 really produced 4-partition lineage
+        mt = spark.read.parquet(os.path.join(out, "metrics"))
+        assert (
+            mt.filter(F.col("run_id") == m1["run_id"])
+            .select("part_id").distinct().count()
+            == 4
+        )
+        # plant a LATER synthetic run with a known 3x straggler so the
+        # recommendation is deterministic (real timings are host-noisy):
+        # mean=3, max=9 -> skew 3.0 -> width 4 x 3 = 12
+        skewed = [(i, 100, 0, 10_000, 1.0, 100.0, "zzz_skewed") for i in range(3)]
+        skewed.append((3, 100, 0, 10_000, 9.0, 11.1, "zzz_skewed"))
+        spark.createDataFrame(
+            skewed,
+            "part_id int, n_docs long, n_parse_failures long, "
+            "n_text_chars long, elapsed_sec double, docs_per_sec double, "
+            "run_id string",
+        ).write.mode("append").parquet(os.path.join(out, "metrics"))
+
+        p2 = write_pages_parquet(str(tmp_path / "p2.parquet"), 150, seed=2)
+        m2 = run_pipeline(
+            spark, spark.read.parquet(p2), out, auto_plan=True
+        )
+        assert m2["plan"] is not None
+        assert m2["plan"]["run_id"] == "zzz_skewed"
+        assert abs(m2["plan"]["skew"] - 3.0) < 1e-9
+        assert m2["plan"]["recommended_width"] == 12
+        # run 2 actually RAN at the recommended width: its own lineage
+        # carries 12 partitions (150 urls over 12 hash partitions —
+        # every partition populated with overwhelming probability)
+        n_parts2 = (
+            spark.read.parquet(os.path.join(out, "metrics"))
+            .filter(F.col("run_id") == m2["run_id"])
+            .select("part_id").distinct().count()
+        )
+        assert n_parts2 == 12
+        # the manifest's plan survives the JSON round-trip
+        import json
+
+        with open(
+            os.path.join(out, "manifest", f"run_{m2['run_id']}.json")
+        ) as fh:
+            assert json.load(fh)["plan"]["recommended_width"] == 12
+
+    def test_first_run_falls_back(self, spark, tmp_path):
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.pipeline import run_pipeline
+
+        out = str(tmp_path / "fresh")
+        p = write_pages_parquet(str(tmp_path / "p.parquet"), 60, seed=3)
+        m = run_pipeline(
+            spark, spark.read.parquet(p), out, auto_plan=True
+        )
+        assert m["plan"] is None  # no prior lineage -> default width
+        assert m["n_processed"] == 60
+
+    def test_explicit_width_wins_over_auto_plan(self, spark, tmp_path):
+        import os
+
+        from clawrag_spark.corpus import write_pages_parquet
+        from clawrag_spark.pipeline import run_pipeline
+
+        out = str(tmp_path / "out2")
+        p1 = write_pages_parquet(str(tmp_path / "q1.parquet"), 60, seed=4)
+        run_pipeline(spark, spark.read.parquet(p1), out, num_partitions=4)
+        p2 = write_pages_parquet(str(tmp_path / "q2.parquet"), 60, seed=5)
+        m2 = run_pipeline(
+            spark, spark.read.parquet(p2), out,
+            num_partitions=6, auto_plan=True,
+        )
+        assert m2["plan"] is None  # explicit num_partitions wins
+        n_parts = (
+            spark.read.parquet(os.path.join(out, "metrics"))
+            .filter(F.col("run_id") == m2["run_id"])
+            .select("part_id").distinct().count()
+        )
+        assert n_parts == 6
