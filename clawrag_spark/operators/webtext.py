@@ -5498,9 +5498,12 @@ def ks_drift(
         "grp",
         F.sum("nr").over(wg).alias("tr"),
         F.sum("nc").over(wg).alias("tc"),
+        # try_divide: a one-window group has a zero total on the other
+        # side — NULL there (ANSI mode would throw), the no-data guard
+        # below turns it into the defined verdict
         F.abs(
-            F.sum("nr").over(wcdf) / F.sum("nr").over(wg)
-            - F.sum("nc").over(wcdf) / F.sum("nc").over(wg)
+            F.try_divide(F.sum("nr").over(wcdf), F.sum("nr").over(wg))
+            - F.try_divide(F.sum("nc").over(wcdf), F.sum("nc").over(wg))
         ).alias("gap"),
     )
     agg = gaps.groupBy("grp", "tr", "tc").agg(F.max("gap").alias("d"))

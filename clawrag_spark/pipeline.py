@@ -833,12 +833,16 @@ def run_pipeline(
     t_start = time.monotonic()
     timing = os.environ.get("CLAWRAG_TIMING") == "1"
     _t = [t_start]
+    stage_sec: dict = {}
 
     def _tick(label: str) -> None:
+        now = time.monotonic()
+        stage_sec[label] = round(
+            stage_sec.get(label, 0.0) + (now - _t[0]), 3
+        )
         if timing:
-            now = time.monotonic()
             print(f"TIMING {label}: {now - _t[0]:.2f}s", flush=True)
-            _t[0] = now
+        _t[0] = now
     extracted_path = os.path.join(out_dir, "extracted")
     chunks_path = os.path.join(out_dir, "chunks")
     embeddings_path = os.path.join(out_dir, "embeddings")
@@ -889,7 +893,17 @@ def run_pipeline(
             plan = None  # metrics dir exists but holds no rows
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    distributed = prepared.repartition(num_partitions, "url")
+    if num_partitions == 0:
+        # caller asserts the INPUT layout already distributes uniformly
+        # (an Iceberg table bucketed by url-hash at write time, or a
+        # many-file corpus with uniform file sizes): skip the pre-shuffle
+        # and let the scan splits drive task layout.  Saves a full
+        # input-sized shuffle (write + read of every html payload);
+        # the wrong call on a skewed layout costs stragglers, which the
+        # per-partition timing lineage (plan_next_run) will expose.
+        distributed = prepared
+    else:
+        distributed = prepared.repartition(num_partitions, "url")
 
     # ---- versioning BEFORE extraction on narrow metadata columns ----
     # (W4/W5 need only sha2(html), already computed JVM-side; shuffling
@@ -1125,6 +1139,10 @@ def run_pipeline(
         # lineage (auto_plan=True), or None — audit trail for the
         # operational feedback loop
         "plan": plan,
+        # driver-measured wall per stage (always on; the CLAWRAG_TIMING
+        # env only controls the live print) — lets the bench decompose
+        # scaling: the Arrow python stages vs JVM scan/write/commit
+        "stage_sec": stage_sec,
     }
     os.makedirs(manifest_path, exist_ok=True)
     with open(os.path.join(manifest_path, f"run_{run_id}.json"), "w") as fh:

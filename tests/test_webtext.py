@@ -2790,6 +2790,26 @@ def test_ks_drift_disjoint_supports_is_one(spark):
     assert r["ks_stat"] == 1.0 and r["drifted"]
 
 
+def test_ks_drift_one_window_group_defined_verdict(spark):
+    """A group whose rows fall entirely inside one window has no
+    two-sample comparison: it must emit the defined no-data verdict
+    (ks_stat=0, ks_crit=0, drifted=false) — never NULL stats."""
+    rows = [(i, "2024-01-02 00:00:00", "refonly", float(i)) for i in range(10)]
+    rows += [(i, "2024-01-25 00:00:00", "curonly", float(i)) for i in range(10)]
+    rows += [(i, "2024-01-02 00:00:00", "both", float(i)) for i in range(10)]
+    rows += [(i, "2024-01-25 00:00:00", "both", 5.0 + i) for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_type"]: r for r in W.ks_drift(ev, "event_type", "ts", "value").collect()}
+    for g in ("refonly", "curonly"):
+        r = out[g]
+        assert r["ks_stat"] == 0.0 and r["ks_crit"] == 0.0
+        assert r["drifted"] is False
+        assert None not in (r["ks_stat"], r["ks_crit"], r["drifted"])
+    assert out["both"]["ks_crit"] > 0.0  # two-sample groups unaffected
+
+
 def test_calibration_report_perfect_and_ece_bounds(spark):
     """A perfectly calibrated score (label avg == normalized score in
     every bin) gives ECE == 0; ECE is a weighted mean of per-bin gaps
