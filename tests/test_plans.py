@@ -835,3 +835,23 @@ class TestRound4SessionPlans:
             plan = plan_of(q(spark, SF_DIR))
             assert "EvalPython" not in plan
             assert "CartesianProduct" not in plan
+
+
+class TestPerCellSelectors:
+    """kcenter_cells / mmr_cells: ONE exchange (the groupBy-cell
+    shuffle feeding FlatMapGroupsInPandas), no cartesian, no extra
+    repartition — the per-cell greedy is a single distributed pass."""
+
+    def test_kcenter_cells_single_cell_shuffle(self, spark):
+        plan = plan_of(entry_mod.q_kcenter_cells(spark, SF_DIR))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan
+        # the one hash-partition exchange on the cell key (each node
+        # prints twice in formatted explain: tree line + detail block)
+        assert plan.count("Exchange") <= 2
+
+    def test_mmr_cells_single_cell_shuffle(self, spark):
+        plan = plan_of(entry_mod.q_mmr_cells(spark, SF_DIR))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") <= 2
