@@ -369,7 +369,7 @@ def main() -> None:
         # load every run stretches 2-3x and six repeats can blow an
         # outer harness timeout — better to report fewer (honest)
         # windows than to produce no bench line at all
-        max_wall = float(os.environ.get("BENCH_MAX_WALL_SEC", "1500"))
+        max_wall = float(os.environ.get("BENCH_MAX_WALL_SEC", "1800"))
         ext_t0 = time.monotonic()
         for rep in range(max_repeats):
             lo_runs.append(run_extraction_at(lo_cores, pages_path))
