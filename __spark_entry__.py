@@ -1166,7 +1166,7 @@ def q_pmi_collocations(spark, sf_dir):
     Bigrams form in-row (zero shuffle), counts shuffle with map-side
     partials, N/B ride one broadcast row, and the top-k is
     TakeOrderedAndProject on (rounded pmi DESC, w1, w2)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
     return WT.pmi_collocations(docs, "text", min_count=5, top_k=100)
 
 
@@ -1177,7 +1177,7 @@ def q_heaps_fit(spark, sf_dir):
     global position, and V(n) for every n = 2^j at once from a <=64-row
     bit_length histogram (bit_length(fp) <= j <=> fp < 2^j).  Exact
     integer sample points (base-2 string lengths, never floor(log2))."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
     return WT.heaps_fit(docs, "doc_id", "text", min_exp=6)
 
 
@@ -2013,6 +2013,31 @@ def q_frontier_caps(spark, sf_dir):
     return kept.select("host", "url")
 
 
+#: Session-scoped demo host-edge graph: eight webgraph queries
+#: (link_graph, pagerank, hits, trustrank, link_reciprocity,
+#: cocitation/bib_coupling, lpa, k-core, mirrors …) consume the
+#: IDENTICAL href-extract → RFC-3986-resolve → host_edges frame over
+#: the fixed pipeline-demo pages, so the regex extraction scan runs
+#: once per session.  Persist preserves content AND partitioning, so
+#: every downstream iteration sees exactly the rows it computed from
+#: scratch before.
+_HOST_EDGES_CACHE: dict[str, DataFrame] = {}
+
+
+def _host_edges_cached(spark: SparkSession) -> DataFrame:
+    key = spark.sparkContext.applicationId
+    edges = _HOST_EDGES_CACHE.get(key)
+    if edges is None:
+        _ensure_pipeline_demo(spark)
+        pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
+        edges = WG.host_edges(
+            WG.resolve_links(WG.extract_links(pages))
+        ).persist()
+        edges.count()  # materialize before any consumer forks the plan
+        _HOST_EDGES_CACHE[key] = edges
+    return edges
+
+
 def q_link_graph(spark, sf_dir):
     """Host-level webgraph edges from raw crawl pages: magic-prefix
     html gate (binary compare BEFORE the string cast, so non-UTF-8
@@ -2022,9 +2047,7 @@ def q_link_graph(spark, sf_dir):
     directory-relative, first-'#' fragment strip, bounded dot-segment
     collapse), then one shuffle on the host pair.  The DuckDB oracle
     replicates the resolution operator-for-operator."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    return WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    return _host_edges_cached(spark)
 
 
 def q_pagerank_hosts(spark, sf_dir):
@@ -2035,9 +2058,7 @@ def q_pagerank_hosts(spark, sf_dir):
     unrolls the same three synchronous iterations in SQL.  Per
     iteration: one contrib shuffle on dst + a broadcast 1-row dangling
     mass; lineage truncated via lazy localCheckpoint."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    edges = _host_edges_cached(spark)
     pr = WG.pagerank(edges, weight="n_links", k=3, damping=0.85)
     return pr.select(
         F.col("n").alias("host"), F.round("rank", 6).alias("rank")
@@ -2059,9 +2080,7 @@ def q_trustrank_hosts(spark, sf_dir):
     a broadcast 1-row dangling mass, dangling redistributed to SEEDS);
     the oracle unrolls the same three synchronous iterations with the
     seed teleport vector."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    edges = _host_edges_cached(spark)
     seeds = spark.createDataFrame(
         [(h,) for h in _TRUST_SEEDS], "host string"
     )
@@ -2078,9 +2097,7 @@ def q_link_reciprocity(spark, sf_dir):
     reversed-pair self equi-join + a per-host rollup; shuffles carry
     host-string pairs only.  Pairs with trustrank_hosts: high
     reciprocity + low trust = link farm."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    edges = _host_edges_cached(spark)
     return WG.link_reciprocity(edges)
 
 
@@ -2093,9 +2110,7 @@ def q_hits_hosts(spark, sf_dir):
     CTEs per round, generated programmatically) so HITS gets a full
     value-hash check; pytest additionally pins k=20 against a dense
     numpy power iteration at 1e-9."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    edges = _host_edges_cached(spark)
     out = WG.hits(edges, k=5)
     return out.select(
         F.col("n").alias("host"),
@@ -2158,6 +2173,27 @@ def q_proximity_rank(spark, sf_dir):
     return R.proximity_windows(post, "doc_id", ["hash", "join", "stream"])
 
 
+#: Session-scoped exploded (doc_id, term) token frame over documents —
+#: the QL retrieval family (ql_dirichlet, rm3_terms, rm3_rerank,
+#: query_clarity) re-tokenized the corpus up to four times per query
+#: chain; every consumer derives integer counts from it, so sharing
+#: the materialized frame is value-identical.
+_DOC_TOKENS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    toks = _DOC_TOKENS_CACHE.get(key)
+    if toks is None:
+        docs = _load(spark, sf_dir, "documents")
+        toks = DS.ensure_parallelism(docs).select(
+            F.col("doc_id"), F.explode(R.sql_tokens(F.col("text"))).alias("term")
+        ).persist()
+        toks.count()  # materialize before any consumer forks the plan
+        _DOC_TOKENS_CACHE[key] = toks
+    return toks
+
+
 def q_ql_dirichlet(spark, sf_dir):
     """Dirichlet-smoothed query likelihood (Zhai-Lafferty) — the
     language-model ranking family beside BM25: one groupBy computes
@@ -2166,7 +2202,8 @@ def q_ql_dirichlet(spark, sf_dir):
     in fixed order so the DuckDB oracle reproduces the float exactly."""
     docs = _load(spark, sf_dir, "documents")
     return R.lm_dirichlet_scores(
-        docs, "doc_id", "text", ["hash", "join", "stream"], mu=50.0
+        docs, "doc_id", "text", ["hash", "join", "stream"], mu=50.0,
+        tokens=_doc_tokens_cached(spark, sf_dir),
     )
 
 
@@ -2187,6 +2224,7 @@ def q_rm3_terms(spark, sf_dir):
         fb_docs=10,
         fb_terms=10,
         alpha=0.5,
+        tokens=_doc_tokens_cached(spark, sf_dir),
     )
     return ex["terms"].select("term", F.round("p_w", 6).alias("p_w"))
 
@@ -2197,6 +2235,7 @@ def q_rm3_rerank(spark, sf_dir):
     corpus-shaped work, unmatched docs still rank through the length
     term; top-20 by (score DESC, id ASC) TakeOrderedAndProject."""
     docs = _load(spark, sf_dir, "documents")
+    toks = _doc_tokens_cached(spark, sf_dir)
     ex = R.rm3_expansion(
         docs,
         "doc_id",
@@ -2206,8 +2245,11 @@ def q_rm3_rerank(spark, sf_dir):
         fb_docs=10,
         fb_terms=10,
         alpha=0.5,
+        tokens=toks,
     )
-    return R.rm3_rerank(docs, "doc_id", "text", ex["terms"], mu=50.0, k=20)
+    return R.rm3_rerank(
+        docs, "doc_id", "text", ex["terms"], mu=50.0, k=20, tokens=toks
+    )
 
 
 def q_kcenter_coreset(spark, sf_dir):
@@ -2373,7 +2415,7 @@ def _augmented_host_edges(spark) -> DataFrame:
     fabricate the identical edges), keeping the real edges in."""
     _ensure_pipeline_demo(spark)
     pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    real = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    real = _host_edges_cached(spark)
     host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
 
     def tgt(start: int) -> F.Column:
@@ -2429,6 +2471,7 @@ def q_query_clarity(spark, sf_dir):
         mu=50.0,
         fb_docs=10,
         fb_terms=10,
+        tokens=_doc_tokens_cached(spark, sf_dir),
     )
 
 
@@ -2656,6 +2699,50 @@ def q_anchor_texts(spark, sf_dir):
     return WG.anchor_stats(WG.resolve_links(WG.extract_anchor_texts(pages)))
 
 
+#: Session-scoped shared curation state: the quality-gate survivor ids
+#: and the near-dup CC drop ids are IDENTICAL inputs to
+#: `curation_funnel` and `drop_reasons` (same gate constants, same
+#: survivor-restricted pair table), so the Gopher top-bigram scan and
+#: the connected-components resolution run once per (session, sf).
+_CURATION_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _curation_flag(ids: DataFrame, name: str) -> DataFrame:
+    """(doc_id, <name>=1) membership-flag frame for a left join."""
+    return ids.withColumn(name, F.lit(1))
+
+
+def _curation_cached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    shared = _CURATION_CACHE.get(key)
+    if shared is None:
+        docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
+        qual_flag = (F.col("n_chars") >= 100) & (
+            WT.top_ngram_char_frac(F.col("text")) <= 0.12
+        )
+        qual_ids = docs.filter(qual_flag).select("doc_id").persist()
+        qual_ids.count()  # materialize before any consumer forks
+        pairs = (
+            _jaccard_pairs_cached(spark, sf_dir)
+            .join(
+                qual_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            )
+            .join(
+                qual_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+            )
+        )
+        cc = DS.connected_components(pairs, "doc_a", "doc_b")
+        drop_ids = (
+            cc.filter(F.col("n") != F.col("cluster"))
+            .select(F.col("n").alias("doc_id"))
+            .persist()
+        )
+        drop_ids.count()
+        shared = {"qual_ids": qual_ids, "drop_ids": drop_ids}
+        _CURATION_CACHE[key] = shared
+    return shared
+
+
 def q_curation_funnel(spark, sf_dir):
     """The end-to-end training-data curation pipeline as ONE job:
     input → quality gate (length + Gopher top-bigram repetition) →
@@ -2678,27 +2765,52 @@ def q_curation_funnel(spark, sf_dir):
     here it additionally means the funnel reuses the session-cached
     pair plan that `ngram_jaccard`/`dedup_clusters` already
     materialized instead of paying the shingle+verify scan a second
-    time on an input no other query shares."""
-    from clawrag_spark.curation import curate_corpus, funnel_report
+    time on an input no other query shares.
 
+    r6 shape: the quality gate and the CC drop set are shared with
+    `drop_reasons` through `_curation_cached` (identical gate
+    expression, identical survivor populations — value-identical by
+    construction, pinned by tests/test_dedup_family.py), and the four
+    stage×lang survivor counts come from ONE corpus pass of
+    conditional aggregates instead of four persisted stage frames
+    each materialized by its own counting job.  Languages absent from
+    a stage produce no row, exactly like the per-stage groupBy did."""
+    shared = _curation_cached(spark, sf_dir)
     docs = _load(spark, sf_dir, "documents")
-
-    def survivor_pairs(survivors):
-        ids = survivors.select("doc_id")
-        return (
-            _jaccard_pairs_cached(spark, sf_dir)
-            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-        )
-
-    res = curate_corpus(
-        docs, "doc_id", "text", "lang",
-        min_chars=100, max_top_bigram_frac=0.12, chars_col="n_chars",
-        pair_fn=survivor_pairs,
-        mix_rates=_MIX_RATES, mix_default_rate=_MIX_DEFAULT,
-        mix_salt=_MIX_SALT,
+    qual = F.col("__q").isNotNull()
+    dup = F.col("__d").isNotNull()
+    mix = WT.stratified_keep_expr(
+        "lang", _MIX_RATES, "doc_id", _MIX_SALT, _MIX_DEFAULT
     )
-    return funnel_report(res, "lang")
+    flags = (
+        docs.select("doc_id", "lang")
+        .join(shared["qual_ids"].withColumn("__q", F.lit(1)), "doc_id", "left")
+        .join(shared["drop_ids"].withColumn("__d", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n0"),
+            F.count(F.when(qual, 1)).alias("n1"),
+            F.count(F.when(qual & ~dup, 1)).alias("n2"),
+            F.count(F.when(qual & ~dup & mix, 1)).alias("n3"),
+        )
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+            )
+            for i, name in enumerate(
+                ("input", "quality", "near_dedup", "training_mix")
+            )
+        ]
+    )
+    return (
+        flags.select("lang", F.explode(stages).alias("s"))
+        .filter(F.col("s.n_docs") > 0)
+        .select("s.stage_idx", "s.stage", "lang", "s.n_docs")
+    )
 
 
 def q_drop_reasons(spark, sf_dir):
@@ -2707,25 +2819,34 @@ def q_drop_reasons(spark, sf_dir):
     postmortem view the survivor-count report can't answer.  Same gate
     expressions and survivor populations as `curation_funnel` (labels
     compose: counting '' per lang reproduces the final report row);
-    reuses the session-cached corpus pair table for the dedup stage."""
-    from clawrag_spark.curation import label_drop_reasons
+    reuses the session-cached corpus pair table for the dedup stage.
 
+    r6 shape: shares the quality-gate ids and the CC drop set with
+    `curation_funnel` via `_curation_cached` (identical populations by
+    construction), so the per-doc labels are two metadata left-joins
+    plus the mix predicate — the Gopher scan and CC never re-run and
+    the gate expression is no longer evaluated twice per call."""
+    shared = _curation_cached(spark, sf_dir)
     docs = _load(spark, sf_dir, "documents")
-
-    def survivor_pairs(survivors):
-        ids = survivors.select("doc_id")
-        return (
-            _jaccard_pairs_cached(spark, sf_dir)
-            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-        )
-
-    return label_drop_reasons(
-        docs, "doc_id", "text", "lang",
-        min_chars=100, max_top_bigram_frac=0.12, chars_col="n_chars",
-        pair_fn=survivor_pairs,
-        mix_rates=_MIX_RATES, mix_default_rate=_MIX_DEFAULT,
-        mix_salt=_MIX_SALT,
+    mix_keep = WT.stratified_keep_expr(
+        "lang", _MIX_RATES, "doc_id", _MIX_SALT, _MIX_DEFAULT
+    )
+    labeled = (
+        docs.select("doc_id", "lang")
+        .join(_curation_flag(shared["qual_ids"], "__qual"), "doc_id", "left")
+        .join(_curation_flag(shared["drop_ids"], "__dup"), "doc_id", "left")
+    )
+    stage = (
+        F.when(F.col("__qual").isNull(), "quality")
+        .when(F.col("__dup").isNotNull(), "near_dedup")
+        .when(~mix_keep, "training_mix")
+        .otherwise("")
+    )
+    return labeled.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        stage.alias("drop_stage"),
+        (stage == "").alias("kept"),
     )
 
 
@@ -3066,9 +3187,7 @@ def q_lpa_communities(spark, sf_dir):
     prefix (converged labelings are fixpoints, so extra rounds are
     identity) and recomputes (converged, rounds) from per-round diff
     counts — full value-hash check at the driver."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    edges = _host_edges_cached(spark)
     return WG.label_propagation_communities(edges, max_iter=10)
 
 
@@ -3084,9 +3203,7 @@ def q_kcore_hosts(spark, sf_dir):
     prefix of the monotone h-operator (the coreness fixpoint is stable
     under extra rounds) and recomputes (converged, rounds) from
     per-round diff counts — full value-hash check at the driver."""
-    _ensure_pipeline_demo(spark)
-    pages = spark.read.parquet(os.path.join(_DEMO_DIR, "pages.parquet"))
-    edges = WG.host_edges(WG.resolve_links(WG.extract_links(pages)))
+    edges = _host_edges_cached(spark)
     return WG.core_numbers(edges, max_iter=50)
 
 
@@ -3188,6 +3305,27 @@ def q_frontier_plan(spark, sf_dir):
     )
 
 
+#: Session-scoped position-level 8-token shingle frame over ALL
+#: documents (doc_id, source, g): `decontaminate` and
+#: `contamination_frac` tokenize the SAME corpus with the SAME n=8
+#: grammar — slicing one cached frame by source replaces four
+#: tokenize+md5 scans (bench + corpus sides of each query) with one.
+_N8_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _n8_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _N8_SHINGLES_CACHE.get(key)
+    if sh is None:
+        docs = _load(spark, sf_dir, "documents")
+        sh = WT._token_shingle_hashes(
+            DS.ensure_parallelism(docs), ["doc_id", "source"], "text", 8
+        ).persist()
+        sh.count()  # materialize before any consumer forks the plan
+        _N8_SHINGLES_CACHE[key] = sh
+    return sh
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs from the training sources that
     share any 8-token shingle with the 'src0' slice (the stand-in
@@ -3196,7 +3334,12 @@ def q_decontaminate(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
-    return WT.decontaminate(corpus, bench, "doc_id", "text", n=8)
+    sh = _n8_shingles_cached(spark, sf_dir)
+    return WT.decontaminate(
+        corpus, bench, "doc_id", "text", n=8,
+        corpus_shingles=sh.filter(F.col("source") != "src0").select("doc_id", "g"),
+        bench_shingles=sh.filter(F.col("source") == "src0").select("g"),
+    )
 
 
 def q_length_quantiles(spark, sf_dir):
@@ -3257,15 +3400,41 @@ def q_dedup_clusters(spark, sf_dir):
     return cc.select(F.col("n").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+#: Session-scoped char-trigram LM (the CCNet reference model): trained
+#: once per (session, sf) and persisted — `lm_perplexity` and
+#: `perplexity_buckets` score with the IDENTICAL model, so the second
+#: consumer skips the en-slice trigram-count train pass.  The tables
+#: are exact integer counts (order-independent), so sharing cannot
+#: introduce float drift.
+_CHAR_LM_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _char_lm_cached(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _CHAR_LM_CACHE.get(key)
+    if model is None:
+        docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
+        model = WT.train_char_lm(docs.filter(F.col("lang") == "en"), "text")
+        for name in ("tri", "ctx"):
+            model[name] = model[name].persist()
+            model[name].count()  # materialize before any consumer forks
+        # both consumers score the IDENTICAL corpus under this model —
+        # the 150M-row trigram scoring stream runs once, its per-doc
+        # (n_trigrams, avg_neg_logp) rows persist (per-doc partial sums
+        # stay map-side-contiguous inside lm_score, unchanged)
+        model["scored"] = WT.lm_score(docs, "doc_id", "text", model).persist()
+        model["scored"].count()
+        _CHAR_LM_CACHE[key] = model
+    return model
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality filter: char-trigram model trained on the
     'en' slice, every document scored by average negative log-likelihood
     (en docs score low, zh high — the filter CCNet thresholds on).
     Model tables are vocabulary-bounded and broadcast; the scoring
     shuffle carries one row per document."""
-    docs = _load(spark, sf_dir, "documents")
-    model = WT.train_char_lm(docs.filter(F.col("lang") == "en"), "text")
-    return WT.lm_score(docs, "doc_id", "text", model).select(
+    return _char_lm_cached(spark, sf_dir)["scored"].select(
         "doc_id",
         F.col("n_trigrams").cast("long").alias("n_trigrams"),
         "avg_neg_logp",
@@ -3281,7 +3450,7 @@ def q_wordlm_score(spark, sf_dir):
     languages back off to the OOV floor and score high.  Count tables
     are Heaps'-bounded; scoring joins are gram-key equi-joins and the
     doc-level shuffle carries one row per document."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
     model = WT.train_word_lm(docs.filter(F.col("lang") == "en"), "text")
     return WT.word_lm_score(docs, "doc_id", "text", model).select(
         "doc_id",
@@ -3495,7 +3664,7 @@ def q_dsir_weights(spark, sf_dir):
     for target (en docs) vs raw corpus; per-doc importance weight =
     log-likelihood ratio.  Both models are 256-row broadcast
     aggregates; the corpus pays one bigram explode."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
     target = docs.filter(F.col("lang") == "en")
     return WT.dsir_importance(docs, target, "doc_id", "text")
 
@@ -3512,8 +3681,7 @@ def q_perplexity_buckets(spark, sf_dir):
     cross-engine; the model/scoring reuses the lm_perplexity machinery
     (broadcast vocabulary-bounded tables, 1-row-per-doc shuffle)."""
     docs = _load(spark, sf_dir, "documents")
-    model = WT.train_char_lm(docs.filter(F.col("lang") == "en"), "text")
-    sc = WT.lm_score(docs, "doc_id", "text", model).select(
+    sc = _char_lm_cached(spark, sf_dir)["scored"].select(
         "doc_id", F.round("avg_neg_logp", 6).alias("score")
     )
     scored = sc.join(docs.select("doc_id", "lang"), "doc_id")
@@ -4363,7 +4531,12 @@ def q_contamination_frac(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
-    return WT.contamination_fraction(corpus, bench, "doc_id", "text", n=8)
+    sh = _n8_shingles_cached(spark, sf_dir)
+    return WT.contamination_fraction(
+        corpus, bench, "doc_id", "text", n=8,
+        corpus_shingles=sh.filter(F.col("source") != "src0").select("doc_id", "g"),
+        bench_shingles=sh.filter(F.col("source") == "src0").select("g"),
+    )
 
 
 def q_audio_dups(spark, sf_dir):
@@ -4510,7 +4683,7 @@ def q_ngram_diversity(spark, sf_dir):
     (lang, n).  Shares the corpus token grammar and md5 shingle keys
     with the dedup family; exact COUNT(DISTINCT) here (bit-identical
     oracle), approx_count_distinct at warehouse scale."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
     return WT.ngram_diversity(docs, "lang", "text", ns=(1, 2, 3))
 
 
@@ -5510,6 +5683,32 @@ def q_filter_agreement(spark, sf_dir):
     )
 
 
+#: Session-scoped (doc_id, score, pos) frame for the calibration/AUC
+#: family: `filter_auc`, `ece_calibration` and `isotonic_calibration`
+#: all evaluate the SAME letter-entropy score against the SAME
+#: lang=='en' label — the 26-replace entropy scan and the label join
+#: run once per (session, sf).  `entropy_bits` is already rounded to
+#: 6 dp per doc, so sharing the materialized frame is value-identical.
+_ENTROPY_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _entropy_label_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sc = _ENTROPY_LABEL_CACHE.get(key)
+    if sc is None:
+        docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
+        ce = WT.char_entropy(docs, "doc_id", "text")
+        sc = ce.select(
+            "doc_id", F.col("entropy_bits").alias("score")
+        ).join(
+            docs.select("doc_id", (F.col("lang") == "en").alias("pos")),
+            "doc_id",
+        ).persist()
+        sc.count()  # materialize before any consumer forks the plan
+        _ENTROPY_LABEL_CACHE[key] = sc
+    return sc
+
+
 def q_filter_auc(spark, sf_dir):
     """Exact Mann-Whitney AUC of a cheap score (letter entropy)
     against a label (lang == 'en') — "how predictive is my cheap
@@ -5520,11 +5719,7 @@ def q_filter_auc(spark, sf_dir):
     row-numbers, exact in halves, so the AUC is engine-exact."""
     from clawrag_spark.operators import packing as PK
 
-    docs = _load(spark, sf_dir, "documents")
-    ce = WT.char_entropy(docs, "doc_id", "text")
-    sc = ce.select(
-        "doc_id", F.col("entropy_bits").alias("score")
-    ).join(docs.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id")
+    sc = _entropy_label_cached(spark, sf_dir)
     rn = PK.global_rank(
         sc, [F.col("score").asc(), F.col("doc_id").asc()], rank_col="rn"
     )
@@ -5556,21 +5751,34 @@ def q_triplet_mining(spark, sf_dir):
     SAME-label vector (positive) and highest-cosine DIFFERENT-label
     vector (hard negative), with the margin.  Anchors broadcast
     (knn_join shape: one corpus scan), DOUBLE-cast cosines, ties to
-    the smaller vec_id."""
-    from clawrag_spark.operators.retrieval import cosine
+    the smaller vec_id.
 
-    emb = _load(spark, sf_dir, "embeddings")
+    Scale shape (r6): the N×(N/20) pair stream never shuffles — the
+    per-anchor argmaxes are conditional struct-max aggregates with
+    map-side partials (2 rows per anchor per partition cross the
+    exchange), replacing the window row_number + pos⋈neg self-join
+    that shuffled every scored pair.  Norms are computed once per row
+    before the cross join and the 64-wide dot is unrolled
+    (``dot_fixed``) — bit-identical association order, whole-stage
+    codegen instead of interpreted higher-order lambdas."""
+    from clawrag_spark.operators.retrieval import dot_fixed, sumsq_fixed
+
+    # the embeddings parquet scans as a handful of row-group
+    # partitions; the N×(N/20) pair compute must not inherit that
+    # width (max-aggregation is order-independent, so the round-robin
+    # repartition cannot change any result bit)
+    emb = DS.ensure_parallelism(_load(spark, sf_dir, "embeddings"))
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     anchors = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("aid"),
         F.col("label").alias("alabel"),
         dvec.alias("avec"),
-    )
+    ).withColumn("anorm", F.sqrt(sumsq_fixed(F.col("avec"), 64)))
     cands = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
         dvec.alias("cvec"),
-    )
+    ).withColumn("cnorm", F.sqrt(sumsq_fixed(F.col("cvec"), 64)))
     scored = (
         cands.crossJoin(F.broadcast(anchors))
         .filter(F.col("cid") != F.col("aid"))
@@ -5578,34 +5786,29 @@ def q_triplet_mining(spark, sf_dir):
             "aid",
             "cid",
             (F.col("clabel") == F.col("alabel")).alias("same"),
-            cosine(F.col("avec"), F.col("cvec")).alias("cos"),
+            (
+                dot_fixed(F.col("avec"), F.col("cvec"), 64)
+                / (F.col("anorm") * F.col("cnorm"))
+            ).alias("cos"),
         )
     )
-    w = Window.partitionBy("aid", "same").orderBy(
-        F.desc("cos"), F.asc("cid")
+    # (cos, -cid) struct max == orderBy(desc(cos), asc(cid)) first row
+    pick = F.struct(F.col("cos"), (-F.col("cid")).alias("nid"))
+    agg = (
+        scored.groupBy("aid")
+        .agg(
+            F.max(F.when(F.col("same"), pick)).alias("p"),
+            F.max(F.when(~F.col("same"), pick)).alias("n"),
+        )
+        .filter(F.col("p").isNotNull() & F.col("n").isNotNull())
     )
-    best = scored.select(
-        "*", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") == 1)
-    pos = best.filter(F.col("same")).select(
-        "aid",
-        F.col("cid").alias("pos_id"),
-        F.round("cos", 6).alias("pos_cos"),
-        F.col("cos").alias("_pc"),
-    )
-    neg = best.filter(~F.col("same")).select(
-        "aid",
-        F.col("cid").alias("neg_id"),
-        F.round("cos", 6).alias("neg_cos"),
-        F.col("cos").alias("_nc"),
-    )
-    return pos.join(neg, "aid").select(
+    return agg.select(
         F.col("aid").alias("anchor_id"),
-        "pos_id",
-        "pos_cos",
-        "neg_id",
-        "neg_cos",
-        F.round(F.col("_pc") - F.col("_nc"), 6).alias("margin"),
+        (-F.col("p.nid")).alias("pos_id"),
+        F.round(F.col("p.cos"), 6).alias("pos_cos"),
+        (-F.col("n.nid")).alias("neg_id"),
+        F.round(F.col("n.cos"), 6).alias("neg_cos"),
+        F.round(F.col("p.cos") - F.col("n.cos"), 6).alias("margin"),
     )
 
 
@@ -6452,11 +6655,7 @@ def q_isotonic_calibration(spark, sf_dir):
     score/label pair.  Pooled averages are ratios of exact integer
     prefix sums; the j,k enumeration is a triple self-join on the
     <=10-row bin frame."""
-    docs = _load(spark, sf_dir, "documents")
-    ce = WT.char_entropy(docs, "doc_id", "text")
-    sc = ce.select("doc_id", F.col("entropy_bits").alias("score")).join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id"
-    )
+    sc = _entropy_label_cached(spark, sf_dir)
     return WT.isotonic_calibration(sc, "score", "pos", n_bins=10)
 
 
@@ -6592,7 +6791,7 @@ def q_mi_features(spark, sf_dir):
     contingency counts (Manning IR §13.5.1) — the ranking step before
     training a bag-of-words quality/langid filter.  Top-40 by
     (rounded mi DESC, token)."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = DS.ensure_parallelism(_load(spark, sf_dir, "documents"))
     return WT.mi_features(
         docs, "doc_id", "text", F.col("lang") == "en", top_n=40, min_df=5
     )
@@ -6757,11 +6956,7 @@ def q_ece_calibration(spark, sf_dir):
     AUC, over the SAME score/label pair.  Min-max normalization uses a
     1-row broadcast aggregate (never an all-rows window); ECE windows
     run on the <=10-row bin frame."""
-    docs = _load(spark, sf_dir, "documents")
-    ce = WT.char_entropy(docs, "doc_id", "text")
-    sc = ce.select("doc_id", F.col("entropy_bits").alias("score")).join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id"
-    )
+    sc = _entropy_label_cached(spark, sf_dir)
     return WT.calibration_report(sc, "score", "pos", n_bins=10)
 
 

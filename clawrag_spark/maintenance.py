@@ -564,8 +564,17 @@ def plan_next_run(
     path = os.path.join(out_dir, "metrics")
     m = spark.read.parquet(path)
     if run_id is None:
-        last = m.agg(F.max("run_id").alias("r")).collect()[0]["r"]
-        run_id = last
+        # the LAST run means the most recently COMMITTED one: run ids
+        # are random uuid4 hex, so max(run_id) would pick the
+        # lexicographically-largest (an effectively random past run) —
+        # the manifest's committed_at order is the real commit clock
+        from .pipeline import completed_run_ids
+
+        committed = completed_run_ids(out_dir)
+        if committed:
+            run_id = committed[-1]
+        else:  # metrics without manifests (legacy/partial layout)
+            run_id = m.agg(F.max("run_id").alias("r")).collect()[0]["r"]
     rows = m.filter(F.col("run_id") == run_id).collect()
     if not rows:
         raise ValueError(f"no metrics rows for run_id {run_id!r}")

@@ -78,12 +78,15 @@ def _sniff(payload: bytes) -> tuple[str, str]:
             if fmt == "ppm" and (len(payload) < 3 or payload[2:3] not in b" \t\n\r"):
                 continue  # 'P6' must be followed by whitespace
             return mtype, fmt
-    # raw MPEG audio frame sync (no ID3 tag): 11 set bits, and not a
-    # JPEG SOI (0xFFD8, whose second byte fails the 0xE0 mask anyway)
+    # raw MPEG audio frame sync (no ID3 tag): require a FULLY valid
+    # Layer-III header (non-reserved version, layer III, valid
+    # bitrate/samplerate indices), not just the 11 sync bits — a
+    # UTF-16LE BOM (FF FE) otherwise misclassifies as audio/mp3
     if (
         len(payload) >= 4
         and payload[0] == 0xFF
         and (payload[1] & 0xE0) == 0xE0
+        and parse_mp3_header(payload) is not None
     ):
         return "audio", "mp3"
     return "unknown", "unknown"
@@ -1867,7 +1870,11 @@ def parse_mp3_header(payload: bytes) -> dict | None:
                 if sr_idx != 3 and table[br_idx]:
                     rate = _MP3_RATES[version][sr_idx]
                     kbps = table[br_idx]
-                    audio_bytes = len(payload) - start
+                    # audio starts at the MATCHED frame header, not at
+                    # the end of the ID3 tag: junk scanned past between
+                    # `start` and `pos` is not audio and would inflate
+                    # the CBR duration estimate
+                    audio_bytes = len(payload) - pos
                     return {
                         "sample_rate": rate,
                         "bitrate_kbps": kbps,

@@ -328,9 +328,51 @@ def bm25_scores(
     return bm25_score_index(index, id_col, query_terms, k1, b)
 
 
-def cosine(vec_a, vec_b):
-    """Cosine similarity between two array<float> columns — built-in
-    higher-order functions only (zip_with + aggregate), JVM-side."""
+def _fold_sum(terms):
+    """Left-fold sum with the same association as
+    ``aggregate(…, 0.0, (acc, x) -> acc + x)``: ((0.0 + t1) + t2) + …
+    The leading 0.0 is kept so the result is bit-identical to the
+    higher-order fold even at the -0.0 edge."""
+    acc = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def dot_fixed(vec_a, vec_b, dim: int):
+    """Dot product of two fixed-width array columns, unrolled into a
+    whole-stage-codegen-friendly expression chain.  Bit-identical to
+    the ``zip_with``+``aggregate`` fold on arrays of exactly ``dim``
+    elements (same multiply and same left-to-right add association);
+    higher-order functions fall back to interpreted per-element lambda
+    evaluation, which dominates dense-vector queries."""
+    return _fold_sum(
+        [F.element_at(vec_a, i) * F.element_at(vec_b, i) for i in range(1, dim + 1)]
+    )
+
+
+def sumsq_fixed(vec, dim: int):
+    """Unrolled sum of squares — bit-identical to
+    ``aggregate(vec, 0.0, (acc, x) -> acc + x*x)`` on ``dim``-wide arrays."""
+    return _fold_sum(
+        [F.element_at(vec, i) * F.element_at(vec, i) for i in range(1, dim + 1)]
+    )
+
+
+def cosine(vec_a, vec_b, dim: int | None = None):
+    """Cosine similarity between two array<float> columns, JVM-side.
+
+    Default path: built-in higher-order functions (zip_with +
+    aggregate) — works for any width.  With ``dim`` set, the fold is
+    unrolled via :func:`dot_fixed`/:func:`sumsq_fixed` into straight
+    codegen arithmetic — bit-identical on vectors of exactly that
+    width (same association order), an order of magnitude faster per
+    pair because interpreted lambda dispatch disappears."""
+    if dim is not None:
+        dot = dot_fixed(vec_a, vec_b, dim)
+        norm_a = F.sqrt(sumsq_fixed(vec_a, dim))
+        norm_b = F.sqrt(sumsq_fixed(vec_b, dim))
+        return dot / (norm_a * norm_b)
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda x, y: x * y),
         F.lit(0.0),
@@ -938,6 +980,8 @@ def lm_dirichlet_scores(
     text_col: str,
     query_terms: list[str],
     mu: float = 2000.0,
+    *,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
     Lafferty 2001) — the standard language-model alternative to BM25:
@@ -959,7 +1003,9 @@ def lm_dirichlet_scores(
     uniq = list(dict.fromkeys(query_terms))
     if not uniq:
         raise ValueError("need at least one query term")
-    toks = docs.select(
+    # a caller-cached (id, term) frame skips the tokenize scan; every
+    # downstream aggregate is an integer count — value-identical
+    toks = tokens if tokens is not None else docs.select(
         F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
     )
     aggs = [F.count(F.lit(1)).alias("dl")] + [
@@ -1060,6 +1106,8 @@ def rm3_expansion(
     fb_docs: int = 10,
     fb_terms: int = 10,
     alpha: float = 0.5,
+    *,
+    tokens: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
     models + the Anserini/Indri RM3 interpolation) — the standard
@@ -1096,7 +1144,9 @@ def rm3_expansion(
         raise ValueError("need at least one query term")
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    scored = lm_dirichlet_scores(docs, id_col, text_col, uniq, mu=mu)
+    scored = lm_dirichlet_scores(
+        docs, id_col, text_col, uniq, mu=mu, tokens=tokens
+    )
     # fb is <= fb_docs rows but its lineage is the full first-pass QL
     # scan; every downstream 1-row aggregate (max, weight sum) would
     # re-evaluate that scan — eager localCheckpoint truncates the
@@ -1118,7 +1168,7 @@ def rm3_expansion(
     w = w.crossJoin(F.broadcast(wsum)).select(
         id_col, (F.col("w_raw") / F.col("wsum")).alias("w_d")
     )
-    toks = docs.select(
+    toks = tokens if tokens is not None else docs.select(
         F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
     )
     fb_toks = toks.join(F.broadcast(w.select(id_col, "w_d")), id_col)
@@ -1170,6 +1220,8 @@ def query_clarity(
     mu: float = 2000.0,
     fb_docs: int = 10,
     fb_terms: int = 10,
+    *,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Clarity score (Cronen-Townsend, Zhou & Croft 2002) — query
     performance prediction: the KL divergence between the query's
@@ -1200,9 +1252,10 @@ def query_clarity(
         fb_docs=fb_docs,
         fb_terms=fb_terms,
         alpha=0.5,
+        tokens=tokens,
     )
     rm1 = ex["rm1"]
-    toks = docs.select(
+    toks = tokens if tokens is not None else docs.select(
         F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
     )
     clen = toks.agg(F.count("*").alias("c_len"))
@@ -1234,6 +1287,8 @@ def rm3_rerank(
     terms: DataFrame,
     mu: float = 2000.0,
     k: int = 20,
+    *,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Second-pass weighted query-likelihood ranking with the RM3
     expanded query (``terms`` = (term, p_w) from ``rm3_expansion``):
@@ -1253,7 +1308,7 @@ def rm3_rerank(
     result ranks the WHOLE corpus exactly as the naive formula would.
     Top-k is (score DESC, id ASC) TakeOrderedAndProject.
     """
-    toks = docs.select(
+    toks = tokens if tokens is not None else docs.select(
         F.col(id_col), F.explode(sql_tokens(F.col(text_col))).alias("term")
     )
     doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))

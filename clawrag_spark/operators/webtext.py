@@ -1044,6 +1044,9 @@ def decontaminate(
     id_col: str,
     text_col: str,
     n: int = 8,
+    *,
+    corpus_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (GPT-3/PaLM style): flag corpus
     documents sharing any n-token shingle with the benchmark set.
@@ -1055,10 +1058,14 @@ def decontaminate(
     benchmark-shingle set broadcasts and the corpus side is one scan +
     map-side semi-join — no corpus shuffle except the per-doc count.
     """
-    bench_shingles = (
-        _token_shingle_hashes(benchmark, [], text_col, n).select("g").distinct()
-    )
-    corpus_shingles = _token_shingle_hashes(corpus, [id_col], text_col, n)
+    # callers with a cached position-level (id, g) frame (one row per
+    # shingle POSITION, same grammar) pass it via the keyword args and
+    # skip the tokenize scans — value-identical by construction
+    if bench_shingles is None:
+        bench_shingles = _token_shingle_hashes(benchmark, [], text_col, n)
+    bench_shingles = bench_shingles.select("g").distinct()
+    if corpus_shingles is None:
+        corpus_shingles = _token_shingle_hashes(corpus, [id_col], text_col, n)
     return (
         corpus_shingles.join(F.broadcast(bench_shingles), "g")
         .groupBy(id_col)
@@ -2807,16 +2814,19 @@ def heaps_fit(
     offsets = _exclusive_prefix_sum(
         sized.select(id_col, "nt"), id_col, "nt", salt
     )
-    first_in_doc = (
-        sized.select(F.col(id_col), F.posexplode("ws").alias("pos", "w"))
-        .groupBy(id_col, "w")
-        .agg(F.min("pos").alias("dpos"))
-    )
+    # r6: one shuffle instead of three.  The per-doc first-position
+    # groupBy was redundant — min over ALL occurrence positions of
+    # (start_offset + pos) picks the in-doc first occurrence too, so a
+    # single map-side-combinable groupBy(w) replaces the (doc, w)
+    # pre-aggregation AND its downstream shuffle; the per-doc offsets
+    # frame (one skinny row per doc) rides a broadcast join instead of
+    # a sort-merge shuffle of the token stream.  Exact integer math —
+    # value-identical.
     first_global = (
-        first_in_doc.join(offsets, id_col)
-        .select("w", (F.col("start_offset") + F.col("dpos")).alias("gp"))
+        sized.select(F.col(id_col), F.posexplode("ws").alias("pos", "w"))
+        .join(F.broadcast(offsets.select(id_col, "start_offset")), id_col)
         .groupBy("w")
-        .agg(F.min("gp").alias("fp"))
+        .agg(F.min(F.col("start_offset") + F.col("pos")).alias("fp"))
     )
     # ≤64-row histogram over bit_length(first_pos); conv('0') = '0' has
     # length 1, matching bit_length(1) — both mean "inside every sample"
@@ -3449,6 +3459,9 @@ def contamination_fraction(
     n: int = 8,
     dirty_threshold: float = 0.8,
     clean_threshold: float = 0.2,
+    *,
+    corpus_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Graded benchmark contamination (the Llama-2/3 appendix method):
     instead of :func:`decontaminate`'s binary any-shingle flag, score
@@ -3475,11 +3488,15 @@ def contamination_fraction(
     never a corpus-by-benchmark join.
     """
     bench = (
-        _token_shingle_hashes(benchmark, [], text_col, n)
-        .select("g")
-        .distinct()
+        bench_shingles
+        if bench_shingles is not None
+        else _token_shingle_hashes(benchmark, [], text_col, n)
+    ).select("g").distinct()
+    cs = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _token_shingle_hashes(corpus, [id_col], text_col, n)
     )
-    cs = _token_shingle_hashes(corpus, [id_col], text_col, n)
     tot = cs.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     hits = (
         cs.join(F.broadcast(bench), "g")

@@ -884,6 +884,8 @@ def run_pipeline(
         # adopt the width the last run's committed per-partition timing
         # lineage recommends (current_width defaults to that run's own
         # partition count inside plan_next_run — the width it ran at)
+        from pyspark.errors import AnalysisException
+
         from . import maintenance as _maintenance
 
         try:
@@ -891,6 +893,11 @@ def run_pipeline(
             num_partitions = int(plan["recommended_width"])
         except ValueError:
             plan = None  # metrics dir exists but holds no rows
+        except AnalysisException:
+            # metrics dir exists but holds no readable parquet (a
+            # crashed first run): fall back to the default width
+            # instead of failing the whole run
+            plan = None
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if num_partitions == 0:

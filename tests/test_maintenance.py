@@ -200,6 +200,21 @@ class TestAutoPlanWiring:
             "n_text_chars long, elapsed_sec double, docs_per_sec double, "
             "run_id string",
         ).write.mode("append").parquet(os.path.join(out, "metrics"))
+        # ... and COMMIT it with a later committed_at: plan_next_run
+        # selects the most recently committed run via the manifest's
+        # commit clock (run ids are random hex — lexicographic max
+        # would pick an arbitrary run), so an uncommitted metrics
+        # append must never be adopted
+        import json as _json
+        import time as _time
+
+        with open(
+            os.path.join(out, "manifest", "run_zzz_skewed.json"), "w"
+        ) as fh:
+            _json.dump(
+                {"run_id": "zzz_skewed", "committed_at": _time.time() + 60},
+                fh,
+            )
 
         p2 = write_pages_parquet(str(tmp_path / "p2.parquet"), 150, seed=2)
         m2 = run_pipeline(
