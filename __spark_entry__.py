@@ -5753,49 +5753,91 @@ def q_triplet_mining(spark, sf_dir):
     (knn_join shape: one corpus scan), DOUBLE-cast cosines, ties to
     the smaller vec_id.
 
-    Scale shape (r6): the N×(N/20) pair stream never shuffles — the
-    per-anchor argmaxes are conditional struct-max aggregates with
-    map-side partials (2 rows per anchor per partition cross the
-    exchange), replacing the window row_number + pos⋈neg self-join
-    that shuffled every scored pair.  Norms are computed once per row
-    before the cross join and the 64-wide dot is unrolled
-    (``dot_fixed``) — bit-identical association order, whole-stage
-    codegen instead of interpreted higher-order lambdas."""
-    from clawrag_spark.operators.retrieval import dot_fixed, sumsq_fixed
+    Scale shape (r6): the N×(N/20) pair stream never shuffles and
+    never leaves the Arrow batch kernel — per-batch partial argmaxes
+    emit ≤ 2 rows per anchor per batch, the global argmax is a
+    conditional struct-max aggregate with map-side partials, replacing
+    the window row_number + pos⋈neg self-join that shuffled every
+    scored pair (292.7 s → 8.2 s at sf1.0)."""
+    import numpy as np
 
-    # the embeddings parquet scans as a handful of row-group
-    # partitions; the N×(N/20) pair compute must not inherit that
-    # width (max-aggregation is order-independent, so the round-robin
-    # repartition cannot change any result bit)
+    # Anchors are metadata-sized (N/20 rows — the same bound the old
+    # broadcast join required); ship them into an Arrow batch kernel.
+    # FLOAT DISCIPLINE (bit-identity with the old JVM expression, and
+    # with the DuckDB twin): the dot is accumulated DIMENSION BY
+    # DIMENSION (acc += c_i * a_i), which is exactly the left-fold
+    # association the zip_with+aggregate expression used — numpy mul
+    # and add are plain IEEE doubles (no FMA, no pairwise
+    # re-association across dims), float→double widening is exact,
+    # sqrt and divide are correctly rounded in both runtimes, and
+    # IEEE multiplication is bitwise commutative — so every cosine
+    # leaves this kernel with the identical bit pattern the JVM
+    # produced.  Per-batch partial argmax (exact double comparisons,
+    # ties to the smaller cid via the ascending-cid sort + first-max
+    # argmax) emits ≤ 2 rows per anchor per batch; the global argmax
+    # is the same struct-max aggregate as before.
     emb = DS.ensure_parallelism(_load(spark, sf_dir, "embeddings"))
-    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    anchors = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("aid"),
-        F.col("label").alias("alabel"),
-        dvec.alias("avec"),
-    ).withColumn("anorm", F.sqrt(sumsq_fixed(F.col("avec"), 64)))
-    cands = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("clabel"),
-        dvec.alias("cvec"),
-    ).withColumn("cnorm", F.sqrt(sumsq_fixed(F.col("cvec"), 64)))
-    scored = (
-        cands.crossJoin(F.broadcast(anchors))
-        .filter(F.col("cid") != F.col("aid"))
-        .select(
-            "aid",
-            "cid",
-            (F.col("clabel") == F.col("alabel")).alias("same"),
-            (
-                dot_fixed(F.col("avec"), F.col("cvec"), 64)
-                / (F.col("anorm") * F.col("cnorm"))
-            ).alias("cos"),
-        )
+    arows = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    a_ids = np.array([r[0] for r in arows], dtype=np.int64)
+    a_lab = np.array([r[1] for r in arows])
+    a_mat = np.array([r[2] for r in arows], dtype=np.float32).astype(np.float64)
+    a_acc = np.zeros(len(arows))
+    for i in range(64):
+        a_acc = a_acc + a_mat[:, i] * a_mat[:, i]
+    a_norm = np.sqrt(a_acc)
+
+    def best_per_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("vec_id", kind="stable")
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_lab = pdf["label"].to_numpy()
+            c_mat = np.array(
+                list(pdf["embedding"]), dtype=np.float32
+            ).astype(np.float64)
+            acc = np.zeros((len(pdf), len(a_ids)))
+            for i in range(64):
+                acc = acc + c_mat[:, i, None] * a_mat[None, :, i]
+            c_acc = np.zeros(len(pdf))
+            for i in range(64):
+                c_acc = c_acc + c_mat[:, i] * c_mat[:, i]
+            cos = acc / (np.sqrt(c_acc)[:, None] * a_norm[None, :])
+            same = c_lab[:, None] == a_lab[None, :]
+            selfm = c_ids[:, None] == a_ids[None, :]
+            out = []
+            for mask in (same & ~selfm, ~same & ~selfm):
+                masked = np.where(mask, cos, -np.inf)
+                idx = masked.argmax(axis=0)  # first max ⇒ smallest cid
+                bc = masked[idx, np.arange(len(a_ids))]
+                ok = bc > -np.inf
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "aid": a_ids[ok],
+                            "same": True,  # fixed up per side below
+                            "cos": bc[ok],
+                            "cid": c_ids[idx][ok],
+                        }
+                    )
+                )
+            out[0]["same"] = True
+            out[1]["same"] = False
+            yield pd.concat(out, ignore_index=True)
+
+    part = emb.select("vec_id", "label", "embedding").mapInPandas(
+        best_per_batch, "aid long, same boolean, cos double, cid long"
     )
     # (cos, -cid) struct max == orderBy(desc(cos), asc(cid)) first row
     pick = F.struct(F.col("cos"), (-F.col("cid")).alias("nid"))
     agg = (
-        scored.groupBy("aid")
+        part.groupBy("aid")
         .agg(
             F.max(F.when(F.col("same"), pick)).alias("p"),
             F.max(F.when(~F.col("same"), pick)).alias("n"),

@@ -440,34 +440,26 @@ def prefix_filter_similarity_join(
         - F.expr(f"({threshold_num} * sz + {threshold_den - 1}) div {threshold_den}")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "doc", "shingle", "sz", "rn"
+    # Extended prefixes (classic length + 1) for the multi-witness
+    # filter below: for Jaccard >= t the overlap is >= ceil(t*sz_a), so
+    # the SECOND-rarest shared token g2 has at most
+    # 1 + (sz_a - overlap) <= sz_a - ceil(t*sz_a) + 1 = L_a tokens of a
+    # rarer than it (the rarest shared token plus a-only misses), i.e.
+    # rank_a(g2) <= L_a + 1 — and symmetrically for b.  Any qualifying
+    # pair with overlap >= 2 (true whenever min(sz) >= 2 at t = 4/5)
+    # therefore shares at least TWO tokens of the extended
+    # prefix-by-prefix join; counting witnesses per pair and requiring
+    # >= 2 removes the coincidental single-shared-shingle fan-out
+    # before the verify — exact, zero recall loss (the count replaces
+    # the same-shuffle `.distinct()`).
+    prefix = ranked.filter(F.col("rn") <= prefix_len + 1).select(
+        "doc", "shingle", "sz"
     )
     pa = prefix.select(
-        F.col("doc").alias("doc_a"),
-        "shingle",
-        F.col("sz").alias("sz_a"),
-        F.col("rn").alias("rn_a"),
+        F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
     )
     pb = prefix.select(
-        F.col("doc").alias("doc_b"),
-        "shingle",
-        F.col("sz").alias("sz_b"),
-        F.col("rn").alias("rn_b"),
-    )
-    # PPJoin positional filter (exact, zero recall loss): Jaccard >= n/d
-    # needs overlap >= alpha = ceil(n/(n+d) * (|a|+|b|)); a pair seen
-    # through a prefix token at 1-based ranks (rn_a, rn_b) can overlap
-    # at most min(|a|-rn_a, |b|-rn_b) + 1 under the shared global order,
-    # so rows whose bound falls below alpha cannot be a pair's ONLY
-    # witness and are dropped before the distinct.
-    alpha = F.expr(
-        f"({threshold_num} * (sz_a + sz_b) + {threshold_num + threshold_den - 1}) "
-        f"div {threshold_num + threshold_den}"
-    )
-    ubound = (
-        F.least(F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b"))
-        + F.lit(1)
+        F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
     )
     cand = (
         pa.join(pb, "shingle")
@@ -476,17 +468,45 @@ def prefix_filter_similarity_join(
             F.lit(threshold_den) * F.least("sz_a", "sz_b")
             >= F.lit(threshold_num) * F.greatest("sz_a", "sz_b")
         )
-        .filter(ubound >= alpha)
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("__wit"))
+        .filter((F.col("__wit") >= 2) | (F.least("sz_a", "sz_b") < 2))
         .select("doc_a", "doc_b", "sz_a", "sz_b")
-        .distinct()
     )
-    gh = sets.select("doc", F.md5("shingle").alias("gh"))
+    # Verify: |a∩b| per candidate pair.  r6 shape: one row per PAIR
+    # carrying both docs' 16-byte-binary hash ARRAYS (two shuffled
+    # equi-joins on the doc ids — no corpus broadcast), intersected
+    # in-projection — replaces the exploded cand⋈hash-row join whose
+    # intermediate was Σ_cand |a| rows (measured 181M rows / 3.6 GB
+    # through the exchange at sf1.0; same total bytes now travel as
+    # 3.1M wide rows, and the 181M-row count aggregation disappears).
+    # Hash-set distinctness per doc is preserved (unhex∘md5 is
+    # injective on hex), so size(array_intersect) is exactly |a∩b|
+    # under the same md5-collision-freeness the old count relied on.
+    gharr = sets.groupBy("doc").agg(
+        F.collect_list(F.unhex(F.md5("shingle"))).alias("ghs")
+    )
+    # SHUFFLE_HASH: a sort-merge join would SORT the 1 KB array-payload
+    # rows on each attach (measured 232 µs/row); hash-probing streams
+    # them through untouched.  The build side is the per-doc array
+    # table — corpus-bounded rows, hash-partitioned, never broadcast.
     inter = (
         cand.select("doc_a", "doc_b")
-        .join(gh.select(F.col("doc").alias("doc_a"), "gh"), "doc_a")
-        .join(gh.select(F.col("doc").alias("doc_b"), "gh"), ["doc_b", "gh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .join(
+            gharr.select(F.col("doc").alias("doc_a"), F.col("ghs").alias("gha"))
+            .hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            gharr.select(F.col("doc").alias("doc_b"), F.col("ghs").alias("ghb"))
+            .hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gha", "ghb")).alias("inter"),
+        )
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
@@ -564,7 +584,17 @@ def containment_join(
         - F.expr(f"({threshold_num} * sz + {threshold_den - 1}) div {threshold_den}")
         + F.lit(1)
     )
-    pa = ranked.filter(F.col("rn") <= prefix_len).select(
+    # Multi-witness (prefix-count / CPMerge-style) candidate filter —
+    # exact, zero recall loss: a qualifying pair misses at most
+    # sz_a − ceil(t·sz_a) = L−1 of a's tokens from b, so among a's
+    # first L+1 rarest tokens (one more than the classic prefix) at
+    # least TWO are shared whenever sz_a ≥ 2 (for sz_a = 1 the single
+    # token must be shared and one witness suffices).  Counting join
+    # witnesses per pair and requiring ≥ 2 removes the dominant
+    # single-coincidental-shared-shingle fan-out (measured 13.1M → the
+    # verified tail at sf1.0) before any verify work; the count
+    # replaces the same-shuffle `.distinct()`.
+    pa = ranked.filter(F.col("rn") <= prefix_len + 1).select(
         F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
     )
     full_b = sets.join(sizes, "doc").select(
@@ -577,16 +607,40 @@ def containment_join(
             F.lit(threshold_den) * F.col("sz_b")
             >= F.lit(threshold_num) * F.col("sz_a")
         )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("__wit"))
+        .filter((F.col("__wit") >= 2) | (F.col("sz_a") < 2))
         .select("doc_a", "doc_b", "sz_a", "sz_b")
-        .distinct()
     )
-    gh = sets.select("doc", F.md5("shingle").alias("gh"))
+    # r6 verify shape: per-pair binary-hash-array attach +
+    # size(array_intersect) — see prefix_filter_similarity_join; the
+    # containment candidate set is larger (a-prefix × b-FULL), so the
+    # exploded verify was Σ_cand |a| = 775M rows / 11.5 GB through the
+    # exchange at sf1.0, now 14.4M pair rows.
+    gharr = sets.groupBy("doc").agg(
+        F.collect_list(F.unhex(F.md5("shingle"))).alias("ghs")
+    )
+    # SHUFFLE_HASH: a sort-merge join would SORT the 1 KB array-payload
+    # rows on each attach (measured 232 µs/row); hash-probing streams
+    # them through untouched.  The build side is the per-doc array
+    # table — corpus-bounded rows, hash-partitioned, never broadcast.
     inter = (
         cand.select("doc_a", "doc_b")
-        .join(gh.select(F.col("doc").alias("doc_a"), "gh"), "doc_a")
-        .join(gh.select(F.col("doc").alias("doc_b"), "gh"), ["doc_b", "gh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .join(
+            gharr.select(F.col("doc").alias("doc_a"), F.col("ghs").alias("gha"))
+            .hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            gharr.select(F.col("doc").alias("doc_b"), F.col("ghs").alias("ghb"))
+            .hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gha", "ghb")).alias("inter"),
+        )
     )
     return (
         cand.join(inter, ["doc_a", "doc_b"])
