@@ -2372,13 +2372,19 @@ def q_budget_selection(spark, sf_dir):
     the naive window)."""
     from clawrag_spark.operators import packing as PK
 
-    docs = _load(spark, sf_dir, "documents")
-    toks = R.sql_tokens(F.col("text"))
-    d = docs.select(
+    # per-doc total/distinct token counts off the shared cached token
+    # frame (exact integers; docs with zero tokens have no rows there,
+    # matching the n_tokens > 0 filter); int casts keep the published
+    # schema (size() was INT) and the division divides the same values
+    tk = _doc_tokens_cached(spark, sf_dir)
+    d = tk.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.count_distinct("term").cast("int").alias("n_distinct"),
+    ).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("density"),
-    ).filter(F.col("n_tokens") > 0)
+        "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens")).alias("density"),
+    )
     out = PK.budget_selection(
         d,
         "doc_id",
@@ -2403,7 +2409,8 @@ def q_burrows_delta(spark, sf_dir):
     grid never materializes (see burrows_delta_outliers)."""
     docs = _load(spark, sf_dir, "documents")
     return WT.burrows_delta_outliers(
-        docs, "doc_id", "text", "source", n_mfw=30
+        docs, "doc_id", "text", "source", n_mfw=30,
+        tokens=_doc_tokens_cached(spark, sf_dir),
     )
 
 
@@ -3592,6 +3599,20 @@ def q_registered_domains(spark, sf_dir):
     )
 
 
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens long) off the shared cached token frame —
+    value-identical to size(filter(split(lower(text)))) per doc: the
+    left join restores the zero-token docs the grouped frame lacks."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    counts = _doc_tokens_cached(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("__n")
+    )
+    return docs.join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """Training-shard sequence packing ("concat-and-chunk"): every doc
     gets a position in a deterministic pseudorandom global order and
@@ -3601,17 +3622,7 @@ def q_pack_shards(spark, sf_dir):
     single-partition global window; the oracle IS that global window."""
     from clawrag_spark.operators import packing as PK
 
-    docs = _load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
-            )
-        )
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    toks = _doc_token_counts(spark, sf_dir)
     return PK.pack_training_shards(toks, "doc_id", "n_tokens", 2000)
 
 
@@ -3626,16 +3637,7 @@ def q_shard_manifest(spark, sf_dir):
     from clawrag_spark.operators import packing as PK
 
     docs = _load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
-            )
-        )
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    toks = _doc_token_counts(spark, sf_dir)
     packed = PK.pack_training_shards(toks, "doc_id", "n_tokens", 2000)
     return PK.shard_manifest(packed, docs, "doc_id", "text")
 
@@ -3651,17 +3653,7 @@ def q_pack_sequences(spark, sf_dir):
     the oracle is the naive global window + generate_series unnest."""
     from clawrag_spark.operators import packing as PK
 
-    docs = _load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
-            )
-        )
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    toks = _doc_token_counts(spark, sf_dir)
     return PK.pack_sequences(toks, "doc_id", "n_tokens", 256, eos_tokens=1)
 
 

@@ -256,8 +256,19 @@ def bm25f_scores(
             F.explode(sql_tokens(col)).alias("term"),
         )
         tok = part if tok is None else tok.unionByName(part)
-    pf = tok.groupBy(id_col, "field", "term").agg(F.count("*").alias("tf"))
-    lf = pf.groupBy(id_col, "field").agg(F.sum("tf").alias("fl"))
+    # r6: only QUERY-term rows need the (id, field, term) aggregation —
+    # the full-vocabulary tf table existed only to be re-summed into
+    # per-field lengths, which ARE the plain token counts.  The filter
+    # runs map-side on the token stream, so the wide shuffle (~30M
+    # distinct (doc, field, term) rows at sf1.0) collapses to the
+    # query-term postings; fl/avgfl are the same exact integers (avg
+    # over longs sums exactly, order-independent).
+    pf = (
+        tok.filter(F.col("term").isin(q))
+        .groupBy(id_col, "field", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    lf = tok.groupBy(id_col, "field").agg(F.count("*").alias("fl"))
     avg = lf.groupBy("field").agg(F.avg("fl").alias("avgfl"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
 
@@ -266,7 +277,7 @@ def bm25f_scores(
         w_expr = F.when(F.col("field") == name, F.lit(float(w))).otherwise(w_expr)
         b_expr = F.when(F.col("field") == name, F.lit(float(bf))).otherwise(b_expr)
 
-    hits = pf.filter(F.col("term").isin(q))
+    hits = pf  # already filtered to query terms map-side
     idf = (
         hits.select("term", F.col(id_col))
         .distinct()

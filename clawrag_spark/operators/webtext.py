@@ -4336,6 +4336,8 @@ def burrows_delta_outliers(
     text_col: str,
     group_col: str,
     n_mfw: int = 30,
+    *,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Burrows' Delta stylometry (Burrows 2002; Evert et al. 2017):
     distance between a document's function-word profile and its
@@ -4372,11 +4374,23 @@ def burrows_delta_outliers(
     """
     from .retrieval import sql_tokens
 
-    toks = docs.select(
-        F.col(id_col),
-        F.col(group_col).alias("grp"),
-        F.explode(sql_tokens(F.col(text_col))).alias("term"),
-    )
+    if tokens is not None:
+        # caller-cached (id, term) frame: attach the group via a
+        # broadcast metadata join — every downstream aggregate keys on
+        # the same columns, so values and partition merge structure are
+        # unchanged (dl/tf integer counts, rf exact divisions)
+        grpmap = docs.select(
+            F.col(id_col), F.col(group_col).alias("grp")
+        )
+        toks = tokens.join(F.broadcast(grpmap), id_col).select(
+            F.col(id_col), "grp", "term"
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col),
+            F.col(group_col).alias("grp"),
+            F.explode(sql_tokens(F.col(text_col))).alias("term"),
+        )
     dl = toks.groupBy(id_col, "grp").agg(F.count("*").alias("dl"))
     n_docs = dl.agg(F.count("*").alias("n_docs"))
     mfw = (
