@@ -4471,13 +4471,40 @@ def _nb_confusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     conf = _NB_CONF_CACHE.get(key)
     if conf is None:
-        docs = spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet")
-        ).select(
-            F.col("doc_id").cast("string").alias("doc_id"), "lang", "text"
+        docs = DS.ensure_parallelism(
+            spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select(
+                F.col("doc_id").cast("string").alias("doc_id"), "lang", "text"
+            )
         )
-        model = WT.train_nb_langid(docs, "lang", "text")
-        pred = WT.nb_classify(docs, "doc_id", "text", model)
+        # ONE trigram explode instead of two: the per-doc gram counts
+        # come from the identical groupBy(doc_id, g) aggregation the
+        # classifier ran internally (same keys, same partitioning — the
+        # (doc, lang) float partial sums see exactly the same rows),
+        # and the TRAIN-side (lang, g) counts re-aggregate those exact
+        # integers through a broadcast doc→lang attach, never a second
+        # corpus scan.
+        doc_grams = (
+            WT._char_trigrams(docs, ["doc_id"], "text")
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .persist()
+        )
+        doc_grams.count()
+        lang_counts = (
+            doc_grams.join(
+                F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+            )
+            .groupBy("lang", "g")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        model = WT.train_nb_langid(
+            docs, "lang", "text", gram_counts=lang_counts
+        )
+        pred = WT.nb_classify(
+            docs, "doc_id", "text", model, doc_gram_counts=doc_grams
+        )
         truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
         conf = (
             pred.join(truth, "doc_id")
@@ -4486,6 +4513,8 @@ def _nb_confusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         conf.count()  # materialize before any consumer forks the plan
+        doc_grams.unpersist()  # confusion frame is materialized; the
+        # intermediate gram cache has no further consumer
         _NB_CONF_CACHE[key] = conf
     return conf
 

@@ -694,6 +694,17 @@ def simhash64(text: pd.Series) -> pd.Series:
     import numpy as np
 
     token_re = re.compile(r"[a-z0-9]+")
+    # tokens repeat heavily ACROSS documents in a batch — memoize the
+    # 8-byte md5 prefix per distinct token (same digest either way;
+    # measured ~110 CPU-s of hashlib calls at sf1.0 before the memo)
+    memo: dict[str, bytes] = {}
+
+    def hash8(tok: str) -> bytes:
+        h = memo.get(tok)
+        if h is None:
+            h = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+            memo[tok] = h
+        return h
 
     def one(t: str | None) -> int:
         if not t:
@@ -705,7 +716,7 @@ def simhash64(text: pd.Series) -> pd.Series:
         for tok in toks:
             uniq[tok] = uniq.get(tok, 0) + 1
         raw = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in uniq),
+            b"".join(hash8(tok) for tok in uniq),
             dtype=np.uint8,
         ).reshape(-1, 8)
         # unpackbits is MSB-first per byte; with big-endian byte order the

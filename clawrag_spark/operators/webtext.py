@@ -3226,6 +3226,8 @@ def train_nb_langid(
     lang_col: str = "lang",
     text_col: str = "text",
     alpha: float = 0.5,
+    *,
+    gram_counts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Train a multinomial Naive-Bayes language classifier over char
     trigrams — the fastText-langid design point (McCandless lang-detect
@@ -3250,10 +3252,16 @@ def train_nb_langid(
     corpus size (Heaps-bounded charset³), the classic train-once /
     broadcast-everywhere shape shared with :func:`train_char_lm`.
     """
-    grams = _char_trigrams(train, [lang_col], text_col)
-    counts = grams.groupBy(F.col(lang_col).alias("lang"), "g").agg(
-        F.count("*").alias("c")
-    )
+    # callers with a cached (lang, g, c) count frame (same grammar,
+    # exact integers) pass it via ``gram_counts`` and skip the
+    # trigram-explode scan — value-identical by construction
+    if gram_counts is not None:
+        counts = gram_counts
+    else:
+        grams = _char_trigrams(train, [lang_col], text_col)
+        counts = grams.groupBy(F.col(lang_col).alias("lang"), "g").agg(
+            F.count("*").alias("c")
+        )
     vocab = counts.select(
         F.countDistinct("g").cast("double").alias("V")
     )
@@ -3290,6 +3298,8 @@ def nb_classify(
     id_col: str,
     text_col: str,
     model: dict[str, DataFrame],
+    *,
+    doc_gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Classify documents under :func:`train_nb_langid`'s model.
 
@@ -3313,8 +3323,15 @@ def nb_classify(
     per-(doc, lang) partial-agg shuffle of ≤ |langs| rows per doc; the
     argmax window runs on |docs|·|langs| narrow rows.
     """
-    grams = _char_trigrams(docs, [id_col], text_col)
-    doc_grams = grams.groupBy(id_col, "g").agg(F.count("*").alias("cnt"))
+    if doc_gram_counts is not None:
+        # cached (id, g, cnt) frame from the same groupBy(id, g)
+        # aggregation — identical keys AND partitioning, so the
+        # downstream (id, lang) float partial sums see exactly the
+        # rows they saw before
+        doc_grams = doc_gram_counts
+    else:
+        grams = _char_trigrams(docs, [id_col], text_col)
+        doc_grams = grams.groupBy(id_col, "g").agg(F.count("*").alias("cnt"))
     doc_tot = doc_grams.groupBy(id_col).agg(
         F.sum("cnt").cast("double").alias("T")
     )
