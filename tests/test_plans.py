@@ -359,6 +359,15 @@ class TestWebgraphPlans:
         from clawrag_spark.operators import webgraph as WG
 
         entry_mod._ensure_pipeline_demo(spark)
+        # Spark's CacheManager substitutes the session-cached edge frame
+        # into ANY matching plan — drop the cache entry so the pin sees
+        # the raw operator plan regardless of test order (consumers
+        # lazily rebuild it)
+        cached = entry_mod._HOST_EDGES_CACHE.pop(
+            spark.sparkContext.applicationId, None
+        )
+        if cached is not None:
+            cached.unpersist()
         pages = spark.read.parquet(
             os.path.join(entry_mod._DEMO_DIR, "pages.parquet")
         )
