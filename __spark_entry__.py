@@ -1088,6 +1088,29 @@ def q_dup_ngrams(spark, sf_dir):
     )
 
 
+#: Session-scoped DISTINCT (doc, shingle) frame — the prefix-filter
+#: set-similarity family's shared base: `similarity_join` uses it
+#: directly and `quote_containment` unions the (disjoint-keyspace)
+#: quote slice's distinct rows onto it, so the corpus-wide distinct
+#: shuffle runs once per session.
+_PREFIX_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _prefix_sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sets = _PREFIX_SETS_CACHE.get(key)
+    if sets is None:
+        sets = (
+            _shingles_cached(spark, sf_dir)
+            .select(F.col("doc_id").alias("doc"), "shingle")
+            .distinct()
+            .persist()
+        )
+        sets.count()  # materialize before any consumer forks the plan
+        _PREFIX_SETS_CACHE[key] = sets
+    return sets
+
+
 def q_similarity_join(spark, sf_dir):
     """All-pairs set-similarity join via prefix filtering (AllPairs /
     PPJoin family) — the EXACT candidate-generation alternative to
@@ -1103,7 +1126,7 @@ def q_similarity_join(spark, sf_dir):
         "text",
         threshold_num=4,
         threshold_den=5,
-        shingles=_shingles_cached(spark, sf_dir),
+        sets=_prefix_sets_cached(spark, sf_dir),
     )
 
 
@@ -1133,11 +1156,15 @@ def q_quote_containment(spark, sf_dir):
             " ",
         ).alias("text"),
     )
-    # shingles(docs ∪ quotes) = shingles(docs) ∪ shingles(quotes): the
-    # base side comes from the session cache shared with the Jaccard /
-    # similarity-join family; only the 1/37 quote slice re-shingles
-    shingles = _shingles_cached(spark, sf_dir).unionByName(
+    # distinct-sets(docs ∪ quotes) = distinct-sets(docs) ∪
+    # distinct-sets(quotes): the doc keyspaces are disjoint (quote ids
+    # carry +1e6), so the session-cached corpus distinct frame unions
+    # with the 1/37 quote slice's own distinct — the corpus-wide
+    # distinct shuffle never re-runs here
+    sets = _prefix_sets_cached(spark, sf_dir).unionByName(
         DS.shingle_rows(quotes, "doc_id", "text")
+        .select(F.col("doc_id").alias("doc"), "shingle")
+        .distinct()
     )
     return DS.containment_join(
         docs.unionByName(quotes),
@@ -1145,7 +1172,7 @@ def q_quote_containment(spark, sf_dir):
         "text",
         threshold_num=9,
         threshold_den=10,
-        shingles=shingles,
+        sets=sets,
     )
 
 

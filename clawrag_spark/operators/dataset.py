@@ -376,6 +376,7 @@ def prefix_filter_similarity_join(
     threshold_num: int = 4,
     threshold_den: int = 5,
     shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs set-similarity join via prefix filtering — the EXACT
     (zero-recall-loss) alternative to MinHash-LSH candidate generation
@@ -411,18 +412,25 @@ def prefix_filter_similarity_join(
     Pass a cached :func:`shingle_rows` frame via ``shingles`` to share
     the tokenize+explode scan with other consumers.
     """
-    if shingles is None:
-        shingles = shingle_rows(docs, id_col, text_col)
-    # the distinct (doc, shingle) frame feeds FOUR consumers (sizes,
-    # document frequencies, the ranked prefix, and both verify sides) —
-    # persist + materialize EAGERLY per the repo's fork-then-cache rule
-    # or the tokenize+explode+distinct subtree re-runs per consumer
-    # (measured: 11.0 s → 4.2 s at sf0.1).  Session-scoped cache, same
-    # lifecycle as _jaccard_verified_pairs' shingle cache.
-    sets = (
-        shingles.select(F.col(id_col).alias("doc"), "shingle").distinct().persist()
-    )
-    sets.count()
+    if sets is not None:
+        # caller-provided DISTINCT (doc, shingle) frame (already
+        # materialized) — shared across the set-similarity queries
+        sets = sets.select(F.col("doc"), "shingle")
+    else:
+        if shingles is None:
+            shingles = shingle_rows(docs, id_col, text_col)
+        # the distinct (doc, shingle) frame feeds FOUR consumers (sizes,
+        # document frequencies, the ranked prefix, and both verify sides) —
+        # persist + materialize EAGERLY per the repo's fork-then-cache rule
+        # or the tokenize+explode+distinct subtree re-runs per consumer
+        # (measured: 11.0 s → 4.2 s at sf0.1).  Session-scoped cache, same
+        # lifecycle as _jaccard_verified_pairs' shingle cache.
+        sets = (
+            shingles.select(F.col(id_col).alias("doc"), "shingle")
+            .distinct()
+            .persist()
+        )
+        sets.count()
     sizes = sets.groupBy("doc").agg(F.count("*").alias("sz"))
     dfreq = sets.groupBy("shingle").agg(F.count("*").alias("tok_df"))
     from pyspark.sql import Window
@@ -530,6 +538,7 @@ def containment_join(
     threshold_num: int = 9,
     threshold_den: int = 10,
     shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-CONTAINMENT join: ordered pairs (a, b) with
     C(a, b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| >= t — the
@@ -563,12 +572,17 @@ def containment_join(
     doc_a is the contained (smaller) side; exact duplicates appear in
     both directions, as in the naive definition.
     """
-    if shingles is None:
-        shingles = shingle_rows(docs, id_col, text_col)
-    sets = (
-        shingles.select(F.col(id_col).alias("doc"), "shingle").distinct().persist()
-    )
-    sets.count()  # fork rule: sizes, dfreq, prefix, and both verify sides
+    if sets is not None:
+        sets = sets.select(F.col("doc"), "shingle")
+    else:
+        if shingles is None:
+            shingles = shingle_rows(docs, id_col, text_col)
+        sets = (
+            shingles.select(F.col(id_col).alias("doc"), "shingle")
+            .distinct()
+            .persist()
+        )
+        sets.count()  # fork rule: sizes, dfreq, prefix, both verify sides
     sizes = sets.groupBy("doc").agg(F.count("*").alias("sz"))
     dfreq = sets.groupBy("shingle").agg(F.count("*").alias("tok_df"))
     from pyspark.sql import Window
