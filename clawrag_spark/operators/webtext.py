@@ -4408,7 +4408,11 @@ def burrows_delta_outliers(
             F.col(group_col).alias("grp"),
             F.explode(sql_tokens(F.col(text_col))).alias("term"),
         )
-    dl = toks.groupBy(id_col, "grp").agg(F.count("*").alias("dl"))
+    # dl feeds three consumers (rf join, group sizes, the final spine)
+    # and z feeds two (group sums + per-doc corrections, each of which
+    # would otherwise re-run the rf aggregation) — persist both; the
+    # materialized bits are what the recomputation produced before
+    dl = toks.groupBy(id_col, "grp").agg(F.count("*").alias("dl")).persist()
     n_docs = dl.agg(F.count("*").alias("n_docs"))
     mfw = (
         toks.groupBy("term")
@@ -4448,6 +4452,8 @@ def burrows_delta_outliers(
         ((F.col("rf") - F.col("mu")) / F.col("sigma")).alias("z"),
         "z0",
     )
+    z = z.persist()
+    z.count()  # materialize before gsum/adj fork the plan
     ng = dl.groupBy("grp").agg(F.count("*").alias("ng"))
     gsum = z.groupBy("grp", "term").agg(
         F.sum("z").alias("sz"), F.count("*").alias("npres")
